@@ -1,0 +1,381 @@
+"""Deduplication operators over ``documents``: exact (hash-groupBy),
+MinHash + LSH banding (shingle -> minhash -> band -> bucket-join),
+exact n-gram Jaccard verification of LSH candidates, and SimHash.
+
+Engine-portable hashing: ``md5`` (identical in Spark and DuckDB) is
+the hash family; seed ``j`` is mixed in as a string prefix, and "min
+over the hash space" = min over hex strings.
+
+Scale design: shingling, minhash signatures, band keys are all
+PER-ROW expressions (no explode, no shuffle) inside whole-stage
+codegen. The only shuffles are (a) the band-bucket self-join — which
+touches candidate pairs only, the whole point of LSH — and (b) the
+final pair aggregation. At 100 TB, band keys are the join/shuffle
+keys; hot buckets (degenerate near-identical corpora) would be capped
+per-bucket — noted in PERF.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+N_SEEDS = 12
+N_BANDS = 3
+ROWS_PER_BAND = N_SEEDS // N_BANDS
+
+# ---------------------------------------------------------------- shared
+# Spark-side expression fragments (SQL expression dialect of Catalyst).
+
+SPARK_WORDS = r"split(trim(lower(text)), '\\s+')"
+SPARK_SHINGLES = (
+    f"transform(sequence(1, greatest(size({SPARK_WORDS}) - 2, 1)), "
+    f"i -> concat_ws(' ', slice({SPARK_WORDS}, i, 3)))"
+)
+
+
+def spark_sig(j: int) -> str:
+    return f"array_min(transform(shingles, s -> md5(concat('{j}:', s))))"
+
+
+# DuckDB-side equivalents.
+DUCK_WORDS = r"string_split_regex(trim(lower(text)), '\s+')"
+DUCK_SHINGLES = (
+    f"[array_to_string(words[i:i+2], ' ') "
+    f"for i in range(1, greatest(len(words) - 2, 1) + 1)]"
+)
+
+
+def duck_sig(j: int) -> str:
+    return f"list_min([md5('{j}:' || s) for s in shingles])"
+
+
+def _duck_signature_cte() -> str:
+    sig_cols = ",\n         ".join(f"{duck_sig(j)} AS s{j}" for j in range(N_SEEDS))
+    band_cols = ",\n         ".join(
+        "md5({}) AS b{}".format(
+            " || ".join(f"s{j}" for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)),
+            k,
+        )
+        for k in range(N_BANDS)
+    )
+    return f"""
+words_t AS (
+  SELECT doc_id, {DUCK_WORDS} AS words FROM documents),
+shingles_t AS (
+  SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM words_t),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM shingles_t),
+banded AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM sigs),
+band_long AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {k} AS band_id, b{k} AS band_key FROM banded" for k in range(N_BANDS))}),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_long a JOIN band_long b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+"""
+
+
+def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + shingles array, MATERIALIZED (localCheckpoint).
+
+    Without the barrier, Catalyst's project-collapse would inline the
+    shingling expression into every downstream consumer (12 signature
+    mins, the band join's both sides...), recomputing it each time. At
+    cluster scale this would be a written shingle/signature table; here
+    localCheckpoint gives the same compute-once semantics.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return d.select(F.col("doc_id"), F.expr(SPARK_SHINGLES).alias("shingles")).localCheckpoint()
+
+
+def _spark_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spark_shingled(spark, sf_dir)
+    for j in range(N_SEEDS):
+        d = d.withColumn(f"s{j}", F.expr(spark_sig(j)))
+    for k in range(N_BANDS):
+        cols = [f"s{j}" for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)]
+        d = d.withColumn(f"b{k}", F.md5(F.concat(*cols)))
+    return d.select(
+        "doc_id", *[f"s{j}" for j in range(N_SEEDS)], *[f"b{k}" for k in range(N_BANDS)]
+    ).localCheckpoint()
+
+
+def _spark_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    stack_args = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
+    band_long = sigs.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+    a = band_long.alias("a")
+    b = band_long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+@query(
+    "dedup_exact_summary",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(trim(lower(text)))) AS n_distinct_texts,
+       COUNT(*) - COUNT(DISTINCT md5(trim(lower(text)))) AS n_exact_dups
+FROM documents
+""",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: normalized-text hash cardinality.
+
+    Scale: hash the text ONCE per row map-side, aggregate the 16-byte
+    digest, never shuffle the document bodies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.trim(F.lower("text")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_exact_dups"),
+    )
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(trim(lower(text))) AS text_hash,
+       MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: hash-groupBy, keep-min-id canonical."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.trim(F.lower("text"))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_MATCH_SUM_DUCK = " + ".join(
+    f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(N_SEEDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_duck_signature_cte()}
+SELECT p.doc_a, p.doc_b,
+       ({_MATCH_SUM_DUCK}) AS n_matching,
+       ({_MATCH_SUM_DUCK}) * 1.0 / {N_SEEDS} AS est_jaccard
+FROM cand_pairs p
+JOIN sigs sa ON p.doc_a = sa.doc_id
+JOIN sigs sb ON p.doc_b = sb.doc_id
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: word-3-gram shingles ->
+    12-seed minhash signature -> 3 bands of 4 -> band-bucket self-join;
+    estimated Jaccard = fraction of matching signature positions.
+    """
+    sigs = _spark_signatures(spark, sf_dir)
+    pairs = _spark_candidate_pairs(sigs)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    match_sum = sum(
+        F.when(F.col(f"sa.s{j}") == F.col(f"sb.s{j}"), 1).otherwise(0)
+        for j in range(N_SEEDS)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            match_sum.alias("n_matching"),
+            (match_sum * F.lit(1.0) / F.lit(N_SEEDS)).alias("est_jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_jaccard_verified",
+    oracle=f"""
+WITH {_duck_signature_cte()},
+doc_shingles AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingles_t),
+sizes AS (
+  SELECT doc_id, len(list_distinct(shingles)) AS n_sh FROM shingles_t),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM cand_pairs p
+  JOIN doc_shingles a ON a.doc_id = p.doc_a
+  JOIN doc_shingles b ON b.doc_id = p.doc_b AND a.sh = b.sh
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+       i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+""",
+)
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on the LSH candidate pairs (the verify
+    stage of MinHash-LSH dedup): explode distinct shingles of candidate
+    docs only, count intersections.
+
+    Scale: the expensive exact computation is restricted to LSH
+    candidates — cost is O(candidates x shingles), not O(n^2).
+    """
+    d = _spark_shingled(spark, sf_dir)
+    sigs = _spark_signatures(spark, sf_dir)
+    pairs = _spark_candidate_pairs(sigs)
+    doc_sh = d.select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
+    sizes = d.select("doc_id", F.size(F.array_distinct("shingles")).alias("n_sh"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    inter = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, (pairs.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sa.n_sh").alias("n_sh_a"),
+            F.col("sb.n_sh").alias("n_sh_b"),
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+N_SIMHASH_BITS = 32
+
+
+def _hexval(expr: str) -> str:
+    """Portable hex-digit -> int (identical CASE on both engines)."""
+    whens = " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+    return f"CASE {expr} {whens} END"
+
+
+def _bit_weight(bit: int) -> str:
+    """+1/-1 weight of bit ``bit`` (0 = MSB) of md5-derived 32-bit hash.
+
+    h8 is the first 8 hex chars of md5(word); bit j lives in hex char
+    j//4 at in-char position j%4 (MSB-first).
+    """
+    ci = bit // 4 + 1
+    shift = 3 - bit % 4
+    v = _hexval(f"substring(h8, {ci}, 1)")
+    return f"CASE WHEN CAST(floor(({v}) / {2 ** shift}) AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+
+
+def _duck_simhash_cte() -> str:
+    sums = ",\n         ".join(
+        f"SUM({_bit_weight(j)}) AS w{j}" for j in range(N_SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN w{j} > 0 THEN '1' ELSE '0' END" for j in range(N_SIMHASH_BITS)
+    )
+    return f"""
+tokens AS (
+  SELECT doc_id, substring(md5(w), 1, 8) AS h8
+  FROM (SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents)),
+weights AS (
+  SELECT doc_id,
+         {sums}
+  FROM tokens GROUP BY doc_id),
+simhashes AS (
+  SELECT doc_id, {bits} AS simhash FROM weights)
+"""
+
+
+def _spark_simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.expr(SPARK_WORDS)).alias("w")
+    ).select("doc_id", F.substring(F.md5("w"), 1, 8).alias("h8"))
+    sums = [
+        F.sum(F.expr(_bit_weight(j))).alias(f"w{j}") for j in range(N_SIMHASH_BITS)
+    ]
+    weights = tokens.groupBy("doc_id").agg(*sums)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"w{j}") > 0, "1").otherwise("0")
+            for j in range(N_SIMHASH_BITS)
+        ]
+    )
+    return weights.select("doc_id", bits.alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_duck_simhash_cte()}
+SELECT doc_id, simhash FROM simhashes
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (token hashes weighted +/-1 per bit,
+    sign-aggregated). Exact-match buckets are hamming-0 duplicates;
+    near-dup search flips bands of bits (see dedup_simhash_clusters).
+
+    Scale: one explode + one groupBy(doc_id) — the aggregation is the
+    shuffle; 32 small integer sums ride along in map-side partial agg.
+    """
+    return _spark_simhashes(spark, sf_dir)
+
+
+@query(
+    "dedup_simhash_clusters",
+    oracle=f"""
+WITH {_duck_simhash_cte()}
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT simhash) AS n_distinct_simhash,
+       COUNT(*) - COUNT(DISTINCT simhash) AS n_bucketed_dups
+FROM simhashes
+""",
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucket summary: docs sharing an identical 32-bit
+    signature are duplicate candidates."""
+    sh = _spark_simhashes(spark, sf_dir)
+    return sh.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("simhash").alias("n_distinct_simhash"),
+        (F.count(F.lit(1)) - F.countDistinct("simhash")).alias("n_bucketed_dups"),
+    )

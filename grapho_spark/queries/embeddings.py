@@ -1,0 +1,319 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d):
+brute-force cosine top-k (baseline), an IVF-style coarse-quantized
+variant (the scale path), element-wise centroids, and near-duplicate
+detection by embedding cosine. A vectorized Arrow/numpy variant of the
+brute-force search lives in ``embedding_knn_pandas`` (same oracle).
+
+Determinism: dot products for ranking are computed either in exact
+DECIMAL (IVF assignment) or rounded to 6 decimals before ranking, with
+vec_id tiebreaks — so Spark's and DuckDB's last-ulp float differences
+cannot reorder results.
+
+Scale: brute-force is O(queries x corpus) — fine for a broadcast-able
+query set; IVF prunes the corpus to one coarse cell per query, which
+is the pattern that survives 100 TB (cells ~ partitions, centroid
+table broadcast).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+DIM = 64
+
+_SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _spark_cosine(a: str, b: str) -> F.Column:
+    dot = _SPARK_DOT.format(a=a, b=b)
+    na = _SPARK_DOT.format(a=a, b=a)
+    nb = _SPARK_DOT.format(a=b, b=b)
+    return F.round(F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))"), 6)
+
+
+_DUCK_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "embedding_knn_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT q_id, vec_id, {_DUCK_COS.format(a="qv", b="ev")} AS cosine
+  FROM q, base WHERE q_id <> vec_id)
+SELECT q_id, vec_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a small query set.
+
+    Scale: the query set is broadcast (never shuffle the corpus); the
+    per-query top-k is computed with a ranked window after scoring.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+@query(
+    "embedding_knn_pandas",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT q_id, vec_id, {_DUCK_COS.format(a="qv", b="ev")} AS cosine
+  FROM q, base WHERE q_id <> vec_id)
+SELECT q_id, vec_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def embedding_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same search as ``embedding_knn_bruteforce`` via the vectorized
+    Arrow path: queries are collected (tiny set) into a numpy matrix,
+    the corpus streams through ``mapInPandas`` computing a partial
+    top-k per Arrow batch, and a final ranked window merges partials.
+
+    Scale: this is the 100 TB shape — O(batch x queries) BLAS matmul
+    per partition, only k rows per (partition, query) cross the wire.
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            ev = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vid = pdf["vec_id"].to_numpy()
+            norms = np.sqrt((ev * ev).sum(axis=1))
+            sims = (q_mat @ ev.T) / (q_norm[:, None] * norms[None, :])
+            out = []
+            for qi, q_id in enumerate(q_ids):
+                s = sims[qi]
+                mask = vid != q_id
+                idx = np.nonzero(mask)[0]
+                order = idx[np.argsort(-s[idx], kind="stable")][:5]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_id,
+                            "vec_id": vid[order],
+                            "cosine": np.round(s[order], 6),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = e.select("vec_id", "embedding").mapInPandas(
+        partial_topk, schema="q_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT label, i AS pos,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label (exploded representation).
+
+    Decimal-cast elements keep the mean exact across accumulation
+    orders. Scale: explode is map-side; one shuffle on (label, pos).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").cast("decimal(12,6)").alias("dv"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("dv").cast("double") / F.count(F.lit(1))).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+_DUCK_IVF_CTE = """
+centroids AS (
+  SELECT label, i AS pos,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS cval
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, i),
+queries AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 97 = 0),
+q_exploded AS (
+  SELECT q_id, i AS pos, qv[i] AS qval FROM queries, range(1, 65) t(i)),
+q_dots AS (
+  SELECT q_id, c.label,
+         CAST(SUM(CAST(qval AS DECIMAL(12,6)) * CAST(cval AS DECIMAL(12,6))) AS DOUBLE) AS dot_d
+  FROM q_exploded q JOIN centroids c ON q.pos = c.pos
+  GROUP BY q_id, c.label),
+assigned AS (
+  SELECT q_id, label AS cell
+  FROM (SELECT q_id, label, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_d DESC, label) AS rn
+        FROM q_dots)
+  WHERE rn = 1)
+"""
+
+
+@query(
+    "embedding_ivf_knn",
+    oracle=f"""
+WITH {_DUCK_IVF_CTE},
+scored AS (
+  SELECT q.q_id, a.cell, e.vec_id,
+         {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cosine
+  FROM queries q
+  JOIN assigned a ON q.q_id = a.q_id
+  JOIN embeddings e ON e.label = a.cell AND e.vec_id <> q.q_id)
+SELECT q_id, cell, vec_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = per-label centroids; each query is
+    routed to its nearest centroid (exact-decimal dot product), then
+    searched only within that cell.
+
+    Scale: centroid table is tiny and broadcast; the corpus is
+    partitioned by cell, so each query touches 1/n_cells of the data —
+    the IVF pruning that makes ANN viable at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("v").cast("double").cast("decimal(12,6)").alias("dv"),
+        )
+        .groupBy("label", "pos")
+        .agg((F.sum("dv").cast("double") / F.count(F.lit(1))).alias("cval"))
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    q_expl = q.select("q_id", F.posexplode("qv").alias("pos0", "qval")).select(
+        "q_id", (F.col("pos0") + 1).alias("pos"), "qval"
+    )
+    q_dots = (
+        q_expl.join(F.broadcast(cents), "pos")
+        .groupBy("q_id", "label")
+        .agg(
+            F.sum(
+                F.col("qval").cast("decimal(12,6)") * F.col("cval").cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("dot_d")
+        )
+    )
+    w_assign = Window.partitionBy("q_id").orderBy(F.desc("dot_d"), "label")
+    assigned = (
+        q_dots.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("cell"))
+    )
+    base = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    scored = (
+        F.broadcast(q.join(assigned, "q_id"))
+        .join(base, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "cell", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "cell", "vec_id", "cosine")
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH sample AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 10 = 0),
+base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+pairs AS (
+  SELECT s.vec_id AS vec_a, b.vec_id AS vec_b, s.label,
+         {_DUCK_COS.format(a="s.ev", b="b.ev")} AS cosine
+  FROM sample s JOIN base b ON s.label = b.label AND s.vec_id < b.vec_id)
+SELECT label, COUNT(*) AS n_pairs_checked,
+       SUM(CASE WHEN cosine >= 0.6 THEN 1 ELSE 0 END) AS n_neardup,
+       MAX(cosine) AS max_cosine
+FROM pairs
+GROUP BY label
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate scan, blocked by label (the
+    coarse cell doubles as the dedup blocking key so the pair join is
+    per-cell, not global O(n^2))."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    s = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("ev").alias("av")
+    )
+    pairs = s.join(
+        e, (s.label == e.label) & (F.col("vec_a") < F.col("vec_id"))
+    ).select(s.label.alias("label"), _spark_cosine("av", "ev").alias("cosine"))
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs_checked"),
+        F.sum(F.when(F.col("cosine") >= 0.6, 1).otherwise(0)).alias("n_neardup"),
+        F.max("cosine").alias("max_cosine"),
+    )

@@ -1,0 +1,217 @@
+"""Event-stream analytics over the ``events`` table (batch side):
+sessionization (gaps-and-islands), tumbling windows, as-of join,
+JSON property extraction. The streaming counterparts live in
+``grapho_spark/streaming`` (SURVEY.md §2.4: streaming absent in the
+reference; the commit log is its only stream-like artifact).
+
+Timestamps are compared in epoch microseconds (``unix_micros`` /
+``epoch_us``) on both engines — integer math, no float or truncation
+ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US}
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT user_id, event_id, new_session FROM flagged))
+SELECT user_id,
+       COUNT(DISTINCT session_id) AS n_sessions,
+       COUNT(*) AS n_events,
+       COUNT(*) * 1.0 / COUNT(DISTINCT session_id) AS avg_events_per_session
+FROM sessions
+GROUP BY user_id
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gaps-and-islands: a session breaks after a
+    30-minute silence per user.
+
+    Scale: two window passes over the same (user_id, ts) partitioning —
+    one shuffle total; per-user data is tiny, so no skew concern. The
+    same semantics are available incrementally via
+    ``session_window`` in the streaming module.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_US) | F.lag(us).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select("user_id", F.sum("new_session").over(w2).alias("session_id"))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) * F.lit(1.0) / F.countDistinct("session_id")).alias(
+            "avg_events_per_session"
+        ),
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per event type (batch form of
+    the streaming windowed count — see streaming module).
+
+    Scale: single shuffle on (hour, type); decimal sum keeps the
+    double-valued metric deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_asof_last_purchase",
+    oracle="""
+SELECT event_id, user_id, ts, last_purchase_ts,
+       CASE WHEN last_purchase_ts IS NOT NULL
+            THEN (epoch_us(ts) - epoch_us(last_purchase_ts)) / 1000000.0 END AS secs_since_purchase
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+  FROM events)
+WHERE event_type = 'error'
+""",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a single-pass window (union-free): for
+    every error event, the user's most recent strictly-prior purchase.
+
+    Scale: this is the shuffle-minimal as-of pattern — instead of a
+    range join (quadratic blowup) the two event sets stay in one
+    stream, one shuffle on user_id, and ``last(..., ignorenulls)``
+    carries the as-of value forward. A generic two-table as-of
+    operator built on the same idea lives in
+    ``grapho_spark.operators.asof``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_purchase_ts"),
+    )
+    return enriched.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_purchase_ts",
+        F.when(
+            F.col("last_purchase_ts").isNotNull(),
+            (F.unix_micros("ts") - F.unix_micros("last_purchase_ts")) / F.lit(1000000.0),
+        ).alias("secs_since_purchase"),
+    )
+
+
+@query(
+    "events_json_extraction",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract an int property from the JSON
+    ``props`` column and aggregate (reference type ``json`` maps to
+    StringType + accessors — SURVEY.md §1.2).
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_hourly_top_type",
+    oracle="""
+SELECT hour_start, event_type, n_events
+FROM (SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY 1, 2)
+WHERE rn = 1
+""",
+)
+def events_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 event type per hour: agg then ranked window (deterministic
+    tiebreak on event_type)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("hour_start").orderBy(F.desc("n_events"), "event_type")
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("hour_start", "event_type", "n_events")
+    )

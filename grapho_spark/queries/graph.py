@@ -1,0 +1,295 @@
+"""Graph analytics over a derived property graph (SURVEY.md §7.2 phase
+6 — the reference's data model is a property graph but it has no graph
+*algorithms*; this is the GraphFrames-style DataFrame surface).
+
+The graph: parts as vertices, co-purchase as edges — two parts are
+connected iff they appear in the same order, with edge weight = number
+of distinct co-orders. Built entirely relationally (self-join on
+l_orderkey), thresholded at weight >= 2 for the algorithm queries so
+the graph has non-trivial structure.
+
+Iterative algorithms (connected components, PageRank) run as
+DataFrame loops with ``localCheckpoint`` between rounds to truncate
+lineage — the scalable pattern (O(diameter) or O(iters) shuffles on
+the edge key). Their oracles are a recursive CTE (CC) and an unrolled
+iteration chain (PageRank) in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+MIN_WEIGHT = 2
+PR_ITERS = 5
+DAMPING = 0.85
+
+_DUCK_EDGES_CTE = f"""
+pair_orders AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (
+  SELECT p1, p2, COUNT(*) AS weight
+  FROM pair_orders GROUP BY p1, p2
+  HAVING COUNT(*) >= {MIN_WEIGHT}),
+sym AS (
+  SELECT p1 AS src, p2 AS dst FROM edges
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM edges),
+nodes AS (
+  SELECT DISTINCT src AS node FROM sym)
+"""
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .distinct()
+    )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str, min_weight: int = MIN_WEIGHT) -> DataFrame:
+    """Weighted co-purchase edge list (p1 < p2)."""
+    return (
+        _copurchase_pairs(spark, sf_dir)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def sym_edges(edges: DataFrame) -> DataFrame:
+    return edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+
+
+@query(
+    "graph_copurchase_edges",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE}
+SELECT p1, p2, weight FROM edges
+""",
+)
+def graph_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge construction: lineitem self-join on order, distinct pair
+    per order, weight = co-order count, thresholded.
+
+    Scale: self-join shuffles on l_orderkey once; per-order fan-out is
+    bounded by lines-per-order (~7), so no quadratic blowup. A skewed
+    mega-order would be AQE skew-split.
+    """
+    return copurchase_edges(spark, sf_dir)
+
+
+@query(
+    "graph_degrees",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE}
+SELECT src AS node, COUNT(*) AS degree
+FROM sym GROUP BY src
+""",
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degree distribution of the co-purchase graph."""
+    edges = copurchase_edges(spark, sf_dir)
+    return sym_edges(edges).groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+@query(
+    "graph_2hop_neighborhood",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+start AS (SELECT MIN(node) AS s FROM nodes),
+hop1 AS (SELECT DISTINCT dst AS n FROM sym, start WHERE src = s),
+hop2 AS (SELECT DISTINCT e.dst AS n FROM sym e JOIN hop1 h ON e.src = h.n)
+SELECT n AS node, 2 AS hops FROM hop2
+WHERE n NOT IN (SELECT n FROM hop1) AND n <> (SELECT s FROM start)
+UNION ALL
+SELECT n AS node, 1 AS hops FROM hop1
+""",
+)
+def graph_2hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS to depth 2 from a deterministic start vertex (min node id),
+    labeling each reached vertex with its hop distance."""
+    edges = copurchase_edges(spark, sf_dir)
+    sym = sym_edges(edges)
+    start = sym.agg(F.min("src").alias("s"))
+    hop1 = (
+        sym.join(F.broadcast(start), sym.src == F.col("s"))
+        .select(F.col("dst").alias("n"))
+        .distinct()
+    )
+    hop2 = (
+        sym.join(F.broadcast(hop1.withColumnRenamed("n", "h1")), sym.src == F.col("h1"))
+        .select(F.col("dst").alias("n"))
+        .distinct()
+        .join(hop1, "n", "left_anti")
+        .join(F.broadcast(start), F.col("n") == F.col("s"), "left_anti")
+    )
+    return hop2.select("n", F.lit(2).alias("hops")).unionAll(
+        hop1.select("n", F.lit(1).alias("hops"))
+    ).withColumnRenamed("n", "node")
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE}
+SELECT COUNT(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.p2 = e2.p1
+JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting via ordered wedge join (p1<p2<p3 canonical
+    form counts each triangle exactly once).
+
+    Scale: the ordered form bounds the wedge join by sum(deg^2) of the
+    thresholded graph; at larger SF the threshold and/or a degree-cap
+    (count-min on hubs) keeps wedges linear-ish.
+    """
+    e = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+    tris = wedges.join(
+        e3,
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+reach(n, m) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.n, e.dst FROM reach r JOIN sym e ON r.m = e.src)
+SELECT n AS node, MIN(m) AS component
+FROM reach GROUP BY n
+""",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by iterative min-label propagation
+    (converges in O(diameter) rounds; each round = one shuffle).
+
+    The oracle computes the same labeling via reachability closure in
+    a recursive CTE — O(n * component) rows, fine at oracle scale,
+    while the Spark loop is the shape that scales.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = sym_edges(edges).persist()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
+    )
+    for _ in range(50):
+        msgs = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionAll(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def _duck_pagerank_sql() -> str:
+    n_expr = "(SELECT COUNT(*) FROM nodes)"
+    chains = [
+        f"pr0 AS (SELECT node, 1.0 / {n_expr} AS pr FROM nodes)",
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src)",
+    ]
+    for i in range(PR_ITERS):
+        chains.append(
+            f"""pr{i + 1} AS (
+  SELECT n.node,
+         {1 - DAMPING} / {n_expr} + {DAMPING} * COALESCE(SUM(p.pr / dg.d), 0) AS pr
+  FROM nodes n
+  LEFT JOIN sym e ON e.dst = n.node
+  LEFT JOIN pr{i} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.node = e.src
+  GROUP BY n.node)"""
+        )
+    return (
+        f"WITH {_DUCK_EDGES_CTE},\n"
+        + ",\n".join(chains)
+        + f"\nSELECT node, round(pr, 6) AS pagerank FROM pr{PR_ITERS}"
+    )
+
+
+@query("graph_pagerank", oracle=_duck_pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 5 synchronous iterations, damping 0.85, on the
+    undirected co-purchase graph (no dangling nodes by construction).
+
+    Scale: each iteration is join(edges, ranks) + groupBy(dst) — two
+    shuffles on stable keys; ``localCheckpoint`` truncates the plan so
+    iteration N doesn't replay 1..N-1. Final values rounded to 6dp
+    (float accumulation differs in last ulps across engines).
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = sym_edges(edges).persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contribs = (
+            sym.join(ranks.withColumnRenamed("node", "src_n"), F.col("src") == F.col("src_n"))
+            .join(deg.withColumnRenamed("node", "deg_n"), F.col("src") == F.col("deg_n"))
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node").agg(F.sum("c").alias("inflow")), "node", "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit((1 - DAMPING) / n)
+                    + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select("node", F.round("pr", 6).alias("pagerank"))
+    sym.unpersist()
+    nodes.unpersist()
+    return out

@@ -1,0 +1,106 @@
+"""Structured Streaming queries over the ``events`` table, run to
+completion against the finite parquet input via a memory sink (the
+same code shape targets Kafka + a real sink in production — see
+``grapho_spark/streaming/``).
+
+Because the input is finite and we use ``complete`` output mode, the
+final streaming state equals the batch aggregation — so these streaming
+queries have exact DuckDB oracles (a rare luxury; the driver gets a
+full value-hash check on a streaming operator).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_stream
+
+
+def _run_stream_to_memory(stream_df: DataFrame, out_mode: str) -> DataFrame:
+    name = "stream_out_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(out_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate (1h windows, 1h
+    watermark for state cleanup), driven to completion over the parquet
+    input; result equals the batch hourly aggregate.
+
+    Scale: streaming state is bounded by the watermark horizon; the
+    aggregation itself is the same partial-agg + shuffle as batch.
+    """
+    stream = (
+        load_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_stream_to_memory(stream, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "streaming_user_event_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       MAX(ts) AS last_seen
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running per-user totals (complete mode global state),
+    equal to the batch groupBy at end-of-input.
+
+    ``approx_count_distinct`` would be the unbounded-state-safe choice
+    at scale; here exact distinct keeps the oracle exact and state is
+    bounded by (user, type) cardinality.
+    """
+    stream = (
+        load_stream(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact distinct is unsupported in streaming aggs; a bounded
+            # collect_set gives the exact cardinality (event_type is
+            # low-cardinality; at scale: approx_count_distinct).
+            F.size(F.collect_set("event_type")).alias("n_types"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+    return _run_stream_to_memory(stream, "complete")

@@ -1,0 +1,222 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting (whitespace + BPE-ish regex), quality scoring, language ID
+(marker-word + charset heuristic), document fingerprinting (k-min
+rolling hash). Part of the large-scale training-data pipeline surface
+(no reference counterpart — SURVEY.md §2.4 / build plan §7.2 phase 7).
+
+All of these are pure per-row projections built from JVM built-in
+expressions (whole-stage codegen, no Python in the hot path) — they
+scale linearly with a parquet scan, no shuffle at all for the per-doc
+forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "that", "with"),
+    "es": ("el", "la", "los", "que", "y", "de"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+}
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_measured,
+       length(text) * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS chars_per_token
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length("text") * F.lit(1.0) / ws).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents)
+SELECT doc_id, lang, source,
+       len(words) AS n_words,
+       length(text) * 1.0 / len(words) AS avg_word_len,
+       len(list_filter(words, w -> w IN ({_STOP_SQL}))) * 1.0 / len(words) AS stopword_ratio,
+       len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text) AS punct_ratio,
+       len(list_distinct(words)) * 1.0 / len(words) AS distinct_ratio,
+       0.25 * least(len(words) / 64.0, 1.0)
+         + 0.25 * (len(list_filter(words, w -> w IN ({_STOP_SQL}))) * 1.0 / len(words))
+         + 0.25 * (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text))
+         + 0.25 * (len(list_distinct(words)) * 1.0 / len(words)) AS quality_score
+FROM toks
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length, stopword ratio, punctuation
+    ratio, lexical diversity, blended into a [0,1] score.
+
+    All per-row float math (no aggregation) — identical IEEE ops on
+    both engines, so exact parity without rounding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    d = d.select("doc_id", "lang", "source", "text", words.alias("words"))
+    n_words = F.size("words")
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_ratio = (
+        F.size(F.expr(f"filter(words, w -> w IN ({stop_in}))")) * F.lit(1.0) / n_words
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0))) * F.lit(1.0)
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct("words")) * F.lit(1.0) / n_words
+    quality = (
+        F.lit(0.25) * F.least(n_words / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.25) * stop_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.25) * distinct_ratio
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        (F.length("text") * F.lit(1.0) / n_words).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    marks = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(words, w -> w IN ({marks})))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql(LANG_MARKERS['de'])} AS s_de,
+         {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+         {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+         {_lang_score_sql(LANG_MARKERS['fr'])} AS s_fr,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 1 ELSE 0 END AS s_zh
+  FROM (SELECT doc_id, lang, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS words
+        FROM documents)),
+labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_zh > 0 THEN 'zh'
+              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+              WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM scored)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM labeled
+GROUP BY lang, predicted_lang
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word counts per language + CJK
+    charset check; confusion-matrix style output vs the labeled lang.
+    Deterministic argmax with a fixed preference order for ties.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("words", F.split(F.trim(F.lower("text")), r"\s+"))
+    scores = {
+        code: F.size(
+            F.expr(
+                "filter(words, w -> w IN ({}))".format(
+                    ", ".join(f"'{w}'" for w in marks)
+                )
+            )
+        )
+        for code, marks in LANG_MARKERS.items()
+    }
+    s_zh = F.when(F.col("text").rlike("[一-鿿]"), 1).otherwise(0)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        scores["de"].alias("s_de"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        s_zh.alias("s_zh"),
+    )
+    best = F.greatest("s_de", "s_en", "s_es", "s_fr")
+    predicted = (
+        F.when(F.col("s_zh") > 0, "zh")
+        .when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("doc_id", "lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+WITH shingled AS (
+  SELECT doc_id,
+         [md5(substring(text, i, 8)) for i in range(1, greatest(length(text) - 7, 1) + 1)]
+           AS hashes
+  FROM documents)
+SELECT doc_id,
+       list_sort(hashes)[1] AS min_hash,
+       array_to_string(list_sort(hashes)[1:4], '|') AS fingerprint_k4
+FROM shingled
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling char-8-gram hashes, k-min
+    sketch (winnowing-style). md5 is the engine-portable hash; min over
+    hex strings = min over the hash space.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashes = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8)))"
+    )
+    sorted_h = F.array_sort(hashes)
+    return d.select(
+        "doc_id",
+        sorted_h.getItem(0).alias("min_hash"),
+        F.array_join(F.slice(sorted_h, 1, 4), "|").alias("fingerprint_k4"),
+    )

@@ -1,0 +1,102 @@
+"""Loaders for the driver-generated parquet fixture tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file each under an
+``sf*`` directory.
+
+``load_tables`` also registers each DataFrame as a temp view so query
+code can freely mix the DataFrame API and ``spark.sql`` (Catalyst
+produces the same plan either way).
+
+Scale note: these are plain parquet scans — Catalyst pushes filters
+and prunes columns into the scan (verified via ``explain``, see
+PERF.md). ``region``/``nation``/``supplier``/``part`` are dimension
+tables; query code broadcast-hints them at join sites rather than here
+(the hint belongs to the join, not the load).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any realistic SF.
+DIM_TABLES = {"region", "nation", "supplier", "part"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Confs our loads rely on, set dynamically so they hold even in a
+    session we didn't build (the driver's):
+
+    - nanosAsLong: Spark 4 refuses TIMESTAMP(NANOS) parquet columns
+      (events.ts) unless they're surfaced as raw long nanoseconds; we
+      convert back to TimestampType below (values are us-aligned).
+    - UTC session timezone: timestamp collection must match the
+      UTC-naive DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _convert_ns_columns(df: DataFrame) -> DataFrame:
+    if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
+        # integer `div`, NOT `/`: float division loses sub-us precision
+        # on epoch-nanosecond magnitudes (> 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    return _convert_ns_columns(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Structured-Streaming source for a fixture table (explicit raw
+    schema — streaming reads cannot infer), with the same ns->us
+    timestamp conversion as the batch loader."""
+    _ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    # The file stream source requires a DIRECTORY; the fixture is a
+    # single parquet file. Expose it through a symlink dir under /tmp.
+    link_dir = os.path.join(
+        tempfile.gettempdir(), f"grapho_stream_{abs(hash((sf_dir, name))) % 10**10}"
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(table_path(sf_dir, name)), link)
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    return _convert_ns_columns(stream)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None, register: bool = True
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
