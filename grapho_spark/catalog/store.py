@@ -1,0 +1,201 @@
+"""Catalog persistence: JSONL DDL event log + JSON snapshots + manifest.
+
+Recovery contract mirrors /root/reference/catalog/store.go:
+- ``ddl-events.jsonl``: one JSON DDL event per line, fsync per append
+  (store.go:131-158).
+- ``snap-%06d.json``: full catalog snapshots (store.go:160-175).
+- ``MANIFEST.json``: current snapshot + replay offset, written via
+  atomic tmp+rename (store.go:177-196).
+- Load = read manifest -> load snapshot -> replay events past the
+  offset -> STOP at the first corrupt/unapplicable line, keeping the
+  best-effort catalog (store.go:80-127).
+
+Unlike the reference, DDL is persisted HERE only (the reference also
+re-logs DDL into the commit log and its replay then conflicts —
+server/server.go:58-62; SURVEY.md §3-B) — single source of truth per
+statement class.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import os
+from typing import Any
+
+from grapho_spark.catalog.ddl import DDLError, apply_ddl
+from grapho_spark.catalog.types import Catalog, catalog_from_json, catalog_to_json
+from grapho_spark.gql import ast
+
+_DDL_CLASSES = {
+    cls.__name__: cls
+    for cls in (
+        ast.CreateNodeStmt,
+        ast.CreateEdgeStmt,
+        ast.AlterNodeStmt,
+        ast.AlterEdgeStmt,
+        ast.DropNodeStmt,
+        ast.DropEdgeStmt,
+    )
+}
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        d = {f.name: _to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+        d["__type__"] = type(obj).__name__
+        return d
+    if isinstance(obj, enum.Enum):
+        return {"__enum__": type(obj).__name__, "value": obj.value}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(x) for x in obj]
+    return obj
+
+
+_ENUM_CLASSES = {
+    cls.__name__: cls
+    for cls in (ast.BaseType, ast.LiteralKind, ast.Cardinality, ast.AlterAction)
+}
+
+_DML_CLASSES = {
+    cls.__name__: cls
+    for cls in (
+        ast.InsertNodeStmt,
+        ast.InsertEdgeStmt,
+        ast.UpdateNodeStmt,
+        ast.UpdateEdgeStmt,
+        ast.DeleteNodeStmt,
+        ast.DeleteEdgeStmt,
+    )
+}
+
+_VALUE_CLASSES = {
+    cls.__name__: cls
+    for cls in (
+        ast.TypeSpec,
+        ast.Literal,
+        ast.FieldDef,
+        ast.Endpoint,
+        ast.Property,
+        ast.NodeRef,
+        ast.MatchElement,
+        *_DDL_CLASSES.values(),
+        *_DML_CLASSES.values(),
+    )
+}
+
+
+def _from_jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        if "__enum__" in obj:
+            return _ENUM_CLASSES[obj["__enum__"]](obj["value"])
+        if "__type__" in obj:
+            cls = _VALUE_CLASSES[obj["__type__"]]
+            kwargs = {k: _from_jsonable(v) for k, v in obj.items() if k != "__type__"}
+            # dataclass tuple fields arrive as lists
+            for f in dataclasses.fields(cls):
+                if f.name in kwargs and isinstance(kwargs[f.name], list):
+                    kwargs[f.name] = tuple(kwargs[f.name])
+            return cls(**kwargs)
+        return {k: _from_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_from_jsonable(x) for x in obj]
+    return obj
+
+
+def stmt_to_event(stmt: ast.Stmt) -> dict:
+    if type(stmt).__name__ not in _DDL_CLASSES:
+        raise DDLError(f"not a persistable DDL statement: {type(stmt).__name__}")
+    return _to_jsonable(stmt)
+
+
+def event_to_stmt(event: dict) -> ast.Stmt:
+    return _from_jsonable(event)
+
+
+class CatalogStore:
+    EVENTS = "ddl-events.jsonl"
+    MANIFEST = "MANIFEST.json"
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+
+    # ------------------------------------------------------------- paths
+
+    def _events_path(self) -> str:
+        return os.path.join(self.dir, self.EVENTS)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, self.MANIFEST)
+
+    def _snapshot_path(self, n: int) -> str:
+        return os.path.join(self.dir, f"snap-{n:06d}.json")
+
+    # ------------------------------------------------------------- write
+
+    def append_event(self, stmt: ast.Stmt) -> None:
+        line = json.dumps(stmt_to_event(stmt), separators=(",", ":"))
+        with open(self._events_path(), "a", encoding="utf-8") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def write_snapshot(self, cat: Catalog) -> None:
+        """Snapshot current catalog and point the manifest at it; replay
+        offset becomes the current event count."""
+        offset = self._count_events()
+        path = self._snapshot_path(cat.version)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(catalog_to_json(cat), f)
+            f.flush()
+            os.fsync(f.fileno())
+        self._write_manifest({"snapshot": os.path.basename(path), "offset": offset})
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    def _count_events(self) -> int:
+        try:
+            with open(self._events_path(), encoding="utf-8") as f:
+                return sum(1 for _ in f)
+        except FileNotFoundError:
+            return 0
+
+    # ------------------------------------------------------------- load
+
+    def load(self) -> Catalog:
+        cat = Catalog()
+        offset = 0
+        try:
+            with open(self._manifest_path(), encoding="utf-8") as f:
+                manifest = json.load(f)
+            snap = manifest.get("snapshot")
+            if snap:
+                with open(os.path.join(self.dir, snap), encoding="utf-8") as f:
+                    cat = catalog_from_json(json.load(f))
+            offset = int(manifest.get("offset", 0))
+        except FileNotFoundError:
+            pass
+
+        try:
+            with open(self._events_path(), encoding="utf-8") as f:
+                for i, line in enumerate(f):
+                    if i < offset:
+                        continue
+                    # corruption tolerance: stop at the first bad line,
+                    # keep the best-effort catalog (store.go:80-127).
+                    try:
+                        stmt = event_to_stmt(json.loads(line))
+                        cat = apply_ddl(cat, stmt)
+                    except (json.JSONDecodeError, KeyError, TypeError, DDLError):
+                        break
+        except FileNotFoundError:
+            pass
+        return cat

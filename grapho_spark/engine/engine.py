@@ -1,0 +1,738 @@
+"""GraphEngine: statement-level execution of GQL over Spark.
+
+Execution semantics follow /root/reference/server/server.go with the
+declared-semantics fixes catalogued in SURVEY.md §1.3/§7:
+
+- statements execute serially; the first error aborts the remainder of
+  the script (server.go:190-194); no transactions.
+- INSERT NODE/EDGE: type must exist, sequential string IDs from one
+  shared counter (nodes ``"N"``, edges ``"edge_N"`` —
+  server.go:533,557-559,616-617), endpoint labels type-checked
+  (server.go:609-614), node refs resolve by direct ID or first
+  property-match (server.go:745-765; made deterministic via smallest
+  ID).
+- UPDATE/DELETE/MATCH WHERE: conjunctive equality only; a key missing
+  from the schema matches nothing (server.go:779-782); ``null``
+  matches stored nulls (server.go:793-797 — eqNullSafe).
+- Declared-semantics divergences (enforced here, absent in the
+  reference): typed coercion by catalog type, applied DEFAULTs, real
+  NOT NULL (explicit null rejected), UNIQUE/PK guards, enum value
+  checks, endpoint cardinality enforcement, RETURN projection honored.
+
+Storage model (Spark-idiomatic substitute for the reference's mutable
+in-memory maps): each node/edge type is a TABLE = immutable base
+DataFrame (optionally parquet-backed, copy-on-write versions) + a
+driver-side row buffer for OLTP appends. Reads union the two;
+UPDATE/DELETE compile to Spark plans over the union and publish a new
+materialized base. At cluster scale the buffer would be a streaming
+ingest table and flush() a compaction job — same architecture.
+
+Durability: DDL goes ONLY to the catalog store (events JSONL); DML
+goes ONLY to the commit log (JSONL of statement ASTs), replayed past
+the manifest offset on open — this separation avoids the reference's
+double-persistence replay conflict (server.go:47-68, SURVEY.md §3-B).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+from grapho_spark.catalog.ddl import DDLError, apply_ddl
+from grapho_spark.catalog.store import CatalogStore, _from_jsonable, _to_jsonable
+from grapho_spark.catalog.types import (
+    Catalog,
+    DST_COLUMN,
+    EdgeType,
+    FieldSpec,
+    ID_COLUMN,
+    NodeType,
+    SRC_COLUMN,
+    edge_struct,
+    node_struct,
+    spark_type,
+)
+from grapho_spark.engine.coerce import CoercionError, coerce_literal
+from grapho_spark.gql import ast
+from grapho_spark.gql.ast import Cardinality, LiteralKind, TypeSpec
+from grapho_spark.gql.parser import parse_script
+
+
+class EngineError(Exception):
+    pass
+
+
+@dataclass
+class StatementResult:
+    kind: str
+    message: str = ""
+    count: int = 0
+    df: DataFrame | None = None
+
+
+@dataclass
+class _Table:
+    schema: ST.StructType
+    base: DataFrame | None = None
+    buffer: list[dict] = field(default_factory=list)
+    version: int = 0
+    dirty: bool = False
+
+
+def _id_sort_key() -> list[Column]:
+    """Numeric-aware ordering for sequential string IDs ('2' < '10')."""
+    return [F.length(ID_COLUMN), F.col(ID_COLUMN)]
+
+
+class GraphEngine:
+    def __init__(
+        self, spark: SparkSession, data_dir: str | None = None, replay: bool = True
+    ):
+        self.spark = spark
+        self.data_dir = data_dir
+        self._lock = threading.RLock()
+        self.tables: dict[tuple[str, str], _Table] = {}
+        self.next_id = 1
+        self._commit_offset = 0
+        self._replaying = False
+
+        if data_dir:
+            os.makedirs(data_dir, exist_ok=True)
+            self.catalog_store: CatalogStore | None = CatalogStore(
+                os.path.join(data_dir, "catalog")
+            )
+            self.catalog = self.catalog_store.load()
+            self._load_manifest_and_tables()
+            self._ensure_catalog_tables()
+            if replay:
+                self._replay_commit_log()
+        else:
+            self.catalog_store = None
+            self.catalog = Catalog()
+        self._ensure_catalog_tables()
+
+    def _ensure_catalog_tables(self) -> None:
+        """Empty table states for catalog types with no persisted data."""
+        for nt in self.catalog.nodes:
+            self.tables.setdefault(("node", nt.name), _Table(node_struct(nt)))
+        for et in self.catalog.edges:
+            self.tables.setdefault(("edge", et.name), _Table(edge_struct(et)))
+
+    # ------------------------------------------------------------ public
+
+    def execute(self, script: str) -> list[StatementResult]:
+        """Parse and execute a GQL script; first error aborts the rest."""
+        stmts, errors = parse_script(script)
+        if errors:
+            raise EngineError("; ".join(str(e) for e in errors))
+        out: list[StatementResult] = []
+        with self._lock:
+            for stmt in stmts:
+                out.append(self._execute_stmt(stmt))
+        return out
+
+    def node_df(self, name: str) -> DataFrame:
+        if self.catalog.node(name) is None:
+            raise EngineError(f"node type {name!r} does not exist")
+        return self._merged_df(("node", name))
+
+    def edge_df(self, name: str) -> DataFrame:
+        if self.catalog.edge(name) is None:
+            raise EngineError(f"edge type {name!r} does not exist")
+        return self._merged_df(("edge", name))
+
+    def bind_node_type(self, name: str, df: DataFrame, pk: str) -> None:
+        """Register an existing DataFrame (e.g. a parquet fixture table)
+        as a node type; ``pk`` becomes both the declared PRIMARY KEY and
+        the string ``_id``. This is the bulk path: MATCH/UPDATE/DELETE
+        compile to full Spark plans over the bound data."""
+        with self._lock:
+            if self.catalog.node(name) is not None:
+                raise EngineError(f"node {name!r} already exists")
+            fields = tuple(
+                FieldSpec(name=f.name, type=_spark_to_type_spec(f.dataType), not_null=False)
+                for f in df.schema.fields
+            )
+            nt = NodeType(name=name, fields=fields, pk=pk)
+            self.catalog = self.catalog.with_node(nt)
+            base = df.withColumn(ID_COLUMN, F.col(pk).cast("string")).select(
+                ID_COLUMN, *[f.name for f in df.schema.fields]
+            )
+            self.tables[("node", name)] = _Table(base.schema, base=base)
+
+    def flush(self) -> None:
+        """Persist buffered rows / materialized tables as new parquet
+        versions and advance the manifest (copy-on-write compaction)."""
+        if not self.data_dir:
+            return
+        with self._lock:
+            versions: dict[str, int] = {}
+            for (kind, name), tab in self.tables.items():
+                key = f"{kind}_{name}"
+                if tab.buffer or tab.dirty or tab.base is None or tab.version == 0:
+                    df = self._merged_df((kind, name))
+                    tab.version += 1
+                    path = os.path.join(self.data_dir, "tables", key, f"v{tab.version}")
+                    df.write.mode("overwrite").parquet(path)
+                    tab.base = self.spark.read.schema(tab.schema).parquet(path)
+                    tab.buffer = []
+                    tab.dirty = False
+                versions[key] = tab.version
+            self._commit_offset = self._count_commit_lines()
+            manifest = {
+                "next_id": self.next_id,
+                "commit_offset": self._commit_offset,
+                "versions": versions,
+            }
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._manifest_path())
+            if self.catalog_store:
+                self.catalog_store.write_snapshot(self.catalog)
+
+    # ------------------------------------------------------- persistence
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.data_dir, "ENGINE-MANIFEST.json")
+
+    def _commitlog_path(self) -> str:
+        return os.path.join(self.data_dir, "commitlog.jsonl")
+
+    def _count_commit_lines(self) -> int:
+        try:
+            with open(self._commitlog_path(), encoding="utf-8") as f:
+                return sum(1 for _ in f)
+        except FileNotFoundError:
+            return 0
+
+    def _load_manifest_and_tables(self) -> None:
+        try:
+            with open(self._manifest_path(), encoding="utf-8") as f:
+                manifest = json.load(f)
+        except FileNotFoundError:
+            return
+        self.next_id = manifest.get("next_id", 1)
+        self._commit_offset = manifest.get("commit_offset", 0)
+        for key, version in manifest.get("versions", {}).items():
+            kind, name = key.split("_", 1)
+            schema = None
+            if kind == "node":
+                nt = self.catalog.node(name)
+                schema = node_struct(nt) if nt else None
+            else:
+                et = self.catalog.edge(name)
+                schema = edge_struct(et) if et else None
+            if schema is None or version == 0:
+                continue
+            path = os.path.join(self.data_dir, "tables", key, f"v{version}")
+            if os.path.exists(path):
+                base = self.spark.read.schema(schema).parquet(path)
+                self.tables[(kind, name)] = _Table(schema, base=base, version=version)
+
+    def _replay_commit_log(self) -> None:
+        try:
+            with open(self._commitlog_path(), encoding="utf-8") as f:
+                lines = f.readlines()
+        except FileNotFoundError:
+            return
+        self._replaying = True
+        try:
+            for line in lines[self._commit_offset :]:
+                try:
+                    stmt = _from_jsonable(json.loads(line))
+                except (json.JSONDecodeError, KeyError, TypeError):
+                    break  # corruption tolerance: stop, keep best effort
+                self._execute_stmt(stmt)
+        finally:
+            self._replaying = False
+
+    def _log_dml(self, stmt: ast.Stmt) -> None:
+        if not self.data_dir or self._replaying:
+            return
+        with open(self._commitlog_path(), "a", encoding="utf-8") as f:
+            f.write(json.dumps(_to_jsonable(stmt), separators=(",", ":")) + "\n")
+            f.flush()
+
+    # -------------------------------------------------------- dispatch
+
+    def _execute_stmt(self, stmt: ast.Stmt) -> StatementResult:
+        if isinstance(
+            stmt,
+            (
+                ast.CreateNodeStmt,
+                ast.CreateEdgeStmt,
+                ast.AlterNodeStmt,
+                ast.AlterEdgeStmt,
+                ast.DropNodeStmt,
+                ast.DropEdgeStmt,
+            ),
+        ):
+            return self._execute_ddl(stmt)
+        if isinstance(stmt, ast.InsertNodeStmt):
+            return self._insert_node(stmt)
+        if isinstance(stmt, ast.InsertEdgeStmt):
+            return self._insert_edge(stmt)
+        if isinstance(stmt, (ast.UpdateNodeStmt, ast.UpdateEdgeStmt)):
+            return self._update(stmt)
+        if isinstance(stmt, (ast.DeleteNodeStmt, ast.DeleteEdgeStmt)):
+            return self._delete(stmt)
+        if isinstance(stmt, ast.MatchStmt):
+            return self._match(stmt)
+        if isinstance(stmt, ast.ShowStmt):
+            return self._show(stmt)
+        if isinstance(stmt, ast.DescribeStmt):
+            return self._describe(stmt)
+        raise EngineError(f"unsupported statement: {type(stmt).__name__}")
+
+    # ------------------------------------------------------------- DDL
+
+    def _execute_ddl(self, stmt: ast.Stmt) -> StatementResult:
+        try:
+            new_cat = apply_ddl(self.catalog, stmt)
+        except DDLError as e:
+            raise EngineError(str(e)) from e
+        # persist-before-publish (catalog/registry.go:100-114)
+        if self.catalog_store and not self._replaying:
+            self.catalog_store.append_event(stmt)
+        old_cat = self.catalog
+        self.catalog = new_cat
+        self._migrate_tables(old_cat, stmt)
+        return StatementResult(
+            "ddl", f"OK (catalog version {new_cat.version})", count=0
+        )
+
+    def _migrate_tables(self, old_cat: Catalog, stmt: ast.Stmt) -> None:
+        if isinstance(stmt, ast.CreateNodeStmt):
+            nt = self.catalog.node(stmt.name)
+            self.tables[("node", stmt.name)] = _Table(node_struct(nt))
+        elif isinstance(stmt, ast.CreateEdgeStmt):
+            et = self.catalog.edge(stmt.name)
+            self.tables[("edge", stmt.name)] = _Table(edge_struct(et))
+        elif isinstance(stmt, ast.DropNodeStmt):
+            self.tables.pop(("node", stmt.name), None)
+        elif isinstance(stmt, ast.DropEdgeStmt):
+            self.tables.pop(("edge", stmt.name), None)
+        elif isinstance(stmt, (ast.AlterNodeStmt, ast.AlterEdgeStmt)):
+            kind = "node" if isinstance(stmt, ast.AlterNodeStmt) else "edge"
+            key = (kind, stmt.name)
+            tab = self.tables.get(key)
+            if tab is None:
+                return
+            if kind == "node":
+                new_schema = node_struct(self.catalog.node(stmt.name))
+            else:
+                new_schema = edge_struct(self.catalog.edge(stmt.name))
+            df = self._merged_df(key)
+            for f in new_schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                elif df.schema[f.name].dataType != f.dataType:
+                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            df = df.select(*[f.name for f in new_schema.fields])
+            self.tables[key] = _Table(
+                new_schema, base=df.localCheckpoint(), version=tab.version
+            )
+
+    # ------------------------------------------------------------ tables
+
+    def _table(self, kind: str, name: str) -> _Table:
+        tab = self.tables.get((kind, name))
+        if tab is None:
+            raise EngineError(f"{kind} type {name!r} does not exist")
+        return tab
+
+    def _merged_df(self, key: tuple[str, str]) -> DataFrame:
+        tab = self.tables[key]
+        buf_df = None
+        if tab.buffer:
+            rows = [
+                tuple(r.get(f.name) for f in tab.schema.fields) for r in tab.buffer
+            ]
+            buf_df = self.spark.createDataFrame(rows, tab.schema)
+        if tab.base is not None and buf_df is not None:
+            return tab.base.unionByName(buf_df)
+        if tab.base is not None:
+            return tab.base
+        if buf_df is not None:
+            return buf_df
+        return self.spark.createDataFrame([], tab.schema)
+
+    # --------------------------------------------------------- helpers
+
+    def _field_specs(self, kind: str, name: str) -> dict[str, FieldSpec]:
+        if kind == "node":
+            nt = self.catalog.node(name)
+            if nt is None:
+                raise EngineError(f"node type {name!r} does not exist")
+            return nt.field_map()
+        et = self.catalog.edge(name)
+        if et is None:
+            raise EngineError(f"edge type {name!r} does not exist")
+        return et.prop_map()
+
+    def _coerce_props(
+        self, props: tuple[ast.Property, ...], specs: dict[str, FieldSpec], type_name: str
+    ) -> dict:
+        row: dict = {}
+        for p in props:
+            spec = specs.get(p.name)
+            if spec is None:
+                raise EngineError(f"unknown property {p.name!r} on type {type_name!r}")
+            try:
+                row[p.name] = coerce_literal(p.value, spec.type, p.name)
+            except CoercionError as e:
+                raise EngineError(str(e)) from e
+        return row
+
+    def _apply_defaults_and_notnull(
+        self, row: dict, specs: dict[str, FieldSpec], type_name: str
+    ) -> dict:
+        for spec in specs.values():
+            if spec.name not in row and spec.default is not None:
+                try:
+                    row[spec.name] = coerce_literal(spec.default, spec.type, spec.name)
+                except CoercionError as e:
+                    raise EngineError(str(e)) from e
+            if spec.not_null and row.get(spec.name) is None:
+                raise EngineError(
+                    f"field {spec.name!r} is NOT NULL but no value provided"
+                )
+        return row
+
+    def _check_unique(
+        self, key: tuple[str, str], unique_fields: list[str], row: dict
+    ) -> None:
+        tab = self.tables[key]
+        for fname in unique_fields:
+            val = row.get(fname)
+            if val is None:
+                continue
+            for r in tab.buffer:
+                if r.get(fname) == val:
+                    raise EngineError(f"unique violation on {fname!r}: {val!r}")
+            if tab.base is not None:
+                if tab.base.filter(F.col(fname).eqNullSafe(F.lit(val))).limit(1).count():
+                    raise EngineError(f"unique violation on {fname!r}: {val!r}")
+
+    def _where_pred(
+        self,
+        where: tuple[ast.Property, ...],
+        specs: dict[str, FieldSpec],
+        columns: list[str],
+    ) -> Column:
+        """Conjunctive equality predicate; a key absent from the schema
+        matches nothing (server/server.go:779-782)."""
+        pred = F.lit(True)
+        for p in where:
+            spec = specs.get(p.name)
+            if spec is None or p.name not in columns:
+                return F.lit(False)
+            try:
+                val = coerce_literal(p.value, spec.type, p.name)
+            except CoercionError as e:
+                raise EngineError(str(e)) from e
+            pred = pred & F.col(p.name).eqNullSafe(F.lit(val).cast(spark_type(spec.type)))
+        return pred
+
+    # ------------------------------------------------------------- DML
+
+    def _insert_node(self, stmt: ast.InsertNodeStmt) -> StatementResult:
+        nt = self.catalog.node(stmt.node_type)
+        if nt is None:
+            raise EngineError(f"node type {stmt.node_type!r} does not exist")
+        specs = nt.field_map()
+        row = self._coerce_props(stmt.properties, specs, stmt.node_type)
+        row = self._apply_defaults_and_notnull(row, specs, stmt.node_type)
+        if nt.pk and row.get(nt.pk) is None:
+            raise EngineError(f"primary key {nt.pk!r} requires a value")
+        unique_fields = [i.field for i in nt.indexes if i.unique]
+        key = ("node", stmt.node_type)
+        self._check_unique(key, unique_fields, row)
+        row[ID_COLUMN] = str(self.next_id)
+        self.next_id += 1
+        tab = self._table(*key)
+        tab.buffer.append(row)
+        tab.dirty = True
+        self._log_dml(stmt)
+        return StatementResult(
+            "insert", f"Inserted node {stmt.node_type} id={row[ID_COLUMN]}", count=1
+        )
+
+    def _resolve_node_ref(self, ref: ast.NodeRef, declared_label: str, side: str) -> str:
+        if ref.node_type != declared_label:
+            raise EngineError(
+                f"{side} node type {ref.node_type!r} does not match edge endpoint {declared_label!r}"
+            )
+        nt = self.catalog.node(ref.node_type)
+        if nt is None:
+            raise EngineError(f"node type {ref.node_type!r} does not exist")
+        key = ("node", ref.node_type)
+        df = self._merged_df(key)
+        if ref.id is not None:
+            hits = df.filter(F.col(ID_COLUMN) == F.lit(ref.id.text)).limit(1).collect()
+        elif ref.properties:
+            pred = self._where_pred(ref.properties, nt.field_map(), df.columns)
+            # deterministic first-match: smallest ID (the reference's
+            # first-match is Go map-iteration nondeterministic,
+            # server.go:758-764 — documented divergence)
+            hits = df.filter(pred).orderBy(*_id_sort_key()).limit(1).collect()
+        else:
+            raise EngineError(f"{side} node reference needs an id or properties")
+        if not hits:
+            raise EngineError(f"{side} node not found for {ref.node_type}")
+        return hits[0][ID_COLUMN]
+
+    def _insert_edge(self, stmt: ast.InsertEdgeStmt) -> StatementResult:
+        et = self.catalog.edge(stmt.edge_type)
+        if et is None:
+            raise EngineError(f"edge type {stmt.edge_type!r} does not exist")
+        assert stmt.from_node is not None and stmt.to_node is not None
+        src = self._resolve_node_ref(stmt.from_node, et.from_ep.label, "FROM")
+        dst = self._resolve_node_ref(stmt.to_node, et.to_ep.label, "TO")
+        specs = et.prop_map()
+        row = self._coerce_props(stmt.properties, specs, stmt.edge_type)
+        row = self._apply_defaults_and_notnull(row, specs, stmt.edge_type)
+        key = ("edge", stmt.edge_type)
+        # declared cardinality enforcement (divergence: the reference
+        # parses+stores cardinality but never checks it, SURVEY.md §1.2)
+        df = self._merged_df(key)
+        if et.from_ep.card is Cardinality.ONE:
+            if df.filter(F.col(SRC_COLUMN) == F.lit(src)).limit(1).count():
+                raise EngineError(
+                    f"cardinality violation: FROM {et.from_ep.label} is ONE "
+                    f"and node {src} already has a {stmt.edge_type} edge"
+                )
+        if et.to_ep.card is Cardinality.ONE:
+            if df.filter(F.col(DST_COLUMN) == F.lit(dst)).limit(1).count():
+                raise EngineError(
+                    f"cardinality violation: TO {et.to_ep.label} is ONE "
+                    f"and node {dst} already has a {stmt.edge_type} edge"
+                )
+        row[ID_COLUMN] = f"edge_{self.next_id}"
+        self.next_id += 1
+        row[SRC_COLUMN] = src
+        row[DST_COLUMN] = dst
+        tab = self._table(*key)
+        tab.buffer.append(row)
+        tab.dirty = True
+        self._log_dml(stmt)
+        return StatementResult(
+            "insert", f"Inserted edge {stmt.edge_type} id={row[ID_COLUMN]}", count=1
+        )
+
+    def _update(self, stmt: ast.UpdateNodeStmt | ast.UpdateEdgeStmt) -> StatementResult:
+        is_node = isinstance(stmt, ast.UpdateNodeStmt)
+        kind = "node" if is_node else "edge"
+        type_name = stmt.node_type if is_node else stmt.edge_type
+        specs = self._field_specs(kind, type_name)
+        key = (kind, type_name)
+        tab = self._table(*key)
+        df = self._merged_df(key)
+        pred = self._where_pred(stmt.where, specs, df.columns) if stmt.where else F.lit(True)
+
+        sets: dict[str, object] = {}
+        for p in stmt.set:
+            spec = specs.get(p.name)
+            if spec is None:
+                raise EngineError(f"unknown property {p.name!r} on type {type_name!r}")
+            try:
+                val = coerce_literal(p.value, spec.type, p.name)
+            except CoercionError as e:
+                raise EngineError(str(e)) from e
+            if val is None and spec.not_null:
+                raise EngineError(f"field {p.name!r} is NOT NULL")
+            sets[p.name] = val
+
+        count = df.filter(pred).count()
+        if count:
+            new_df = df
+            for k, v in sets.items():
+                typed = F.lit(v).cast(df.schema[k].dataType)
+                new_df = new_df.withColumn(
+                    k, F.when(pred, typed).otherwise(F.col(k))
+                )
+            # uniqueness guard over the would-be result
+            if is_node:
+                nt = self.catalog.node(type_name)
+                for idx in nt.indexes:
+                    if idx.unique and idx.field in sets:
+                        dupes = (
+                            new_df.filter(F.col(idx.field).isNotNull())
+                            .groupBy(idx.field)
+                            .count()
+                            .filter(F.col("count") > 1)
+                            .limit(1)
+                            .count()
+                        )
+                        if dupes:
+                            raise EngineError(
+                                f"unique violation on {idx.field!r} after update"
+                            )
+            tab.base = new_df.localCheckpoint()
+            tab.buffer = []
+            tab.dirty = True
+        self._log_dml(stmt)
+        return StatementResult("update", f"Updated {count} {kind}(s)", count=count)
+
+    def _delete(self, stmt: ast.DeleteNodeStmt | ast.DeleteEdgeStmt) -> StatementResult:
+        is_node = isinstance(stmt, ast.DeleteNodeStmt)
+        kind = "node" if is_node else "edge"
+        type_name = stmt.node_type if is_node else stmt.edge_type
+        specs = self._field_specs(kind, type_name)
+        key = (kind, type_name)
+        tab = self._table(*key)
+        df = self._merged_df(key)
+        pred = self._where_pred(stmt.where, specs, df.columns)
+        count = df.filter(pred).count()
+        if count:
+            tab.base = df.filter(~pred).localCheckpoint()
+            tab.buffer = []
+            tab.dirty = True
+        # NOTE: like the reference, DELETE NODE does not cascade or
+        # validate dangling edges (SURVEY.md §2.1 #12).
+        self._log_dml(stmt)
+        return StatementResult("delete", f"Deleted {count} {kind}(s)", count=count)
+
+    # ------------------------------------------------------------ MATCH
+
+    def _match(self, stmt: ast.MatchStmt) -> StatementResult:
+        if not stmt.pattern:
+            raise EngineError("MATCH requires at least one pattern element")
+        frames: list[DataFrame] = []
+        multi = len(stmt.pattern) > 1
+        for el in stmt.pattern:
+            nt = self.catalog.node(el.type)
+            if nt is None:
+                raise EngineError(f"node type {el.type!r} does not exist")
+            key = ("node", el.type)
+            df = self._merged_df(key)
+            pred = (
+                self._where_pred(stmt.where, nt.field_map(), df.columns)
+                if stmt.where
+                else F.lit(True)
+            )
+            df = df.filter(pred)
+            if stmt.return_fields:
+                cols: list[Column] = [F.col(ID_COLUMN)]
+                for rf in stmt.return_fields:
+                    if rf in df.columns:
+                        cols.append(F.col(rf))
+                    elif multi:
+                        cols.append(F.lit(None).cast("string").alias(rf))
+                    else:
+                        raise EngineError(
+                            f"RETURN field {rf!r} not found on type {el.type!r}"
+                        )
+                df = df.select(*cols)
+            if multi:
+                # align heterogenous schemas: label + stringified props
+                df = df.select(
+                    F.lit(el.type).alias("_label"),
+                    F.col(ID_COLUMN),
+                    *[
+                        F.col(c).cast("string").alias(c)
+                        for c in df.columns
+                        if c != ID_COLUMN
+                    ],
+                )
+            frames.append(df)
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2, allowMissingColumns=True)
+        out = out.orderBy(*(["_label"] if multi else []), *_id_sort_key())
+        return StatementResult("match", "", count=-1, df=out)
+
+    # ------------------------------------------------- SHOW / DESCRIBE
+
+    def _show(self, stmt: ast.ShowStmt) -> StatementResult:
+        if stmt.kind == "NODES":
+            rows = [
+                (n.name, len(n.fields), n.pk, self.catalog.version)
+                for n in sorted(self.catalog.nodes, key=lambda n: n.name)
+            ]
+            df = self.spark.createDataFrame(
+                rows, "name string, n_fields int, pk string, catalog_version long"
+            )
+        else:
+            rows = [
+                (
+                    e.name,
+                    e.from_ep.label,
+                    e.from_ep.card.value,
+                    e.to_ep.label,
+                    e.to_ep.card.value,
+                    len(e.props),
+                )
+                for e in sorted(self.catalog.edges, key=lambda e: e.name)
+            ]
+            df = self.spark.createDataFrame(
+                rows,
+                "name string, from_label string, from_card string, "
+                "to_label string, to_card string, n_props int",
+            )
+        return StatementResult("show", "", count=-1, df=df)
+
+    def _describe(self, stmt: ast.DescribeStmt) -> StatementResult:
+        if stmt.kind == "NODE":
+            nt = self.catalog.node(stmt.name)
+            if nt is None:
+                raise EngineError(f"node type {stmt.name!r} does not exist")
+            rows = [
+                (
+                    f.name,
+                    f.type.render(),
+                    f.name == nt.pk,
+                    f.unique,
+                    f.not_null,
+                    f.default.text if f.default else None,
+                )
+                for f in nt.fields
+            ]
+        else:
+            et = self.catalog.edge(stmt.name)
+            if et is None:
+                raise EngineError(f"edge type {stmt.name!r} does not exist")
+            rows = [
+                (p.name, p.type.render(), False, p.unique, p.not_null,
+                 p.default.text if p.default else None)
+                for p in et.props
+            ]
+        df = self.spark.createDataFrame(
+            rows,
+            "field string, type string, primary_key boolean, is_unique boolean, "
+            "not_null boolean, default_value string",
+        )
+        return StatementResult("describe", "", count=-1, df=df)
+
+
+def _spark_to_type_spec(dt: ST.DataType) -> TypeSpec:
+    from grapho_spark.gql.ast import BaseType
+
+    if isinstance(dt, ST.ArrayType):
+        return TypeSpec(elem=_spark_to_type_spec(dt.elementType))
+    mapping = {
+        ST.StringType: BaseType.STRING,
+        ST.LongType: BaseType.INT,
+        ST.IntegerType: BaseType.INT,
+        ST.ShortType: BaseType.INT,
+        ST.DoubleType: BaseType.FLOAT,
+        ST.FloatType: BaseType.FLOAT,
+        ST.BooleanType: BaseType.BOOL,
+        ST.DateType: BaseType.DATE,
+        ST.TimestampType: BaseType.DATETIME,
+        ST.TimestampNTZType: BaseType.DATETIME,
+        ST.BinaryType: BaseType.BLOB,
+    }
+    for cls, base in mapping.items():
+        if isinstance(dt, cls):
+            return TypeSpec(base=base)
+    return TypeSpec(base=BaseType.STRING)

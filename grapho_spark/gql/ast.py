@@ -1,0 +1,272 @@
+"""AST for the GQL statement language.
+
+Node kinds and fields mirror the reference grammar
+(/root/reference/parser/ast.go) so statement semantics carry over 1:1;
+the representation (frozen dataclasses, enums) is our own.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+class BaseType(enum.Enum):
+    STRING = "string"
+    TEXT = "text"
+    INT = "int"
+    FLOAT = "float"
+    BOOL = "bool"
+    UUID = "uuid"
+    DATE = "date"
+    TIME = "time"
+    DATETIME = "datetime"
+    JSON = "json"
+    BLOB = "blob"
+
+
+@dataclass(frozen=True)
+class TypeSpec:
+    """A declared field type. ``elem`` is set for ``array<...>`` (the
+    base is then irrelevant, matching reference parser/ast.go:24-28);
+    ``enum_vals`` is set for ``enum<'a','b'>``."""
+
+    base: BaseType = BaseType.STRING
+    elem: TypeSpec | None = None
+    enum_vals: tuple[str, ...] = ()
+
+    @property
+    def is_array(self) -> bool:
+        return self.elem is not None
+
+    @property
+    def is_enum(self) -> bool:
+        return bool(self.enum_vals)
+
+    def render(self) -> str:
+        if self.elem is not None:
+            return f"array<{self.elem.render()}>"
+        if self.enum_vals:
+            return "enum<" + ", ".join(f"'{v}'" for v in self.enum_vals) + ">"
+        return self.base.value
+
+
+class LiteralKind(enum.Enum):
+    STRING = "string"
+    NUMBER = "number"
+    BOOL = "bool"
+    NULL = "null"
+
+
+@dataclass(frozen=True)
+class Literal:
+    kind: LiteralKind
+    text: str  # raw text; strings already unescaped
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class FieldDef:
+    name: str
+    type: TypeSpec
+    primary_key: bool = False
+    unique: bool = False
+    not_null: bool = False
+    default: Literal | None = None
+    line: int = 0
+    col: int = 0
+
+
+class Cardinality(enum.Enum):
+    ONE = "ONE"
+    MANY = "MANY"
+
+
+@dataclass(frozen=True)
+class Endpoint:
+    label: str
+    card: Cardinality = Cardinality.ONE
+
+
+@dataclass(frozen=True)
+class Property:
+    name: str
+    value: Literal
+    line: int = 0
+    col: int = 0
+
+
+class Stmt:
+    line: int
+    col: int
+
+
+@dataclass(frozen=True)
+class CreateNodeStmt(Stmt):
+    name: str
+    fields: tuple[FieldDef, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class CreateEdgeStmt(Stmt):
+    name: str
+    from_ep: Endpoint = Endpoint("")
+    to_ep: Endpoint = Endpoint("")
+    props: tuple[FieldDef, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+class AlterAction(enum.Enum):
+    ADD_FIELD = "ADD_FIELD"
+    DROP_FIELD = "DROP_FIELD"
+    MODIFY_FIELD = "MODIFY_FIELD"
+    SET_PRIMARY_KEY = "SET_PRIMARY_KEY"
+    ADD_PROP = "ADD_PROP"
+    DROP_PROP = "DROP_PROP"
+    MODIFY_PROP = "MODIFY_PROP"
+    SET_ENDPOINTS = "SET_ENDPOINTS"
+
+
+@dataclass(frozen=True)
+class AlterNodeStmt(Stmt):
+    name: str
+    action: AlterAction
+    field: FieldDef | None = None  # add/modify
+    field_name: str = ""  # drop
+    pk_fields: tuple[str, ...] = ()  # set primary key
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class AlterEdgeStmt(Stmt):
+    name: str
+    action: AlterAction
+    prop: FieldDef | None = None
+    prop_name: str = ""
+    from_ep: Endpoint | None = None
+    to_ep: Endpoint | None = None
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class DropNodeStmt(Stmt):
+    name: str
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class DropEdgeStmt(Stmt):
+    name: str
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class NodeRef:
+    """FROM/TO reference in INSERT EDGE: direct id literal or a
+    property conjunction (first match wins — server/server.go:745-765)."""
+
+    node_type: str
+    id: Literal | None = None
+    properties: tuple[Property, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class InsertNodeStmt(Stmt):
+    node_type: str
+    properties: tuple[Property, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class InsertEdgeStmt(Stmt):
+    edge_type: str
+    from_node: NodeRef | None = None
+    to_node: NodeRef | None = None
+    properties: tuple[Property, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class UpdateNodeStmt(Stmt):
+    node_type: str
+    set: tuple[Property, ...] = ()
+    where: tuple[Property, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class UpdateEdgeStmt(Stmt):
+    edge_type: str
+    set: tuple[Property, ...] = ()
+    where: tuple[Property, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class DeleteNodeStmt(Stmt):
+    node_type: str
+    where: tuple[Property, ...] = ()  # mandatory per grammar
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class DeleteEdgeStmt(Stmt):
+    edge_type: str
+    where: tuple[Property, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class MatchElement:
+    type: str
+    alias: str = ""
+    is_edge: bool = False
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class MatchStmt(Stmt):
+    pattern: tuple[MatchElement, ...] = ()
+    where: tuple[Property, ...] = ()
+    return_fields: tuple[str, ...] = ()
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class ShowStmt(Stmt):
+    """SHOW NODES | SHOW EDGES — catalog introspection. The reference
+    reserves the SHOW token with no grammar (parser/token.go:32-46);
+    we implement the clearly-intended form (SURVEY.md §2.4)."""
+
+    kind: str  # "NODES" | "EDGES"
+    line: int = 0
+    col: int = 0
+
+
+@dataclass(frozen=True)
+class DescribeStmt(Stmt):
+    """DESCRIBE NODE <name> | DESCRIBE EDGE <name> (reserved token in
+    the reference, implemented here as catalog introspection)."""
+
+    kind: str  # "NODE" | "EDGE"
+    name: str = ""
+    line: int = 0
+    col: int = 0

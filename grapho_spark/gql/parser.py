@@ -1,0 +1,463 @@
+"""Recursive-descent parser for the GQL language.
+
+Grammar-compatible with the reference parser
+(/root/reference/parser/parser.go): single-token lookahead, and the
+same error-recovery contract — on error, record a positioned message
+and skip to the next ``;`` (parser.go:50-59), continuing with the next
+statement. Additionally implements SHOW/DESCRIBE (tokens the reference
+reserves but never parses — SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from grapho_spark.gql import ast
+from grapho_spark.gql.lexer import Lexer, Token, TokenType as T
+
+
+@dataclass(frozen=True)
+class ParseError(Exception):
+    line: int
+    col: int
+    msg: str
+
+    def __str__(self) -> str:
+        return f"{self.line}:{self.col}: {self.msg}"
+
+
+class _Recover(Exception):
+    """Internal signal: error recorded, skip to next ';'."""
+
+
+class Parser:
+    def __init__(self, text: str):
+        self._lexer = Lexer(text)
+        self.errors: list[ParseError] = []
+        self._tok = self._lexer.next_token()
+
+    # -- token plumbing ---------------------------------------------------
+
+    def _next(self) -> None:
+        self._tok = self._lexer.next_token()
+
+    def _expect(self, tt: T) -> Token:
+        t = self._tok
+        if t.type is not tt:
+            self._err(t, f"expected {tt.value}, found {t.type.value} ({t.lit!r})")
+        self._next()
+        return t
+
+    def _match(self, tt: T) -> bool:
+        if self._tok.type is tt:
+            self._next()
+            return True
+        return False
+
+    def _err(self, tok: Token, msg: str) -> None:
+        self.errors.append(ParseError(tok.line, tok.col, msg))
+        raise _Recover()
+
+    def _sync_to_semi(self) -> None:
+        while self._tok.type not in (T.SEMI, T.EOF):
+            self._next()
+        if self._tok.type is T.SEMI:
+            self._next()
+
+    # -- entry point ------------------------------------------------------
+
+    def parse_script(self) -> tuple[list[ast.Stmt], list[ParseError]]:
+        out: list[ast.Stmt] = []
+        while self._tok.type is not T.EOF:
+            if self._match(T.SEMI):  # stray semicolons
+                continue
+            try:
+                st = self._parse_stmt()
+            except _Recover:
+                self._sync_to_semi()
+                continue
+            if st is not None:
+                out.append(st)
+                if not self._match(T.SEMI):
+                    t = self._tok
+                    self.errors.append(
+                        ParseError(t.line, t.col, "missing ';' after statement")
+                    )
+                    self._sync_to_semi()
+        return out, list(self.errors)
+
+    def _parse_stmt(self) -> ast.Stmt | None:
+        t = self._tok
+        dispatch = {
+            T.CREATE: self._parse_create,
+            T.ALTER: self._parse_alter,
+            T.DROP: self._parse_drop,
+            T.INSERT: self._parse_insert,
+            T.UPDATE: self._parse_update,
+            T.DELETE: self._parse_delete,
+            T.MATCH: self._parse_match,
+            T.SHOW: self._parse_show,
+            T.DESCRIBE: self._parse_describe,
+        }
+        fn = dispatch.get(t.type)
+        if fn is None:
+            self._err(t, f"unexpected token {t.type.value} at start of statement")
+            return None
+        return fn()
+
+    # -- DDL --------------------------------------------------------------
+
+    def _node_or_edge(self, after: str) -> bool:
+        """True for NODE, False for EDGE."""
+        if self._match(T.NODE):
+            return True
+        if self._match(T.EDGE):
+            return False
+        self._err(self._tok, f"expected NODE or EDGE after {after}")
+        return True  # unreachable
+
+    def _parse_create(self) -> ast.Stmt:
+        t = self._tok
+        self._next()
+        if self._node_or_edge("CREATE"):
+            return self._parse_create_node(t)
+        return self._parse_create_edge(t)
+
+    def _parse_field_list(self) -> tuple[ast.FieldDef, ...]:
+        """( field_def [, field_def]* [,] ) with empty list allowed."""
+        fields: list[ast.FieldDef] = []
+        self._expect(T.LPAREN)
+        if self._tok.type is not T.RPAREN:
+            while True:
+                fields.append(self._parse_field_def())
+                if not self._match(T.COMMA):
+                    break
+                if self._tok.type is T.RPAREN:  # trailing comma
+                    break
+        self._expect(T.RPAREN)
+        return tuple(fields)
+
+    def _parse_create_node(self, t: Token) -> ast.CreateNodeStmt:
+        name = self._expect(T.IDENT)
+        fields = self._parse_field_list()
+        return ast.CreateNodeStmt(name=name.lit, fields=fields, line=t.line, col=t.col)
+
+    def _parse_create_edge(self, t: Token) -> ast.CreateEdgeStmt:
+        name = self._expect(T.IDENT)
+        self._expect(T.LPAREN)
+        self._expect(T.FROM)
+        from_ep = self._parse_endpoint()
+        self._expect(T.COMMA)
+        self._expect(T.TO)
+        to_ep = self._parse_endpoint()
+        props: tuple[ast.FieldDef, ...] = ()
+        if self._match(T.COMMA):
+            self._expect(T.PROPS)
+            props = self._parse_field_list()
+        self._expect(T.RPAREN)
+        return ast.CreateEdgeStmt(
+            name=name.lit, from_ep=from_ep, to_ep=to_ep, props=props, line=t.line, col=t.col
+        )
+
+    def _parse_endpoint(self) -> ast.Endpoint:
+        label = self._expect(T.IDENT)
+        card = ast.Cardinality.ONE
+        if self._match(T.ONE):
+            card = ast.Cardinality.ONE
+        elif self._match(T.MANY):
+            card = ast.Cardinality.MANY
+        return ast.Endpoint(label=label.lit, card=card)
+
+    def _parse_field_def(self) -> ast.FieldDef:
+        ident = self._expect(T.IDENT)
+        self._expect(T.COLON)
+        ts = self._parse_type_spec()
+        primary = unique = not_null = False
+        default: ast.Literal | None = None
+        while True:
+            if self._match(T.PRIMARY):
+                self._expect(T.KEY)
+                primary = True
+            elif self._match(T.UNIQUE):
+                unique = True
+            elif self._match(T.NOT):
+                self._expect(T.NULL)
+                not_null = True
+            elif self._match(T.DEFAULT):
+                default = self._parse_literal()
+            else:
+                break
+        return ast.FieldDef(
+            name=ident.lit,
+            type=ts,
+            primary_key=primary,
+            unique=unique,
+            not_null=not_null,
+            default=default,
+            line=ident.line,
+            col=ident.col,
+        )
+
+    _SIMPLE_TYPES = {
+        T.STRINGKW: ast.BaseType.STRING,
+        T.TEXT: ast.BaseType.TEXT,
+        T.INT: ast.BaseType.INT,
+        T.FLOAT: ast.BaseType.FLOAT,
+        T.BOOLKW: ast.BaseType.BOOL,
+        T.UUID: ast.BaseType.UUID,
+        T.DATE: ast.BaseType.DATE,
+        T.TIME: ast.BaseType.TIME,
+        T.DATETIME: ast.BaseType.DATETIME,
+        T.JSON: ast.BaseType.JSON,
+        T.BLOB: ast.BaseType.BLOB,
+    }
+
+    def _parse_type_spec(self) -> ast.TypeSpec:
+        t = self._tok
+        if t.type in self._SIMPLE_TYPES:
+            self._next()
+            return ast.TypeSpec(base=self._SIMPLE_TYPES[t.type])
+        if t.type is T.ARRAY:
+            self._next()
+            self._expect(T.LT)
+            elem = self._parse_type_spec()
+            self._expect(T.GT)
+            return ast.TypeSpec(elem=elem)
+        if t.type is T.ENUM:
+            self._next()
+            self._expect(T.LT)
+            vals = [self._expect(T.STRING).lit]
+            while self._match(T.COMMA):
+                vals.append(self._expect(T.STRING).lit)
+            self._expect(T.GT)
+            return ast.TypeSpec(enum_vals=tuple(vals))
+        self._err(t, f"expected type, found {t.type.value}")
+        return ast.TypeSpec()  # unreachable
+
+    def _parse_literal(self) -> ast.Literal:
+        t = self._tok
+        if t.type is T.STRING:
+            self._next()
+            return ast.Literal(ast.LiteralKind.STRING, t.lit, t.line, t.col)
+        if t.type is T.NUMBER:
+            self._next()
+            return ast.Literal(ast.LiteralKind.NUMBER, t.lit, t.line, t.col)
+        if t.type is T.BOOL:
+            self._next()
+            return ast.Literal(ast.LiteralKind.BOOL, t.lit, t.line, t.col)
+        if t.type is T.NULL:
+            self._next()
+            return ast.Literal(ast.LiteralKind.NULL, "null", t.line, t.col)
+        self._err(t, f"expected literal, found {t.type.value}")
+        raise AssertionError  # unreachable
+
+    # -- ALTER ------------------------------------------------------------
+
+    def _parse_alter(self) -> ast.Stmt:
+        t = self._tok
+        self._next()
+        if self._node_or_edge("ALTER"):
+            return self._parse_alter_node(t)
+        return self._parse_alter_edge(t)
+
+    def _parse_alter_node(self, t: Token) -> ast.AlterNodeStmt:
+        name = self._expect(T.IDENT)
+        if self._match(T.ADD):
+            fd = self._parse_field_def()
+            return ast.AlterNodeStmt(
+                name.lit, ast.AlterAction.ADD_FIELD, field=fd, line=t.line, col=t.col
+            )
+        if self._match(T.DROP):
+            f = self._expect(T.IDENT)
+            return ast.AlterNodeStmt(
+                name.lit, ast.AlterAction.DROP_FIELD, field_name=f.lit, line=t.line, col=t.col
+            )
+        if self._match(T.MODIFY):
+            fd = self._parse_field_def()
+            return ast.AlterNodeStmt(
+                name.lit, ast.AlterAction.MODIFY_FIELD, field=fd, line=t.line, col=t.col
+            )
+        if self._match(T.SET):
+            self._expect(T.PRIMARY)
+            self._expect(T.KEY)
+            self._expect(T.LPAREN)
+            pk = [self._expect(T.IDENT).lit]
+            while self._match(T.COMMA):
+                pk.append(self._expect(T.IDENT).lit)
+            self._expect(T.RPAREN)
+            return ast.AlterNodeStmt(
+                name.lit,
+                ast.AlterAction.SET_PRIMARY_KEY,
+                pk_fields=tuple(pk),
+                line=t.line,
+                col=t.col,
+            )
+        self._err(self._tok, "expected ADD, DROP, MODIFY, or SET after ALTER NODE")
+        raise AssertionError
+
+    def _parse_alter_edge(self, t: Token) -> ast.AlterEdgeStmt:
+        name = self._expect(T.IDENT)
+        if self._match(T.ADD):
+            fd = self._parse_field_def()
+            return ast.AlterEdgeStmt(
+                name.lit, ast.AlterAction.ADD_PROP, prop=fd, line=t.line, col=t.col
+            )
+        if self._match(T.DROP):
+            f = self._expect(T.IDENT)
+            return ast.AlterEdgeStmt(
+                name.lit, ast.AlterAction.DROP_PROP, prop_name=f.lit, line=t.line, col=t.col
+            )
+        if self._match(T.MODIFY):
+            fd = self._parse_field_def()
+            return ast.AlterEdgeStmt(
+                name.lit, ast.AlterAction.MODIFY_PROP, prop=fd, line=t.line, col=t.col
+            )
+        if self._match(T.SET):
+            self._expect(T.FROM)
+            from_ep = self._parse_endpoint()
+            self._expect(T.TO)
+            to_ep = self._parse_endpoint()
+            return ast.AlterEdgeStmt(
+                name.lit,
+                ast.AlterAction.SET_ENDPOINTS,
+                from_ep=from_ep,
+                to_ep=to_ep,
+                line=t.line,
+                col=t.col,
+            )
+        self._err(self._tok, "expected ADD, DROP, MODIFY, or SET after ALTER EDGE")
+        raise AssertionError
+
+    # -- DROP -------------------------------------------------------------
+
+    def _parse_drop(self) -> ast.Stmt:
+        t = self._tok
+        self._next()
+        if self._node_or_edge("DROP"):
+            name = self._expect(T.IDENT)
+            return ast.DropNodeStmt(name.lit, line=t.line, col=t.col)
+        name = self._expect(T.IDENT)
+        return ast.DropEdgeStmt(name.lit, line=t.line, col=t.col)
+
+    # -- DML --------------------------------------------------------------
+
+    def _parse_property_list(self) -> tuple[ast.Property, ...]:
+        props: list[ast.Property] = []
+        while True:
+            name = self._expect(T.IDENT)
+            self._expect(T.COLON)
+            lit = self._parse_literal()
+            props.append(ast.Property(name.lit, lit, name.line, name.col))
+            if not self._match(T.COMMA):
+                break
+        return tuple(props)
+
+    def _parse_node_ref(self) -> ast.NodeRef:
+        t = self._tok
+        node_type = self._expect(T.IDENT).lit
+        id_lit: ast.Literal | None = None
+        props: tuple[ast.Property, ...] = ()
+        if self._match(T.LPAREN):
+            if self._tok.type in (T.NUMBER, T.STRING):
+                id_lit = self._parse_literal()
+            else:
+                props = self._parse_property_list()
+            self._expect(T.RPAREN)
+        return ast.NodeRef(node_type, id=id_lit, properties=props, line=t.line, col=t.col)
+
+    def _parse_insert(self) -> ast.Stmt:
+        t = self._tok
+        self._next()
+        if self._node_or_edge("INSERT"):
+            node_type = self._expect(T.IDENT).lit
+            props: tuple[ast.Property, ...] = ()
+            if self._match(T.LPAREN):
+                props = self._parse_property_list()
+                self._expect(T.RPAREN)
+            return ast.InsertNodeStmt(node_type, props, line=t.line, col=t.col)
+        edge_type = self._expect(T.IDENT).lit
+        self._expect(T.FROM)
+        from_ref = self._parse_node_ref()
+        self._expect(T.TO)
+        to_ref = self._parse_node_ref()
+        props = ()
+        if self._match(T.LPAREN):
+            props = self._parse_property_list()
+            self._expect(T.RPAREN)
+        return ast.InsertEdgeStmt(
+            edge_type, from_ref, to_ref, props, line=t.line, col=t.col
+        )
+
+    def _parse_update(self) -> ast.Stmt:
+        t = self._tok
+        self._next()
+        is_node = self._node_or_edge("UPDATE")
+        type_name = self._expect(T.IDENT).lit
+        self._expect(T.SET)
+        set_props = self._parse_property_list()
+        where: tuple[ast.Property, ...] = ()
+        if self._match(T.WHERE):
+            where = self._parse_property_list()
+        cls = ast.UpdateNodeStmt if is_node else ast.UpdateEdgeStmt
+        return cls(type_name, set=set_props, where=where, line=t.line, col=t.col)
+
+    def _parse_delete(self) -> ast.Stmt:
+        t = self._tok
+        self._next()
+        is_node = self._node_or_edge("DELETE")
+        type_name = self._expect(T.IDENT).lit
+        self._expect(T.WHERE)  # WHERE is mandatory for DELETE
+        where = self._parse_property_list()
+        cls = ast.DeleteNodeStmt if is_node else ast.DeleteEdgeStmt
+        return cls(type_name, where=where, line=t.line, col=t.col)
+
+    def _parse_match(self) -> ast.MatchStmt:
+        t = self._tok
+        self._next()
+        pattern: list[ast.MatchElement] = []
+        while self._tok.type is T.IDENT:
+            el_tok = self._tok
+            el_type = el_tok.lit
+            self._next()
+            alias = ""
+            if self._tok.type is T.IDENT:
+                alias = self._tok.lit
+                self._next()
+            pattern.append(
+                ast.MatchElement(el_type, alias, is_edge=False, line=el_tok.line, col=el_tok.col)
+            )
+            if not self._match(T.COMMA):
+                break
+        where: tuple[ast.Property, ...] = ()
+        if self._match(T.WHERE):
+            where = self._parse_property_list()
+        returns: list[str] = []
+        if self._match(T.RETURN):
+            returns.append(self._expect(T.IDENT).lit)
+            while self._match(T.COMMA):
+                returns.append(self._expect(T.IDENT).lit)
+        return ast.MatchStmt(
+            tuple(pattern), where, tuple(returns), line=t.line, col=t.col
+        )
+
+    # -- SHOW / DESCRIBE (extension; reserved tokens in the reference) ----
+
+    def _parse_show(self) -> ast.ShowStmt:
+        t = self._tok
+        self._next()
+        kw = self._expect(T.IDENT)
+        kind = kw.lit.upper()
+        if kind not in ("NODES", "EDGES"):
+            self._err(kw, "expected NODES or EDGES after SHOW")
+        return ast.ShowStmt(kind, line=t.line, col=t.col)
+
+    def _parse_describe(self) -> ast.DescribeStmt:
+        t = self._tok
+        self._next()
+        is_node = self._node_or_edge("DESCRIBE")
+        name = self._expect(T.IDENT)
+        return ast.DescribeStmt("NODE" if is_node else "EDGE", name.lit, line=t.line, col=t.col)
+
+
+def parse_script(text: str) -> tuple[list[ast.Stmt], list[ParseError]]:
+    return Parser(text).parse_script()

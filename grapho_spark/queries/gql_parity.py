@@ -1,8 +1,81 @@
-"""GQL-engine parity queries: run real GQL statements (the reference's
-query language — SURVEY.md §2.1) through our parser + engine against
-the fixture tables bound as node types, with plain-SQL oracles.
-
-Populated once the engine slice lands (grapho_spark.engine).
+"""GQL-engine parity queries: real GQL statements (the reference's
+query language, SURVEY.md §2.1) executed through our lexer -> parser ->
+catalog -> Spark MATCH planner against fixture tables bound as node
+types — each with a plain-SQL oracle, so the driver's correctness gate
+exercises the full engine stack end-to-end.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+
+def _engine_with_customer(spark: SparkSession, sf_dir: str):
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.bind_node_type("Customer", load_table(spark, sf_dir, "customer"), pk="c_custkey")
+    return eng
+
+
+@query(
+    "gql_match_where_return",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def gql_match_where_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH <type> WHERE <conj-eq> RETURN <fields> through the full
+    GQL engine (statement #13, server/server.go:724-740 — with the
+    RETURN projection the reference parses but ignores)."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_mktsegment: 'BUILDING' RETURN c_name, c_acctbal;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_match_full_scan",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_custkey, c_name, c_nationkey,
+       c_acctbal, c_mktsegment
+FROM customer
+""",
+)
+def gql_match_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare MATCH = full scan of a node type (all properties)."""
+    eng = _engine_with_customer(spark, sf_dir)
+    return eng.execute("MATCH Customer;")[0].df
+
+
+@query(
+    "gql_insert_update_delete_roundtrip",
+    oracle="""
+SELECT 'widget' AS name, 15 AS qty
+UNION ALL SELECT 'gizmo', 7
+ORDER BY name
+""",
+)
+def gql_insert_update_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DML lifecycle through the engine: CREATE, INSERT x3,
+    UPDATE with WHERE, DELETE with WHERE, MATCH the survivors. The
+    oracle is the hand-computed expected state (constant SQL)."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE Item (name: string, qty: int);"
+        "INSERT NODE Item (name: 'widget', qty: 10);"
+        "INSERT NODE Item (name: 'gizmo', qty: 7);"
+        "INSERT NODE Item (name: 'junk', qty: 0);"
+        "UPDATE NODE Item SET qty: 15 WHERE name: 'widget';"
+        "DELETE NODE Item WHERE qty: 0;"
+    )
+    res = eng.execute("MATCH Item RETURN name, qty;")[0]
+    return res.df.select("name", F.col("qty").cast("int").alias("qty"))

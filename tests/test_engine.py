@@ -1,0 +1,270 @@
+"""GraphEngine end-to-end tests: the §7.1 minimum slice, DML
+semantics (the reference's server/ package has ZERO tests — SURVEY.md
+§5 — so these are the golden tests for §1.3/§2.1 behaviors), constraint
+enforcement, MATCH, SHOW/DESCRIBE, and durability (commit log +
+catalog store + manifest replay)."""
+
+from __future__ import annotations
+
+import pytest
+
+from grapho_spark.engine import GraphEngine
+from grapho_spark.engine.engine import EngineError
+
+
+@pytest.fixture()
+def eng(spark):
+    return GraphEngine(spark)
+
+
+SLICE = """
+CREATE NODE Person (id: int PRIMARY KEY, name: string, age: int);
+INSERT NODE Person (id: 1, name: 'John', age: 30);
+MATCH Person WHERE name: 'John' RETURN name;
+"""
+
+
+def test_minimum_slice(eng):
+    results = eng.execute(SLICE)
+    assert [r.kind for r in results] == ["ddl", "insert", "match"]
+    rows = results[2].df.collect()
+    assert len(rows) == 1
+    assert rows[0].name == "John"
+
+
+def test_sequential_ids_shared_counter(eng):
+    eng.execute(
+        "CREATE NODE P (name: string); CREATE EDGE E (FROM P, TO P MANY);"
+        "INSERT NODE P (name: 'a'); INSERT NODE P (name: 'b');"
+        "INSERT EDGE E FROM P(name: 'a') TO P(name: 'b');"
+    )
+    ids = [r["_id"] for r in eng.node_df("P").orderBy("_id").collect()]
+    assert ids == ["1", "2"]
+    eids = [r["_id"] for r in eng.edge_df("E").collect()]
+    assert eids == ["edge_3"]
+
+
+def test_typed_coercion_and_defaults(eng):
+    eng.execute(
+        "CREATE NODE T (i: int, f: float, b: bool, s: string, "
+        "d: date, dt: datetime, t: time, status: enum<'on', 'off'> DEFAULT 'on');"
+        "INSERT NODE T (i: 42, f: 3.5, b: true, s: 'hi', "
+        "d: '2024-06-01', dt: '2024-06-01T12:30:00', t: '09:15');"
+    )
+    row = eng.node_df("T").collect()[0]
+    assert row.i == 42 and row.f == 3.5 and row.b is True and row.s == "hi"
+    assert str(row.d) == "2024-06-01"
+    assert row.t == "09:15:00"
+    assert row.status == "on"  # default applied (declared semantics)
+
+
+def test_coercion_errors(eng):
+    eng.execute("CREATE NODE T (i: int, e: enum<'a'>);")
+    with pytest.raises(EngineError, match="expected int"):
+        eng.execute("INSERT NODE T (i: 'nope');")
+    with pytest.raises(EngineError, match="not in enum"):
+        eng.execute("INSERT NODE T (e: 'zzz');")
+    with pytest.raises(EngineError, match="unknown property"):
+        eng.execute("INSERT NODE T (ghost: 1);")
+
+
+def test_not_null_rejects_explicit_null(eng):
+    # the reference only checks key presence, so an explicit null passes
+    # there (server/server.go:579-585); declared semantics reject it.
+    eng.execute("CREATE NODE T (x: int NOT NULL);")
+    with pytest.raises(EngineError, match="NOT NULL"):
+        eng.execute("INSERT NODE T (x: null);")
+    with pytest.raises(EngineError, match="NOT NULL"):
+        eng.execute("INSERT NODE T;")
+
+
+def test_unique_and_pk_enforced(eng):
+    eng.execute(
+        "CREATE NODE U (id: int PRIMARY KEY, email: string UNIQUE);"
+        "INSERT NODE U (id: 1, email: 'a@x');"
+    )
+    with pytest.raises(EngineError, match="unique violation"):
+        eng.execute("INSERT NODE U (id: 1, email: 'b@x');")
+    with pytest.raises(EngineError, match="unique violation"):
+        eng.execute("INSERT NODE U (id: 2, email: 'a@x');")
+    with pytest.raises(EngineError, match="requires a value"):
+        eng.execute("INSERT NODE U (email: 'c@x');")
+
+
+def test_insert_edge_endpoint_checks_and_cardinality(eng):
+    eng.execute(
+        "CREATE NODE P (name: string); CREATE NODE C (name: string);"
+        "CREATE EDGE WorksAt (FROM P MANY, TO C MANY);"
+        "CREATE EDGE Leads (FROM P ONE, TO C ONE);"
+        "INSERT NODE P (name: 'ann'); INSERT NODE P (name: 'bob');"
+        "INSERT NODE C (name: 'acme');"
+    )
+    eng.execute("INSERT EDGE WorksAt FROM P(name: 'ann') TO C(name: 'acme');")
+    eng.execute("INSERT EDGE WorksAt FROM P(name: 'bob') TO C(name: 'acme');")
+    # label mismatch (server/server.go:609-614)
+    with pytest.raises(EngineError, match="does not match edge endpoint"):
+        eng.execute("INSERT EDGE WorksAt FROM C(name: 'acme') TO C(name: 'acme');")
+    # missing node
+    with pytest.raises(EngineError, match="node not found"):
+        eng.execute("INSERT EDGE WorksAt FROM P(name: 'ghost') TO C(name: 'acme');")
+    # declared cardinality enforced (divergence: unenforced in reference)
+    eng.execute("INSERT EDGE Leads FROM P(name: 'ann') TO C(name: 'acme');")
+    with pytest.raises(EngineError, match="cardinality violation"):
+        eng.execute("INSERT EDGE Leads FROM P(name: 'ann') TO C(name: 'acme');")
+
+
+def test_insert_edge_by_direct_id(eng):
+    eng.execute(
+        "CREATE NODE P (name: string); CREATE EDGE E (FROM P MANY, TO P MANY);"
+        "INSERT NODE P (name: 'x'); INSERT NODE P (name: 'y');"
+        "INSERT EDGE E FROM P(1) TO P(2);"
+    )
+    e = eng.edge_df("E").collect()[0]
+    assert (e["_src"], e["_dst"]) == ("1", "2")
+
+
+def test_update_where_and_count(eng):
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: 1); INSERT NODE P (name: 'b', age: 1);"
+        "INSERT NODE P (name: 'c', age: 2);"
+    )
+    res = eng.execute("UPDATE NODE P SET age: 9 WHERE age: 1;")[0]
+    assert res.count == 2
+    assert sorted(r.age for r in eng.node_df("P").collect()) == [2, 9, 9]
+    # UPDATE without WHERE hits all rows
+    res = eng.execute("UPDATE NODE P SET age: 0;")[0]
+    assert res.count == 3
+
+
+def test_update_missing_property_matches_nothing(eng):
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    res = eng.execute("UPDATE NODE P SET name: 'z' WHERE ghost: 1;")[0]
+    assert res.count == 0
+
+
+def test_null_where_matches_stored_null(eng):
+    # nil == nil matches in the reference (server/server.go:793-797)
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: null); INSERT NODE P (name: 'b', age: 1);"
+    )
+    res = eng.execute("DELETE NODE P WHERE age: null;")[0]
+    assert res.count == 1
+    assert [r.name for r in eng.node_df("P").collect()] == ["b"]
+
+
+def test_delete_and_match_return_projection(eng):
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: 1); INSERT NODE P (name: 'b', age: 2);"
+    )
+    res = eng.execute("MATCH P WHERE age: 2 RETURN name;")[0]
+    assert res.df.columns == ["_id", "name"]
+    assert res.df.collect()[0].name == "b"
+    res = eng.execute("MATCH P;")[0]
+    assert res.df.count() == 2
+
+
+def test_match_multi_element_union(eng):
+    eng.execute(
+        "CREATE NODE A (name: string); CREATE NODE B (name: string, extra: int);"
+        "INSERT NODE A (name: 'x'); INSERT NODE B (name: 'x', extra: 5);"
+        "INSERT NODE B (name: 'y');"
+    )
+    res = eng.execute("MATCH A, B WHERE name: 'x';")[0]
+    rows = res.df.collect()
+    assert [r["_label"] for r in rows] == ["A", "B"]
+
+
+def test_first_match_is_deterministic_smallest_id(eng):
+    eng.execute(
+        "CREATE NODE P (name: string); CREATE EDGE E (FROM P MANY, TO P MANY);"
+        "INSERT NODE P (name: 'dup'); INSERT NODE P (name: 'dup');"
+        "INSERT NODE P (name: 'z');"
+        "INSERT EDGE E FROM P(name: 'dup') TO P(name: 'z');"
+    )
+    e = eng.edge_df("E").collect()[0]
+    assert e["_src"] == "1"  # smallest id, not map-iteration luck
+
+
+def test_alter_migrates_data(eng):
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: 30);"
+    )
+    eng.execute("ALTER NODE P ADD score: float;")
+    row = eng.node_df("P").collect()[0]
+    assert row.score is None
+    eng.execute("ALTER NODE P MODIFY age: float;")
+    row = eng.node_df("P").collect()[0]
+    assert row.age == 30.0
+    eng.execute("ALTER NODE P DROP score;")
+    assert "score" not in eng.node_df("P").columns
+
+
+def test_show_and_describe(eng):
+    eng.execute(
+        "CREATE NODE P (id: int PRIMARY KEY, name: string DEFAULT 'x');"
+        "CREATE EDGE E (FROM P MANY, TO P);"
+    )
+    show = eng.execute("SHOW NODES;")[0].df.collect()
+    assert [r.name for r in show] == ["P"]
+    edges = eng.execute("SHOW EDGES;")[0].df.collect()
+    assert edges[0].from_card == "MANY" and edges[0].to_card == "ONE"
+    desc = eng.execute("DESCRIBE NODE P;")[0].df.collect()
+    assert desc[0].field == "id" and desc[0].primary_key
+    assert desc[1].default_value == "x"
+
+
+def test_script_error_aborts_remainder(eng):
+    eng.execute("CREATE NODE P (name: string);")
+    with pytest.raises(EngineError):
+        eng.execute("INSERT NODE P (name: 'a'); INSERT NODE Ghost; INSERT NODE P (name: 'b');")
+    # first insert landed, third never ran (server/server.go:190-194)
+    assert eng.node_df("P").count() == 1
+
+
+def test_parse_error_aborts_whole_script(eng):
+    with pytest.raises(EngineError):
+        eng.execute("CREATE NODE P (name: string); CREATE BOGUS;")
+
+
+def test_bind_node_type_bulk_match(spark, sf_dir):
+    eng = GraphEngine(spark)
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    eng.bind_node_type("Customer", df, pk="c_custkey")
+    res = eng.execute("MATCH Customer WHERE c_mktsegment: 'BUILDING' RETURN c_name;")[0]
+    expected = df.filter(df.c_mktsegment == "BUILDING").count()
+    assert res.df.count() == expected
+
+
+def test_durability_replay(spark, tmp_path):
+    d = str(tmp_path / "db")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: 1); INSERT NODE P (name: 'b', age: 2);"
+        "UPDATE NODE P SET age: 9 WHERE name: 'a';"
+    )
+    # reopen WITHOUT flush: catalog from DDL events, data from commit log
+    eng2 = GraphEngine(spark, data_dir=d)
+    rows = {r.name: r.age for r in eng2.node_df("P").collect()}
+    assert rows == {"a": 9, "b": 2}
+    assert eng2.catalog.version == 1
+    # ids continue after replay
+    eng2.execute("INSERT NODE P (name: 'c', age: 3);")
+    ids = sorted(r["_id"] for r in eng2.node_df("P").collect())
+    assert len(set(ids)) == 3
+
+
+def test_durability_flush_and_manifest(spark, tmp_path):
+    d = str(tmp_path / "db2")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    eng.flush()
+    eng.execute("INSERT NODE P (name: 'b');")  # post-flush, commit-log only
+    eng3 = GraphEngine(spark, data_dir=d)
+    names = sorted(r.name for r in eng3.node_df("P").collect())
+    assert names == ["a", "b"]
+    assert eng3.next_id >= 3

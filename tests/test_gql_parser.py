@@ -1,0 +1,186 @@
+"""Parser tests — ported from the reference's DDL/DML parser test
+matrix (/root/reference/parser/parser_test.go, dml_test.go): AST field
+asserts, defaults, array/enum, trailing commas, error recovery,
+mixed-statement scripts."""
+
+from __future__ import annotations
+
+from grapho_spark.gql import ast
+from grapho_spark.gql.parser import parse_script
+
+
+def one(text: str):
+    stmts, errors = parse_script(text)
+    assert not errors, errors
+    assert len(stmts) == 1
+    return stmts[0]
+
+
+def test_create_node_full():
+    st = one(
+        "CREATE NODE Person (id: int PRIMARY KEY, email: string UNIQUE NOT NULL, "
+        "age: int DEFAULT 0, bio: text);"
+    )
+    assert isinstance(st, ast.CreateNodeStmt)
+    assert st.name == "Person"
+    names = [f.name for f in st.fields]
+    assert names == ["id", "email", "age", "bio"]
+    assert st.fields[0].primary_key and st.fields[0].type.base is ast.BaseType.INT
+    assert st.fields[1].unique and st.fields[1].not_null
+    assert st.fields[2].default.kind is ast.LiteralKind.NUMBER
+    assert st.fields[2].default.text == "0"
+    assert st.fields[3].type.base is ast.BaseType.TEXT
+
+
+def test_create_node_empty_and_trailing_comma():
+    st = one("CREATE NODE Empty ();")
+    assert st.fields == ()
+    st2 = one("CREATE NODE T (a: int,);")
+    assert [f.name for f in st2.fields] == ["a"]
+
+
+def test_array_and_enum_types():
+    st = one("CREATE NODE T (tags: array<string>, status: enum<'a', 'b'>, m: array<array<int>>);")
+    assert st.fields[0].type.is_array
+    assert st.fields[0].type.elem.base is ast.BaseType.STRING
+    assert st.fields[1].type.enum_vals == ("a", "b")
+    assert st.fields[2].type.elem.is_array
+    assert st.fields[2].type.elem.elem.base is ast.BaseType.INT
+
+
+def test_quoted_identifiers():
+    st = one("CREATE NODE `my node` (`weird field`: int);")
+    assert st.name == "my node"
+    assert st.fields[0].name == "weird field"
+
+
+def test_create_edge_default_cardinality_one():
+    st = one("CREATE EDGE Knows (FROM Person, TO Person);")
+    assert isinstance(st, ast.CreateEdgeStmt)
+    assert st.from_ep.card is ast.Cardinality.ONE
+    assert st.to_ep.card is ast.Cardinality.ONE
+
+
+def test_create_edge_cards_and_props():
+    st = one(
+        "CREATE EDGE WorksAt (FROM Person MANY, TO Company ONE, "
+        "PROPS (since: date, role: string DEFAULT 'eng'));"
+    )
+    assert st.from_ep == ast.Endpoint("Person", ast.Cardinality.MANY)
+    assert st.to_ep == ast.Endpoint("Company", ast.Cardinality.ONE)
+    assert [p.name for p in st.props] == ["since", "role"]
+    assert st.props[1].default.text == "eng"
+
+
+def test_alter_node_matrix():
+    add = one("ALTER NODE Person ADD nick: string UNIQUE;")
+    assert add.action is ast.AlterAction.ADD_FIELD and add.field.unique
+    drop = one("ALTER NODE Person DROP nick;")
+    assert drop.action is ast.AlterAction.DROP_FIELD and drop.field_name == "nick"
+    mod = one("ALTER NODE Person MODIFY age: float;")
+    assert mod.action is ast.AlterAction.MODIFY_FIELD
+    assert mod.field.type.base is ast.BaseType.FLOAT
+    setpk = one("ALTER NODE Person SET PRIMARY KEY (email);")
+    assert setpk.action is ast.AlterAction.SET_PRIMARY_KEY
+    assert setpk.pk_fields == ("email",)
+    # composite list is grammatically allowed (parser captures it all)
+    comp = one("ALTER NODE Person SET PRIMARY KEY (a, b);")
+    assert comp.pk_fields == ("a", "b")
+
+
+def test_alter_edge_matrix():
+    st = one("ALTER EDGE Knows SET FROM Person MANY TO Company ONE;")
+    assert st.action is ast.AlterAction.SET_ENDPOINTS
+    assert st.from_ep.card is ast.Cardinality.MANY
+    assert st.to_ep.label == "Company"
+
+
+def test_drop_statements():
+    assert isinstance(one("DROP NODE Person;"), ast.DropNodeStmt)
+    assert isinstance(one("DROP EDGE Knows;"), ast.DropEdgeStmt)
+
+
+def test_insert_node_with_and_without_props():
+    st = one("INSERT NODE Person (name: 'John', age: 30, ok: true, x: null);")
+    assert isinstance(st, ast.InsertNodeStmt)
+    kinds = [p.value.kind for p in st.properties]
+    assert kinds == [
+        ast.LiteralKind.STRING,
+        ast.LiteralKind.NUMBER,
+        ast.LiteralKind.BOOL,
+        ast.LiteralKind.NULL,
+    ]
+    bare = one("INSERT NODE Person;")
+    assert bare.properties == ()
+
+
+def test_insert_edge_by_id_and_by_props():
+    st = one("INSERT EDGE Knows FROM Person(1) TO Person(name: 'Ann') (since: 2020);")
+    assert isinstance(st, ast.InsertEdgeStmt)
+    assert st.from_node.id.text == "1"
+    assert st.to_node.id is None
+    assert st.to_node.properties[0].name == "name"
+    assert st.properties[0].name == "since"
+
+
+def test_update_with_and_without_where():
+    st = one("UPDATE NODE Person SET age: 31 WHERE name: 'John';")
+    assert st.set[0].name == "age" and st.where[0].name == "name"
+    st2 = one("UPDATE EDGE Knows SET since: 2021;")
+    assert isinstance(st2, ast.UpdateEdgeStmt) and st2.where == ()
+
+
+def test_delete_requires_where():
+    _, errors = parse_script("DELETE NODE Person;")
+    assert errors
+    st = one("DELETE EDGE Knows WHERE since: 2020;")
+    assert isinstance(st, ast.DeleteEdgeStmt)
+
+
+def test_match_with_alias_where_return():
+    st = one("MATCH Person p, Company WHERE name: 'Ann' RETURN name, age;")
+    assert isinstance(st, ast.MatchStmt)
+    assert st.pattern[0] == ast.MatchElement("Person", "p", False, 1, 7)
+    assert st.pattern[1].type == "Company"
+    assert st.where[0].value.text == "Ann"
+    assert st.return_fields == ("name", "age")
+
+
+def test_show_and_describe():
+    assert one("SHOW NODES;").kind == "NODES"
+    d = one("DESCRIBE NODE Person;")
+    assert d.kind == "NODE" and d.name == "Person"
+
+
+def test_error_recovery_continues_to_next_statement():
+    stmts, errors = parse_script("CREATE BOGUS; CREATE NODE P (a: int);")
+    assert len(errors) == 1
+    assert len(stmts) == 1
+    assert stmts[0].name == "P"
+
+
+def test_missing_semicolon_reported():
+    stmts, errors = parse_script("CREATE NODE P (a: int)")
+    assert len(stmts) == 1
+    assert any("missing ';'" in e.msg for e in errors)
+
+
+def test_mixed_script():
+    text = """
+    CREATE NODE Person (id: int PRIMARY KEY, name: string);
+    CREATE EDGE Knows (FROM Person, TO Person);
+    INSERT NODE Person (id: 1, name: 'Ann');
+    UPDATE NODE Person SET name: 'Bea' WHERE id: 1;
+    MATCH Person WHERE name: 'Bea' RETURN name;
+    DROP EDGE Knows;
+    """
+    stmts, errors = parse_script(text)
+    assert not errors
+    assert [type(s).__name__ for s in stmts] == [
+        "CreateNodeStmt",
+        "CreateEdgeStmt",
+        "InsertNodeStmt",
+        "UpdateNodeStmt",
+        "MatchStmt",
+        "DropEdgeStmt",
+    ]
