@@ -1,0 +1,22 @@
+"""Graph algorithms as DataFrame programs over (vertices, edges)
+tables — the GraphFrames-style analytics surface (SURVEY.md §7.2
+phase 6; the reference defines a property graph but has no
+algorithms)."""
+
+from grapho_spark.analytics.algorithms import (
+    bfs,
+    connected_components,
+    degrees,
+    pagerank,
+    triangle_count,
+)
+from grapho_spark.analytics.motif import find_motif
+
+__all__ = [
+    "bfs",
+    "connected_components",
+    "degrees",
+    "pagerank",
+    "triangle_count",
+    "find_motif",
+]

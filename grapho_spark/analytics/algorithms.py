@@ -1,0 +1,165 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+Contract: ``edges`` has columns ``src`` and ``dst`` (any orderable
+type); algorithms treat the graph as directed unless noted. All loops
+use ``localCheckpoint`` between rounds to truncate lineage (without it
+round N replays rounds 1..N-1 — the classic iterative-Spark trap), and
+each round is a bounded number of shuffles on the same key so the
+shape holds at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, in_degree, out_degree, degree) for a directed edge list."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            (
+                F.coalesce("in_degree", F.lit(0)) + F.coalesce("out_degree", F.lit(0))
+            ).alias("degree"),
+        )
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def bfs(edges: DataFrame, start_nodes: DataFrame, max_hops: int, directed: bool = True) -> DataFrame:
+    """Hop distances from ``start_nodes`` (column ``node``) up to
+    ``max_hops``: returns (node, hops) with the MINIMUM hop count.
+
+    Each round: frontier ⋈ edges -> next frontier minus visited — one
+    shuffle per hop, frontier-sized not graph-sized.
+    """
+    e = edges.select("src", "dst") if directed else _symmetrize(edges)
+    visited = start_nodes.select("node").distinct().withColumn("hops", F.lit(0))
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(node, component) by iterative min-label propagation on the
+    undirected graph; converges in O(diameter) rounds."""
+    sym = _symmetrize(edges).persist()
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "component"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 10, damping: float = 0.85, directed: bool = True
+) -> DataFrame:
+    """(node, pagerank) after ``iters`` synchronous iterations.
+
+    Dangling mass is redistributed uniformly each round (so ranks sum
+    to ~1). Two shuffles per iteration (join on src, agg on dst).
+    """
+    e = (edges.select("src", "dst") if directed else _symmetrize(edges)).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, "node", "left")
+        dangling = (
+            with_deg.filter(F.col("d").isNull()).agg(F.sum("pr")).collect()[0][0] or 0.0
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("d").isNotNull()).withColumnRenamed("node", "src_n"),
+                F.col("src") == F.col("src_n"),
+            )
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.withColumnRenamed("pr", "pagerank")
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Global triangle count of the undirected simple graph via the
+    canonical-ordering wedge join (each triangle counted once)."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.alias("e1")
+    e2 = canon.alias("e2")
+    e3 = canon.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .count()
+    )

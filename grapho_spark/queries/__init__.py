@@ -55,6 +55,8 @@ def all_queries() -> dict[str, Query]:
         events,
         graph,
         gql_parity,
+        multimodal,
+        operators_q,
         relational,
         streaming,
         text,

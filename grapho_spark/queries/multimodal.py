@@ -1,0 +1,89 @@
+"""Multimodal-plumbing queries: binary payloads (synthesized
+deterministically from document text — no media fixtures exist) pushed
+through the real Spark machinery: JVM-side metadata extraction, Arrow
+``mapInPandas`` decode (stubbed codec), frame-sampling explode. The
+oracles recompute the deterministic fake decode independently in SQL,
+so the whole Python batch path is value-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+
+def _blob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+@query(
+    "multimodal_blob_metadata",
+    oracle="""
+SELECT doc_id AS id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       'application/octet-stream' AS mime
+FROM documents
+""",
+)
+def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side blob metadata pass (length/md5/magic-sniff) — no
+    Python touches the payloads."""
+    from grapho_spark.llmops import attach_blob_metadata
+
+    return attach_blob_metadata(_blob_df(spark, sf_dir), "payload", "doc_id")
+
+
+_DECODE_CTE = """
+decoded AS (
+  SELECT doc_id AS id,
+         octet_length(encode(text)) AS n_bytes,
+         list_sum([ascii(substring(text, i, 1))
+                   for i in range(1, least(64, length(text)) + 1)]) AS checksum
+  FROM documents),
+meta AS (
+  SELECT id, n_bytes,
+         (16 + checksum % 241)::INT AS width,
+         (16 + (checksum // 7) % 241)::INT AS height,
+         (1 + n_bytes % 4)::INT AS n_frames
+  FROM decoded)
+"""
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle=f"""
+WITH {_DECODE_CTE}
+SELECT id, n_bytes, width, height, n_frames, TRUE AS decode_ok FROM meta
+""",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow mapInPandas decode path with the deterministic stub
+    codec; the oracle recomputes width/height/frames from the same
+    bytes in SQL — verifying batch shapes, schema, and the Python
+    roundtrip end to end."""
+    from grapho_spark.llmops import decode_media_batch
+
+    meta = decode_media_batch(_blob_df(spark, sf_dir), "payload", "doc_id")
+    return meta.select("id", "n_bytes", "width", "height", "n_frames", "decode_ok")
+
+
+@query(
+    "multimodal_frame_sampling",
+    oracle=f"""
+WITH {_DECODE_CTE}
+SELECT id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx FROM meta
+""",
+)
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: every 2nd frame index per media item,
+    exploded JVM-side (sequence+explode, no Python)."""
+    from grapho_spark.llmops import decode_media_batch, sample_frames
+
+    meta = decode_media_batch(_blob_df(spark, sf_dir), "payload", "doc_id")
+    return sample_frames(meta, every_nth=2).select(
+        "id", "n_frames", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
