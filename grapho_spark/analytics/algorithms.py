@@ -10,8 +10,10 @@ shape holds at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from grapho_spark.sparkutil import checkpoint_state, materialize, no_aqe
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -48,9 +50,15 @@ def bfs(edges: DataFrame, start_nodes: DataFrame, max_hops: int, directed: bool 
     Each round: frontier ⋈ edges -> next frontier minus visited — one
     shuffle per hop, frontier-sized not graph-sized.
     """
-    e = edges.select("src", "dst") if directed else _symmetrize(edges)
+    e = (edges.select("src", "dst") if directed else _symmetrize(edges)).transform(materialize)
     visited = start_nodes.select("node").distinct().withColumn("hops", F.lit(0))
     frontier = visited.select("node")
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        return _bfs_loop(e, visited, frontier, max_hops)
+
+
+def _bfs_loop(e, visited, frontier, max_hops):
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(frontier, e.src == frontier.node)
@@ -58,11 +66,11 @@ def bfs(edges: DataFrame, start_nodes: DataFrame, max_hops: int, directed: bool 
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(hop))
-            .localCheckpoint()
+            .transform(checkpoint_state)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = checkpoint_state(visited.unionByName(nxt))
         frontier = nxt.select("node")
     return visited
 
@@ -70,10 +78,15 @@ def bfs(edges: DataFrame, start_nodes: DataFrame, max_hops: int, directed: bool 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(node, component) by iterative min-label propagation on the
     undirected graph; converges in O(diameter) rounds."""
-    sym = _symmetrize(edges).persist()
+    sym = materialize(_symmetrize(edges))
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
-    )
+    ).transform(materialize)
+    with no_aqe(edges.sparkSession):
+        return _cc_loop(sym, labels, max_iter)
+
+
+def _cc_loop(sym, labels, max_iter):
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "component"
@@ -82,7 +95,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .transform(checkpoint_state)
         )
         changed = (
             new_labels.alias("n")
@@ -93,7 +106,6 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 
@@ -105,16 +117,22 @@ def pagerank(
     Dangling mass is redistributed uniformly each round (so ranks sum
     to ~1). Two shuffles per iteration (join on src, agg on dst).
     """
-    e = (edges.select("src", "dst") if directed else _symmetrize(edges)).persist()
+    e = (edges.select("src", "dst") if directed else _symmetrize(edges)).transform(materialize)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .transform(materialize)
     )
     n = nodes.count()
-    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d")).transform(materialize)
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    with no_aqe(edges.sparkSession):
+        ranks = _pr_loop(e, nodes, deg, ranks, n, iters, damping)
+    return ranks.withColumnRenamed("pr", "pagerank")
+
+
+def _pr_loop(e, nodes, deg, ranks, n, iters, damping):
     for _ in range(iters):
         with_deg = ranks.join(deg, "node", "left")
         dangling = (
@@ -138,11 +156,9 @@ def pagerank(
                     F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint()
+            .transform(checkpoint_state)
         )
-    e.unpersist()
-    nodes.unpersist()
-    return ranks.withColumnRenamed("pr", "pagerank")
+    return ranks
 
 
 def triangle_count(edges: DataFrame) -> int:

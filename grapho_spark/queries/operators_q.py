@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from grapho_spark.sparkutil import materialize
+
 from grapho_spark.queries import query
 from grapho_spark.queries.graph import copurchase_edges, _DUCK_EDGES_CTE
 from grapho_spark.tables import load_table
@@ -106,12 +108,12 @@ def motif_2path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(spark, sf_dir).select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).localCheckpoint()
+    ).transform(materialize)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     paths = find_motif(vertices, edges, "(a)-[x]->(b); (b)-[y]->(c)")
     return paths.agg(F.count(F.lit(1)).alias("n_2paths"))

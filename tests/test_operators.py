@@ -1,0 +1,155 @@
+"""Unit tests for the generic operator library (asof/range/topk),
+analytics algorithms, and multimodal plumbing on small hand-built
+graphs/frames with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_basic(spark):
+    from grapho_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 25), ("u2", 5)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, "a"), ("u1", 20, "b"), ("u2", 9, "c")], "k string, t long, v string"
+    )
+    out = {
+        (r.k, r.t): r.v_asof
+        for r in asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+    }
+    assert out == {("u1", 10): "a", ("u1", 25): "b", ("u2", 5): None}
+
+
+def test_asof_join_exact_match_toggle(spark):
+    from grapho_spark.operators import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "k string, t long")
+    right = spark.createDataFrame([("k", 10, "x")], "k string, t long, v string")
+    exact = asof_join(left, right, on="t", by="k", allow_exact=True).collect()[0]
+    strict = asof_join(left, right, on="t", by="k", allow_exact=False).collect()[0]
+    assert exact.v_asof == "x"
+    assert strict.v_asof is None
+
+
+def test_bucketed_range_join(spark):
+    from grapho_spark.operators import bucketed_range_join
+
+    intervals = spark.createDataFrame([(1, 0.0, 10.0), (2, 5.0, 6.0)], "id int, lo double, hi double")
+    points = spark.createDataFrame([(5.5,), (9.0,), (11.0,)], "p double")
+    out = sorted(
+        (r.id, r.p)
+        for r in bucketed_range_join(intervals, points, "lo", "hi", "p", 4.0).collect()
+    )
+    assert out == [(1, 5.5), (1, 9.0), (2, 5.5)]
+
+
+def test_top_k_per_group(spark):
+    from grapho_spark.operators import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "g string, v int"
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.col("v")], k=2)
+    assert sorted((r.g, r.v) for r in out.collect()) == [("a", 2), ("a", 3), ("b", 9)]
+
+
+# ------------------------------------------------------------- analytics
+
+EDGES = [(1, 2), (2, 3), (4, 5)]
+
+
+def _edges(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_degrees(spark):
+    from grapho_spark.analytics import degrees
+
+    d = {r.node: (r.in_degree, r.out_degree) for r in degrees(_edges(spark)).collect()}
+    assert d[2] == (1, 1) and d[1] == (0, 1) and d[5] == (1, 0)
+
+
+def test_bfs(spark):
+    from grapho_spark.analytics import bfs
+
+    start = spark.createDataFrame([(1,)], "node long")
+    hops = {r.node: r.hops for r in bfs(_edges(spark), start, max_hops=3).collect()}
+    assert hops == {1: 0, 2: 1, 3: 2}
+
+
+def test_connected_components(spark):
+    from grapho_spark.analytics import connected_components
+
+    comp = {r.node: r.component for r in connected_components(_edges(spark)).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+
+
+def test_pagerank_sums_to_one(spark):
+    from grapho_spark.analytics import pagerank
+
+    pr = pagerank(_edges(spark), iters=10)
+    total = pr.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6  # dangling mass redistributed
+
+
+def test_triangle_count(spark):
+    from grapho_spark.analytics import triangle_count
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count(tri) == 1
+
+
+def test_find_motif_2path(spark):
+    from grapho_spark.analytics import find_motif
+
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = _edges(spark)
+    paths = find_motif(v, e, "(a)-[x]->(b); (b)-[y]->(c)")
+    rows = paths.select("`a.id`", "`b.id`", "`c.id`").collect()
+    assert [(r[0], r[1], r[2]) for r in rows] == [(1, 2, 3)]
+
+
+def test_find_motif_rejects_bad_pattern(spark):
+    import pytest
+
+    from grapho_spark.analytics import find_motif
+
+    v = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="bad motif term"):
+        find_motif(v, _edges(spark), "(a)->(b)")
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_blob_metadata_and_mime_sniff(spark):
+    from grapho_spark.llmops import attach_blob_metadata
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n123")), (2, bytearray(b"plain bytes"))],
+        "id long, payload binary",
+    )
+    meta = {r.id: (r.mime, r.n_bytes) for r in attach_blob_metadata(df, "payload", "id").collect()}
+    assert meta[1] == ("image/png", 9)
+    assert meta[2] == ("application/octet-stream", 11)
+
+
+def test_decode_stub_and_frame_sampling(spark):
+    import pytest
+
+    from grapho_spark.llmops import decode_media_batch, sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"abcd" * 10))], "id long, payload binary")
+    meta = decode_media_batch(df, "payload", "id")
+    row = meta.collect()[0]
+    assert row.decode_ok and row.n_bytes == 40 and 16 <= row.width < 257
+    frames = sample_frames(meta, every_nth=2).collect()
+    assert [f.frame_idx for f in frames] == list(range(0, row.n_frames, 2))
+    with pytest.raises(NotImplementedError):
+        decode_media_batch(df, "payload", "id", real_decode=True)
