@@ -58,6 +58,8 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         operators_q,
         relational,
+        relational2,
+        sources_q,
         streaming,
         text,
     )

@@ -1,0 +1,136 @@
+"""Second relational batch: exact quantiles, approximate aggregates
+(rows-only — Spark's and DuckDB's sketches legitimately differ),
+unpivot (wide->long), CUBE grouping sets, ordered string aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.queries._util import dec, dsum
+from grapho_spark.tables import load_table
+
+
+@query(
+    "percentiles_exact_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def percentiles_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation — both engines use the
+    (n-1)*p rule, so values agree; rounded 6dp to absorb last-ulp
+    interpolation arithmetic).
+
+    Scale: exact percentile requires a sort per group — fine per-group
+    here; at 100 TB switch to approx_percentile (see
+    approx_aggregates_rows_only).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+@query("approx_aggregates_rows_only", oracle=None)
+def approx_aggregates_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HLL distinct + quantile sketch. No SQL
+    oracle: Spark's HLL++/KLL and DuckDB's sketches are different
+    algorithms with different (both valid) answers, so the driver
+    records the rows-only check. The exact counterparts are covered by
+    distinct_counts_per_priority / percentiles_exact_by_flag.
+
+    Scale: these ARE the 100 TB forms — mergeable constant-size
+    sketches instead of sort/expand.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+@query(
+    "unpivot_customer_metrics",
+    oracle="""
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+""",
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) via stack() — the inverse of pivot."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
+            "AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "cube_revenue_by_year_status",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+       o_orderstatus,
+       GROUPING(EXTRACT(year FROM o_orderdate))::BIGINT AS g_year,
+       GROUPING(o_orderstatus)::BIGINT AS g_status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (EXTRACT(year FROM o_orderdate), o_orderstatus)
+""",
+)
+def cube_revenue_by_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations with GROUPING flags."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    return (
+        o.cube("order_year", "o_orderstatus")
+        .agg(
+            F.grouping("order_year").cast("long").alias("g_year"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            dsum(dec("o_totalprice", 14, 2), "revenue"),
+        )
+        .select("order_year", "o_orderstatus", "g_year", "g_status", "revenue")
+    )
+
+
+@query(
+    "listagg_nations_per_region",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+""",
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> array_sort ->
+    array_join (collect_list alone is partition-order-nondeterministic;
+    the sort makes it stable — SURVEY.md §7 determinism rule)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

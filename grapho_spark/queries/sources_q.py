@@ -1,0 +1,80 @@
+"""Connector queries: CSV and JSON round-trips through the
+grapho_spark.sources read/write layer, value-checked against the
+original parquet via the DuckDB oracle (format conversion must be
+lossless — timestamp precision included)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.queries._util import dec, dsum
+from grapho_spark.tables import load_table
+
+# Default CSV/JSON timestamp formats drop sub-millisecond precision;
+# the fixtures carry microseconds.
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def _roundtrip(spark: SparkSession, df: DataFrame, fmt: str, tag: str) -> DataFrame:
+    from grapho_spark.sources import read_table, write_table
+
+    path = os.path.join(tempfile.gettempdir(), f"grapho_src_{fmt}_{tag}")
+    write_table(df, path, fmt=fmt, timestampFormat=TS_FMT)
+    return read_table(spark, path, fmt=fmt, schema=df.schema, timestampFormat=TS_FMT)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> CSV (header, explicit timestamp format) -> read back
+    with explicit schema -> aggregate; must equal aggregating the
+    original parquet (lossless conversion)."""
+    o = load_table(spark, sf_dir, "orders")
+    back = _roundtrip(spark, o, "csv", os.path.basename(sf_dir))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice", 14, 2), "revenue"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON lines (microsecond timestamp format) -> read back
+    -> aggregate incl. the nested-JSON property; timestamps must
+    survive to the microsecond."""
+    e = load_table(spark, sf_dir, "events")
+    back = _roundtrip(spark, e, "json", os.path.basename(sf_dir))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )

@@ -11,28 +11,12 @@ full value-hash check on a streaming operator).
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
+from grapho_spark.streaming import run_to_memory
 from grapho_spark.tables import load_stream
-
-
-def _run_stream_to_memory(stream_df: DataFrame, out_mode: str) -> DataFrame:
-    name = "stream_out_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.outputMode(out_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return stream_df.sparkSession.table(name)
 
 
 @query(
@@ -63,12 +47,76 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
-    out = _run_stream_to_memory(stream, "complete")
+    out = run_to_memory(stream, "complete")
     return out.select(
         F.col("window.start").alias("window_start"),
         "event_type",
         "n_events",
         "total_value",
+    )
+
+
+@query(
+    "streaming_session_windows",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {30 * 60 * 1_000_000}
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` sessionization (30-minute gap,
+    merging windows) driven to completion; per-user session/event
+    counts equal the batch gaps-and-islands computation — the oracle
+    IS that batch SQL, so the streaming session-merge semantics are
+    value-checked."""
+    from grapho_spark.streaming import sessionized_counts
+
+    stream = load_stream(spark, sf_dir, "events")
+    out = run_to_memory(sessionized_counts(stream, gap="30 minutes"), "complete")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user totals in explicit GroupState; the final update
+    per user equals the batch aggregate (totals rounded 4dp — the
+    pandas per-batch accumulation order differs from the oracle's).
+    """
+    from grapho_spark.streaming import stateful_user_totals
+
+    stream = load_stream(spark, sf_dir, "events")
+    out = run_to_memory(stateful_user_totals(stream), "update")
+    # update mode emits one row per key per micro-batch; keep the final
+    # (max-count) state per user.
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 4).alias("total_value"),
     )
 
 
@@ -103,4 +151,4 @@ def streaming_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_seen"),
         )
     )
-    return _run_stream_to_memory(stream, "complete")
+    return run_to_memory(stream, "complete")

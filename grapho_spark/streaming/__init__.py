@@ -1,0 +1,16 @@
+"""Structured Streaming operators (SURVEY.md §2.4 — absent in the
+reference; the commit log is its only stream-like artifact)."""
+
+from grapho_spark.streaming.ops import (
+    run_to_memory,
+    sessionized_counts,
+    stateful_user_totals,
+    windowed_counts,
+)
+
+__all__ = [
+    "run_to_memory",
+    "sessionized_counts",
+    "stateful_user_totals",
+    "windowed_counts",
+]

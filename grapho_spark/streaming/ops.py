@@ -1,0 +1,105 @@
+"""Reusable streaming operators over an event stream with columns
+(event_id, ts, user_id, event_type, value, ...).
+
+Production shape: ``readStream`` from Kafka/files -> these transforms
+-> ``writeStream`` to a sink with a checkpointLocation. The finite
+fixture drives them to completion through a memory sink
+(``run_to_memory``), which is also how the oracle-checked streaming
+queries get exact batch equivalents.
+
+State-bounding rules applied here (the 100 TB posture):
+- every aggregation is either watermarked (windowed/session state is
+  dropped once the watermark passes) or keyed by a bounded dimension;
+- the custom stateful operator (``stateful_user_totals``) keeps O(1)
+  state per key via applyInPandasWithState and emits updates, not
+  history.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def run_to_memory(stream_df: DataFrame, out_mode: str) -> DataFrame:
+    """Drive a (finite) streaming DataFrame to completion into an
+    in-memory table; returns the table as a DataFrame."""
+    name = "stream_out_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(out_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event type with watermarked state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session aggregation via ``session_window`` (windows
+    within ``gap`` of each other merge — the streaming equivalent of
+    batch gaps-and-islands sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+STATE_SCHEMA = "n_events long, total_value double"
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user totals kept in
+    explicit GroupState (``applyInPandasWithState``) — the reference's
+    missing 'stateful op' checklist item. Emits one update row per key
+    per micro-batch; state is O(1) per user."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
