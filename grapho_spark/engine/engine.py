@@ -166,6 +166,29 @@ class GraphEngine:
             )
             self.tables[("node", name)] = _Table(base.schema, base=base)
 
+    def find(self, pattern: str, edge_type: str, node_type: str | None = None) -> DataFrame:
+        """Motif search over a bound/stored edge type: GraphFrames-style
+        chain patterns like ``"(a)-[e]->(b); (b)-[e2]->(c)"`` — the
+        edge-pattern MATCH the reference's grammar cannot express
+        (parser.go:685 hardcodes node-only elements; SURVEY.md §2.1 #13).
+
+        Vertices default to the edge type's FROM label; edges use the
+        stored (_src, _dst) columns.
+        """
+        from grapho_spark.analytics import find_motif
+
+        et = self.catalog.edge(edge_type)
+        if et is None:
+            raise EngineError(f"edge type {edge_type!r} does not exist")
+        label = node_type or et.from_ep.label
+        nodes = self.node_df(label).withColumnRenamed(ID_COLUMN, "id")
+        edges = (
+            self.edge_df(edge_type)
+            .withColumnRenamed(SRC_COLUMN, "src")
+            .withColumnRenamed(DST_COLUMN, "dst")
+        )
+        return find_motif(nodes, edges, pattern)
+
     def flush(self) -> None:
         """Persist buffered rows / materialized tables as new parquet
         versions and advance the manifest (copy-on-write compaction)."""

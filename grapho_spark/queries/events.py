@@ -215,3 +215,44 @@ def events_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("hour_start", "event_type", "n_events")
     )
+
+
+@query(
+    "events_daily_retention",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT a.day AS day,
+       COUNT(DISTINCT a.user_id) AS n_active,
+       COUNT(DISTINCT b.user_id) AS n_retained_next_day
+FROM daily a
+LEFT JOIN daily b
+  ON a.user_id = b.user_id AND b.day = a.day + 1
+GROUP BY a.day
+""",
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: distinct active users per day self-joined to
+    the following day (the classic cohort-retention shape).
+
+    Scale: the distinct (user, day) projection collapses the event
+    volume before the self-join; the join key includes user_id so it
+    shuffles the compacted table once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+            "left",
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("n_active"),
+            F.countDistinct(F.col("b.user_id")).alias("n_retained_next_day"),
+        )
+    )

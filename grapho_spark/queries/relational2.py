@@ -134,3 +134,32 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@query(
+    "salted_skew_aggregation",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (grapho_spark.operators.salted):
+    o_orderstatus is heavily skewed ('O'/'F' carry ~half the table
+    each); the salt spreads each hot key over 16 reducers in phase one.
+    Decimal values make the two-phase split exactly equal to the plain
+    sum — which is the oracle.
+    """
+    from grapho_spark.operators import salted_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec("o_totalprice", 14, 2).alias("tp")
+    )
+    out = salted_sum(
+        o, key_cols=["o_orderstatus"], value_col="tp", unique_col="o_orderkey"
+    )
+    return out.select(
+        "o_orderstatus", F.col("sum_tp").cast("double").alias("sum_totalprice")
+    )

@@ -153,3 +153,48 @@ def test_decode_stub_and_frame_sampling(spark):
     assert [f.frame_idx for f in frames] == list(range(0, row.n_frames, 2))
     with pytest.raises(NotImplementedError):
         decode_media_batch(df, "payload", "id", real_decode=True)
+
+
+def test_salted_sum_equals_plain(spark):
+    from grapho_spark.operators import salted_sum
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", i * 10) for i in range(1, 201)],
+        "id long, k string, v long",
+    )
+    salted = {
+        r.k: r.sum_v for r in salted_sum(df, ["k"], "v", "id", n_salts=8).collect()
+    }
+    plain = {r.k: r[1] for r in df.groupBy("k").sum("v").collect()}
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    from grapho_spark.operators import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(100)], "id long, k string"
+    )
+    small = spark.createDataFrame(
+        [("k0", "a"), ("k1", "b"), ("k2", "c")], "k string, v string"
+    )
+    out = salted_join(big, small, key="k", unique_col="id", n_salts=4)
+    plain = big.join(small, "k")
+    assert sorted((r.id, r.v) for r in out.collect()) == sorted(
+        (r.id, r.v) for r in plain.collect()
+    )
+
+
+def test_engine_find_motif(spark):
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE P (name: string); CREATE EDGE E (FROM P MANY, TO P MANY);"
+        "INSERT NODE P (name: 'a'); INSERT NODE P (name: 'b'); INSERT NODE P (name: 'c');"
+        "INSERT EDGE E FROM P(name: 'a') TO P(name: 'b');"
+        "INSERT EDGE E FROM P(name: 'b') TO P(name: 'c');"
+    )
+    paths = eng.find("(x)-[e1]->(y); (y)-[e2]->(z)", edge_type="E")
+    rows = paths.select("`x.name`", "`y.name`", "`z.name`").collect()
+    assert [(r[0], r[1], r[2]) for r in rows] == [("a", "b", "c")]
