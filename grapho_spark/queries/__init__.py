@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         operators_q,
         relational,
         relational2,
+        relational3,
         sources_q,
         streaming,
         text,

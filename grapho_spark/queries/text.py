@@ -220,3 +220,55 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted_h.getItem(0).alias("min_hash"),
         F.array_join(F.slice(sorted_h, 1, 4), "|").alias("fingerprint_k4"),
     )
+
+
+@query(
+    "text_top_bigrams_per_lang",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents),
+bigrams AS (
+  SELECT lang, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM (SELECT doc_id, lang, unnest(ws) AS w,
+               generate_subscripts(ws, 1) AS pos
+        FROM words)),
+counted AS (
+  SELECT lang, bg, COUNT(*) AS n
+  FROM bigrams WHERE bg IS NOT NULL
+  GROUP BY lang, bg)
+SELECT lang, bg, n
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS rn
+      FROM counted)
+WHERE rn <= 5
+""",
+)
+def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: posexplode tokens -> window
+    lead -> count -> ranked top-k (deterministic tiebreak on the
+    bigram itself).
+
+    Scale: the explode is map-side; counting shuffles (lang, bigram)
+    pairs with map-side partial aggregation; top-k per group is the
+    standard ranked-window pattern.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos", "w"),
+    )
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "lang",
+        F.concat_ws(" ", F.col("w"), F.lead("w").over(w_lead)).alias("bg"),
+        F.lead("w").over(w_lead).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counted = bigrams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("n"), "bg")
+    return (
+        counted.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bg", "n")
+    )
