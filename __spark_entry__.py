@@ -7,9 +7,16 @@ grapho_spark with its DuckDB oracle (grapho_spark/queries/*).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# self-locating: grapho_spark must import regardless of the driver's cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 SF0001 = "/root/testdata/sf0.001"
 
