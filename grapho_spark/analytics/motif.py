@@ -23,20 +23,36 @@ def _prefix(df: DataFrame, name: str) -> DataFrame:
     return df.select(*[F.col(c).alias(f"{name}.{c}") for c in df.columns])
 
 
-def find_motif(vertices: DataFrame, edges: DataFrame, pattern: str) -> DataFrame:
+def find_motif(
+    vertices: DataFrame | dict[str, DataFrame], edges: DataFrame, pattern: str
+) -> DataFrame:
     """Match a chain motif. ``vertices`` must have ``id``; ``edges``
     must have ``src``/``dst``. Result columns are struct-ish prefixed
     ``<name>.<col>`` for every named vertex/edge in the pattern.
 
+    For heterogeneous edges (FROM label != TO label) pass ``vertices``
+    as ``{"src": <from-label df>, "dst": <to-label df>}`` — each motif
+    vertex then binds to the table of the endpoint role it occupies. A
+    vertex appearing in BOTH roles (a chain hop) is rejected, since no
+    node can carry two labels.
+
     Example: ``find_motif(v, e, "(a)-[x]->(b); (b)-[y]->(c)")`` — all
     directed 2-paths.
     """
+    if isinstance(vertices, dict):
+        v_by_role = {"src": vertices["src"], "dst": vertices["dst"]}
+        heterogeneous = v_by_role["src"] is not v_by_role["dst"]
+    else:
+        v_by_role = {"src": vertices, "dst": vertices}
+        heterogeneous = False
+
     terms = [t.strip() for t in pattern.split(";") if t.strip()]
     if not terms:
         raise ValueError("empty motif pattern")
 
     out: DataFrame | None = None
     bound_vertices: set[str] = set()
+    vertex_roles: dict[str, str] = {}
     bound_edges: set[str] = set()
 
     for term in terms:
@@ -65,12 +81,19 @@ def find_motif(vertices: DataFrame, edges: DataFrame, pattern: str) -> DataFrame
                 )
         bound_edges.add(e_name)
 
-        for vname, vcol in ((a, src_col), (b, dst_col)):
+        for vname, vcol, role in ((a, src_col, "src"), (b, dst_col, "dst")):
             if vname not in bound_vertices:
-                v_df = _prefix(vertices, vname)
+                v_df = _prefix(v_by_role[role], vname)
                 out = out.join(v_df, F.col(f"`{vname}.id`") == vcol)
                 bound_vertices.add(vname)
+                vertex_roles[vname] = role
             else:
+                if heterogeneous and vertex_roles[vname] != role:
+                    raise ValueError(
+                        f"vertex {vname!r} appears as both {vertex_roles[vname]}"
+                        f" and {role} of a heterogeneous edge — no node has"
+                        " both endpoint labels"
+                    )
                 # both endpoints already bound: constrain the edge
                 out = out.filter(F.col(f"`{vname}.id`") == vcol)
 

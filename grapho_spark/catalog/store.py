@@ -135,8 +135,14 @@ class CatalogStore:
 
     # ------------------------------------------------------------- write
 
-    def append_event(self, stmt: ast.Stmt) -> None:
-        line = json.dumps(stmt_to_event(stmt), separators=(",", ":"))
+    def append_event(self, stmt: ast.Stmt, seq: int | None = None) -> None:
+        """Append one DDL event; ``seq`` is the engine's global statement
+        sequence number, shared with the commit log so boot-time replay
+        can interleave DDL and DML in original statement order."""
+        event = stmt_to_event(stmt)
+        if seq is not None:
+            event["__seq__"] = seq
+        line = json.dumps(event, separators=(",", ":"))
         with open(self._events_path(), "a", encoding="utf-8") as f:
             f.write(line + "\n")
             f.flush()
@@ -170,7 +176,10 @@ class CatalogStore:
 
     # ------------------------------------------------------------- load
 
-    def load(self) -> Catalog:
+    def load_base(self) -> tuple[Catalog, int]:
+        """Load the snapshot-only catalog + its event-replay offset (no
+        event replay — the engine interleaves events with the commit
+        log by sequence number)."""
         cat = Catalog()
         offset = 0
         try:
@@ -183,19 +192,34 @@ class CatalogStore:
             offset = int(manifest.get("offset", 0))
         except FileNotFoundError:
             pass
+        return cat, offset
 
+    def read_events(self, offset: int = 0) -> list[tuple[int | None, ast.Stmt]]:
+        """Decode DDL events past ``offset`` as (seq, stmt) pairs,
+        stopping at the first corrupt line (store.go:80-127)."""
+        out: list[tuple[int | None, ast.Stmt]] = []
         try:
             with open(self._events_path(), encoding="utf-8") as f:
                 for i, line in enumerate(f):
                     if i < offset:
                         continue
-                    # corruption tolerance: stop at the first bad line,
-                    # keep the best-effort catalog (store.go:80-127).
                     try:
-                        stmt = event_to_stmt(json.loads(line))
-                        cat = apply_ddl(cat, stmt)
-                    except (json.JSONDecodeError, KeyError, TypeError, DDLError):
+                        event = json.loads(line)
+                        seq = event.pop("__seq__", None)
+                        out.append((seq, event_to_stmt(event)))
+                    except (json.JSONDecodeError, KeyError, TypeError):
                         break
         except FileNotFoundError:
             pass
+        return out
+
+    def load(self) -> Catalog:
+        cat, offset = self.load_base()
+        for _seq, stmt in self.read_events(offset):
+            # corruption tolerance: stop at the first unapplicable
+            # event, keep the best-effort catalog (store.go:80-127).
+            try:
+                cat = apply_ddl(cat, stmt)
+            except DDLError:
+                break
         return cat

@@ -100,6 +100,7 @@ class GraphEngine:
         self.tables: dict[tuple[str, str], _Table] = {}
         self.next_id = 1
         self._commit_offset = 0
+        self._seq = 1  # global statement sequence shared by DDL + DML logs
         self._replaying = False
 
         if data_dir:
@@ -107,11 +108,19 @@ class GraphEngine:
             self.catalog_store: CatalogStore | None = CatalogStore(
                 os.path.join(data_dir, "catalog")
             )
-            self.catalog = self.catalog_store.load()
-            self._load_manifest_and_tables()
-            self._ensure_catalog_tables()
             if replay:
-                self._replay_commit_log()
+                # Start from the last flush (catalog snapshot + table
+                # versions are written together there, so they are
+                # mutually consistent), then replay BOTH logs
+                # interleaved by sequence number — schema-changing DDL
+                # after unflushed DML must re-apply in original order.
+                self.catalog, ev_offset = self.catalog_store.load_base()
+                self._load_manifest_and_tables()
+                self._ensure_catalog_tables()
+                self._replay_logs(ev_offset)
+            else:
+                self.catalog = self.catalog_store.load()
+                self._load_manifest_and_tables()
         else:
             self.catalog_store = None
             self.catalog = Catalog()
@@ -172,22 +181,32 @@ class GraphEngine:
         edge-pattern MATCH the reference's grammar cannot express
         (parser.go:685 hardcodes node-only elements; SURVEY.md §2.1 #13).
 
-        Vertices default to the edge type's FROM label; edges use the
-        stored (_src, _dst) columns.
+        Motif vertices bind to the label of the endpoint role they
+        occupy: src positions join the edge's FROM-label table, dst
+        positions the TO-label table (``node_type`` overrides both);
+        edges use the stored (_src, _dst) columns.
         """
         from grapho_spark.analytics import find_motif
 
         et = self.catalog.edge(edge_type)
         if et is None:
             raise EngineError(f"edge type {edge_type!r} does not exist")
-        label = node_type or et.from_ep.label
-        nodes = self.node_df(label).withColumnRenamed(ID_COLUMN, "id")
+
+        def _nodes(label: str) -> DataFrame:
+            return self.node_df(label).withColumnRenamed(ID_COLUMN, "id")
+
+        if node_type or et.from_ep.label == et.to_ep.label:
+            vertices: DataFrame | dict[str, DataFrame] = _nodes(
+                node_type or et.from_ep.label
+            )
+        else:
+            vertices = {"src": _nodes(et.from_ep.label), "dst": _nodes(et.to_ep.label)}
         edges = (
             self.edge_df(edge_type)
             .withColumnRenamed(SRC_COLUMN, "src")
             .withColumnRenamed(DST_COLUMN, "dst")
         )
-        return find_motif(nodes, edges, pattern)
+        return find_motif(vertices, edges, pattern)
 
     def flush(self) -> None:
         """Persist buffered rows / materialized tables as new parquet
@@ -211,6 +230,7 @@ class GraphEngine:
             manifest = {
                 "next_id": self.next_id,
                 "commit_offset": self._commit_offset,
+                "seq": self._seq,
                 "versions": versions,
             }
             tmp = self._manifest_path() + ".tmp"
@@ -245,6 +265,7 @@ class GraphEngine:
             return
         self.next_id = manifest.get("next_id", 1)
         self._commit_offset = manifest.get("commit_offset", 0)
+        self._seq = manifest.get("seq", 1)
         for key, version in manifest.get("versions", {}).items():
             kind, name = key.split("_", 1)
             schema = None
@@ -261,28 +282,64 @@ class GraphEngine:
                 base = self.spark.read.schema(schema).parquet(path)
                 self.tables[(kind, name)] = _Table(schema, base=base, version=version)
 
-    def _replay_commit_log(self) -> None:
+    def _read_commit_entries(self) -> list[tuple[int | None, ast.Stmt]]:
+        """Decode commit-log lines past the manifest offset as
+        (seq, stmt), stopping at the first corrupt line. Accepts both
+        the seq-wrapped format and bare statement dicts (pre-seq logs)."""
         try:
             with open(self._commitlog_path(), encoding="utf-8") as f:
                 lines = f.readlines()
         except FileNotFoundError:
-            return
+            return []
+        out: list[tuple[int | None, ast.Stmt]] = []
+        for line in lines[self._commit_offset :]:
+            try:
+                obj = json.loads(line)
+                if isinstance(obj, dict) and "stmt" in obj and "__type__" not in obj:
+                    out.append((obj.get("seq"), _from_jsonable(obj["stmt"])))
+                else:
+                    out.append((None, _from_jsonable(obj)))
+            except (json.JSONDecodeError, KeyError, TypeError):
+                break  # corruption tolerance: stop, keep best effort
+        return out
+
+    def _replay_logs(self, ev_offset: int) -> None:
+        """Replay unflushed DDL + DML interleaved by global sequence
+        number, preserving original statement order. Entries without a
+        seq (pre-seq logs) keep the legacy DDL-before-DML order. The
+        first statement that fails to apply stops replay (same
+        best-effort contract as the corruption path)."""
+        assert self.catalog_store is not None
+        ddl = self.catalog_store.read_events(ev_offset)
+        dml = self._read_commit_entries()
+        items = sorted(
+            [(s if s is not None else 0, 0, i) for i, (s, _) in enumerate(ddl)]
+            + [(s if s is not None else 0, 1, i) for i, (s, _) in enumerate(dml)]
+        )
         self._replaying = True
         try:
-            for line in lines[self._commit_offset :]:
+            for seq_key, src, idx in items:
+                seq, stmt = (ddl if src == 0 else dml)[idx]
                 try:
-                    stmt = _from_jsonable(json.loads(line))
-                except (json.JSONDecodeError, KeyError, TypeError):
-                    break  # corruption tolerance: stop, keep best effort
-                self._execute_stmt(stmt)
+                    self._execute_stmt(stmt)
+                except EngineError:
+                    break
+                if seq is not None and seq >= self._seq:
+                    self._seq = seq + 1
         finally:
             self._replaying = False
+
+    def _next_seq(self) -> int:
+        s = self._seq
+        self._seq = s + 1
+        return s
 
     def _log_dml(self, stmt: ast.Stmt) -> None:
         if not self.data_dir or self._replaying:
             return
+        entry = {"seq": self._next_seq(), "stmt": _to_jsonable(stmt)}
         with open(self._commitlog_path(), "a", encoding="utf-8") as f:
-            f.write(json.dumps(_to_jsonable(stmt), separators=(",", ":")) + "\n")
+            f.write(json.dumps(entry, separators=(",", ":")) + "\n")
             f.flush()
 
     # -------------------------------------------------------- dispatch
@@ -325,7 +382,7 @@ class GraphEngine:
             raise EngineError(str(e)) from e
         # persist-before-publish (catalog/registry.go:100-114)
         if self.catalog_store and not self._replaying:
-            self.catalog_store.append_event(stmt)
+            self.catalog_store.append_event(stmt, seq=self._next_seq())
         old_cat = self.catalog
         self.catalog = new_cat
         self._migrate_tables(old_cat, stmt)
@@ -577,12 +634,17 @@ class GraphEngine:
 
         count = df.filter(pred).count()
         if count:
-            new_df = df
+            # Materialize the match ONCE before mutating: if a SET rewrites a
+            # column referenced in WHERE, re-resolving `pred` against the
+            # updated value would silently skip the remaining SET columns.
+            hit = "_grapho_update_hit"
+            new_df = df.withColumn(hit, pred)
             for k, v in sets.items():
                 typed = F.lit(v).cast(df.schema[k].dataType)
                 new_df = new_df.withColumn(
-                    k, F.when(pred, typed).otherwise(F.col(k))
+                    k, F.when(F.col(hit), typed).otherwise(F.col(k))
                 )
+            new_df = new_df.drop(hit)
             # uniqueness guard over the would-be result
             if is_node:
                 nt = self.catalog.node(type_name)

@@ -51,7 +51,20 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
-    per salt, join on (key, salt). Output = plain join on ``key``."""
+    per salt, join on (key, salt). Output = plain join on ``key``.
+
+    Only join types where every output row originates from (at most)
+    one big-side row are allowed: replicating the small side n_salts
+    times would emit unmatched small-side rows once per salt under
+    right/full joins.
+    """
+    allowed = ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti", "semi", "anti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {allowed}, not {how!r}: replicated "
+            "small-side rows would duplicate right/full-join output"
+        )
     big_salted = big.withColumn("_salt", _salt_col(unique_col, n_salts))
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

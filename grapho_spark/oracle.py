@@ -5,11 +5,18 @@ tables, compare row-count + (name-sorted) schema + values.
 The driver hashes order-insensitively, so we sort rows over all
 columns; values must match EXACTLY (the queries are engineered for
 cross-engine determinism — decimal/integer math or explicit rounding).
+
+DuckDB results are fetched through Arrow (not ``fetchall``) to mirror
+the driver's conversion path: ``fetchall`` silently converts HUGEINT
+(the result type of SUM over integers) to Python int, hiding a typed
+int64-vs-float64 divergence the driver DOES see. Round-1 lesson:
+always ``CAST(SUM(<int>) AS BIGINT)`` in oracle SQL output columns.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import decimal
 import math
 from typing import Any
 
@@ -28,25 +35,38 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v: Any) -> Any:
+    """Normalize a leaf value to a (type-tag, value) pair.
+
+    The tag makes cross-type equality FAIL on purpose: Python says
+    ``101005 == 101005.0 == Decimal('101005')`` but the driver hashes
+    typed arrow columns, so an int64-vs-float64 divergence (e.g. DuckDB
+    HUGEINT sums) must be flagged here even though values are equal.
+    """
     if v is None:
         return None
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, _dt.date):
-        return v.isoformat()
-    if isinstance(v, _dt.time):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
     if hasattr(v, "item"):  # numpy scalar
         return _norm(v.item())
-    return v
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", v)
+    if isinstance(v, _dt.datetime):
+        return ("s", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, _dt.date):
+        return ("s", v.isoformat())
+    if isinstance(v, _dt.time):
+        return ("s", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return ("s", v) if isinstance(v, str) else v
 
 
 def _sort_key(row: tuple) -> tuple:
@@ -75,9 +95,10 @@ def compare_query(spark, name: str, sf_dir: str) -> dict:
 
     con = duck_connection(sf_dir)
     try:
-        res = con.execute(q.oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = [tuple(r) for r in res.fetchall()]
+        tbl = con.execute(q.oracle).arrow()
+        d_cols = list(tbl.schema.names)
+        cols_py = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        d_rows = [tuple(col[i] for col in cols_py) for i in range(tbl.num_rows)]
     finally:
         con.close()
 

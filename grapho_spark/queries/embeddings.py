@@ -293,7 +293,7 @@ pairs AS (
          {_DUCK_COS.format(a="s.ev", b="b.ev")} AS cosine
   FROM sample s JOIN base b ON s.label = b.label AND s.vec_id < b.vec_id)
 SELECT label, COUNT(*) AS n_pairs_checked,
-       SUM(CASE WHEN cosine >= 0.6 THEN 1 ELSE 0 END) AS n_neardup,
+       CAST(SUM(CASE WHEN cosine >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
        MAX(cosine) AS max_cosine
 FROM pairs
 GROUP BY label

@@ -61,7 +61,7 @@ SELECT event_type,
        COUNT(*) AS n_events,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """,

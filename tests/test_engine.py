@@ -137,6 +137,26 @@ def test_update_where_and_count(eng):
     assert res.count == 3
 
 
+def test_update_set_column_also_in_where(eng):
+    # Regression: when a SET column is also a WHERE key, the predicate must
+    # be evaluated against the PRE-update values for every SET column — not
+    # re-resolved after the first withColumn rewrites the WHERE column.
+    eng.execute(
+        "CREATE NODE Person (name: string, age: int, city: string);"
+        "INSERT NODE Person (name: 'a', age: 25, city: 'old');"
+        "INSERT NODE Person (name: 'b', age: 30, city: 'old');"
+    )
+    res = eng.execute("UPDATE NODE Person SET age: 30, city: 'new' WHERE age: 25;")[0]
+    assert res.count == 1
+    rows = {r.name: r for r in eng.node_df("Person").collect()}
+    assert (rows["a"].age, rows["a"].city) == (30, "new")
+    assert (rows["b"].age, rows["b"].city) == (30, "old")
+    # SET order must not matter either
+    eng.execute("UPDATE NODE Person SET city: 'v2', age: 31 WHERE city: 'new';")
+    rows = {r.name: r for r in eng.node_df("Person").collect()}
+    assert (rows["a"].age, rows["a"].city) == (31, "v2")
+
+
 def test_update_missing_property_matches_nothing(eng):
     eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
     res = eng.execute("UPDATE NODE P SET name: 'z' WHERE ghost: 1;")[0]
@@ -268,3 +288,60 @@ def test_durability_flush_and_manifest(spark, tmp_path):
     names = sorted(r.name for r in eng3.node_df("P").collect())
     assert names == ["a", "b"]
     assert eng3.next_id >= 3
+
+
+def test_durability_ddl_after_unflushed_dml(spark, tmp_path):
+    # Regression: schema-changing DDL after unflushed DML must replay in
+    # original statement order — replaying the INSERT against the
+    # post-ALTER schema would fail coercion and abort open.
+    d = str(tmp_path / "db3")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: 1);"
+        "ALTER NODE P MODIFY age: string;"
+        "INSERT NODE P (name: 'b', age: 'two');"
+    )
+    eng2 = GraphEngine(spark, data_dir=d)
+    rows = {r.name: r.age for r in eng2.node_df("P").collect()}
+    assert rows == {"a": "1", "b": "two"}
+    assert eng2.catalog.node("P").field_map()["age"].type.base.value == "string"
+
+
+def test_durability_drop_create_same_name(spark, tmp_path):
+    # DROP + CREATE same name after unflushed DML: the old type's rows
+    # must not leak into the recreated type, and replay must not fail
+    # on unknown-property checks.
+    d = str(tmp_path / "db4")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(
+        "CREATE NODE P (name: string);"
+        "INSERT NODE P (name: 'old');"
+        "DROP NODE P;"
+        "CREATE NODE P (title: string);"
+        "INSERT NODE P (title: 'new');"
+    )
+    eng2 = GraphEngine(spark, data_dir=d)
+    rows = eng2.node_df("P").collect()
+    assert [r.title for r in rows] == ["new"]
+
+
+def test_replay_failure_is_best_effort(spark, tmp_path):
+    # A statement that can no longer apply must stop replay (keeping
+    # the state built so far), not crash GraphEngine() open.
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "db5")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    # corrupt the tail: hand-append a DML entry for a type that never existed
+    log = _os.path.join(d, "commitlog.jsonl")
+    with open(log, encoding="utf-8") as f:
+        entry = _json.loads(f.readlines()[-1])
+    entry["stmt"]["node_type"] = "Ghost"
+    entry["seq"] = 99
+    with open(log, "a", encoding="utf-8") as f:
+        f.write(_json.dumps(entry) + "\n")
+    eng2 = GraphEngine(spark, data_dir=d)  # must not raise
+    assert [r.name for r in eng2.node_df("P").collect()] == ["a"]

@@ -198,3 +198,40 @@ def test_engine_find_motif(spark):
     paths = eng.find("(x)-[e1]->(y); (y)-[e2]->(z)", edge_type="E")
     rows = paths.select("`x.name`", "`y.name`", "`z.name`").collect()
     assert [(r[0], r[1], r[2]) for r in rows] == [("a", "b", "c")]
+
+
+def test_engine_find_heterogeneous_edge(spark):
+    # Regression: FROM Person TO Place edges — src vertices must bind
+    # to Person, dst vertices to Place (not all to the FROM label).
+    import pytest
+
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE Person (name: string); CREATE NODE Place (city: string);"
+        "CREATE EDGE LivesIn (FROM Person MANY, TO Place MANY);"
+        "INSERT NODE Person (name: 'ann'); INSERT NODE Place (city: 'oslo');"
+        "INSERT EDGE LivesIn FROM Person(name: 'ann') TO Place(city: 'oslo');"
+    )
+    rows = (
+        eng.find("(p)-[e]->(q)", edge_type="LivesIn")
+        .select("`p.name`", "`q.city`")
+        .collect()
+    )
+    assert [(r[0], r[1]) for r in rows] == [("ann", "oslo")]
+    # a chain through a heterogeneous edge is impossible: no node has both labels
+    with pytest.raises(ValueError, match="both"):
+        eng.find("(a)-[e1]->(b); (b)-[e2]->(c)", edge_type="LivesIn")
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    from grapho_spark.operators import salted_join
+
+    big = spark.createDataFrame([(1, "k0")], "id long, k string")
+    small = spark.createDataFrame([("k0", "a")], "k string, v string")
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, key="k", unique_col="id", how=how)
