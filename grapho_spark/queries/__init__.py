@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational2,
         relational3,
+        relational4,
         sources_q,
         streaming,
         text,

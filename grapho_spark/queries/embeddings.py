@@ -317,3 +317,96 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cosine") >= 0.6, 1).otherwise(0)).alias("n_neardup"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+N_RP_BITS = 16
+_RP_SCALE = 1_000_000
+
+# Deterministic pseudo-random hyperplane component for (element i, bit j):
+# an integer in [-5, 5], identical formula on both engines. Embeddings
+# are fixed-point-scaled to int64 first, so every dot product is exact
+# integer math — no float accumulation order to diverge on.
+_SPARK_RP_BUCKET = f"""
+aggregate(
+  transform(sequence(0, {N_RP_BITS - 1}), j ->
+    CASE WHEN aggregate(
+           transform(sv, (x, i) -> x * (pmod(i * 7 + j * 13, 11) - 5)),
+           0L, (acc, y) -> acc + y) >= 0
+         THEN shiftleft(1L, j) ELSE 0L END),
+  0L, (acc, b) -> acc + b)
+"""
+
+
+@query(
+    "embedding_rp_lsh_neardup",
+    oracle=f"""
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS sv
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, j, SUM(sv[i + 1] * ((i * 7 + j * 13) % 11 - 5)) AS dot
+  FROM scaled, range(0, {DIM}) t(i), range(0, {N_RP_BITS}) s(j)
+  GROUP BY vec_id, j),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY vec_id),
+cand AS (
+  SELECT b1.bucket, b1.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM buckets b1 JOIN buckets b2
+    ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id),
+verified AS (
+  SELECT cand.bucket,
+         {_DUCK_COS.format(a="x1.embedding::DOUBLE[]", b="x2.embedding::DOUBLE[]")}
+           AS cosine
+  FROM cand
+  JOIN embeddings x1 ON x1.vec_id = cand.vec_a
+  JOIN embeddings x2 ON x2.vec_id = cand.vec_b)
+SELECT COUNT(*) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN cosine >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+       COUNT(DISTINCT bucket) AS n_shared_buckets
+FROM verified
+""",
+)
+def embedding_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH near-duplicate scan:
+    16 sign bits of deterministic integer hyperplane dot products form
+    a bucket id; only same-bucket pairs are verified with the exact
+    cosine. This is the cosine-metric sibling of the MinHash path.
+
+    Scale: the signature is one map-side pass (no shuffle); the
+    candidate join shuffles on bucket — 2^16 buckets spread uniformly,
+    so the pair blow-up is ~n^2/65536 per bucket instead of n^2, and a
+    per-bucket cap can bound hot buckets.
+    """
+    from grapho_spark.sparkutil import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = materialize(
+        e.select(
+            "vec_id",
+            F.expr(
+                f"transform(cast(embedding as array<double>),"
+                f" x -> cast(round(x * {_RP_SCALE}) as bigint))"
+            ).alias("sv"),
+        ).select("vec_id", F.expr(_SPARK_RP_BUCKET).alias("bucket"))
+    )
+    b1 = buckets.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b2 = buckets.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("b2"))
+    cand = b1.join(b2, (b1.bucket == b2.b2) & (b1.vec_a < b2.vec_b)).select(
+        "bucket", "vec_a", "vec_b"
+    )
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    verified = (
+        cand.join(ev.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("av")), "vec_a")
+        .join(ev.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("bv")), "vec_b")
+        .select("bucket", _spark_cosine("av", "bv").alias("cosine"))
+    )
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("cosine") >= 0.6, 1).otherwise(0)).alias("n_neardup"),
+        F.countDistinct("bucket").alias("n_shared_buckets"),
+    )

@@ -195,6 +195,60 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangles_degree_ordered",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+oriented AS (
+  SELECT e.src AS u, e.dst AS v
+  FROM sym e
+  JOIN deg d1 ON e.src = d1.node
+  JOIN deg d2 ON e.dst = d2.node
+  WHERE d1.d < d2.d OR (d1.d = d2.d AND e.src < e.dst))
+SELECT COUNT(*) AS n_triangles
+FROM oriented o1
+JOIN oriented o2 ON o1.u = o2.u AND o1.v <> o2.v
+JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+""",
+)
+def graph_triangles_degree_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-based edge orientation: each
+    undirected edge points from lower (degree, id) to higher, so every
+    vertex's out-degree is bounded by its *orientation rank* — wedge
+    fan-out at hub vertices collapses from deg^2 to out-deg^2, the
+    standard scale trick for power-law graphs. Exactly one wedge per
+    triangle survives the closing-edge join, so the count equals the
+    canonical-order count of graph_triangle_count.
+
+    Scale: at 100 TB the orientation bounds the wedge join by
+    sum(out_deg^2) = O(m^1.5) regardless of hub skew; the deg table is
+    small and broadcast.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    d1 = deg.select(F.col("node").alias("u_key"), F.col("d").alias("du"))
+    d2 = deg.select(F.col("node").alias("v_key"), F.col("d").alias("dv"))
+    oriented = (
+        sym.join(F.broadcast(d1), sym.src == F.col("u_key"))
+        .join(F.broadcast(d2), sym.dst == F.col("v_key"))
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    o1 = oriented.select(F.col("u").alias("u1"), F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    o3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    wedges = o1.join(o2, (F.col("u1") == F.col("u2")) & (F.col("v1") != F.col("v2")))
+    tris = wedges.join(
+        o3, (F.col("u3") == F.col("v1")) & (F.col("v3") == F.col("v2"))
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
     "graph_connected_components",
     oracle=f"""
 WITH RECURSIVE {_DUCK_EDGES_CTE},

@@ -1,0 +1,422 @@
+"""Fourth relational batch — the remaining classic TPC-H query shapes
+expressible over the driver's schema (no partsupp table, no
+l_shipmode/commitdate/receiptdate/c_phone columns, so Q4/Q9/Q22 are
+adapted to the columns that exist; the operator SHAPE — exists
+semi-join, multi-dim join tree, scalar-subquery threshold, OR-of-ANDs
+pushdown — is what each query exercises):
+
+- Q4  exists semi-join + priority histogram
+- Q7  two-sided nation join (volume shipping between two nations)
+- Q8  market-share ratio by year
+- Q9  product-profit by nation x year (LIKE-filtered part)
+- Q10 returned-items top customers
+- Q17 small-quantity orders vs per-part average (correlated avg)
+- Q19 OR-of-ANDs brand/size/quantity predicate
+- Q22 dormant customers above the average balance (anti join +
+      scalar subquery)
+
+All money math uses exact DECIMAL sums cast to double at the end
+(see _util docstring) so Spark and DuckDB hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.queries._util import SQL_DISC_PRICE, dec, disc_price, dsum
+from grapho_spark.tables import load_table
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery = left-semi join
+    (the date columns differ from stock TPC-H: this schema has no
+    l_commitdate/l_receiptdate, so the exists-predicate is
+    l_shipdate > o_orderdate).
+
+    Scale: the quarter filter prunes orders before the semi join; the
+    semi join shuffles only (orderkey, orderdate) probes, never
+    lineitem payload columns.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension table (nation) joined twice
+    under different roles, with a symmetric two-nation predicate.
+
+    Scale: supplier/customer/nation are broadcast; lineitem keeps its
+    scan partitioning through every join — the only shuffle is the
+    final (nation-pair, year) aggregation, which is tiny.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(dsum(disc_price(), "revenue"))
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+WITH volumes AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         {SQL_DISC_PRICE} AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM volumes
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table join tree
+    reduced to a conditional-aggregate ratio per year. Both sums are
+    exact decimals; the division is one deterministic double op.
+
+    Scale: every dimension side (part/supplier/nation/region) is
+    broadcast; customer joins shuffle-free after orders; the CASE
+    ratio avoids a second pass over the join.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("n2_key"))
+    vol = disc_price()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(4,2)")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation x order year for a
+    LIKE-filtered product family (this schema has no partsupp, so
+    profit = discounted revenue without the supplycost term).
+
+    Scale: the LIKE filter runs on the broadcast part table, pruning
+    lineitem via the join; nation/supplier broadcast; one shuffle for
+    the (nation, year) rollup.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(dsum(disc_price(), "profit"))
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name, revenue, rn
+FROM (SELECT c_custkey, c_name, n_name,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+             ROW_NUMBER() OVER (ORDER BY SUM({SQL_DISC_PRICE}) DESC, c_custkey) AS rn
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+      GROUP BY c_custkey, c_name, n_name)
+WHERE rn <= 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in one quarter (deterministic rank: revenue DESC, custkey).
+
+    Scale: agg first, rank the small grouped result with a global
+    window — the single-partition window sees only |customers| rows,
+    not lineitem.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    grouped = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price()).alias("revenue_dec"))
+    )
+    w = Window.orderBy(F.desc("revenue_dec"), "c_custkey")
+    return (
+        grouped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_orders",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey AS pk,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                / COUNT(*)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN part_avg ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+""",
+)
+def q17_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of orders below 20% of the per-part
+    average quantity — the correlated scalar subquery decorrelated
+    into an aggregate + re-join. The threshold is derived from an
+    exact decimal sum so both engines compute the identical double.
+
+    Scale: the per-part average and the probe both partition on
+    l_partkey — with AQE the shuffle is reused, and part is broadcast.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q19_discount_revenue",
+    oracle=f"""
+SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+)
+def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts
+    across the join — the classic OR-of-ANDs predicate-pushdown test.
+
+    Scale: Catalyst extracts the common l_quantity bounds below the
+    join and broadcasts part; the OR evaluates post-join without a
+    second scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(disc_price(), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_custkey % 10 AS code,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, threshold
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average positive balance
+    with no orders, grouped by a code bucket (custkey mod 10 stands in
+    for the missing phone country code) — scalar-subquery threshold +
+    anti join.
+
+    Scale: the 1-row threshold cross-joins via broadcast; the anti
+    join ships only o_custkey; grouping is on 10 buckets.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

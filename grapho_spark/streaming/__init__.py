@@ -1,6 +1,11 @@
 """Structured Streaming operators (SURVEY.md §2.4 — absent in the
 reference; the commit log is its only stream-like artifact)."""
 
+from grapho_spark.streaming.cdc import (
+    cdc_stream,
+    changes_per_table,
+    export_cdc_segments,
+)
 from grapho_spark.streaming.ops import (
     run_to_memory,
     sessionized_counts,
@@ -9,6 +14,9 @@ from grapho_spark.streaming.ops import (
 )
 
 __all__ = [
+    "cdc_stream",
+    "changes_per_table",
+    "export_cdc_segments",
     "run_to_memory",
     "sessionized_counts",
     "stateful_user_totals",

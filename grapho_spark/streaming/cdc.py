@@ -1,0 +1,136 @@
+"""CDC (change-data-capture) bridge from the engine's commit log to
+Structured Streaming.
+
+The reference's only stream-like artifact is its write-ahead commit
+log (/root/reference/server/commitlog.go:92-158 — ordered single
+writer, group fsync); SURVEY.md §2.3 flags "treat as a Structured
+Streaming file source" as the natural extension. Spark's file source
+assumes IMMUTABLE files — it tracks completed file names and never
+re-reads appended bytes — so a live append-only log cannot be tailed
+directly. The bridge:
+
+1. ``export_cdc_segments(engine)`` — copies commit-log entries past
+   the last exported offset into a new immutable segment file
+   ``<data_dir>/cdc/segment-<n>.jsonl`` (call after commits, e.g. on
+   flush; each segment is closed forever, satisfying the file-source
+   contract). Each record carries the global seq, the statement kind,
+   and the target table.
+2. ``cdc_stream(spark, data_dir)`` — ``readStream`` over the segment
+   directory with an explicit schema (never inferred on a stream).
+3. ``changes_per_table(cdc)`` — example downstream operator: running
+   mutation counts per (table, op), the shape a downstream
+   materializer or cache-invalidator would consume.
+
+Scale: segments are the standard log-shipping layout (Kafka segment
+files, Delta commit logs); the stream source lists only NEW files per
+microbatch, and the per-(table, op) aggregation state is bounded by
+the catalog size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDC_SCHEMA = "seq LONG, op STRING, kind STRING, table STRING, payload STRING"
+
+_KIND_TO_OP = {
+    "InsertNodeStmt": ("insert", "node"),
+    "InsertEdgeStmt": ("insert", "edge"),
+    "UpdateNodeStmt": ("update", "node"),
+    "UpdateEdgeStmt": ("update", "edge"),
+    "DeleteNodeStmt": ("delete", "node"),
+    "DeleteEdgeStmt": ("delete", "edge"),
+}
+
+_TYPE_FIELDS = ("node_type", "edge_type", "name")
+
+
+def _cdc_dir(data_dir: str) -> str:
+    return os.path.join(data_dir, "cdc")
+
+
+def export_cdc_segments(engine) -> int:
+    """Export commit-log entries newer than the last exported segment
+    into one new immutable segment file; returns the number of change
+    records exported (0 = no new segment written)."""
+    data_dir = engine.data_dir
+    if not data_dir:
+        raise ValueError("engine has no data_dir; nothing to export")
+    log_path = os.path.join(data_dir, "commitlog.jsonl")
+    cdc_dir = _cdc_dir(data_dir)
+    os.makedirs(cdc_dir, exist_ok=True)
+
+    state_path = os.path.join(cdc_dir, "_exported_offset")
+    try:
+        with open(state_path, encoding="utf-8") as f:
+            offset = int(f.read().strip() or 0)
+    except FileNotFoundError:
+        offset = 0
+
+    try:
+        with open(log_path, encoding="utf-8") as f:
+            lines = f.readlines()
+    except FileNotFoundError:
+        lines = []
+    fresh = lines[offset:]
+    if not fresh:
+        return 0
+
+    records = []
+    for line in fresh:
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            break  # same best-effort stop as replay
+        stmt = obj.get("stmt", obj)
+        kind = stmt.get("__type__", "unknown")
+        op, _target = _KIND_TO_OP.get(kind, ("unknown", "unknown"))
+        table = next(
+            (stmt[f] for f in _TYPE_FIELDS if isinstance(stmt.get(f), str)), ""
+        )
+        records.append(
+            {
+                "seq": obj.get("seq"),
+                "op": op,
+                "kind": kind,
+                "table": table,
+                "payload": json.dumps(stmt, separators=(",", ":")),
+            }
+        )
+    if not records:
+        return 0
+
+    seg_n = sum(1 for n in os.listdir(cdc_dir) if n.startswith("segment-"))
+    seg_path = os.path.join(cdc_dir, f"segment-{seg_n:06d}.jsonl")
+    tmp = seg_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, seg_path)  # atomic publish: never a half-visible segment
+    with open(state_path, "w", encoding="utf-8") as f:
+        f.write(str(offset + len(fresh)))
+    return len(records)
+
+
+def cdc_stream(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Streaming DataFrame over the exported CDC segments."""
+    return (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(os.path.join(_cdc_dir(data_dir), "segment-*.jsonl"))
+    )
+
+
+def changes_per_table(cdc: DataFrame) -> DataFrame:
+    """Running mutation counts per (table, op) — bounded state (one row
+    per catalog table x 3 ops)."""
+    return cdc.groupBy("table", "op").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max("seq").alias("last_seq"),
+    )
