@@ -29,6 +29,10 @@ from grapho_spark.tables import load_table
 N_SEEDS = 12
 N_BANDS = 3
 ROWS_PER_BAND = N_SEEDS // N_BANDS
+# Per-bucket candidate cap: only the smallest BUCKET_CAP doc ids of a
+# band bucket generate pairs. Identical on both engines (sorted,
+# deterministic); bounds hot-bucket pair blow-up at scale.
+BUCKET_CAP = 64
 
 # ---------------------------------------------------------------- shared
 # Spark-side expression fragments (SQL expression dialect of Catalyst).
@@ -98,10 +102,14 @@ banded AS (
   FROM sigs),
 band_long AS (
   {" UNION ALL ".join(f"SELECT doc_id, {k} AS band_id, b{k} AS band_key FROM banded" for k in range(N_BANDS))}),
+band_buckets AS (
+  SELECT band_id, band_key,
+         list_sort(list(DISTINCT doc_id))[1:{BUCKET_CAP}] AS docs
+  FROM band_long GROUP BY band_id, band_key),
 cand_pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM band_long a JOIN band_long b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+  SELECT DISTINCT a AS doc_a, b AS doc_b
+  FROM band_buckets, UNNEST(docs) t1(a), UNNEST(docs) t2(b)
+  WHERE a < b)
 """
 
 
@@ -143,20 +151,35 @@ def _spark_signatures(
 
 
 def _spark_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: group each band bucket, cap it, explode the
+    pairs map-side.
+
+    One shuffle (the bucket groupBy, with map-side combine) replaces
+    the band-long self-join's two-sided shuffle; the per-bucket cap
+    (smallest ``BUCKET_CAP`` doc ids — deterministic) bounds the pair
+    fan-out of degenerate hot buckets (a near-identical corpus would
+    otherwise emit O(bucket^2) candidates), which is the 100 TB
+    safeguard. The final distinct dedups pairs that collide in
+    multiple bands.
+    """
     stack_args = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
     band_long = sigs.selectExpr(
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
     )
-    a = band_long.alias("a")
-    b = band_long.alias("b")
+    buckets = band_long.groupBy("band_id", "band_key").agg(
+        F.expr(f"slice(array_sort(collect_set(doc_id)), 1, {BUCKET_CAP})").alias("docs")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("pr")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("pr.doc_a", "pr.doc_b")
         .distinct()
     )
 

@@ -55,22 +55,29 @@ nodes AS (
 
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, p1, p2) part pairs per order.
+
+    Implemented as collect_set-per-order + map-side pair explosion
+    rather than a lineitem self-join: one shuffle on l_orderkey (with
+    map-side combine into small part-sets) replaces the self-join's
+    shuffle + the distinct's second shuffle. Per-order sets are bounded
+    by lines-per-order (~7), so the exploded pair fan-out is tiny and
+    the array_sort keeps p1 < p2 canonical.
+    """
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = l.alias("a")
-    b = l.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("l_orderkey"),
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
-        .distinct()
+    sets = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
+    return sets.select(
+        "l_orderkey",
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x as p1, y as p2))))"
+            )
+        ).alias("pr"),
+    ).select("l_orderkey", "pr.p1", "pr.p2")
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str, min_weight: int = MIN_WEIGHT) -> DataFrame:
