@@ -64,6 +64,7 @@ def all_queries() -> dict[str, Query]:
         sources_q,
         streaming,
         text,
+        windows_q,
     )
 
     return dict(REGISTRY)

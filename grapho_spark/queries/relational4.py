@@ -420,3 +420,43 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+       o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       GROUPING(EXTRACT(year FROM o_orderdate))::BIGINT AS g_year,
+       GROUPING(o_orderpriority)::BIGINT AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((EXTRACT(year FROM o_orderdate), o_orderpriority),
+                        (EXTRACT(year FROM o_orderdate)), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup):
+    (year, priority), (year), and grand total in one pass, with
+    GROUPING() ids disambiguating the null rows. Spark side uses the
+    SQL API — GROUPING SETS has no DataFrame method.
+
+    Scale: one shuffle; Spark expands the sets via a single Expand
+    node, not one scan per set.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+        dec("o_totalprice", 14, 2).alias("price"),
+    ).createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT order_year, o_orderpriority,
+               CAST(SUM(price) AS DOUBLE) AS revenue,
+               CAST(GROUPING(order_year) AS BIGINT) AS g_year,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((order_year, o_orderpriority), (order_year), ())
+        """
+    )

@@ -78,3 +78,29 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> ORC -> read back -> aggregate; ORC carries an
+    embedded schema and microsecond timestamps, so the round-trip must
+    be lossless without explicit format options (unlike CSV/JSON)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    back = _roundtrip(spark, l, "orc", os.path.basename(sf_dir))
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

@@ -152,3 +152,35 @@ def streaming_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(stream, "complete")
+
+
+@query(
+    "streaming_sliding_windows",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
+            AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, range(0, 2) t(k)
+GROUP BY 1, 2
+""",
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, every 30 minutes): each event
+    lands in exactly duration/slide = 2 windows. The oracle unrolls
+    that membership as a cross join with k in {0, 1} shifted tumbling
+    buckets — value-checking Spark's overlapping-window assignment.
+
+    Scale: sliding windows multiply state by duration/slide; the
+    watermark still bounds it (windows older than the watermark are
+    evicted)."""
+    stream = load_stream(spark, sf_dir, "events")
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(windowed, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )

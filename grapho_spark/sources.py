@@ -1,7 +1,7 @@
 """Source/sink connectors (SURVEY.md §2.3 — the reference has no file
 formats at all; its only I/O is the TCP statement stream + JSONL
-logs). Parquet is the native format; CSV and JSON are supported with
-explicit schemas (no runtime inference in pipelines — inference costs
+logs). Parquet is the native format; CSV, JSON, ORC, and text are supported
+with explicit schemas (no runtime inference in pipelines — inference costs
 an extra scan and can drift).
 
 JDBC/Delta/Iceberg/Hudi need jars not present in this environment;
@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as ST
 
-SUPPORTED = ("parquet", "csv", "json")
+SUPPORTED = ("parquet", "csv", "json", "orc", "text")
 NEEDS_JARS = ("jdbc", "delta", "iceberg", "hudi")
 
 
