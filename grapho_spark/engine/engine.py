@@ -83,6 +83,13 @@ class _Table:
     buffer: list[dict] = field(default_factory=list)
     version: int = 0
     dirty: bool = False
+    # Lazily-built bloom sketches per unique field (operators/bloom.py):
+    # a negative probe proves a value absent from base with no Spark
+    # job. No false negatives; cleared whenever base VALUES can change
+    # (UPDATE); DELETE keeps them (stale positives only cost an extra
+    # exact scan). Inserted values are put() so the sketch stays a
+    # superset of base+buffer across flushes.
+    blooms: dict[str, object] = field(default_factory=dict)
 
 
 def _id_sort_key() -> list[Column]:
@@ -491,6 +498,8 @@ class GraphEngine:
     def _check_unique(
         self, key: tuple[str, str], unique_fields: list[str], row: dict
     ) -> None:
+        from grapho_spark.operators.bloom import SparkBloom
+
         tab = self.tables[key]
         for fname in unique_fields:
             val = row.get(fname)
@@ -500,8 +509,20 @@ class GraphEngine:
                 if r.get(fname) == val:
                     raise EngineError(f"unique violation on {fname!r}: {val!r}")
             if tab.base is not None:
+                bf = tab.blooms.get(fname)
+                if bf is None and SparkBloom.supports(tab.schema[fname].dataType):
+                    bf = SparkBloom.build(tab.base, fname)
+                    tab.blooms[fname] = bf
+                if bf is not None and not bf.might_contain(val):
+                    continue  # definitely absent: no scan needed
                 if tab.base.filter(F.col(fname).eqNullSafe(F.lit(val))).limit(1).count():
                     raise EngineError(f"unique violation on {fname!r}: {val!r}")
+
+    def _bloom_put(self, tab: _Table, unique_fields: list[str], row: dict) -> None:
+        for fname in unique_fields:
+            bf = tab.blooms.get(fname)
+            if bf is not None and row.get(fname) is not None:
+                bf.put(row[fname])
 
     def _where_pred(
         self,
@@ -542,6 +563,7 @@ class GraphEngine:
         tab = self._table(*key)
         tab.buffer.append(row)
         tab.dirty = True
+        self._bloom_put(tab, unique_fields, row)
         self._log_dml(stmt)
         return StatementResult(
             "insert", f"Inserted node {stmt.node_type} id={row[ID_COLUMN]}", count=1
@@ -665,6 +687,9 @@ class GraphEngine:
             tab.base = new_df.localCheckpoint()
             tab.buffer = []
             tab.dirty = True
+            # SET may introduce values unseen by the sketches — a stale
+            # bloom would false-negative and skip a real duplicate scan.
+            tab.blooms.clear()
         self._log_dml(stmt)
         return StatementResult("update", f"Updated {count} {kind}(s)", count=count)
 

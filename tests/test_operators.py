@@ -225,6 +225,66 @@ def test_engine_find_heterogeneous_edge(spark):
         eng.find("(a)-[e1]->(b); (b)-[e2]->(c)", edge_type="LivesIn")
 
 
+def test_spark_bloom_membership(spark):
+    from grapho_spark.operators import SparkBloom
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], "v string")
+    bf = SparkBloom.build(df, "v")
+    # no false negatives
+    assert all(bf.might_contain(f"k{i}") for i in range(500))
+    # overwhelmingly negative for absent values (fpp ~1%)
+    misses = sum(bf.might_contain(f"absent{i}") for i in range(500))
+    assert misses < 25
+    bf.put("fresh")
+    assert bf.might_contain("fresh")
+    assert not bf.might_contain(None)
+
+
+def test_spark_bloom_long_column_and_unsafe_type(spark):
+    import pytest
+
+    from grapho_spark.operators import SparkBloom
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "v long")
+    bf = SparkBloom.build(df, "v")
+    assert all(bf.might_contain(i) for i in range(300))
+    assert sum(bf.might_contain(i) for i in range(1000, 1300)) < 15
+    dbl = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError, match="unsafe"):
+        SparkBloom.build(dbl, "v")
+
+
+def test_engine_unique_bloom_path(spark, tmp_path):
+    # UNIQUE enforcement must survive the bloom fast path: flush moves
+    # buffered rows into base, update rewrites values (bloom cleared).
+    from grapho_spark.engine import GraphEngine
+    from grapho_spark.engine.engine import EngineError
+    import pytest
+
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "bloomdb"))
+    eng.execute(
+        "CREATE NODE U (email: string UNIQUE, n: int);"
+        "INSERT NODE U (email: 'a@x', n: 1);"
+    )
+    eng.flush()  # 'a@x' now in base; bloom builds lazily on next check
+    with pytest.raises(EngineError, match="unique violation"):
+        eng.execute("INSERT NODE U (email: 'a@x', n: 2);")
+    eng.execute("INSERT NODE U (email: 'b@x', n: 2);")  # negative probe path
+    with pytest.raises(EngineError, match="unique violation"):
+        eng.execute("INSERT NODE U (email: 'b@x', n: 3);")  # buffer duplicate
+    # update rewrites a value: the NEW value must be caught post-clear
+    eng.execute("UPDATE NODE U SET email: 'c@x' WHERE email: 'b@x';")
+    with pytest.raises(EngineError, match="unique violation"):
+        eng.execute("INSERT NODE U (email: 'c@x', n: 4);")
+    # the old value is free again after the update
+    eng.execute("INSERT NODE U (email: 'b@x', n: 5);")
+    assert sorted(r.email for r in eng.node_df("U").collect()) == [
+        "a@x",
+        "b@x",
+        "c@x",
+    ]
+
+
 def test_salted_join_rejects_right_and_full(spark):
     import pytest
 
