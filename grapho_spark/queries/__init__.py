@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules once, on first use.
     from grapho_spark.queries import (  # noqa: F401
+        arrays_q,
         dedup,
         embeddings,
         events,

@@ -1,0 +1,55 @@
+"""Array / higher-order function battery (SURVEY.md §2.4 scalar-fn
+coverage): transform, filter, exists, slice, aggregate, array_max,
+array_position over the embedding vectors — all JVM-side codegen'd
+expressions, no UDFs.
+
+Determinism: elements are fixed-point-scaled to int64 first, so every
+derived value is exact integer math on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+
+@query(
+    "array_function_battery",
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS arr
+  FROM embeddings)
+SELECT vec_id,
+       len(list_filter(arr, x -> x > 0)) AS n_positive,
+       CAST(list_sum(arr[1:5]) AS BIGINT) AS first5_sum,
+       len(list_filter(arr, x -> abs(x) > 2000)) > 0 AS has_extreme,
+       list_max(arr) AS max_elem,
+       list_position(arr, list_max(arr)) AS pos_of_max
+FROM scaled
+""",
+)
+def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array analytics: positive-element count (filter),
+    prefix sum (slice + aggregate), threshold existence (exists),
+    max and its 1-based position.
+
+    Scale: pure map-side row expressions — zero shuffles, full
+    pushdown of the two read columns.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = "transform(cast(embedding as array<double>), x -> cast(round(x * 1000) as bigint))"
+    return e.select(
+        "vec_id",
+        F.expr(f"size(filter({arr}, x -> x > 0))").alias("n_positive"),
+        F.expr(
+            f"aggregate(slice({arr}, 1, 5), 0L, (acc, x) -> acc + x)"
+        ).alias("first5_sum"),
+        F.expr(f"exists({arr}, x -> abs(x) > 2000)").alias("has_extreme"),
+        F.expr(f"array_max({arr})").alias("max_elem"),
+        F.expr(f"array_position({arr}, array_max({arr}))").alias("pos_of_max"),
+    )

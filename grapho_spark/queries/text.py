@@ -272,3 +272,65 @@ def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "bg", "n")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+n_total AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+df_t AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf_lt AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+scored AS (
+  SELECT lang, tf_lt.term,
+         round(tf * ln(n * 1.0 / df), 6) AS tfidf
+  FROM tf_lt JOIN df_t ON tf_lt.term = df_t.term, n_total)
+SELECT lang, term, tfidf, rn
+FROM (SELECT lang, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language: corpus-wide document frequency
+    joined onto per-language term frequency; score = tf * ln(N/df),
+    rounded to 6dp BEFORE ranking so libm last-ulp differences cannot
+    reorder near-ties (term tiebreak handles exact ties).
+
+    Scale: two aggregations over the exploded token stream (one
+    shuffle each, map-side combined); the df table joins on term —
+    the same partitioning as tf, so AQE reuses the exchange.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    from grapho_spark.sparkutil import materialize
+
+    toks = materialize(toks)
+    n_total = toks.select(F.countDistinct("doc_id").alias("n"))
+    df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf_lt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf_lt.join(df_t, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "tfidf", "rn")
+    )

@@ -21,6 +21,11 @@ CHECKS = {
     "q3_shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "semi_join_urgent_customers": ["LeftSemi", "PushedFilters"],
     "embedding_knn_bruteforce": ["BroadcastNestedLoopJoin|BroadcastHashJoin|Cross"],
+    "q4_order_priority": ["LeftSemi", "PushedFilters"],
+    "q7_volume_shipping": ["BroadcastHashJoin", "PushedFilters"],
+    "q8_market_share": ["BroadcastHashJoin", "PushedFilters"],
+    "q19_discount_revenue": ["BroadcastHashJoin", "PushedFilters"],
+    "q22_dormant_customers": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "LeftAnti"],
 }
 
 
