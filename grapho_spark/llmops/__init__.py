@@ -5,7 +5,13 @@ oracle-checked query forms) and multimodal column plumbing."""
 from grapho_spark.llmops.multimodal import (
     attach_blob_metadata,
     decode_media_batch,
+    extract_embedding_batch,
     sample_frames,
 )
 
-__all__ = ["attach_blob_metadata", "decode_media_batch", "sample_frames"]
+__all__ = [
+    "attach_blob_metadata",
+    "decode_media_batch",
+    "extract_embedding_batch",
+    "sample_frames",
+]

@@ -118,3 +118,43 @@ def sample_frames(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+EMBED_DIM = 8
+
+
+def extract_embedding_batch(
+    df: DataFrame, blob_col: str, id_col: str, real_extract: bool = False
+) -> DataFrame:
+    """Feature extraction over media payloads via ``mapInPandas``:
+    payload -> fixed-width embedding (Arrow batch in/out). The real
+    model call is STUBBED (``NotImplementedError`` behind
+    ``real_extract=True``); the stand-in derives dim i from the bytes
+    at positions ``j % EMBED_DIM == i`` of the first 64 bytes —
+    deterministic, so the whole batch path is oracle-checkable.
+
+    Scale: embeddings leave Python as Arrow fixed-width lists; the
+    downstream ANN/bucketing runs JVM-side on the array column.
+    """
+    if real_extract:
+        raise NotImplementedError(
+            "real feature extraction requires a model runtime not present in "
+            "this environment; swap the stub for the encoder call — the "
+            "mapInPandas plumbing is the production shape"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(payload) if payload is not None else b""
+                head = payload[:64]
+                emb = [0.0] * EMBED_DIM
+                for j, b in enumerate(head):
+                    emb[j % EMBED_DIM] += float(b)
+                rows.append({"id": int(rid), "embedding": emb})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        extract, schema="id long, embedding array<double>"
+    )

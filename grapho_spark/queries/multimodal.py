@@ -87,3 +87,56 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(meta, every_nth=2).select(
         "id", "n_frames", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@query(
+    "multimodal_embedding_pipeline",
+    oracle="""
+WITH emb AS (
+  SELECT doc_id AS id,
+         [COALESCE(CAST(list_sum(
+             [ascii(substring(text, j + 1, 1))
+              for j in range(0, least(64, length(text))) if j % 8 = i]
+           ) AS DOUBLE), 0.0)
+          for i in range(0, 8)] AS embedding
+  FROM documents),
+dots AS (
+  SELECT id, embedding, k,
+         list_sum([embedding[i + 1] * ((i * 7 + k * 13) % 11 - 5)
+                   for i in range(0, 8)]) AS dot
+  FROM emb, range(0, 4) t(k))
+SELECT id, ANY_VALUE(embedding) AS embedding,
+       CAST(list_sum(ANY_VALUE(embedding)) AS DOUBLE) AS l1_norm,
+       CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT)
+         AS bucket
+FROM dots GROUP BY id
+""",
+)
+def multimodal_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline: payload -> Arrow mapInPandas feature
+    extraction (stub encoder, deterministic) -> JVM-side L1 norm and a
+    4-bit random-hyperplane bucket over the extracted vectors — the
+    blob-to-ANN-bucket shape of a multimodal dedup/search pipeline,
+    value-checked end to end.
+
+    Scale: extraction is one Python roundtrip per Arrow batch; the
+    norm/bucket math runs codegen'd on the array column; bucketing
+    feeds the same LSH join pattern as embedding_rp_lsh_neardup.
+    """
+    from grapho_spark.llmops import extract_embedding_batch
+
+    emb = extract_embedding_batch(_blob_df(spark, sf_dir), "payload", "doc_id")
+    bucket = (
+        "aggregate(sequence(0, 3), 0L, (acc, k) -> acc + "
+        "CASE WHEN aggregate(sequence(0, 7), 0D, (a2, i) -> "
+        "a2 + embedding[i] * (pmod(i * 7 + k * 13, 11) - 5)) >= 0D "
+        "THEN shiftleft(1L, k) ELSE 0L END)"
+    )
+    return emb.select(
+        "id",
+        "embedding",
+        F.expr("cast(aggregate(embedding, 0D, (acc, x) -> acc + x) as double)").alias(
+            "l1_norm"
+        ),
+        F.expr(bucket).alias("bucket"),
+    )

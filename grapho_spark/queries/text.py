@@ -334,3 +334,84 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "term", "tfidf", "rn")
     )
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+q AS (
+  SELECT doc_id, lang, text,
+         0.25 * least(len(words) / 64.0, 1.0)
+           + 0.25 * (len(list_filter(words, w -> w IN ({_STOP_SQL}))) * 1.0 / len(words))
+           + 0.25 * (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text))
+           + 0.25 * (len(list_distinct(words)) * 1.0 / len(words)) AS quality_score
+  FROM scored),
+flagged AS (
+  SELECT lang,
+         CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS quality_ok,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(trim(lower(text))))
+              THEN 1 ELSE 0 END AS canonical
+  FROM q)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(quality_ok) AS BIGINT) AS n_quality_pass,
+       CAST(SUM(quality_ok * canonical) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN quality_ok * canonical = 1 AND lang = 'en'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_english_kept
+FROM flagged
+""",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel in one pass: total docs ->
+    quality-score gate (>= 0.5) -> exact-dedup keep-canonical (min
+    doc_id per normalized-text hash) -> language filter. The funnel
+    counts are what a data-pipeline dashboard reports per snapshot.
+
+    Scale: one window over the text-hash partitioning + one global
+    aggregate; no joins. The quality expression is identical to
+    text_quality_scores (bitwise — it hash-matches standalone), so the
+    0.5 threshold cannot flicker cross-engine.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) * F.lit(1.0)
+        / F.size(words)
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0)))
+        * F.lit(1.0)
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
+    quality = (
+        F.lit(0.25) * F.least(F.size(words) / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.25) * stop_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.25) * distinct_ratio
+    )
+    w_hash = Window.partitionBy(F.md5(F.trim(F.lower("text"))))
+    flagged = d.select(
+        "lang",
+        F.when(quality >= 0.5, 1).otherwise(0).alias("quality_ok"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w_hash), 1)
+        .otherwise(0)
+        .alias("canonical"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("quality_ok").alias("n_quality_pass"),
+        F.sum(F.col("quality_ok") * F.col("canonical")).alias("n_after_dedup"),
+        F.sum(
+            F.when(
+                (F.col("quality_ok") * F.col("canonical") == 1)
+                & (F.col("lang") == "en"),
+                1,
+            ).otherwise(0)
+        ).alias("n_english_kept"),
+    )

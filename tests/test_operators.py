@@ -155,6 +155,23 @@ def test_decode_stub_and_frame_sampling(spark):
         decode_media_batch(df, "payload", "id", real_decode=True)
 
 
+def test_extract_embedding_batch(spark):
+    import pytest
+
+    from grapho_spark.llmops import extract_embedding_batch
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(16)))), (2, bytearray(b""))],
+        "id long, payload binary",
+    )
+    rows = {r.id: list(r.embedding) for r in extract_embedding_batch(df, "payload", "id").collect()}
+    # dim i = sum of bytes at positions j % 8 == i over the first 64 bytes
+    assert rows[1] == [float(i) + float(i + 8) for i in range(8)]
+    assert rows[2] == [0.0] * 8
+    with pytest.raises(NotImplementedError):
+        extract_embedding_batch(df, "payload", "id", real_extract=True)
+
+
 def test_salted_sum_equals_plain(spark):
     from grapho_spark.operators import salted_sum
 
