@@ -5,6 +5,7 @@ from grapho_spark.streaming.cdc import (
     cdc_stream,
     changes_per_table,
     export_cdc_segments,
+    maintain_row_deltas,
 )
 from grapho_spark.streaming.ops import (
     run_to_memory,
@@ -17,6 +18,7 @@ __all__ = [
     "cdc_stream",
     "changes_per_table",
     "export_cdc_segments",
+    "maintain_row_deltas",
     "run_to_memory",
     "sessionized_counts",
     "stateful_user_totals",

@@ -134,3 +134,33 @@ def changes_per_table(cdc: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_changes"),
         F.max("seq").alias("last_seq"),
     )
+
+
+def maintain_row_deltas(cdc: DataFrame, state: dict[str, int]):
+    """Incremental materialization example: maintain per-table NET row
+    deltas (+1 insert, -1 delete, 0 update) in a driver-side dict via
+    ``foreachBatch`` — the downstream-cache-maintenance shape (in
+    production the sink would be a Delta/JDBC upsert, same batch_fn).
+
+    Returns the StreamingQuery; caller awaits/stops it. Exactly-once
+    per batch within a run: foreachBatch batches are replayed on
+    failure, so a production sink must be idempotent on batch_id —
+    here batch ids are tracked in ``state['_batches']``.
+    """
+    delta = (
+        F.when(F.col("op") == "insert", F.lit(1))
+        .when(F.col("op") == "delete", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        seen = state.setdefault("_batches", set())
+        if batch_id in seen:
+            return
+        seen.add(batch_id)
+        for r in (
+            batch_df.groupBy("table").agg(F.sum(delta).alias("d")).collect()
+        ):
+            state[r.table] = state.get(r.table, 0) + (r.d or 0)
+
+    return cdc.writeStream.outputMode("append").foreachBatch(batch_fn).start()

@@ -8,6 +8,7 @@ from grapho_spark.streaming import (
     cdc_stream,
     changes_per_table,
     export_cdc_segments,
+    maintain_row_deltas,
     run_to_memory,
 )
 
@@ -40,3 +41,25 @@ def test_cdc_export_and_stream(spark, tmp_path):
     assert counts2[("P", "insert")] == 3
     # seq ordering survives the export
     assert max(r.last_seq for r in out2.collect()) >= 5
+
+
+def test_cdc_incremental_materialization(spark, tmp_path):
+    # foreachBatch maintenance: net row deltas per table tracked
+    # incrementally must equal the engine's actual row count.
+    d = str(tmp_path / "cdcmat")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(
+        "CREATE NODE P (name: string);"
+        "INSERT NODE P (name: 'a'); INSERT NODE P (name: 'b');"
+        "INSERT NODE P (name: 'c'); DELETE NODE P WHERE name: 'b';"
+        "UPDATE NODE P SET name: 'a2' WHERE name: 'a';"
+    )
+    export_cdc_segments(eng)
+    state: dict = {}
+    q = maintain_row_deltas(cdc_stream(spark, d), state)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state["P"] == 2  # 3 inserts - 1 delete; update is net-zero
+    assert state["P"] == eng.node_df("P").count()
