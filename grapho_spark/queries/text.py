@@ -415,3 +415,44 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_english_kept"),
     )
+
+
+@query(
+    "deterministic_stratified_sample",
+    oracle="""
+WITH bucketed AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 100 AS BIGINT) AS bucket
+  FROM documents),
+sampled AS (
+  SELECT doc_id, lang FROM bucketed
+  WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 30 END))
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM sampled GROUP BY lang
+""",
+)
+def deterministic_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: md5-hash buckets of the doc id
+    pick ~10% of English and ~30% of every other language — the same
+    rows on every engine, every run, any partitioning (unlike
+    TABLESAMPLE/rand(), which are engine- and plan-dependent). This is
+    how eval/holdout sets stay stable across pipeline reruns.
+
+    Scale: pure map-side filter; the sample predicate pushes into the
+    scan's row iteration (no shuffle until the summary aggregate).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    sampled = d.select("doc_id", "lang").filter(bucket < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
