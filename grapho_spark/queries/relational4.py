@@ -460,3 +460,51 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((order_year, o_orderpriority), (order_year), ())
         """
     )
+
+
+@query(
+    "stats_moments_by_segment",
+    oracle="""
+WITH sums AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                  * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, n,
+       sx / n AS mean_bal,
+       (n * sx2 - sx * sx) / (CAST(n AS DOUBLE) * n) AS var_pop,
+       sqrt((n * sx2 - sx * sx) / (CAST(n AS DOUBLE) * n)) AS stddev_pop
+FROM sums
+""",
+)
+def stats_moments_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/variance/stddev per market segment from EXACT
+    decimal power sums (sum x, sum x^2) — the statistics built-ins
+    (var_pop/stddev) accumulate doubles in partition order and cannot
+    hash-match across engines; the moment algebra on exact sums is one
+    deterministic double expression per group.
+
+    Scale: single map-side-combined aggregation; the two power sums
+    are the distributed-statistics pattern (mergeable state) that
+    extends to covariance/correlation/regression at any scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    x = dec("c_acctbal")
+    sums = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sx2"),
+    )
+    n = F.col("n")
+    var = (n * F.col("sx2") - F.col("sx") * F.col("sx")) / (
+        n.cast("double") * n
+    )
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        (F.col("sx") / n).alias("mean_bal"),
+        var.alias("var_pop"),
+        F.sqrt(var).alias("stddev_pop"),
+    )

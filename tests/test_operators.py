@@ -23,6 +23,30 @@ def test_asof_join_basic(spark):
     assert out == {("u1", 10): "a", ("u1", 25): "b", ("u2", 5): None}
 
 
+def test_asof_join_tolerance(spark):
+    # pandas merge_asof semantics: matches older than `tolerance` are
+    # nulled; the matched right `on` is exposed as t_asof
+    from grapho_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 100), ("u2", 5)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, "a"), ("u2", 1, "c")], "k string, t long, v string"
+    )
+    rows = {
+        (r.k, r.t): (r.v_asof, r.t_asof)
+        for r in asof_join(
+            left, right, on="t", by="k", value_cols=["v"], tolerance=10
+        ).collect()
+    }
+    assert rows == {
+        ("u1", 10): ("a", 8),  # distance 2 <= 10
+        ("u1", 100): (None, None),  # distance 92 > 10
+        ("u2", 5): ("c", 1),  # distance 4 <= 10
+    }
+
+
 def test_asof_join_exact_match_toggle(spark):
     from grapho_spark.operators import asof_join
 
