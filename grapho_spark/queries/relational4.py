@@ -10,10 +10,21 @@ pushdown — is what each query exercises):
 - Q8  market-share ratio by year
 - Q9  product-profit by nation x year (LIKE-filtered part)
 - Q10 returned-items top customers
+- Q15 top supplier vs a reused revenue view (scalar MAX subquery)
+- Q16 supplier counts per part group with NOT-IN exclusion
+      (partsupp derived from observed lineitem pairs)
 - Q17 small-quantity orders vs per-part average (correlated avg)
 - Q19 OR-of-ANDs brand/size/quantity predicate
+- Q20 dominant-share suppliers of a part family (aggregate subquery)
+- Q21 the unique last-shipping supplier of multi-supplier orders
+      (EXISTS + NOT-EXISTS decorrelated to per-order window stats)
 - Q22 dormant customers above the average balance (anti join +
       scalar subquery)
+
+With Q1/Q2/Q3/Q5/Q6/Q13/Q14/Q18 in the earlier batches, every TPC-H
+query shape expressible over this schema is covered (Q11/Q12 need
+partsupp.availqty / l_shipmode, which do not exist here). Plus
+GROUPING SETS and exact-moment statistics.
 
 All money math uses exact DECIMAL sums cast to double at the end
 (see _util docstring) so Spark and DuckDB hash identically.
@@ -507,4 +518,218 @@ def stats_moments_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx") / n).alias("mean_bal"),
         var.alias("var_pop"),
         F.sqrt(var).alias("stddev_pop"),
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+WITH partsupp AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    group with a NOT-IN supplier exclusion (the schema has no partsupp
+    table, so the part-supplier relation is derived from observed
+    lineitem pairs; the excluded set is negative-balance suppliers in
+    place of complaint-comment matching).
+
+    Scale: the distinct pair projection shrinks lineitem to its
+    (part, supplier) co-occurrence set before any join; part is
+    broadcast; NOT IN compiles to a broadcast anti join (null-safe
+    because s_suppkey is non-null).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    partsupp = l.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("bad_key"))
+    return (
+        partsupp.join(F.broadcast(p), partsupp.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_supplier_part_concentration",
+    oracle="""
+WITH part_qty AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+totals AS (
+  SELECT l_partkey,
+         SUM(supp_qty) AS total_qty,
+         COUNT(*) AS n_suppliers
+  FROM part_qty GROUP BY l_partkey)
+SELECT s_name, COUNT(*) AS n_dominated_parts
+FROM part_qty
+JOIN totals USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_name LIKE 'cold%' AND n_suppliers >= 2
+  AND CAST(supp_qty AS DOUBLE) > 0.4 * CAST(total_qty AS DOUBLE)
+GROUP BY s_name
+""",
+)
+def q20_supplier_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant share (>40%) of a
+    LIKE-filtered part family's shipped quantity (availqty does not
+    exist in this schema, so the threshold is a share of observed
+    volume — the same aggregate-subquery-per-part skeleton).
+
+    Scale: both aggregations partition on l_partkey (shuffle reuse);
+    the share filter compares exact decimal sums cast to double —
+    deterministic cross-engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    part_qty = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("supp_qty")
+    )
+    totals = part_qty.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        part_qty.join(totals, "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            (F.col("n_suppliers") >= 2)
+            & (
+                F.col("supp_qty").cast("double")
+                > F.lit(0.4) * F.col("total_qty").cast("double")
+            )
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+WITH order_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+w1 AS (
+  SELECT l_orderkey, l_suppkey, supp_last_ship,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+         MAX(supp_last_ship) OVER (PARTITION BY l_orderkey) AS order_last_ship
+  FROM order_supp),
+w2 AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN supp_last_ship = order_last_ship THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_latest
+  FROM w1)
+SELECT s_name, COUNT(*) AS numwait
+FROM w2
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_suppliers >= 2 AND n_latest = 1
+  AND supp_last_ship = order_last_ship
+GROUP BY s_name
+""",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the supplier who alone shipped LAST on a
+    multi-supplier order "kept the order waiting" (EXISTS another
+    supplier + NOT EXISTS another equally-late supplier, decorrelated
+    into per-order aggregates; no receipt/commit dates in this schema,
+    so lateness is the per-order max ship date).
+
+    Scale: both aggregation layers share the l_orderkey partitioning;
+    supplier is broadcast at the end, after the waiting set is tiny.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    order_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last_ship")
+    )
+    w = Window.partitionBy("l_orderkey")
+    w1 = order_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last_ship",
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+        F.max("supp_last_ship").over(w).alias("order_last_ship"),
+    )
+    stats = w1.withColumn(
+        "n_latest",
+        F.sum(
+            F.when(F.col("supp_last_ship") == F.col("order_last_ship"), 1).otherwise(0)
+        ).over(w),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        stats.filter(
+            (F.col("n_suppliers") >= 2)
+            & (F.col("n_latest") == 1)
+            & (F.col("supp_last_ship") == F.col("order_last_ship"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue "view" (quarterly revenue per
+    supplier) consumed twice — once joined to supplier, once for its
+    scalar MAX — returning the top supplier(s).
+
+    Scale: the view is computed once and reused via cache (Q15's
+    CREATE VIEW becomes a materialized DataFrame); the scalar max is
+    a broadcast; exact decimal revenue makes the equality safe.
+    """
+    from grapho_spark.sparkutil import materialize
+
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = materialize(
+        l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(disc_price()).cast("double").alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )
