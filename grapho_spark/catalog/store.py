@@ -223,3 +223,30 @@ class CatalogStore:
             except DDLError:
                 break
         return cat
+
+    def history(self) -> list[dict]:
+        """Catalog time-travel: replay ALL events from version 0 and
+        return one entry per catalog version — the audit/introspection
+        view the reference's versioned copy-on-write catalog implies
+        but never exposes (catalog/types.go:71-75 versions, no reader).
+
+        Each entry: version, the statement kind and target, and the
+        node/edge type counts after that version.
+        """
+        out: list[dict] = []
+        cat = Catalog()
+        for _seq, stmt in self.read_events(0):
+            try:
+                cat = apply_ddl(cat, stmt)
+            except DDLError:
+                break
+            out.append(
+                {
+                    "version": cat.version,
+                    "op": type(stmt).__name__,
+                    "target": getattr(stmt, "name", ""),
+                    "n_node_types": len(cat.nodes),
+                    "n_edge_types": len(cat.edges),
+                }
+            )
+        return out

@@ -215,6 +215,13 @@ class GraphEngine:
         )
         return find_motif(vertices, edges, pattern)
 
+    def history(self) -> list[dict]:
+        """Catalog version history (time-travel audit) reconstructed
+        from the DDL event log; empty for in-memory engines."""
+        if not self.catalog_store:
+            return []
+        return self.catalog_store.history()
+
     def flush(self) -> None:
         """Persist buffered rows / materialized tables as new parquet
         versions and advance the manifest (copy-on-write compaction)."""

@@ -378,3 +378,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = nxt
     rows = [(int(v), round(pr[v], 6)) for v in nodes]
     return spark.createDataFrame(rows, "node long, pagerank double")
+
+
+@query(
+    "graph_neighborhood_jaccard",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+common AS (
+  SELECT e.p1 AS u, e.p2 AS v, COUNT(*) AS n_common
+  FROM edges e
+  JOIN sym a ON a.src = e.p1
+  JOIN sym b ON b.src = e.p2 AND b.dst = a.dst
+  GROUP BY e.p1, e.p2)
+SELECT c.u, c.v, c.n_common,
+       CAST(c.n_common AS DOUBLE)
+         / (du.d + dv.d - c.n_common) AS jaccard
+FROM common c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+""",
+)
+def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity per existing edge (the classic
+    link-prediction feature): |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, the
+    union size computed as deg(u) + deg(v) - common (no second pass).
+
+    Scale: the common-neighbor count is a wedge join bounded by
+    sum(deg^2) like triangle counting; degrees broadcast. Integer
+    counts divided once in double — deterministic.
+    """
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
+    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+    common = (
+        edges.join(a, edges.p1 == a.u)
+        .join(b, (edges.p2 == b.v) & (F.col("w1") == F.col("w2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du = deg.select(F.col("node").alias("u_key"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v_key"), F.col("d").alias("dv"))
+    return (
+        common.join(F.broadcast(du), common.p1 == F.col("u_key"))
+        .join(F.broadcast(dv), common.p2 == F.col("v_key"))
+        .select(
+            F.col("p1").alias("u"),
+            F.col("p2").alias("v"),
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

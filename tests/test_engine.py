@@ -326,6 +326,24 @@ def test_durability_drop_create_same_name(spark, tmp_path):
     assert [r.title for r in rows] == ["new"]
 
 
+def test_catalog_history(spark, tmp_path):
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "hist"))
+    eng.execute(
+        "CREATE NODE P (name: string);"
+        "CREATE EDGE E (FROM P, TO P MANY);"
+        "ALTER NODE P ADD age: int;"
+        "DROP EDGE E;"
+    )
+    hist = eng.history()
+    assert [(h["version"], h["op"], h["target"]) for h in hist] == [
+        (1, "CreateNodeStmt", "P"),
+        (2, "CreateEdgeStmt", "E"),
+        (3, "AlterNodeStmt", "P"),
+        (4, "DropEdgeStmt", "E"),
+    ]
+    assert hist[-1]["n_node_types"] == 1 and hist[-1]["n_edge_types"] == 0
+
+
 def test_replay_failure_is_best_effort(spark, tmp_path):
     # A statement that can no longer apply must stop replay (keeping
     # the state built so far), not crash GraphEngine() open.
