@@ -65,6 +65,7 @@ def all_queries() -> dict[str, Query]:
         sources_q,
         streaming,
         text,
+        timeseries,
         udx,
         windows_q,
     )

@@ -1,0 +1,134 @@
+"""Time-series operators over ``events`` (the hypertable-style surface
+a TSDB user expects, built from Spark primitives):
+
+- grid resampling with forward-fill (sequence-generated grid + the
+  generic as-of join from operators/asof.py),
+- per-day OHLC rollup (open/high/low/close via deterministic
+  first/last ordering).
+
+Values are carried verbatim (no float arithmetic), so both engines
+return bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.tables import load_table
+
+GRID_START = "2024-01-01 00:00:00"
+GRID_END = "2024-01-31 00:00:00"
+STEP_HOURS = 6
+
+
+@query(
+    "timeseries_resample_ffill",
+    oracle=f"""
+WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0),
+grid AS (
+  SELECT u.user_id, g.ts
+  FROM users u,
+       generate_series(TIMESTAMP '{GRID_START}', TIMESTAMP '{GRID_END}',
+                       INTERVAL {STEP_HOURS} HOUR) g(ts)),
+filled AS (
+  SELECT grid.user_id, grid.ts,
+         (SELECT e.value FROM events e
+          WHERE e.user_id = grid.user_id AND e.ts <= grid.ts
+          ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value_ffill
+  FROM grid)
+SELECT user_id, ts AS grid_ts, value_ffill FROM filled
+""",
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto a regular 6-hour grid,
+    forward-filling the most recent observed value (null before the
+    first event) — the TSDB gap-fill/LOCF operator, composed from a
+    generated grid and the generic as-of join.
+
+    Rights are pre-deduplicated to the max event_id per (user, ts) so
+    the carried value is deterministic under timestamp ties.
+
+    Scale: the grid is |users| x |points| rows built map-side from
+    ``sequence``; the as-of join is the union-window pattern — one
+    shuffle on user_id, no range-join blowup.
+    """
+    from grapho_spark.operators import asof_join
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    rights = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(GRID_START).cast("timestamp"),
+                    F.lit(GRID_END).cast("timestamp"),
+                    F.expr(f"INTERVAL {STEP_HOURS} HOURS"),
+                )
+            ).alias("ts"),
+        )
+    )
+    out = asof_join(grid, rights, on="ts", by="user_id", value_cols=["value"])
+    return out.select(
+        "user_id", F.col("ts").alias("grid_ts"), F.col("value_asof").alias("value_ffill")
+    )
+
+
+@query(
+    "timeseries_daily_ohlc",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events)
+SELECT user_id, day,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM ordered
+GROUP BY user_id, day
+""",
+)
+def timeseries_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily OHLC bars: open/close picked by deterministic
+    (ts, event_id) order, high/low as exact min/max — candlestick
+    rollup with zero float arithmetic (values carried verbatim).
+
+    Scale: one shuffle on (user, day); the two rank windows share the
+    partitioning with the final aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w_open = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    w_close = Window.partitionBy("user_id", day).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ordered = e.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ordered.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
