@@ -23,20 +23,25 @@ from grapho_spark.queries import query
 from grapho_spark.tables import load_table
 
 
-@pandas_udf("bigint")
-def _to_cents(price: pd.Series) -> pd.Series:
-    # half-away-from-zero to match both engines' round()
-    return (price * 100).round().astype("int64")
+def _make_udfs():
+    """Built lazily: decorating with pandas_udf parses the return type
+    through the active SparkContext, so module import must not require
+    a session (test collection imports this module sessionless)."""
 
+    @pandas_udf("bigint")
+    def to_cents(price: pd.Series) -> pd.Series:
+        # half-away-from-zero to match both engines' round()
+        return (price * 100).round().astype("int64")
 
-@pandas_udf("bigint")
-def _sum_cents(cents: pd.Series) -> int:  # GROUPED_AGG: series -> scalar
-    return int(cents.sum())
+    @pandas_udf("bigint")
+    def sum_cents(cents: pd.Series) -> int:  # GROUPED_AGG: series -> scalar
+        return int(cents.sum())
 
+    @pandas_udf("bigint")
+    def count_rows(cents: pd.Series) -> int:  # GROUPED_AGG (pandas UDAFs
+        return int(len(cents))  # cannot mix with JVM aggregates in one agg)
 
-@pandas_udf("bigint")
-def _count_rows(cents: pd.Series) -> int:  # GROUPED_AGG (pandas UDAFs
-    return int(len(cents))  # cannot mix with JVM aggregates in one agg)
+    return to_cents, sum_cents, count_rows
 
 
 @query(
@@ -60,13 +65,14 @@ def udaf_revenue_cents_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
     only when the plan allows partial aggregation; int sums merge
     associatively, the requirement for any distributed UDAF.
     """
+    to_cents, sum_cents, count_rows = _make_udfs()
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.select("o_orderpriority", _to_cents("o_totalprice").alias("cents"))
+        o.select("o_orderpriority", to_cents("o_totalprice").alias("cents"))
         .groupBy("o_orderpriority")
         .agg(
-            _sum_cents("cents").alias("total_cents"),
-            _count_rows("cents").alias("n_orders"),
+            sum_cents("cents").alias("total_cents"),
+            count_rows("cents").alias("n_orders"),
         )
     )
 
