@@ -26,6 +26,11 @@ CHECKS = {
     "q8_market_share": ["BroadcastHashJoin", "PushedFilters"],
     "q19_discount_revenue": ["BroadcastHashJoin", "PushedFilters"],
     "q22_dormant_customers": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "LeftAnti"],
+    "q16_supplier_count_by_part": ["LeftAnti", "BroadcastHashJoin"],
+    "timeseries_daily_ohlc": ["Window", "ReadSchema"],
+    "window_order_gap_days": ["Window", "ReadSchema"],
+    "graph_neighborhood_jaccard": ["BroadcastHashJoin"],
+    "deterministic_stratified_sample": ["PushedFilters", "ReadSchema"],
 }
 
 
