@@ -184,3 +184,99 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       e.event_id AS error_id,
+       p.ts AS purchase_ts,
+       e.ts AS error_ts
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: errors within one hour AFTER a
+    purchase by the same user, both sides watermarked so the join
+    state is bounded (purchases retained only until their 1-hour
+    window passes the watermark). The batch interval join is the exact
+    oracle.
+
+    Scale: state is keyed on user_id and pruned by event time — the
+    canonical bounded-state stream-stream join; without the time bound
+    Spark rejects the plan (unbounded state), which is the right
+    default.
+    """
+    ev = load_stream(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "2 hours")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("purchase_ts"))
+        & (F.col("error_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_to_memory(joined, "append")
+    return out.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "error_id",
+        "purchase_ts",
+        "error_ts",
+    )
+
+
+@query(
+    "streaming_dedup_watermarked",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_start,
+       COUNT(*) AS n_first_seen
+FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS ts
+      FROM events)
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on (user, type, minute)
+    under a watermark — the stream emits each key once, and the dedup
+    state for minutes older than the watermark is dropped (bounded
+    state, the streaming face of exact dedup).
+
+    The oracle is batch DISTINCT on the same key; n_first_seen is 1 by
+    construction, proving exactly-one-emission.
+    """
+    ev = load_stream(spark, sf_dir, "events")
+    deduped = (
+        ev.withColumn("minute_start", F.date_trunc("minute", "ts"))
+        .withWatermark("minute_start", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "minute_start"])
+    )
+    out = run_to_memory(
+        deduped.select("user_id", "event_type", "minute_start"), "append"
+    )
+    return out.groupBy("user_id", "event_type", "minute_start").agg(
+        F.count(F.lit(1)).alias("n_first_seen")
+    )
