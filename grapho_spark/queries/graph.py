@@ -434,3 +434,36 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "graph_bfs_3hop",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+start AS (SELECT MIN(node) AS s FROM nodes),
+walk(node, hops) AS (
+  SELECT s, 0 FROM start
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.hops < 3)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+""",
+)
+def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop BFS to depth 3 from the deterministic start vertex
+    (min node id), through the frontier-expansion loop in
+    ``grapho_spark.analytics.bfs`` — the distributed traversal whose
+    per-round shuffle is frontier-sized, not graph-sized. The oracle
+    recomputes hop minima via a bounded recursive CTE.
+    """
+    from grapho_spark.analytics import bfs
+
+    edges = copurchase_edges(spark, sf_dir)
+    sym = sym_edges(edges)
+    start = sym.agg(F.min("src").alias("node"))
+    dists = bfs(
+        sym.select("src", "dst"), start, max_hops=3, directed=True
+    )
+    return dists.select("node", F.col("hops").cast("long").alias("hops"))
