@@ -105,7 +105,11 @@ dots AS (
          list_sum([embedding[i + 1] * ((i * 7 + k * 13) % 11 - 5)
                    for i in range(0, 8)]) AS dot
   FROM emb, range(0, 4) t(k))
-SELECT id, ANY_VALUE(embedding) AS embedding,
+SELECT id,
+       array_to_string(
+         list_transform(ANY_VALUE(embedding),
+                        v -> CAST(CAST(v AS DECIMAL(12,1)) AS VARCHAR)),
+         ',') AS embedding_csv,
        CAST(list_sum(ANY_VALUE(embedding)) AS DOUBLE) AS l1_norm,
        CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT)
          AS bucket
@@ -122,6 +126,10 @@ def multimodal_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: extraction is one Python roundtrip per Arrow batch; the
     norm/bucket math runs codegen'd on the array column; bucketing
     feeds the same LSH join pattern as embedding_rp_lsh_neardup.
+
+    The vector is emitted as a deterministic CSV string
+    (``embedding_csv``) rather than ``array<double>`` because the
+    driver's pandas canonicalizer cannot hash list cells.
     """
     from grapho_spark.llmops import extract_embedding_batch
 
@@ -134,7 +142,10 @@ def multimodal_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return emb.select(
         "id",
-        "embedding",
+        F.expr(
+            "concat_ws(',', transform(embedding,"
+            " v -> cast(cast(v as decimal(12,1)) as string)))"
+        ).alias("embedding_csv"),
         F.expr("cast(aggregate(embedding, 0D, (acc, x) -> acc + x) as double)").alias(
             "l1_norm"
         ),

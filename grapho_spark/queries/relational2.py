@@ -43,22 +43,60 @@ def percentiles_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_aggregates_rows_only", oracle=None)
+@query(
+    "approx_aggregates_rows_only",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS orders_within_5pct,
+       TRUE AS parts_within_5pct,
+       TRUE AS median_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def approx_aggregates_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — HLL distinct + quantile sketch. No SQL
-    oracle: Spark's HLL++/KLL and DuckDB's sketches are different
-    algorithms with different (both valid) answers, so the driver
-    records the rows-only check. The exact counterparts are covered by
-    distinct_counts_per_priority / percentiles_exact_by_flag.
+    """Approximate aggregates — HLL distinct + quantile sketch.
+    Spark's HLL++/KLL and DuckDB's sketches are different algorithms
+    with different (both valid) answers, so the sketch outputs can't be
+    hash-compared directly. Instead the query emits the EXACT values
+    plus Spark-computed booleans asserting each sketch landed within
+    5% relative error; the oracle checks the exact values and literal
+    TRUE — a deterministic, hashable contract that still fails if a
+    sketch goes wild.
 
-    Scale: these ARE the 100 TB forms — mergeable constant-size
-    sketches instead of sort/expand.
+    Scale: the approx forms ARE the 100 TB forms — mergeable
+    constant-size sketches instead of sort/expand.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+
+    def within(approx, exact):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= F.lit(0.05)
+        )
+
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within(F.col("approx_orders"), F.col("exact_orders")).alias(
+            "orders_within_5pct"
+        ),
+        within(F.col("approx_parts"), F.col("exact_parts")).alias("parts_within_5pct"),
+        within(F.col("approx_median"), F.col("exact_median")).alias(
+            "median_within_5pct"
+        ),
     )
 
 
