@@ -213,6 +213,23 @@ class CatalogStore:
             pass
         return out
 
+    def max_seq(self) -> int:
+        """Max engine sequence number recorded in the DDL event log
+        (0 if none) — a cheap line scan tolerant of corrupt lines."""
+        mx = 0
+        try:
+            with open(self._events_path(), encoding="utf-8") as f:
+                for line in f:
+                    try:
+                        s = json.loads(line).get("__seq__")
+                    except (json.JSONDecodeError, AttributeError):
+                        continue
+                    if isinstance(s, int) and s > mx:
+                        mx = s
+        except FileNotFoundError:
+            pass
+        return mx
+
     def load(self) -> Catalog:
         cat, offset = self.load_base()
         for _seq, stmt in self.read_events(offset):

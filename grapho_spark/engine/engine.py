@@ -128,6 +128,17 @@ class GraphEngine:
             else:
                 self.catalog = self.catalog_store.load()
                 self._load_manifest_and_tables()
+                # The flushed manifest's seq ignores unflushed log
+                # entries; writes through a replay=False engine must not
+                # mint duplicate sequence numbers (a later replay=True
+                # boot would then order equal-seq DDL before DML
+                # regardless of actual statement order). Cheap line scan
+                # of both log tails for the max seq already issued.
+                self._seq = max(
+                    self._seq,
+                    self._max_logged_seq() + 1,
+                    self.catalog_store.max_seq() + 1,
+                )
         else:
             self.catalog_store = None
             self.catalog = Catalog()
@@ -247,14 +258,21 @@ class GraphEngine:
                 "seq": self._seq,
                 "versions": versions,
             }
+            # Snapshot the catalog BEFORE publishing the engine manifest:
+            # the manifest advances commit_offset past the flushed DML, so
+            # every type it references must already be recoverable from
+            # the snapshot. The reverse order had a crash window where
+            # types created since the last snapshot were skipped at boot
+            # (schema None in _load_manifest_and_tables) while their DML
+            # sat below commit_offset — silently losing flushed rows.
+            if self.catalog_store:
+                self.catalog_store.write_snapshot(self.catalog)
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(manifest, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, self._manifest_path())
-            if self.catalog_store:
-                self.catalog_store.write_snapshot(self.catalog)
 
     # ------------------------------------------------------- persistence
 
@@ -270,6 +288,23 @@ class GraphEngine:
                 return sum(1 for _ in f)
         except FileNotFoundError:
             return 0
+
+    def _max_logged_seq(self) -> int:
+        """Max sequence number present in the commit log (0 if none) —
+        tolerant of corrupt lines, which carry no usable seq anyway."""
+        mx = 0
+        try:
+            with open(self._commitlog_path(), encoding="utf-8") as f:
+                for line in f:
+                    try:
+                        s = json.loads(line).get("seq")
+                    except (json.JSONDecodeError, AttributeError):
+                        continue
+                    if isinstance(s, int) and s > mx:
+                        mx = s
+        except FileNotFoundError:
+            pass
+        return mx
 
     def _load_manifest_and_tables(self) -> None:
         try:

@@ -56,7 +56,21 @@ def _cdc_dir(data_dir: str) -> str:
 def export_cdc_segments(engine) -> int:
     """Export commit-log entries newer than the last exported segment
     into one new immutable segment file; returns the number of change
-    records exported (0 = no new segment written)."""
+    records exported (0 = no new segment written).
+
+    Crash/race safety:
+
+    - The offset advances only by the count of lines that PARSED — a
+      torn final line (a reader racing the engine's append) or a
+      corrupt line stays un-exported and is retried on the next call,
+      never silently skipped.
+    - Segments are named by the commit-log offset they start at
+      (``segment-<offset>.jsonl``), so two exporters can never race to
+      the same name for different data, and a crash between segment
+      publish and the offset write is detected on re-run: the segment
+      for the current offset already exists, so we advance past it
+      instead of duplicating its records into a new segment.
+    """
     data_dir = engine.data_dir
     if not data_dir:
         raise ValueError("engine has no data_dir; nothing to export")
@@ -71,6 +85,16 @@ def export_cdc_segments(engine) -> int:
     except FileNotFoundError:
         offset = 0
 
+    seg_path = os.path.join(cdc_dir, f"segment-{offset:012d}.jsonl")
+    if os.path.exists(seg_path):
+        # Previous run crashed after publishing this segment but before
+        # recording the offset: the segment is durable (one record per
+        # parsed log line), so just advance the offset past it.
+        with open(seg_path, encoding="utf-8") as f:
+            n_existing = sum(1 for _ in f)
+        _write_offset(state_path, offset + n_existing)
+        return n_existing
+
     try:
         with open(log_path, encoding="utf-8") as f:
             lines = f.readlines()
@@ -82,10 +106,12 @@ def export_cdc_segments(engine) -> int:
 
     records = []
     for line in fresh:
+        if not line.endswith("\n"):
+            break  # torn tail: the engine may still be appending — retry later
         try:
             obj = json.loads(line)
         except json.JSONDecodeError:
-            break  # same best-effort stop as replay
+            break  # same best-effort stop as replay; retried next export
         stmt = obj.get("stmt", obj)
         kind = stmt.get("__type__", "unknown")
         op, _target = _KIND_TO_OP.get(kind, ("unknown", "unknown"))
@@ -104,8 +130,6 @@ def export_cdc_segments(engine) -> int:
     if not records:
         return 0
 
-    seg_n = sum(1 for n in os.listdir(cdc_dir) if n.startswith("segment-"))
-    seg_path = os.path.join(cdc_dir, f"segment-{seg_n:06d}.jsonl")
     tmp = seg_path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         for r in records:
@@ -113,9 +137,17 @@ def export_cdc_segments(engine) -> int:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, seg_path)  # atomic publish: never a half-visible segment
-    with open(state_path, "w", encoding="utf-8") as f:
-        f.write(str(offset + len(fresh)))
+    _write_offset(state_path, offset + len(records))
     return len(records)
+
+
+def _write_offset(state_path: str, offset: int) -> None:
+    tmp = state_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(offset))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, state_path)
 
 
 def cdc_stream(spark: SparkSession, data_dir: str) -> DataFrame:

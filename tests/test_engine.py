@@ -363,3 +363,39 @@ def test_replay_failure_is_best_effort(spark, tmp_path):
         f.write(_json.dumps(entry) + "\n")
     eng2 = GraphEngine(spark, data_dir=d)  # must not raise
     assert [r.name for r in eng2.node_df("P").collect()] == ["a"]
+
+
+def test_flush_crash_before_snapshot_keeps_data(spark, tmp_path):
+    # ADVICE r2: the engine manifest advances commit_offset past the
+    # flushed DML, so it must publish only AFTER the catalog snapshot
+    # is durable. A crash during the snapshot write must leave the old
+    # manifest in place — boot then replays the logs, losing nothing.
+    d = str(tmp_path / "db6")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+
+    def boom(cat):
+        raise RuntimeError("simulated crash during snapshot write")
+
+    eng.catalog_store.write_snapshot = boom
+    try:
+        eng.flush()
+    except RuntimeError:
+        pass
+    eng2 = GraphEngine(spark, data_dir=d)
+    assert [r.name for r in eng2.node_df("P").collect()] == ["a"]
+
+
+def test_replay_false_seq_continues_past_log_tails(spark, tmp_path):
+    # ADVICE r2: a replay=False boot must not mint sequence numbers
+    # already present in unflushed log tails — a later replay=True boot
+    # would order equal-seq DDL before DML regardless of actual order.
+    d = str(tmp_path / "db7")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    # no flush: the manifest (if any) is stale; seqs live only in logs
+    ro = GraphEngine(spark, data_dir=d, replay=False)
+    assert ro._seq == eng._seq
+    ro.execute("INSERT NODE P (name: 'b');")
+    eng2 = GraphEngine(spark, data_dir=d)
+    assert sorted(r.name for r in eng2.node_df("P").collect()) == ["a", "b"]

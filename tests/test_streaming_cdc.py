@@ -63,3 +63,59 @@ def test_cdc_incremental_materialization(spark, tmp_path):
         q.stop()
     assert state["P"] == 2  # 3 inserts - 1 delete; update is net-zero
     assert state["P"] == eng.node_df("P").count()
+
+
+def test_cdc_torn_tail_retried_not_skipped(spark, tmp_path):
+    # ADVICE r2: a reader racing the engine's append can see a partial
+    # final line; the exported offset must advance only past PARSED
+    # lines so the tail is retried, never silently lost.
+    import os
+
+    d = str(tmp_path / "cdctear")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    log = os.path.join(d, "commitlog.jsonl")
+    with open(log, "a", encoding="utf-8") as f:
+        f.write('{"seq": 99, "stmt"')  # torn mid-append
+    assert export_cdc_segments(eng) == 1  # only the complete line
+    with open(log, "a", encoding="utf-8") as f:
+        f.write(': {"__type__": "InsertNodeStmt", "node_type": "P"}}\n')
+    assert export_cdc_segments(eng) == 1  # the healed tail exports now
+
+
+def test_cdc_offset_crash_recovery_no_duplicates(spark, tmp_path):
+    # ADVICE r2: a crash between segment publish and the offset write
+    # must not re-export the same lines into a second segment.
+    import os
+
+    d = str(tmp_path / "cdccrash")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(
+        "CREATE NODE P (name: string);"
+        "INSERT NODE P (name: 'a'); INSERT NODE P (name: 'b');"
+    )
+    assert export_cdc_segments(eng) == 2
+    cdc_dir = os.path.join(d, "cdc")
+    with open(os.path.join(cdc_dir, "_exported_offset"), "w") as f:
+        f.write("0")  # simulate the crash: segment durable, offset not
+    segs_before = sorted(n for n in os.listdir(cdc_dir) if n.endswith(".jsonl"))
+    assert export_cdc_segments(eng) == 2  # re-run detects the segment
+    segs_after = sorted(n for n in os.listdir(cdc_dir) if n.endswith(".jsonl"))
+    assert segs_before == segs_after
+    assert export_cdc_segments(eng) == 0  # offset healed
+
+
+def test_cdc_leftover_tmp_never_shifts_segment_names(spark, tmp_path):
+    # ADVICE r2: segments are named by commit-log offset; a leftover
+    # .tmp from a crashed export must not inflate the name counter.
+    import os
+
+    d = str(tmp_path / "cdctmp")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    cdc_dir = os.path.join(d, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    open(os.path.join(cdc_dir, "segment-999999.jsonl.tmp"), "w").close()
+    assert export_cdc_segments(eng) == 1
+    segs = [n for n in os.listdir(cdc_dir) if n.endswith(".jsonl")]
+    assert segs == ["segment-000000000000.jsonl"]
