@@ -29,6 +29,8 @@ HEADLINE = [
     "embedding_ivf_knn",
     "graph_copurchase_edges",
     "graph_pagerank",
+    "graph_cc_distributed",
+    "graph_pagerank_distributed",
 ]
 
 

@@ -34,7 +34,12 @@ PR_ITERS = 5
 DAMPING = 0.85
 # Graphs at/below this edge count iterate driver-side; above it the
 # distributed loops in grapho_spark.analytics run (strategy selection).
-DRIVER_GRAPH_THRESHOLD = 1_000_000
+# 100k edges ~= a few MB of driver heap and a sub-second Python loop —
+# comfortably inside the driver budget even at the margin, while
+# anything larger flips to the distributed path (whose cost is a
+# recorded bench number via graph_cc_distributed /
+# graph_pagerank_distributed, not just an equivalence test).
+DRIVER_GRAPH_THRESHOLD = 100_000
 
 _DUCK_EDGES_CTE = f"""
 pair_orders AS (
@@ -311,6 +316,36 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "node long, component long")
 
 
+@query(
+    "graph_cc_distributed",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+reach(n, m) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.n, e.dst FROM reach r JOIN sym e ON r.m = e.src)
+SELECT n AS node, MIN(m) AS component
+FROM reach GROUP BY n
+""",
+)
+def graph_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with the DISTRIBUTED min-label-propagation
+    loop forced (the above-threshold branch of
+    graph_connected_components), oracle-checked against the same
+    recursive-CTE labeling — so the fallback path has both a recorded
+    correctness row and a recorded bench cost at every round.
+
+    Scale: each round is one shuffle on the same key; rounds are
+    bounded by graph diameter. This IS the 100 TB path.
+    """
+    from grapho_spark.analytics import connected_components
+
+    edges = copurchase_edges(spark, sf_dir)
+    return connected_components(
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
 def _duck_pagerank_sql() -> str:
     n_expr = "(SELECT COUNT(*) FROM nodes)"
     chains = [
@@ -378,6 +413,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = nxt
     rows = [(int(v), round(pr[v], 6)) for v in nodes]
     return spark.createDataFrame(rows, "node long, pagerank double")
+
+
+@query("graph_pagerank_distributed", oracle=_duck_pagerank_sql())
+def graph_pagerank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with the DISTRIBUTED power-iteration loop forced (the
+    above-threshold branch of graph_pagerank), same 5-iteration /
+    0.85-damping contract and the same unrolled-CTE oracle — recorded
+    correctness + bench cost for the scale path every round."""
+    from grapho_spark.analytics import pagerank as pr_distributed
+
+    edges = copurchase_edges(spark, sf_dir)
+    ranks = pr_distributed(
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+        iters=PR_ITERS,
+        damping=DAMPING,
+        directed=False,
+    )
+    return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
 
 
 @query(

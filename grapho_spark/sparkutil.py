@@ -61,6 +61,27 @@ def checkpoint_state(df: DataFrame) -> DataFrame:
 
 
 @contextmanager
+def shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily set ``spark.sql.shuffle.partitions``.
+
+    Iterative algorithms size their per-round shuffles to the ITERATION
+    STATE (frontier / label / rank tables), not to the session default:
+    with AQE off inside loops (see ``no_aqe``) nothing coalesces
+    post-shuffle, so a tiny state table shuffled into the default 32
+    partitions pays 32 task launches per round for microseconds of
+    work each. The caller picks n from the measured state size (a
+    cost-based choice, same at cluster scale where the default may be
+    thousands)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@contextmanager
 def no_aqe(spark: SparkSession):
     """Temporarily disable Adaptive Query Execution.
 
