@@ -59,6 +59,7 @@ from grapho_spark.catalog.types import (
     spark_type,
 )
 from grapho_spark.engine.coerce import CoercionError, coerce_literal
+from grapho_spark.engine.commitlog import CommitLog, detect_format
 from grapho_spark.gql import ast
 from grapho_spark.gql.ast import Cardinality, LiteralKind, TypeSpec
 from grapho_spark.gql.parser import parse_script
@@ -99,8 +100,16 @@ def _id_sort_key() -> list[Column]:
 
 class GraphEngine:
     def __init__(
-        self, spark: SparkSession, data_dir: str | None = None, replay: bool = True
+        self,
+        spark: SparkSession,
+        data_dir: str | None = None,
+        replay: bool = True,
+        log_format: str | None = None,
     ):
+        """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
+        default) or ``"binary"`` (4-byte BE length-prefixed records,
+        the reference's alternative format, commitlog.go:121-133).
+        ``None`` auto-detects from an existing log in ``data_dir``."""
         self.spark = spark
         self.data_dir = data_dir
         self._lock = threading.RLock()
@@ -109,9 +118,13 @@ class GraphEngine:
         self._commit_offset = 0
         self._seq = 1  # global statement sequence shared by DDL + DML logs
         self._replaying = False
+        self._commitlog: CommitLog | None = None
 
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
+            self._commitlog = CommitLog(
+                data_dir, fmt=log_format or detect_format(data_dir)
+            )
             self.catalog_store: CatalogStore | None = CatalogStore(
                 os.path.join(data_dir, "catalog")
             )
@@ -239,6 +252,8 @@ class GraphEngine:
         if not self.data_dir:
             return
         with self._lock:
+            if self._commitlog is not None:
+                self._commitlog.sync()  # group-fsync boundary: flush is durable
             versions: dict[str, int] = {}
             for (kind, name), tab in self.tables.items():
                 key = f"{kind}_{name}"
@@ -279,31 +294,27 @@ class GraphEngine:
     def _manifest_path(self) -> str:
         return os.path.join(self.data_dir, "ENGINE-MANIFEST.json")
 
-    def _commitlog_path(self) -> str:
-        return os.path.join(self.data_dir, "commitlog.jsonl")
+    def commit_records(self) -> list[str]:
+        """Complete commit-log records (format-agnostic; torn/corrupt
+        tails excluded) — the read surface for replay and CDC export."""
+        if self._commitlog is None:
+            return []
+        return self._commitlog.records()
 
     def _count_commit_lines(self) -> int:
-        try:
-            with open(self._commitlog_path(), encoding="utf-8") as f:
-                return sum(1 for _ in f)
-        except FileNotFoundError:
-            return 0
+        return len(self.commit_records())
 
     def _max_logged_seq(self) -> int:
         """Max sequence number present in the commit log (0 if none) —
-        tolerant of corrupt lines, which carry no usable seq anyway."""
+        tolerant of corrupt records, which carry no usable seq anyway."""
         mx = 0
-        try:
-            with open(self._commitlog_path(), encoding="utf-8") as f:
-                for line in f:
-                    try:
-                        s = json.loads(line).get("seq")
-                    except (json.JSONDecodeError, AttributeError):
-                        continue
-                    if isinstance(s, int) and s > mx:
-                        mx = s
-        except FileNotFoundError:
-            pass
+        for line in self.commit_records():
+            try:
+                s = json.loads(line).get("seq")
+            except (json.JSONDecodeError, AttributeError):
+                continue
+            if isinstance(s, int) and s > mx:
+                mx = s
         return mx
 
     def _load_manifest_and_tables(self) -> None:
@@ -335,13 +346,8 @@ class GraphEngine:
         """Decode commit-log lines past the manifest offset as
         (seq, stmt), stopping at the first corrupt line. Accepts both
         the seq-wrapped format and bare statement dicts (pre-seq logs)."""
-        try:
-            with open(self._commitlog_path(), encoding="utf-8") as f:
-                lines = f.readlines()
-        except FileNotFoundError:
-            return []
         out: list[tuple[int | None, ast.Stmt]] = []
-        for line in lines[self._commit_offset :]:
+        for line in self.commit_records()[self._commit_offset :]:
             try:
                 obj = json.loads(line)
                 if isinstance(obj, dict) and "stmt" in obj and "__type__" not in obj:
@@ -387,9 +393,7 @@ class GraphEngine:
         if not self.data_dir or self._replaying:
             return
         entry = {"seq": self._next_seq(), "stmt": _to_jsonable(stmt)}
-        with open(self._commitlog_path(), "a", encoding="utf-8") as f:
-            f.write(json.dumps(entry, separators=(",", ":")) + "\n")
-            f.flush()
+        self._commitlog.append(json.dumps(entry, separators=(",", ":")))
 
     # -------------------------------------------------------- dispatch
 

@@ -74,7 +74,6 @@ def export_cdc_segments(engine) -> int:
     data_dir = engine.data_dir
     if not data_dir:
         raise ValueError("engine has no data_dir; nothing to export")
-    log_path = os.path.join(data_dir, "commitlog.jsonl")
     cdc_dir = _cdc_dir(data_dir)
     os.makedirs(cdc_dir, exist_ok=True)
 
@@ -95,19 +94,16 @@ def export_cdc_segments(engine) -> int:
         _write_offset(state_path, offset + n_existing)
         return n_existing
 
-    try:
-        with open(log_path, encoding="utf-8") as f:
-            lines = f.readlines()
-    except FileNotFoundError:
-        lines = []
+    # Format-agnostic read through the engine's commit log (text or
+    # binary); only COMPLETE records come back, so a torn tail (a
+    # writer racing this export) is naturally left for the next call.
+    lines = engine.commit_records()
     fresh = lines[offset:]
     if not fresh:
         return 0
 
     records = []
     for line in fresh:
-        if not line.endswith("\n"):
-            break  # torn tail: the engine may still be appending — retry later
         try:
             obj = json.loads(line)
         except json.JSONDecodeError:
