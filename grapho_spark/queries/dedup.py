@@ -275,6 +275,70 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+WITH {_duck_signature_cte()},
+bucket_sizes AS (
+  SELECT band_id, band_key, COUNT(DISTINCT doc_id) AS n_docs
+  FROM band_long GROUP BY band_id, band_key)
+SELECT COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pair_buckets,
+       CAST(SUM(CASE WHEN n_docs > {BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_buckets,
+       CAST(MAX(n_docs) AS BIGINT) AS max_bucket_docs,
+       CAST(SUM(n_docs * (n_docs - 1) // 2) AS BIGINT) AS n_pairs_uncapped,
+       CAST(SUM(CASE WHEN n_docs > {BUCKET_CAP}
+                THEN n_docs * (n_docs - 1) // 2
+                     - {BUCKET_CAP} * ({BUCKET_CAP} - 1) // 2
+                ELSE 0 END) AS BIGINT) AS n_dropped_candidates
+FROM bucket_sizes
+""",
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the LSH bucket cap ("no silent caps"):
+    per-band bucket-size distribution, how many buckets exceed
+    ``BUCKET_CAP``, and exactly how many per-bucket candidate pairs the
+    cap drops (a dropped pair can still surface via another band, so
+    this is the upper bound on recall loss). Run alongside
+    dedup_minhash_lsh_pairs whenever the corpus changes shape; PERF.md
+    records the measured rate at sf0.1.
+
+    Scale: one groupBy on (band_id, band_key) with map-side combine —
+    the same single shuffle the candidate generator pays.
+    """
+    sigs = _spark_signatures(spark, sf_dir)
+    stack_args = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
+    band_long = sigs.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+    sizes = band_long.groupBy("band_id", "band_key").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    pairs_of = lambda c: (c * (c - F.lit(1))).cast("long") / F.lit(2)  # noqa: E731
+    cap_pairs = BUCKET_CAP * (BUCKET_CAP - 1) // 2
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pair_buckets"),
+        F.sum(F.when(F.col("n_docs") > BUCKET_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped_buckets"),
+        F.max("n_docs").cast("long").alias("max_bucket_docs"),
+        F.sum(pairs_of(F.col("n_docs"))).cast("long").alias("n_pairs_uncapped"),
+        F.sum(
+            F.when(
+                F.col("n_docs") > BUCKET_CAP,
+                pairs_of(F.col("n_docs")) - F.lit(cap_pairs),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped_candidates"),
+    )
+
+
+@query(
     "dedup_jaccard_verified",
     oracle=f"""
 WITH {_duck_signature_cte()},
