@@ -19,6 +19,13 @@ def main() -> int:
     ap.add_argument(
         "--script", default=None, help="execute a GQL script file and exit"
     )
+    ap.add_argument(
+        "--serve",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="run the TCP line server (reference wire protocol) instead of the REPL",
+    )
     args = ap.parse_args()
 
     from grapho_spark.engine import GraphEngine
@@ -37,6 +44,20 @@ def main() -> int:
                     print(res.message)
         except EngineError as e:
             print(f"error: {e}", file=sys.stderr)
+
+    if args.serve is not None:
+        import asyncio
+
+        from grapho_spark.server import GQLServer
+
+        srv = GQLServer(engine, host="0.0.0.0", port=args.serve)
+        print(f"grapho-spark GQL server listening on :{args.serve}")
+        try:
+            asyncio.run(srv.serve())
+        except KeyboardInterrupt:
+            pass
+        engine.flush()
+        return 0
 
     if args.script:
         with open(args.script, encoding="utf-8") as f:

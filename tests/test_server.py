@@ -1,0 +1,114 @@
+"""TCP front-end tests: a plain socket client speaks the reference's
+line protocol (server/server.go:111-226) against the asyncio server."""
+
+from __future__ import annotations
+
+import re
+import socket
+
+import pytest
+
+from grapho_spark.engine import GraphEngine
+from grapho_spark.server import GQLServer
+
+
+class _Client:
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.f = self.sock.makefile("rw", encoding="utf-8", newline="\n")
+
+    def read_until_blank(self) -> list[str]:
+        """Read lines until the blank terminator every reply ends with."""
+        out = []
+        while True:
+            line = self.f.readline()
+            if line == "":
+                return out
+            line = line.rstrip("\n")
+            if line == "":
+                return out
+            out.append(line)
+
+    def send(self, text: str) -> None:
+        self.f.write(text + "\n")
+        self.f.flush()
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "srvdb"))
+    srv = GQLServer(eng)
+    srv.start_background()
+    yield srv
+    srv.stop()
+
+
+def test_three_statement_script_over_socket(server):
+    c = _Client(server.port)
+    banner = c.read_until_blank()
+    assert banner[0] == "Welcome to Grapho DDL Server"
+
+    c.send("CREATE NODE Person (id: int PRIMARY KEY, name: string, age: int);")
+    reply = c.read_until_blank()
+    assert reply[-1].startswith("OK - 1 statement(s)")
+
+    c.send("INSERT NODE Person (id: 1, name: 'John', age: 30);")
+    reply = c.read_until_blank()
+    assert any("Inserted node Person" in ln for ln in reply)
+    assert reply[-1].startswith("OK - 1 statement(s)")
+
+    # statement split across lines, accumulated until ';'
+    c.send("MATCH Person WHERE name: 'John'")
+    c.send("RETURN name, age;")
+    reply = c.read_until_blank()
+    assert reply[0] == "MATCH Results:"
+    # next blank-separated block: the section + rows + OK trailer
+    block = c.read_until_blank()
+    assert block[0] == "Nodes of type 'Person':"
+    m = re.match(r"^\s*ID:\s*([^,]+),\s*Properties:\s*(map\[.*\])$", block[1])
+    assert m, block
+    assert m.group(1).strip() == "1"
+    assert "name:John" in m.group(2) and "age:30" in m.group(2)
+
+    c.send("quit")
+    assert c.f.readline().strip() == "Goodbye!"
+    c.close()
+
+
+def test_parse_error_and_engine_error(server):
+    c = _Client(server.port)
+    c.read_until_blank()
+
+    c.send("CREATE GARBAGE;")
+    reply = c.read_until_blank()
+    assert reply[0] == "Parse errors:"
+
+    c.send("INSERT NODE Ghost (name: 'x');")
+    reply = c.read_until_blank()
+    assert any("Error executing statement" in ln for ln in reply)
+
+    # the connection survives errors
+    c.send("CREATE NODE T (name: string);")
+    reply = c.read_until_blank()
+    assert reply[-1].startswith("OK -")
+    c.close()
+
+
+def test_two_clients_share_engine(server):
+    a = _Client(server.port)
+    b = _Client(server.port)
+    a.read_until_blank()
+    b.read_until_blank()
+    a.send("CREATE NODE S (v: int); INSERT NODE S (v: 7);")
+    reply = a.read_until_blank()
+    assert reply[-1].startswith("OK - 2 statement(s)")
+    b.send("MATCH S;")
+    reply = b.read_until_blank()
+    assert reply[0] == "MATCH Results:"
+    block = b.read_until_blank()
+    assert any("v:7" in ln for ln in block)
+    a.close()
+    b.close()
