@@ -62,6 +62,7 @@ def main() -> int:
     if args.script:
         with open(args.script, encoding="utf-8") as f:
             run(f.read())
+        engine.flush()
         return 0
 
     print("grapho-spark GQL REPL — statements end with ';', 'quit' to exit")

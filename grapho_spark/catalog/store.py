@@ -118,8 +118,14 @@ class CatalogStore:
     EVENTS = "ddl-events.jsonl"
     MANIFEST = "MANIFEST.json"
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, snapshot_every: int = 64):
         self.dir = directory
+        self.snapshot_every = snapshot_every
+        # In-memory counters fix the reference's O(log-length) append
+        # pattern (store.go:152-157 recounts the file per event — its
+        # own comment says "For real use, track offset in memory").
+        self._n_events: int | None = None
+        self._snap_offset: int | None = None
         os.makedirs(directory, exist_ok=True)
 
     # ------------------------------------------------------------- paths
@@ -143,21 +149,43 @@ class CatalogStore:
         if seq is not None:
             event["__seq__"] = seq
         line = json.dumps(event, separators=(",", ":"))
+        n_before = self.n_events()
         with open(self._events_path(), "a", encoding="utf-8") as f:
             f.write(line + "\n")
             f.flush()
             os.fsync(f.fileno())
+        self._n_events = n_before + 1
+
+    def n_events(self) -> int:
+        """Total DDL events on disk — one file scan ever, then O(1)."""
+        if self._n_events is None:
+            self._n_events = self._count_events()
+        return self._n_events
+
+    def snap_offset(self) -> int:
+        """Replay offset of the current snapshot (0 if none)."""
+        if self._snap_offset is None:
+            try:
+                with open(self._manifest_path(), encoding="utf-8") as f:
+                    self._snap_offset = int(json.load(f).get("offset", 0))
+            except FileNotFoundError:
+                self._snap_offset = 0
+        return self._snap_offset
+
+    def events_since_snapshot(self) -> int:
+        return self.n_events() - self.snap_offset()
 
     def write_snapshot(self, cat: Catalog) -> None:
         """Snapshot current catalog and point the manifest at it; replay
         offset becomes the current event count."""
-        offset = self._count_events()
+        offset = self.n_events()
         path = self._snapshot_path(cat.version)
         with open(path, "w", encoding="utf-8") as f:
             json.dump(catalog_to_json(cat), f)
             f.flush()
             os.fsync(f.fileno())
         self._write_manifest({"snapshot": os.path.basename(path), "offset": offset})
+        self._snap_offset = offset
 
     def _write_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
@@ -192,6 +220,7 @@ class CatalogStore:
             offset = int(manifest.get("offset", 0))
         except FileNotFoundError:
             pass
+        self._snap_offset = offset
         return cat, offset
 
     def read_events(self, offset: int = 0) -> list[tuple[int | None, ast.Stmt]]:

@@ -105,11 +105,16 @@ class GraphEngine:
         data_dir: str | None = None,
         replay: bool = True,
         log_format: str | None = None,
+        snapshot_every: int = 64,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
         the reference's alternative format, commitlog.go:121-133).
-        ``None`` auto-detects from an existing log in ``data_dir``."""
+        ``None`` auto-detects from an existing log in ``data_dir``.
+
+        ``snapshot_every``: auto-compaction cadence — once this many
+        DDL events accumulate past the last snapshot, the engine runs a
+        full ``flush()`` so reopen replays only the tail."""
         self.spark = spark
         self.data_dir = data_dir
         self._lock = threading.RLock()
@@ -126,7 +131,7 @@ class GraphEngine:
                 data_dir, fmt=log_format or detect_format(data_dir)
             )
             self.catalog_store: CatalogStore | None = CatalogStore(
-                os.path.join(data_dir, "catalog")
+                os.path.join(data_dir, "catalog"), snapshot_every=snapshot_every
             )
             if replay:
                 # Start from the last flush (catalog snapshot + table
@@ -439,6 +444,19 @@ class GraphEngine:
         old_cat = self.catalog
         self.catalog = new_cat
         self._migrate_tables(old_cat, stmt)
+        # Auto-compaction: every snapshot_every events, run a FULL
+        # flush — snapshotting the catalog alone would advance the DDL
+        # replay offset past events whose sequence numbers interleave
+        # with still-unflushed DML, breaking ordered replay (e.g. DROP
+        # + CREATE same name after an unflushed INSERT). flush() keeps
+        # snapshot, table versions, and commit offset consistent.
+        if (
+            self.catalog_store
+            and not self._replaying
+            and self.catalog_store.events_since_snapshot()
+            >= self.catalog_store.snapshot_every
+        ):
+            self.flush()
         return StatementResult(
             "ddl", f"OK (catalog version {new_cat.version})", count=0
         )
