@@ -7,7 +7,9 @@ from grapho_spark.analytics.algorithms import (
     bfs,
     connected_components,
     degrees,
+    kcore_peel,
     pagerank,
+    sssp,
     triangle_count,
 )
 from grapho_spark.analytics.motif import find_motif
@@ -16,7 +18,9 @@ __all__ = [
     "bfs",
     "connected_components",
     "degrees",
+    "kcore_peel",
     "pagerank",
+    "sssp",
     "triangle_count",
     "find_motif",
 ]

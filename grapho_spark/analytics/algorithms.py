@@ -222,6 +222,66 @@ def _pr_loop(e, nodes, deg, ranks, n, iters, damping, has_dangling=True):
     return ranks
 
 
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` iterations of k-core peeling on the undirected simple
+    graph: each round drops every node of degree < k and the edges
+    touching it. Returns surviving (node, degree). A fixed round count
+    keeps the operator deterministic/oracle-checkable; full k-core =
+    run until a round removes nothing (rounds >= diameter suffices).
+
+    Scale: each round is one degree aggregation + two semi-joins on
+    the shrinking edge set — the peel can only shrink data, so the
+    worst round is the first.
+    """
+    spark = edges.sparkSession
+    parts = _loop_partitions(2 * edges.count(), spark)
+    with no_aqe(spark), shuffle_partitions(spark, parts):
+        sym = materialize(_symmetrize(edges))
+        for _ in range(rounds):
+            deg = sym.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+            keep = deg.filter(F.col("d") >= k).select("node")
+            sym = checkpoint_state(
+                sym.join(keep, sym.src == keep.node, "left_semi").join(
+                    keep, F.col("dst") == keep.node, "left_semi"
+                )
+            )
+        return sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+
+def sssp(weighted_edges: DataFrame, start_nodes: DataFrame, max_hops: int) -> DataFrame:
+    """Single-source(s) shortest paths, Bellman-Ford style: ``max_hops``
+    relaxation rounds over directed (src, dst, cost) edges from
+    ``start_nodes`` (column ``node``). Returns (node, dist) = the
+    minimum cost over all paths of <= max_hops edges — deterministic
+    (min(a,b)+c == min(a+c, b+c) exactly in IEEE arithmetic, so the
+    per-round min-collapse equals whole-path enumeration).
+
+    Scale: one join + one min-aggregation per round on the frontier
+    distance table; hop-bounding is also how you keep 100 TB SSSP from
+    flooding a high-diameter graph.
+    """
+    spark = weighted_edges.sparkSession
+    parts = _loop_partitions(2 * weighted_edges.count(), spark)
+    with no_aqe(spark), shuffle_partitions(spark, parts):
+        e = materialize(weighted_edges.select("src", "dst", "cost"))
+        dist = start_nodes.select("node").distinct().withColumn("dist", F.lit(0.0))
+        for _ in range(max_hops):
+            relaxed = (
+                dist.join(e, dist.node == e.src)
+                .select(F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist"))
+            )
+            dist = checkpoint_state(
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return dist
+
+
 def triangle_count(edges: DataFrame) -> int:
     """Global triangle count of the undirected simple graph via the
     canonical-ordering wedge join (each triangle counted once)."""

@@ -78,6 +78,13 @@ def duck_sig(j: int) -> str:
     return f"list_min([substring(md5('{grp}:' || s), {start}, 10) for s in shingles])"
 
 
+DUCK_SHINGLES_CTE = f"""
+words_t AS (
+  SELECT doc_id, {DUCK_WORDS} AS words FROM documents),
+shingles_t AS (
+  SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM words_t)"""
+
+
 def _duck_signature_cte() -> str:
     sig_cols = ",\n         ".join(f"{duck_sig(j)} AS s{j}" for j in range(N_SEEDS))
     band_cols = ",\n         ".join(
@@ -87,11 +94,7 @@ def _duck_signature_cte() -> str:
         )
         for k in range(N_BANDS)
     )
-    return f"""
-words_t AS (
-  SELECT doc_id, {DUCK_WORDS} AS words FROM documents),
-shingles_t AS (
-  SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM words_t),
+    return f"""{DUCK_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id,
          {sig_cols}
@@ -338,10 +341,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_jaccard_verified",
-    oracle=f"""
-WITH {_duck_signature_cte()},
+_DUCK_VERIFIED_CTE = """
 doc_shingles AS (
   SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingles_t),
 sizes AS (
@@ -351,23 +351,21 @@ inter AS (
   FROM cand_pairs p
   JOIN doc_shingles a ON a.doc_id = p.doc_a
   JOIN doc_shingles b ON b.doc_id = p.doc_b AND a.sh = b.sh
-  GROUP BY p.doc_a, p.doc_b)
-SELECT i.doc_a, i.doc_b, i.n_common,
-       sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
-       i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-""",
-)
-def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard on the LSH candidate pairs (the verify
-    stage of MinHash-LSH dedup): explode distinct shingles of candidate
-    docs only, count intersections.
+  GROUP BY p.doc_a, p.doc_b),
+verified AS (
+  SELECT i.doc_a, i.doc_b, i.n_common,
+         sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+         i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b)
+"""
 
-    Scale: the expensive exact computation is restricted to LSH
-    candidates — cost is O(candidates x shingles), not O(n^2).
-    """
+
+def _spark_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard-verified LSH candidate pairs (the verify stage of
+    MinHash-LSH dedup); shared by dedup_jaccard_verified and the
+    clustering/canonical-assignment stage."""
     d = _spark_shingled(spark, sf_dir)
     sigs = _spark_signatures(spark, sf_dir, shingled=d)
     pairs = _spark_candidate_pairs(sigs)
@@ -398,6 +396,75 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
             ).alias("jaccard"),
         )
+    )
+
+
+@query(
+    "dedup_jaccard_verified",
+    oracle=f"""
+WITH {_duck_signature_cte()},
+{_DUCK_VERIFIED_CTE}
+SELECT doc_a, doc_b, n_common, n_sh_a, n_sh_b, jaccard FROM verified
+""",
+)
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on the LSH candidate pairs (the verify
+    stage of MinHash-LSH dedup): explode distinct shingles of candidate
+    docs only, count intersections.
+
+    Scale: the expensive exact computation is restricted to LSH
+    candidates — cost is O(candidates x shingles), not O(n^2).
+    """
+    return _spark_verified_pairs(spark, sf_dir)
+
+
+DEDUP_JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_duck_signature_cte()},
+{_DUCK_VERIFIED_CTE},
+dedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  WHERE jaccard >= {DEDUP_JACCARD_THRESHOLD}),
+dsym AS (
+  SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
+dnodes AS (SELECT DISTINCT src AS node FROM dsym),
+dreach(n, m) AS (
+  SELECT node, node FROM dnodes
+  UNION
+  SELECT r.n, e.dst FROM dreach r JOIN dsym e ON r.m = e.src),
+dcomp AS (SELECT n, MIN(m) AS component FROM dreach GROUP BY n)
+SELECT component AS canonical_doc,
+       COUNT(*) AS n_members,
+       COUNT(*) - 1 AS n_dropped
+FROM dcomp GROUP BY component
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST stage of corpus near-dedup: cluster the verified
+    near-dup pairs (connected components — near-duplication is
+    transitive enough once exact-Jaccard-thresholded) and assign each
+    cluster's canonical survivor = min doc_id; every other member is
+    dropped from the training corpus. Output: one row per cluster with
+    its size and drop count.
+
+    Scale: pairs are LSH-candidates only (never O(n^2)); the component
+    loop is the pointer-jumping distributed CC — O(log diameter)
+    rounds, and near-dup clusters have tiny diameters.
+    """
+    from grapho_spark.analytics import connected_components
+
+    pairs = _spark_verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= DEDUP_JACCARD_THRESHOLD
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(edges)
+    return cc.groupBy(F.col("component").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_dropped"),
     )
 
 
@@ -492,4 +559,63 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("simhash").alias("n_distinct_simhash"),
         (F.count(F.lit(1)) - F.countDistinct("simhash")).alias("n_bucketed_dups"),
+    )
+
+
+# ------------------------------------------------------- decontamination
+
+N_PROBE_DOCS = 5  # stand-in "benchmark suite": shingles of the first docs
+
+
+@query(
+    "text_contamination_probe",
+    oracle=f"""
+WITH {DUCK_SHINGLES_CTE},
+probe_set AS (
+  SELECT DISTINCT unnest(list_distinct(shingles)) AS sh
+  FROM shingles_t WHERE doc_id < {N_PROBE_DOCS}),
+doc_sh AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS sh, len(list_distinct(shingles)) AS n_sh
+  FROM shingles_t WHERE doc_id >= {N_PROBE_DOCS})
+SELECT d.doc_id,
+       COUNT(*) AS n_contaminated_ngrams,
+       ANY_VALUE(d.n_sh) AS n_ngrams,
+       COUNT(*) * 1.0 / ANY_VALUE(d.n_sh) AS contamination_ratio
+FROM doc_sh d JOIN probe_set p ON d.sh = p.sh
+GROUP BY d.doc_id
+""",
+)
+def text_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination probe: flag corpus documents whose
+    word-3-grams overlap a probe set (here: the shingles of the first
+    {N_PROBE_DOCS} docs stand in for an eval benchmark — in production
+    the probe set is the benchmark suite's n-grams). Returns each
+    contaminated doc with its hit count and contamination ratio.
+
+    Scale: the probe set is small by construction (benchmarks are KBs,
+    corpora are TBs) — broadcast it; each document is then checked
+    map-side with zero shuffle of corpus text. The explode is bounded
+    by shingles-per-doc; the only shuffle is the per-doc hit count.
+    """
+    d = _spark_shingled(spark, sf_dir)
+    probes = (
+        d.filter(F.col("doc_id") < N_PROBE_DOCS)
+        .select(F.explode(F.array_distinct("shingles")).alias("sh"))
+        .distinct()
+    )
+    doc_sh = d.filter(F.col("doc_id") >= N_PROBE_DOCS).select(
+        "doc_id",
+        F.size(F.array_distinct("shingles")).alias("n_sh"),
+        F.explode(F.array_distinct("shingles")).alias("sh"),
+    )
+    return (
+        doc_sh.join(F.broadcast(probes), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated_ngrams"),
+            F.first("n_sh").alias("n_ngrams"),
+            (F.count(F.lit(1)) * F.lit(1.0) / F.first("n_sh")).alias(
+                "contamination_ratio"
+            ),
+        )
     )

@@ -520,3 +520,98 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.select("src", "dst"), start, max_hops=3, directed=True
     )
     return dists.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _duck_kcore_sql() -> str:
+    chains = ["r0 AS (SELECT src, dst FROM sym)"]
+    for i in range(KCORE_ROUNDS):
+        chains.append(
+            f"""d{i} AS (SELECT src AS node, COUNT(*) AS d FROM r{i} GROUP BY src),
+k{i} AS (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+r{i + 1} AS (
+  SELECT e.src, e.dst FROM r{i} e
+  JOIN k{i} a ON e.src = a.node
+  JOIN k{i} b ON e.dst = b.node)"""
+        )
+    return (
+        f"WITH {_DUCK_EDGES_CTE},\n"
+        + ",\n".join(chains)
+        + f"\nSELECT src AS node, COUNT(*) AS degree FROM r{KCORE_ROUNDS} GROUP BY src"
+    )
+
+
+@query("graph_kcore_peel", oracle=_duck_kcore_sql())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=2, 3 rounds): iteratively drop nodes of
+    degree < k and their edges — the standard densest-region filter
+    before community detection or sampling hubs for curricula. Fixed
+    round count keeps it deterministic; the oracle unrolls the same
+    rounds as chained CTEs.
+
+    Scale: each round is a degree agg + two semi-joins on a shrinking
+    edge set (see analytics.kcore_peel).
+    """
+    from grapho_spark.analytics import kcore_peel
+
+    edges = copurchase_edges(spark, sf_dir)
+    return kcore_peel(
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+        k=KCORE_K,
+        rounds=KCORE_ROUNDS,
+    )
+
+
+SSSP_HOPS = 4
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+wsym AS (
+  SELECT p1 AS src, p2 AS dst, 1.0 / weight AS cost FROM edges
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst, 1.0 / weight AS cost FROM edges),
+start AS (SELECT MIN(node) AS s FROM nodes),
+walk(node, dist, hops) AS (
+  SELECT s, CAST(0.0 AS DOUBLE), 0 FROM start
+  UNION ALL
+  SELECT e.dst, w.dist + e.cost, w.hops + 1
+  FROM walk w JOIN wsym e ON e.src = w.node
+  WHERE w.hops < {SSSP_HOPS})
+SELECT node, round(MIN(dist), 6) AS dist
+FROM walk GROUP BY node
+""",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from the min node id,
+    cost = 1/co-purchase-weight (stronger ties are closer), bounded at
+    {SSSP_HOPS} relaxation rounds — Bellman-Ford as join+min-agg per
+    round (analytics.sssp). The oracle enumerates all <=4-hop walks in
+    a recursive CTE and takes the same minima (IEEE min/+ make the two
+    formulations exactly equal).
+    """
+    from grapho_spark.analytics import sssp
+
+    edges = copurchase_edges(spark, sf_dir)
+    wsym = (
+        edges.select(
+            F.col("p1").alias("src"),
+            F.col("p2").alias("dst"),
+            (F.lit(1.0) / F.col("weight")).alias("cost"),
+        )
+        .unionAll(
+            edges.select(
+                F.col("p2").alias("src"),
+                F.col("p1").alias("dst"),
+                (F.lit(1.0) / F.col("weight")).alias("cost"),
+            )
+        )
+    )
+    start = wsym.agg(F.min("src").alias("node"))
+    dists = sssp(wsym, start, max_hops=SSSP_HOPS)
+    return dists.select("node", F.round("dist", 6).alias("dist"))
