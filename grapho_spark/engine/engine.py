@@ -50,6 +50,7 @@ from grapho_spark.catalog.types import (
     Catalog,
     DST_COLUMN,
     EdgeType,
+    Endpoint,
     FieldSpec,
     ID_COLUMN,
     NodeType,
@@ -210,6 +211,54 @@ class GraphEngine:
                 ID_COLUMN, *[f.name for f in df.schema.fields]
             )
             self.tables[("node", name)] = _Table(base.schema, base=base)
+
+    def bind_edge_type(
+        self,
+        name: str,
+        df: DataFrame,
+        src: str,
+        dst: str,
+        from_label: str,
+        to_label: str,
+    ) -> None:
+        """Register an existing DataFrame (e.g. a parquet fixture) as an
+        edge type between two bound/stored node types: ``src``/``dst``
+        name the foreign-key columns whose values match the endpoint
+        types' ``_id`` strings. Remaining columns become edge props.
+        This is the bulk path that makes edge-pattern MATCH run as full
+        Spark join plans over fixture data."""
+        with self._lock:
+            if self.catalog.edge(name) is not None:
+                raise EngineError(f"edge {name!r} already exists")
+            for lbl in (from_label, to_label):
+                if self.catalog.node(lbl) is None:
+                    raise EngineError(f"node type {lbl!r} does not exist")
+            props = tuple(
+                FieldSpec(
+                    name=f.name, type=_spark_to_type_spec(f.dataType), not_null=False
+                )
+                for f in df.schema.fields
+                if f.name not in (src, dst)
+            )
+            et = EdgeType(
+                name=name,
+                from_ep=Endpoint(from_label, Cardinality.MANY),
+                to_ep=Endpoint(to_label, Cardinality.MANY),
+                props=props,
+            )
+            self.catalog = self.catalog.with_edge(et)
+            base = df.select(
+                F.concat(
+                    F.lit("edge_"),
+                    F.col(src).cast("string"),
+                    F.lit("_"),
+                    F.col(dst).cast("string"),
+                ).alias(ID_COLUMN),
+                F.col(src).cast("string").alias(SRC_COLUMN),
+                F.col(dst).cast("string").alias(DST_COLUMN),
+                *[f.name for f in df.schema.fields if f.name not in (src, dst)],
+            )
+            self.tables[("edge", name)] = _Table(base.schema, base=base)
 
     def find(self, pattern: str, edge_type: str, node_type: str | None = None) -> DataFrame:
         """Motif search over a bound/stored edge type: GraphFrames-style
@@ -781,6 +830,18 @@ class GraphEngine:
     def _match(self, stmt: ast.MatchStmt) -> StatementResult:
         if not stmt.pattern:
             raise EngineError("MATCH requires at least one pattern element")
+        # Edge-pattern extension: the reference's grammar parses pattern
+        # elements but hardcodes IsEdge=false (parser.go:685) because a
+        # parser without a catalog cannot tell node types from edge
+        # types. The ENGINE can: an element naming an edge type turns
+        # the pattern into a traversal chain (node, edge, node, ...)
+        # compiled to src/dst equi-joins.
+        if any(
+            self.catalog.node(el.type) is None
+            and self.catalog.edge(el.type) is not None
+            for el in stmt.pattern
+        ):
+            return self._match_chain(stmt)
         frames: list[DataFrame] = []
         multi = len(stmt.pattern) > 1
         for el in stmt.pattern:
@@ -823,6 +884,105 @@ class GraphEngine:
         for f2 in frames[1:]:
             out = out.unionByName(f2, allowMissingColumns=True)
         out = out.orderBy(*(["_label"] if multi else []), *_id_sort_key())
+        return StatementResult("match", "", count=-1, df=out)
+
+    def _match_chain(self, stmt: ast.MatchStmt) -> StatementResult:
+        """MATCH with edge elements: ``MATCH A a, E e, B b [WHERE ...]
+        [RETURN ...]`` — an alternating node/edge chain compiled to
+        ``edge._src = left._id AND edge._dst = right._id`` equi-joins.
+        Output columns are ``<alias>_<col>`` (alias defaults to the
+        element's type name); WHERE keys apply to every element that
+        declares the field (a key no element declares matches nothing,
+        the reference's missing-prop rule); RETURN projects each field
+        from the first element declaring it, plus every ``_id``."""
+        pattern = stmt.pattern
+        if len(pattern) % 2 == 0 or len(pattern) < 3:
+            raise EngineError(
+                "edge-pattern MATCH must alternate node, edge, node, ..."
+            )
+        specs: list[dict[str, FieldSpec]] = []
+        for i, el in enumerate(pattern):
+            if i % 2 == 0:
+                nt = self.catalog.node(el.type)
+                if nt is None:
+                    raise EngineError(
+                        f"pattern position {i + 1}: node type {el.type!r} expected"
+                    )
+                specs.append(nt.field_map())
+            else:
+                et = self.catalog.edge(el.type)
+                if et is None:
+                    raise EngineError(
+                        f"pattern position {i + 1}: edge type {el.type!r} expected"
+                    )
+                left, right = pattern[i - 1], pattern[i + 1]
+                if et.from_ep.label != left.type or et.to_ep.label != right.type:
+                    raise EngineError(
+                        f"edge {el.type!r} connects "
+                        f"{et.from_ep.label!r}->{et.to_ep.label!r}, "
+                        f"not {left.type!r}->{right.type!r}"
+                    )
+                specs.append(et.prop_map())
+        aliases = [el.alias or el.type for el in pattern]
+        if len(set(aliases)) != len(aliases):
+            raise EngineError(
+                "repeated types in an edge pattern need distinct aliases"
+            )
+
+        def prefixed(i: int) -> DataFrame:
+            kind = "node" if i % 2 == 0 else "edge"
+            df = self._merged_df((kind, pattern[i].type))
+            return df.select(
+                *[F.col(c).alias(f"{aliases[i]}_{c}") for c in df.columns]
+            )
+
+        out = prefixed(0)
+        for i in range(1, len(pattern), 2):
+            out = out.join(
+                prefixed(i),
+                F.col(f"{aliases[i]}_{SRC_COLUMN}")
+                == F.col(f"{aliases[i - 1]}_{ID_COLUMN}"),
+            ).join(
+                prefixed(i + 1),
+                F.col(f"{aliases[i]}_{DST_COLUMN}")
+                == F.col(f"{aliases[i + 1]}_{ID_COLUMN}"),
+            )
+
+        for p in stmt.where:
+            owners = [
+                (aliases[i], sp[p.name])
+                for i, sp in enumerate(specs)
+                if p.name in sp
+            ]
+            if not owners:
+                out = out.filter(F.lit(False))  # missing prop matches nothing
+                continue
+            for alias, spec in owners:
+                try:
+                    val = coerce_literal(p.value, spec.type, p.name)
+                except CoercionError as e:
+                    raise EngineError(str(e)) from e
+                out = out.filter(
+                    F.col(f"{alias}_{p.name}").eqNullSafe(
+                        F.lit(val).cast(spark_type(spec.type))
+                    )
+                )
+
+        id_cols = [f"{a}_{ID_COLUMN}" for a in aliases]
+        if stmt.return_fields:
+            cols = list(id_cols)
+            for rf in stmt.return_fields:
+                owner = next(
+                    (aliases[i] for i, sp in enumerate(specs) if rf in sp), None
+                )
+                if owner is None:
+                    raise EngineError(f"RETURN field {rf!r} not found in pattern")
+                cols.append(f"{owner}_{rf}")
+            out = out.select(*cols)
+        sort_cols: list[Column] = []
+        for c in id_cols:
+            sort_cols.extend([F.length(c), F.col(c)])
+        out = out.orderBy(*sort_cols)
         return StatementResult("match", "", count=-1, df=out)
 
     # ------------------------------------------------- SHOW / DESCRIBE

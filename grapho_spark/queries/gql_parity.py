@@ -55,6 +55,48 @@ def gql_match_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gql_match_edge_pattern",
+    oracle="""
+SELECT CAST(c.c_custkey AS VARCHAR) AS c__id,
+       'edge_' || CAST(o.o_custkey AS VARCHAR) || '_'
+               || CAST(o.o_orderkey AS VARCHAR) AS p__id,
+       CAST(o.o_orderkey AS VARCHAR) AS o__id,
+       c.c_name AS c_c_name,
+       o.o_totalprice AS o_o_totalprice
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def gql_match_edge_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-pattern MATCH through the full engine: ``MATCH Customer c,
+    Placed p, Order o WHERE ... RETURN ...`` compiles the node-edge-node
+    chain to src/dst equi-joins — the traversal the reference's grammar
+    parses but cannot execute (parser.go:685 hardcodes node-only
+    elements). Fixture tables are bound as node types and the orders
+    relation doubles as the Placed edge.
+    """
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    o = load_table(spark, sf_dir, "orders")
+    eng.bind_node_type("Customer", load_table(spark, sf_dir, "customer"), pk="c_custkey")
+    eng.bind_node_type("Order", o.select("o_orderkey", "o_totalprice"), pk="o_orderkey")
+    eng.bind_edge_type(
+        "Placed",
+        o.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        src="o_custkey",
+        dst="o_orderkey",
+        from_label="Customer",
+        to_label="Order",
+    )
+    res = eng.execute(
+        "MATCH Customer c, Placed p, Order o WHERE o_orderstatus: 'F' "
+        "RETURN c_name, o_totalprice;"
+    )[0]
+    return res.df
+
+
+@query(
     "gql_insert_update_delete_roundtrip",
     oracle="""
 SELECT 'widget' AS name, 15 AS qty

@@ -53,6 +53,20 @@ def _go_map(row: dict) -> str:
 def render_match(stmt: ast.MatchStmt, res: StatementResult) -> str:
     out = ["MATCH Results:"]
     rows = [r.asDict() for r in res.df.collect()]
+    cols = res.df.columns
+    if "_id" not in cols and "_label" not in cols:
+        # Edge-pattern chain result: prefixed <alias>_<col> columns,
+        # one row per matched path. Render one line per path with the
+        # joined element ids as the ID.
+        out.append("")
+        pat = ", ".join(f"{el.type} {el.alias}".strip() for el in stmt.pattern)
+        out.append(f"Paths matching '{pat}':")
+        id_cols = [c for c in cols if c.endswith("__id")]
+        for row in rows:
+            pid = "-".join(str(row[c]) for c in id_cols)
+            props = {k: v for k, v in row.items() if k not in id_cols}
+            out.append(f"  ID: {pid}, Properties: {_go_map(props)}")
+        return "\n".join(out) + "\n"
     multi = len(stmt.pattern) > 1
     for el in stmt.pattern:
         out.append("")

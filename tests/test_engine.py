@@ -430,3 +430,72 @@ def test_auto_snapshot_preserves_interleaved_replay(spark, tmp_path):
     )
     eng2 = GraphEngine(spark, data_dir=d)
     assert [r.title for r in eng2.node_df("P").collect()] == ["new"]
+
+
+def test_match_edge_pattern_chain(spark):
+    # Edge elements in MATCH (the reference parses patterns node-only,
+    # parser.go:685): node, edge, node chains compile to src/dst joins.
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE Person (name: string);"
+        "CREATE EDGE Knows (FROM Person MANY, TO Person MANY, PROPS (since: int));"
+        "INSERT NODE Person (name: 'a');"
+        "INSERT NODE Person (name: 'b');"
+        "INSERT NODE Person (name: 'c');"
+        "INSERT EDGE Knows FROM Person(name: 'a') TO Person(name: 'b') (since: 2020);"
+        "INSERT EDGE Knows FROM Person(name: 'b') TO Person(name: 'c') (since: 2021);"
+    )
+    res = eng.execute("MATCH Person x, Knows e, Person y RETURN name, since;")[0]
+    rows = {(r["x_name"], r["e_since"]) for r in res.df.collect()}
+    assert rows == {("a", 2020), ("b", 2021)}
+    # WHERE applies to the element that declares the field
+    res = eng.execute(
+        "MATCH Person x, Knows e, Person y WHERE since: 2021 RETURN since;"
+    )[0]
+    assert res.df.count() == 1
+    # two-hop chain: x -> y -> z
+    res = eng.execute(
+        "MATCH Person x, Knows e, Person y, Knows f, Person z RETURN name;"
+    )[0]
+    rows = [(r["x__id"], r["y__id"], r["z__id"]) for r in res.df.collect()]
+    assert rows == [("1", "2", "3")]
+    # WHERE key on a node field constrains every element declaring it
+    res = eng.execute("MATCH Person x, Knows e, Person y WHERE name: 'a';")[0]
+    assert res.df.count() == 0  # both x and y would need name='a'
+
+
+def test_match_edge_pattern_validation(spark):
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE P (name: string);"
+        "CREATE NODE Q (name: string);"
+        "CREATE EDGE E (FROM P MANY, TO Q MANY);"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(EngineError, match="alternate"):
+        eng.execute("MATCH P a, E e;")
+    with _pytest.raises(EngineError, match="connects"):
+        eng.execute("MATCH Q a, E e, P b;")
+    eng.execute("CREATE EDGE S (FROM P MANY, TO P MANY);")
+    with _pytest.raises(EngineError, match="distinct alias"):
+        eng.execute("MATCH P, S, P;")
+
+
+def test_bind_edge_type_fixture_join(spark, sf_dir):
+    eng = GraphEngine(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    eng.bind_node_type("Customer", c, pk="c_custkey")
+    eng.bind_node_type("Order", o.select("o_orderkey", "o_totalprice"), pk="o_orderkey")
+    eng.bind_edge_type(
+        "Placed", o.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        src="o_custkey", dst="o_orderkey",
+        from_label="Customer", to_label="Order",
+    )
+    res = eng.execute(
+        "MATCH Customer c, Placed p, Order o WHERE o_orderstatus: 'F' "
+        "RETURN c_name, o_totalprice;"
+    )[0]
+    expected = o.filter(o.o_orderstatus == "F").count()
+    assert res.df.count() == expected
