@@ -8,6 +8,7 @@ from grapho_spark.analytics.algorithms import (
     connected_components,
     degrees,
     kcore_peel,
+    label_propagation,
     pagerank,
     sssp,
     triangle_count,
@@ -19,6 +20,7 @@ __all__ = [
     "connected_components",
     "degrees",
     "kcore_peel",
+    "label_propagation",
     "pagerank",
     "sssp",
     "triangle_count",

@@ -222,6 +222,46 @@ def _pr_loop(e, nodes, deg, ranks, n, iters, damping, has_dangling=True):
     return ranks
 
 
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation (community detection), fully
+    deterministic: every node starts labeled with its own id; each
+    round it adopts its neighbors' MOST FREQUENT label, ties broken by
+    smallest label. A fixed round count keeps the operator
+    oracle-checkable (async LPA's update order is unspecified, so we
+    implement the synchronous variant).
+
+    Scale: per round, one join (edges ⋈ labels) + one count
+    aggregation + one row_number window partitioned by node — all
+    keyed on the node id, no cross-partition state.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    parts = _loop_partitions(2 * edges.count(), spark)
+    with no_aqe(spark), shuffle_partitions(spark, parts):
+        sym = materialize(_symmetrize(edges))
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .transform(materialize)
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        for _ in range(rounds):
+            freq = (
+                sym.join(labels, sym.src == labels.node)
+                .select(F.col("dst").alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = checkpoint_state(
+                freq.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+            )
+        return labels
+
+
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """``rounds`` iterations of k-core peeling on the undirected simple
     graph: each round drops every node of degree < k and the edges

@@ -615,3 +615,46 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = wsym.agg(F.min("src").alias("node"))
     dists = sssp(wsym, start, max_hops=SSSP_HOPS)
     return dists.select("node", F.round("dist", 6).alias("dist"))
+
+
+LPA_ROUNDS = 2
+
+
+def _duck_lpa_sql() -> str:
+    chains = ["l0 AS (SELECT node, node AS label FROM nodes)"]
+    for i in range(LPA_ROUNDS):
+        chains.append(
+            f"""f{i + 1} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM sym e JOIN l{i} l ON e.src = l.node
+  GROUP BY e.dst, l.label),
+l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM f{i + 1})
+  WHERE rn = 1)"""
+        )
+    return (
+        f"WITH {_DUCK_EDGES_CTE},\n"
+        + ",\n".join(chains)
+        + f"\nSELECT node, label FROM l{LPA_ROUNDS}"
+    )
+
+
+@query("graph_label_propagation", oracle=_duck_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection, 2 rounds,
+    ties to the smallest label — fully deterministic (async LPA's
+    update order is unspecified, so the synchronous variant is the
+    oracle-checkable one). One join + count + per-node window per
+    round (analytics.label_propagation); the oracle unrolls the same
+    rounds with ROW_NUMBER ties.
+    """
+    from grapho_spark.analytics import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    return label_propagation(
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+        rounds=LPA_ROUNDS,
+    )
