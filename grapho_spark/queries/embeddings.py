@@ -231,6 +231,15 @@ def embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cell, so each query touches 1/n_cells of the data —
     the IVF pruning that makes ANN viable at 100 TB.
     """
+    _q, top3 = _spark_ivf_results(spark, sf_dir)
+    return top3
+
+
+def _spark_ivf_results(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(query set, IVF top-3 results) — shared by embedding_ivf_knn and
+    the recall measurement."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
@@ -274,10 +283,89 @@ def embedding_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cell", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
+    top3 = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("q_id", "cell", "vec_id", "cosine")
+    )
+    return q, top3
+
+
+@query(
+    "embedding_ivf_recall",
+    oracle=f"""
+WITH {_DUCK_IVF_CTE},
+ivf_scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cosine
+  FROM queries q
+  JOIN assigned a ON q.q_id = a.q_id
+  JOIN embeddings e ON e.label = a.cell AND e.vec_id <> q.q_id),
+ivf_top AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM ivf_scored)
+  WHERE rn <= 3),
+bf_scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cosine
+  FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id),
+bf_top AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM bf_scored)
+  WHERE rn <= 3),
+matched AS (
+  SELECT q.q_id, COUNT(i.vec_id) AS m
+  FROM queries q
+  LEFT JOIN (SELECT it.q_id, it.vec_id FROM ivf_top it
+             JOIN bf_top bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id) i
+    ON i.q_id = q.q_id
+  GROUP BY q.q_id)
+SELECT COUNT(*) AS n_queries,
+       round(SUM(m) * 1.0 / (3 * COUNT(*)), 6) AS avg_recall,
+       CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+FROM matched
+""",
+)
+def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF search against exact brute force on the same
+    query set — the accuracy/cost dial every ANN deployment has to
+    measure ("no silent caps": single-cell probing trades recall for
+    the 1/n_cells scan, and this query makes the trade a recorded
+    number instead of an assumption).
+
+    Scale: brute force over the full corpus is the expensive side —
+    at 100 TB this runs on a sampled query set (as here: ~1% of ids),
+    which is exactly how production recall monitoring works.
+    """
+    q, ivf = _spark_ivf_results(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    bf_scored = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    bf_top = (
+        bf_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    inter = ivf.select("q_id", "vec_id").join(bf_top, ["q_id", "vec_id"])
+    matched = (
+        q.select("q_id")
+        .join(inter.groupBy("q_id").agg(F.count(F.lit(1)).alias("m")), "q_id", "left")
+        .select("q_id", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("m") * F.lit(1.0) / (F.lit(3) * F.count(F.lit(1))), 6).alias(
+            "avg_recall"
+        ),
+        F.sum(F.when(F.col("m") == 3, 1).otherwise(0)).cast("long").alias("n_perfect"),
     )
 
 

@@ -104,3 +104,41 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@query(
+    "source_partitioned_parquet_pruning",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def source_partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + pruned read-back: orders written
+    partitionBy(o_orderpriority), then read with an equality filter on
+    the partition column — the scan must list ONLY the matching
+    directory (PartitionFilters in the plan; asserted in
+    tests/test_operators.py). Values must equal filtering the original
+    table.
+
+    Scale: partition layout + pruning is THE first lever at 100 TB —
+    a filtered query reads 1/k of the files before any row-level work.
+    """
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(), f"grapho_src_part_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice", 14, 2), "revenue"),
+    )

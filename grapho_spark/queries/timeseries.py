@@ -132,3 +132,56 @@ def timeseries_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_hierarchical_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day-level stats computed
+    by RE-AGGREGATING hour partials, which re-aggregate minute
+    partials — never touching raw rows twice. The oracle aggregates
+    raw events directly, proving the partial chain is lossless (count
+    and min/max are associative; the sum runs in DECIMAL so
+    accumulation order cannot change it).
+
+    Scale: this is the TSDB rollup pattern at 100 TB — minute partials
+    are the only scan of raw data; every coarser granularity is a
+    re-aggregation of the (tiny) next-finer level, and partials are
+    mergeable across late-arriving partitions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "minute_start").alias("hour_start")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return hour.groupBy(
+        "event_type", F.date_trunc("day", "hour_start").alias("day_start")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )

@@ -336,3 +336,23 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, key="k", unique_col="id", how=how)
+
+
+def test_partitioned_parquet_scan_prunes(spark, sf_dir):
+    # The partitioned-sink query's read-back must push the partition
+    # filter into the scan (directory pruning, not row filtering).
+    import os
+    import tempfile
+
+    from grapho_spark.queries import all_queries
+
+    all_queries()["source_partitioned_parquet_pruning"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    path = os.path.join(
+        tempfile.gettempdir(), f"grapho_src_part_{os.path.basename(sf_dir)}"
+    )
+    back = spark.read.parquet(path).filter("o_orderpriority = '1-URGENT'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan
