@@ -31,6 +31,15 @@ CHECKS = {
     "window_order_gap_days": ["Window", "ReadSchema"],
     "graph_neighborhood_jaccard": ["BroadcastHashJoin"],
     "deterministic_stratified_sample": ["PushedFilters", "ReadSchema"],
+    # round-3 additions
+    "source_partitioned_parquet_pruning": ["PartitionFilters"],
+    "text_contamination_probe": ["BroadcastHashJoin"],
+    "embedding_ivf_recall": [
+        "BroadcastNestedLoopJoin|BroadcastHashJoin|Cross",
+        "ReadSchema",
+    ],
+    "events_hierarchical_rollup": ["HashAggregate", "ReadSchema"],
+    "gql_match_edge_pattern": ["BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
 }
 
 
