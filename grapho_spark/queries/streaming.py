@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
 from grapho_spark.streaming import run_to_memory
-from grapho_spark.tables import load_stream
+from grapho_spark.tables import load_stream, load_table
 
 
 @query(
@@ -279,4 +279,85 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("user_id", "event_type", "minute_start").agg(
         F.count(F.lit(1)).alias("n_first_seen")
+    )
+
+
+@query(
+    "streaming_left_outer_join",
+    oracle="""
+WITH bounds AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS cutoff FROM events),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events, bounds
+  WHERE event_type = 'purchase' AND ts <= cutoff),
+e AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts
+  FROM events WHERE event_type = 'error')
+SELECT p.user_id, p.purchase_id, p.purchase_ts,
+       e.error_id, e.error_ts
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id
+ AND e.error_ts >= p.purchase_ts
+ AND e.error_ts <= p.purchase_ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, paired with the
+    errors that followed it within an hour OR emitted once with nulls
+    after the watermark proves no error can still arrive — the
+    only-on-watermark-expiry semantics that distinguishes outer from
+    inner streaming joins.
+
+    Determinism note: null rows for a purchase emit only once the
+    watermark (max_ts - 2h) passes its join window end (+1h), so the
+    JOIN OUTPUT and the oracle restrict purchases to ts <= max_ts - 4h
+    — the region where the stream's final watermark has provably
+    fired. The filter sits AFTER the join: filtering the purchase
+    stream itself would hold that side's max event time (and with it
+    the global watermark, the min across inputs) 4h back, leaving a
+    band of never-flushed outer state.
+
+    Scale: identical bounded state to the inner join — purchases are
+    dropped from state at watermark + window, which is also exactly
+    when their null row emits.
+    """
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    from datetime import timedelta
+
+    cutoff = max_ts - timedelta(hours=4)
+    ev = load_stream(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "2 hours")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("purchase_ts"))
+        & (F.col("error_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = run_to_memory(joined.filter(F.col("purchase_ts") <= F.lit(cutoff)), "append")
+    return out.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "error_id",
+        "error_ts",
     )
