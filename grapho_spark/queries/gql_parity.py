@@ -121,3 +121,73 @@ def gql_insert_update_delete_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     )
     res = eng.execute("MATCH Item RETURN name, qty;")[0]
     return res.df.select("name", F.col("qty").cast("int").alias("qty"))
+
+
+@query(
+    "gql_typed_roundtrip",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'Ann',  DATE '2024-03-01', 'gold',   3, CAST(4.5 AS DOUBLE),  TRUE),
+  ('2', 'Bob',  DATE '2024-07-15', 'silver', 2, CAST(NULL AS DOUBLE), FALSE),
+  ('3', 'Cleo', NULL,              'gold',   0, CAST(1.25 AS DOUBLE), TRUE)
+) AS t(_id, name, joined, tier, n_tags, score, active)
+""",
+)
+def gql_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The type system through the full GQL stack: enum (validated
+    membership), date coercion from string literals, float/int/bool,
+    explicit nulls, DEFAULT application, array field declared (left
+    null) — inserted via statements, read back via MATCH. The oracle is
+    the hand-computed expected table; every cell exercises a coercion
+    path (engine/coerce.py).
+    """
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE Member ("
+        "  name: string NOT NULL,"
+        "  joined: date,"
+        "  tier: enum<'gold','silver'> DEFAULT 'gold',"
+        "  n_tags: int DEFAULT 0,"
+        "  score: float,"
+        "  active: bool DEFAULT TRUE,"
+        "  tags: array<string>"
+        ");"
+        "INSERT NODE Member (name: 'Ann', joined: '2024-03-01', n_tags: 3,"
+        "                    score: 4.5);"
+        "INSERT NODE Member (name: 'Bob', joined: '2024-07-15', tier: 'silver',"
+        "                    n_tags: 2, score: null, active: FALSE);"
+        "INSERT NODE Member (name: 'Cleo', score: 1.25);"
+    )
+    res = eng.execute(
+        "MATCH Member RETURN name, joined, tier, n_tags, score, active;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_describe_catalog",
+    oracle="""
+SELECT * FROM (VALUES
+  ('name',   'string',               FALSE, FALSE, TRUE,  NULL),
+  ('joined', 'date',                 FALSE, FALSE, FALSE, NULL),
+  ('tier',   'enum<''gold'', ''silver''>', FALSE, FALSE, FALSE, 'gold')
+) AS t(field, type, primary_key, is_unique, not_null, default_value)
+""",
+)
+def gql_describe_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE NODE through the engine (a token the reference reserves
+    but never parses): field/type/constraint introspection rows checked
+    against the declared DDL."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE Profile ("
+        "  name: string NOT NULL,"
+        "  joined: date,"
+        "  tier: enum<'gold','silver'> DEFAULT 'gold'"
+        ");"
+    )
+    return eng.execute("DESCRIBE NODE Profile;")[0].df
