@@ -191,3 +191,37 @@ def gql_describe_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ");"
     )
     return eng.execute("DESCRIBE NODE Profile;")[0].df
+
+
+@query(
+    "gql_alter_migration",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'widget', '10',  'shelf-A'),
+  ('2', 'gizmo',  '7',   'shelf-A'),
+  ('3', 'doodad', NULL,  'shelf-B')
+) AS t(_id, name, qty, location)
+""",
+)
+def gql_alter_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live schema migration through the engine: rows inserted under
+    the ORIGINAL schema survive ALTER ADD (existing rows get NULL for
+    the new column — the DEFAULT applies to inserts only, per the
+    declared semantics — then an UPDATE backfills them) and ALTER
+    MODIFY (int -> string retype casts stored values). The oracle is
+    the hand-computed post-migration table.
+    """
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE Item (name: string, qty: int);"
+        "INSERT NODE Item (name: 'widget', qty: 10);"
+        "INSERT NODE Item (name: 'gizmo', qty: 7);"
+        "ALTER NODE Item ADD location: string DEFAULT 'shelf-A';"
+        "ALTER NODE Item MODIFY qty: string;"
+        "INSERT NODE Item (name: 'doodad', location: 'shelf-B');"
+        "UPDATE NODE Item SET location: 'shelf-A' WHERE location: null;"
+    )
+    res = eng.execute("MATCH Item RETURN name, qty, location;")[0]
+    return res.df
