@@ -114,6 +114,24 @@ def _cc_loop(sym, labels, max_iter):
     # for large-star/small-star, which alternates the same two joins
     # skew-safely.
     from pyspark import StorageLevel
+    from pyspark.sql.types import NumericType
+
+    # Convergence fingerprint: labels only ever DECREASE, so for
+    # numeric ids an unchanged sum(component) is an EXACT fixpoint test
+    # (monotone per-element decrease; equal sum ⇒ no element moved).
+    # String ids cast to decimal as NULL — the sum would be None every
+    # round and the early-exit would never fire (50 full rounds of
+    # wasted joins) — so hash them to numbers first, with two
+    # independently-seeded xxhash64 sums: a false fixpoint needs both
+    # hash-delta sums to cancel exactly (~2^-128), while a true
+    # fixpoint always matches.
+    if isinstance(labels.schema["component"].dataType, NumericType):
+        _fp_exprs = [F.sum(F.col("component").cast("decimal(38,0)"))]
+    else:
+        _fp_exprs = [
+            F.sum(F.xxhash64(F.col("component")).cast("decimal(38,0)")),
+            F.sum(F.xxhash64(F.lit("cc2"), F.col("component")).cast("decimal(38,0)")),
+        ]
 
     prev_sum = None
     for _ in range(max_iter):
@@ -142,12 +160,9 @@ def _cc_loop(sym, labels, max_iter):
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # Labels only ever DECREASE, so convergence ⟺ sum(component)
-        # unchanged — the check rides the materialization action (one
+        # The fingerprint rides the materialization action (one
         # codegen'd job/round) instead of a separate old⋈new shuffle.
-        cur_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        cur_sum = tuple(new_labels.agg(*_fp_exprs).collect()[0])
         labels = new_labels.localCheckpoint()  # cheap: copies cached blocks
         new_labels.unpersist()
         if prev_sum is not None and cur_sum == prev_sum:

@@ -177,8 +177,15 @@ class CatalogStore:
 
     def write_snapshot(self, cat: Catalog) -> None:
         """Snapshot current catalog and point the manifest at it; replay
-        offset becomes the current event count."""
-        offset = self.n_events()
+        offset becomes the current event count.
+
+        The offset is RE-COUNTED from the file here (snapshots are
+        rare, O(log) is fine): the in-memory counter can be stale when
+        a second engine instance shares the directory, and a too-low
+        offset would make the next boot re-apply an already-snapshotted
+        event — aborting best-effort replay and dropping later events."""
+        offset = self._count_events()
+        self._n_events = offset
         path = self._snapshot_path(cat.version)
         with open(path, "w", encoding="utf-8") as f:
             json.dump(catalog_to_json(cat), f)
@@ -258,6 +265,23 @@ class CatalogStore:
         except FileNotFoundError:
             pass
         return mx
+
+    def load_at(self, offset: int) -> Catalog:
+        """Catalog state after exactly the first ``offset`` events,
+        replayed from the start of the (never-deleted) event log.
+        Rare recovery path: used when a crash between the catalog
+        snapshot and the engine-manifest publish leaves the snapshot
+        ahead of the manifest's recorded event offset."""
+        cat = Catalog()
+        for i, (_seq, stmt) in enumerate(self.read_events(0)):
+            if i >= offset:
+                break
+            try:
+                cat = apply_ddl(cat, stmt)
+            except DDLError:
+                break
+        self._snap_offset = offset
+        return cat
 
     def load(self) -> Catalog:
         cat, offset = self.load_base()

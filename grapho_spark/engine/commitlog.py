@@ -11,26 +11,29 @@ The reference supports two on-disk formats
 
 Durability model: the reference runs an async writer goroutine with a
 1024-slot queue and a 1 s fsync ticker, falling back to a synchronous
-write when the queue overflows (commitlog.go:54,92-118,144-158). A
-driver-side Python engine has no background goroutine, so the same
-group-commit contract is expressed synchronously: every append is
-written + OS-flushed immediately (readers — replay, CDC export — see
-it at once), while the expensive ``fsync`` is batched: it fires every
-``fsync_every`` appends or ``fsync_interval`` seconds, whichever comes
-first, and always on ``close()``. The crash window is thus bounded by
-the same ~1 s / queue-depth the reference accepts.
+write when the queue overflows (commitlog.go:54,92-118,144-158). Here
+every append is written + OS-flushed immediately (readers — replay,
+CDC export — see it at once), while the expensive ``fsync`` is
+batched: it fires every ``fsync_every`` appends, and a background
+ticker thread (the analogue of the reference's 1 s ticker,
+commitlog.go:113-116) fsyncs any idle remainder every
+``fsync_interval`` seconds, so records never stay un-fsynced just
+because writes stopped. ``close()`` always fsyncs.
 
 Replay is corruption-stop best-effort in both formats (the engine's
 contract, matching catalog/store.go:80-127): a torn tail — truncated
 length prefix, short body, or a text line with no terminating newline
-— and anything after it is ignored; the prefix survives.
+— and anything after it is ignored; the prefix survives. Opening the
+log for APPEND first truncates the file back to the end of the last
+complete record (standard WAL recovery), so post-crash appends are
+framed correctly instead of being absorbed into the torn fragment.
 """
 
 from __future__ import annotations
 
 import os
 import struct
-import time
+import threading
 
 MAX_RECORD_BYTES = 10 << 20  # replay guard, commitlog.go:180-182
 
@@ -67,61 +70,103 @@ class CommitLog:
         self.fsync_interval = fsync_interval
         self._file = None
         self._unsynced = 0
-        self._last_fsync = time.monotonic()
+        self._lock = threading.Lock()
+        self._ticker = None
+        self._ticker_stop = threading.Event()
         self.n_fsyncs = 0  # observable for tests/metrics
 
     # ---------------------------------------------------------- write
 
     def _fh(self):
         if self._file is None or self._file.closed:
+            self._truncate_torn_tail()
             self._file = open(self.path, "ab")
         return self._file
+
+    def _truncate_torn_tail(self) -> None:
+        """WAL recovery: cut the file back to the end of the last
+        complete record before appending, so a torn tail from a crash
+        can't absorb or misframe post-crash records."""
+        try:
+            size = os.path.getsize(self.path)
+        except OSError:
+            return
+        _, valid_end = self._scan()
+        if valid_end < size:
+            with open(self.path, "r+b") as f:
+                f.truncate(valid_end)
+                f.flush()
+                os.fsync(f.fileno())
 
     def append(self, record: str) -> None:
         """Write one record; visible to readers immediately, durable at
         the next group fsync (<= fsync_every appends / fsync_interval s)."""
         data = record.encode("utf-8")
-        f = self._fh()
-        if self.fmt == "binary":
-            f.write(struct.pack(">I", len(data)))
-            f.write(data)
-        else:
-            f.write(data)
-            if not data.endswith(b"\n"):
-                f.write(b"\n")
-        f.flush()  # OS-level: replay/CDC readers see the record now
-        self._unsynced += 1
-        now = time.monotonic()
-        if (
-            self._unsynced >= self.fsync_every
-            or now - self._last_fsync >= self.fsync_interval
-        ):
-            self.sync()
+        with self._lock:
+            f = self._fh()
+            if self.fmt == "binary":
+                f.write(struct.pack(">I", len(data)))
+                f.write(data)
+            else:
+                f.write(data)
+                if not data.endswith(b"\n"):
+                    f.write(b"\n")
+            f.flush()  # OS-level: replay/CDC readers see the record now
+            self._unsynced += 1
+            if self._unsynced >= self.fsync_every:
+                self._sync_locked()
+        self._ensure_ticker()
 
-    def sync(self) -> None:
+    def _sync_locked(self) -> None:
         if self._file is not None and not self._file.closed and self._unsynced:
             os.fsync(self._file.fileno())
             self.n_fsyncs += 1
         self._unsynced = 0
-        self._last_fsync = time.monotonic()
+
+    def sync(self) -> None:
+        with self._lock:
+            self._sync_locked()
+
+    def _ensure_ticker(self) -> None:
+        """Background fsync ticker (reference commitlog.go:113-116): a
+        burst of < fsync_every appends followed by idle still becomes
+        durable within ~fsync_interval seconds."""
+        if self._ticker is not None and self._ticker.is_alive():
+            return
+        self._ticker_stop.clear()
+
+        def _tick():
+            while not self._ticker_stop.wait(self.fsync_interval):
+                with self._lock:
+                    if self._file is None or self._file.closed:
+                        break
+                    self._sync_locked()
+
+        self._ticker = threading.Thread(
+            target=_tick, name="commitlog-fsync", daemon=True
+        )
+        self._ticker.start()
 
     def close(self) -> None:
-        if self._file is not None and not self._file.closed:
-            self._file.flush()
-            os.fsync(self._file.fileno())
-            self._file.close()
-        self._unsynced = 0
+        self._ticker_stop.set()
+        with self._lock:
+            if self._file is not None and not self._file.closed:
+                self._file.flush()
+                os.fsync(self._file.fileno())
+                self._file.close()
+            self._unsynced = 0
 
     # ----------------------------------------------------------- read
 
-    def records(self) -> list[str]:
-        """All COMPLETE records, stopping at the first torn/corrupt
-        one (corruption-stop best effort; the tail is simply absent)."""
+    def _scan(self) -> tuple[list[str], int]:
+        """Parse the file; returns (complete records, byte offset of
+        the end of the last complete record). Corruption-stop: the
+        first torn/oversized/undecodable record ends the scan."""
         try:
             with open(self.path, "rb") as f:
                 blob = f.read()
         except FileNotFoundError:
-            return []
+            return [], 0
         out: list[str] = []
         if self.fmt == "binary":
             pos, n_bytes = 0, len(blob)
@@ -136,13 +181,20 @@ class CommitLog:
                 except UnicodeDecodeError:
                     break
                 pos += 4 + n
-            return out
+            return out, pos
+        pos = 0
         for line in blob.split(b"\n")[:-1]:  # last element: after final \n
             try:
                 out.append(line.decode("utf-8"))
             except UnicodeDecodeError:
                 break
-        return out
+            pos += len(line) + 1
+        return out, pos
+
+    def records(self) -> list[str]:
+        """All COMPLETE records, stopping at the first torn/corrupt
+        one (corruption-stop best effort; the tail is simply absent)."""
+        return self._scan()[0]
 
     def count(self) -> int:
         return len(self.records())

@@ -60,7 +60,12 @@ from grapho_spark.catalog.types import (
     spark_type,
 )
 from grapho_spark.engine.coerce import CoercionError, coerce_literal
-from grapho_spark.engine.commitlog import CommitLog, detect_format
+from grapho_spark.engine.commitlog import (
+    BINARY_NAME,
+    TEXT_NAME,
+    CommitLog,
+    detect_format,
+)
 from grapho_spark.gql import ast
 from grapho_spark.gql.ast import Cardinality, LiteralKind, TypeSpec
 from grapho_spark.gql.parser import parse_script
@@ -128,6 +133,21 @@ class GraphEngine:
 
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
+            if log_format is not None:
+                # An explicit format that contradicts an existing log of
+                # the OTHER format would silently strand that log's
+                # unflushed records (replay reads only the requested
+                # file) and misapply the manifest's commit_offset to the
+                # wrong file's records. Refuse instead.
+                other_name = TEXT_NAME if log_format == "binary" else BINARY_NAME
+                other_path = os.path.join(data_dir, other_name)
+                if os.path.exists(other_path) and os.path.getsize(other_path) > 0:
+                    raise EngineError(
+                        f"data_dir already has a non-empty "
+                        f"{'text' if log_format == 'binary' else 'binary'} "
+                        f"commit log ({other_name}); refusing to open with "
+                        f"log_format={log_format!r}"
+                    )
             self._commitlog = CommitLog(
                 data_dir, fmt=log_format or detect_format(data_dir)
             )
@@ -141,6 +161,17 @@ class GraphEngine:
                 # interleaved by sequence number — schema-changing DDL
                 # after unflushed DML must re-apply in original order.
                 self.catalog, ev_offset = self.catalog_store.load_base()
+                ev_expected = self._manifest_ev_offset()
+                if ev_expected is not None and ev_offset != ev_expected:
+                    # Crash window between the catalog snapshot and the
+                    # engine-manifest publish: the snapshot ran ahead of
+                    # (or, with a hand-rolled layout, behind) the
+                    # manifest's consistent point. Rebuild the catalog
+                    # at exactly the manifest's offset from the full
+                    # event log so unflushed DML replays against the
+                    # catalog it originally ran against.
+                    self.catalog = self.catalog_store.load_at(ev_expected)
+                    ev_offset = ev_expected
                 self._load_manifest_and_tables()
                 self._ensure_catalog_tables()
                 self._replay_logs(ev_offset)
@@ -177,6 +208,11 @@ class GraphEngine:
         stmts, errors = parse_script(script)
         if errors:
             raise EngineError("; ".join(str(e) for e in errors))
+        return self.execute_statements(stmts)
+
+    def execute_statements(self, stmts: list[ast.Stmt]) -> list[StatementResult]:
+        """Execute pre-parsed statements (the TCP server parses once for
+        error reporting and hands the list straight here)."""
         out: list[StatementResult] = []
         with self._lock:
             for stmt in stmts:
@@ -321,12 +357,6 @@ class GraphEngine:
                     tab.dirty = False
                 versions[key] = tab.version
             self._commit_offset = self._count_commit_lines()
-            manifest = {
-                "next_id": self.next_id,
-                "commit_offset": self._commit_offset,
-                "seq": self._seq,
-                "versions": versions,
-            }
             # Snapshot the catalog BEFORE publishing the engine manifest:
             # the manifest advances commit_offset past the flushed DML, so
             # every type it references must already be recoverable from
@@ -334,8 +364,23 @@ class GraphEngine:
             # types created since the last snapshot were skipped at boot
             # (schema None in _load_manifest_and_tables) while their DML
             # sat below commit_offset — silently losing flushed rows.
+            ev_offset = 0
             if self.catalog_store:
                 self.catalog_store.write_snapshot(self.catalog)
+                ev_offset = self.catalog_store.snap_offset()
+            manifest = {
+                "next_id": self.next_id,
+                "commit_offset": self._commit_offset,
+                # The catalog event offset this manifest is consistent
+                # with: boot reconciles a snapshot that ran AHEAD of the
+                # manifest (crash between the two writes) back to this
+                # offset via full event replay, restoring the invariant
+                # that unflushed DML replays against the same catalog it
+                # originally ran against.
+                "ev_offset": ev_offset,
+                "seq": self._seq,
+                "versions": versions,
+            }
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(manifest, f)
@@ -370,6 +415,20 @@ class GraphEngine:
             if isinstance(s, int) and s > mx:
                 mx = s
         return mx
+
+    def _manifest_ev_offset(self) -> int | None:
+        """Catalog event offset recorded at the last flush. No manifest
+        at all means nothing was ever flushed — the consistent point is
+        offset 0 (covers a crash during the FIRST flush, after the
+        catalog snapshot but before the manifest publish). A manifest
+        without the field (legacy layout) returns None: trust its
+        snapshot as-is."""
+        try:
+            with open(self._manifest_path(), encoding="utf-8") as f:
+                v = json.load(f).get("ev_offset")
+            return v if isinstance(v, int) else None
+        except FileNotFoundError:
+            return 0
 
     def _load_manifest_and_tables(self) -> None:
         try:

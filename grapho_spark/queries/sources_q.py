@@ -128,12 +128,24 @@ def source_partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> Data
     Scale: partition layout + pruning is THE first lever at 100 TB —
     a filtered query reads 1/k of the files before any row-level work.
     """
+    import hashlib
     import os
     import tempfile
 
     o = load_table(spark, sf_dir, "orders")
+    # Cache key = source identity (path + mtime + size) + uid: a
+    # regenerated fixture gets a fresh partitioned copy instead of
+    # silently serving stale data, and two users never collide on one
+    # temp dir.
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(sf_dir)
+    key = hashlib.md5(ident.encode()).hexdigest()[:12]
     path = os.path.join(
-        tempfile.gettempdir(), f"grapho_src_part_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(), f"grapho_src_part_{os.getuid()}_{key}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)

@@ -285,7 +285,11 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_left_outer_join",
     oracle="""
-WITH bounds AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS cutoff FROM events),
+WITH bounds AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'error')
+         ) - INTERVAL 210 MINUTE AS cutoff),
 p AS (
   SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
   FROM events, bounds
@@ -308,25 +312,31 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     only-on-watermark-expiry semantics that distinguishes outer from
     inner streaming joins.
 
-    Determinism note: null rows for a purchase emit only once the
-    watermark (max_ts - 2h) passes its join window end (+1h), so the
-    JOIN OUTPUT and the oracle restrict purchases to ts <= max_ts - 4h
-    — the region where the stream's final watermark has provably
-    fired. The filter sits AFTER the join: filtering the purchase
-    stream itself would hold that side's max event time (and with it
-    the global watermark, the min across inputs) 4h back, leaving a
+    Determinism note: the global watermark is the MIN across the two
+    inputs of (that side's max event time - 2h delay), so after all
+    data it sits at min(max purchase ts, max error ts) - 2h. A
+    purchase's null row emits once the watermark passes its join
+    window end (+1h); every purchase with
+    ts <= min(maxP, maxE) - 3h has therefore provably flushed. The
+    JOIN OUTPUT and the oracle restrict purchases to that region
+    (minus a 30-minute margin so the eviction boundary's >/>=
+    semantics can't matter). The filter sits AFTER the join:
+    filtering the purchase stream itself would hold that side's max
+    event time (and with it the global watermark) back, leaving a
     band of never-flushed outer state.
 
     Scale: identical bounded state to the inner join — purchases are
     dropped from state at watermark + window, which is also exactly
     when their null row emits.
     """
-    max_ts = (
-        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    )
+    ev_batch = load_table(spark, sf_dir, "events")
+    maxes = ev_batch.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).alias("e"),
+    ).collect()[0]
     from datetime import timedelta
 
-    cutoff = max_ts - timedelta(hours=4)
+    cutoff = min(maxes.p, maxes.e) - timedelta(minutes=210)
     ev = load_stream(spark, sf_dir, "events")
     purchases = (
         ev.filter(F.col("event_type") == "purchase")

@@ -74,9 +74,12 @@ def render_match(stmt: ast.MatchStmt, res: StatementResult) -> str:
         for row in rows:
             if multi and row.get("_label") != el.type:
                 continue
-            row = {k: v for k, v in row.items() if k != "_label"}
             rid = row.get("_id", "")
-            out.append(f"  ID: {rid}, Properties: {_go_map(row)}")
+            # The reference renders the id as the map KEY only — its
+            # Properties %v map holds just the props (server.go:734), so
+            # a scraper must not see a phantom _id property.
+            props = {k: v for k, v in row.items() if k not in ("_id", "_label")}
+            out.append(f"  ID: {rid}, Properties: {_go_map(props)}")
     return "\n".join(out) + "\n"
 
 
@@ -93,7 +96,9 @@ def execute_command(engine: GraphEngine, command: str) -> str:
         return "No statements to execute\n\n"
     out: list[str] = []
     try:
-        results = engine.execute(command)
+        # Statements were already parsed above for error reporting;
+        # execute them directly instead of re-parsing the script.
+        results = engine.execute_statements(stmts)
     except EngineError as e:
         return "".join(f"{ln}\n" for ln in out) + f"Error executing statement: {e}\n\n"
     for stmt, res in zip(stmts, results):

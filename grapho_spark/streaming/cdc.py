@@ -126,13 +126,25 @@ def export_cdc_segments(engine) -> int:
     if not records:
         return 0
 
-    tmp = seg_path + ".tmp"
+    tmp = seg_path + f".tmp.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as f:
         for r in records:
             f.write(json.dumps(r, separators=(",", ":")) + "\n")
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, seg_path)  # atomic publish: never a half-visible segment
+    try:
+        # Exclusive publish: os.link fails with FileExistsError if the
+        # segment already exists, so a concurrent exporter that won the
+        # race keeps its (immutable) segment — we never clobber a file
+        # a streaming consumer may have already recorded as processed.
+        os.link(tmp, seg_path)
+    except FileExistsError:
+        os.unlink(tmp)
+        with open(seg_path, encoding="utf-8") as f:
+            n_existing = sum(1 for _ in f)
+        _write_offset(state_path, offset + n_existing)
+        return n_existing
+    os.unlink(tmp)
     _write_offset(state_path, offset + len(records))
     return len(records)
 

@@ -171,3 +171,32 @@ def test_store_corruption_stops_replay_keeps_prior_state(tmp_path):
     loaded = CatalogStore(str(tmp_path)).load()
     assert loaded.node("A") and loaded.node("B")
     assert loaded.node("C") is None
+
+
+def test_write_snapshot_recounts_shared_file(tmp_path):
+    """A second writer sharing the directory makes the in-memory event
+    counter stale; write_snapshot must record the FILE's true offset so
+    the next boot never re-applies an already-snapshotted event."""
+    from grapho_spark.catalog.store import CatalogStore
+    from grapho_spark.catalog.types import Catalog
+    from grapho_spark.gql import ast
+
+    d = str(tmp_path / "cat")
+    a = CatalogStore(d)
+    b = CatalogStore(d)
+
+    def create(name):
+        return ast.CreateNodeStmt(
+            name=name,
+            fields=(ast.FieldDef(name="x", type=ast.TypeSpec(ast.BaseType.INT)),),
+        )
+
+    a.append_event(create("A"), seq=1)   # a._n_events = 1
+    b.append_event(create("B"), seq=2)   # file now has 2; a's cache stale
+    a.append_event(create("C"), seq=3)   # a's cache says 2, file has 3
+    a.write_snapshot(Catalog())
+    import json as _json
+
+    with open(a._manifest_path(), encoding="utf-8") as f:
+        assert _json.load(f)["offset"] == 3
+    assert a.read_events(a.snap_offset()) == []

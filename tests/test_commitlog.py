@@ -118,3 +118,57 @@ def test_engine_binary_log_flush_and_seq(spark, tmp_path):
     assert json.loads(eng2.commit_records()[-1])["stmt"]["__type__"] == (
         "InsertNodeStmt"
     )
+
+
+@pytest.mark.parametrize("fmt", ["text", "binary"])
+def test_append_after_torn_tail_truncates_first(tmp_path, fmt):
+    """WAL recovery: reopening for append must cut the torn tail back
+    to the last complete record, so post-crash appends stay framed and
+    replayable (not absorbed into the torn fragment forever)."""
+    log = CommitLog(str(tmp_path), fmt=fmt)
+    for r in RECORDS[:2]:
+        log.append(r)
+    log.close()
+    with open(log.path, "ab") as f:  # simulate a crash mid-append
+        f.write(struct.pack(">I", 100) + b"par" if fmt == "binary" else b'{"torn"')
+    log2 = CommitLog(str(tmp_path), fmt=fmt)
+    log2.append(RECORDS[2])  # post-crash write
+    log2.close()
+    # EVERY post-crash record must be visible on the next boot
+    assert CommitLog(str(tmp_path), fmt=fmt).records() == [
+        RECORDS[0],
+        RECORDS[1],
+        RECORDS[2],
+    ]
+
+
+def test_idle_fsync_ticker_fires(tmp_path):
+    """A burst smaller than fsync_every followed by idle must still
+    become durable within ~fsync_interval (the reference's 1 s ticker,
+    commitlog.go:113-116) — not wait for the next append forever."""
+    import time
+
+    log = CommitLog(str(tmp_path), fmt="text", fsync_every=64, fsync_interval=0.05)
+    for i in range(3):
+        log.append(f'{{"seq":{i}}}')
+    deadline = time.monotonic() + 2.0
+    while log.n_fsyncs == 0 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert log.n_fsyncs >= 1  # ticker synced the idle remainder
+    assert log._unsynced == 0
+    log.close()
+
+
+def test_engine_rejects_conflicting_log_format(spark, tmp_path):
+    """An explicit log_format contradicting an existing non-empty log
+    of the other format must refuse to open (silently reading the
+    wrong file would strand the old log's unflushed records)."""
+    from grapho_spark.engine.engine import EngineError
+
+    d = str(tmp_path / "fmtdb")
+    eng = GraphEngine(spark, data_dir=d, log_format="binary")
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    with pytest.raises(EngineError, match="commit log"):
+        GraphEngine(spark, data_dir=d, log_format="text")
+    # matching explicit format and auto-detect both still work
+    assert GraphEngine(spark, data_dir=d, log_format="binary")._commitlog.fmt == "binary"

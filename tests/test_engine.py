@@ -499,3 +499,54 @@ def test_bind_edge_type_fixture_join(spark, sf_dir):
     )[0]
     expected = o.filter(o.o_orderstatus == "F").count()
     assert res.df.count() == expected
+
+
+def test_flush_crash_between_snapshot_and_manifest(spark, tmp_path):
+    """Crash window: the catalog snapshot was published but the engine
+    manifest was not. Boot must rebuild the catalog at the manifest's
+    consistent offset and replay ALL logged statements in original
+    order — not replay old DML against the post-DDL snapshot and lose
+    everything after the first mismatch."""
+    import os
+
+    d = str(tmp_path / "crashwin")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(
+        "CREATE NODE P (name: string);"
+        "INSERT NODE P (name: 'old');"
+        "DROP NODE P;"
+        "CREATE NODE P (title: string);"
+        "INSERT NODE P (title: 'new');"
+    )
+    eng.flush()
+    # Simulate the crash: the manifest publish never happened.
+    os.remove(os.path.join(d, "ENGINE-MANIFEST.json"))
+    eng2 = GraphEngine(spark, data_dir=d)
+    rows = eng2.node_df("P").collect()
+    assert [r.title for r in rows] == ["new"]
+
+
+def test_flush_crash_manifest_rollback_replays_consistently(spark, tmp_path):
+    """Same window after a SECOND flush: the old manifest survives the
+    crash; boot must reconcile the newer snapshot back to the old
+    manifest's event offset so the unflushed tail replays against the
+    catalog it originally ran against."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "crashwin2")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    eng.flush()
+    manifest = os.path.join(d, "ENGINE-MANIFEST.json")
+    saved = manifest + ".saved"
+    shutil.copy(manifest, saved)
+    eng.execute(
+        "DROP NODE P; CREATE NODE P (title: string);"
+        "INSERT NODE P (title: 'b');"
+    )
+    eng.flush()
+    os.replace(saved, manifest)  # crash: second manifest publish lost
+    eng2 = GraphEngine(spark, data_dir=d)
+    rows = eng2.node_df("P").collect()
+    assert [r.title for r in rows] == ["b"]

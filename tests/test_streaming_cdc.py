@@ -119,3 +119,42 @@ def test_cdc_leftover_tmp_never_shifts_segment_names(spark, tmp_path):
     assert export_cdc_segments(eng) == 1
     segs = [n for n in os.listdir(cdc_dir) if n.endswith(".jsonl")]
     assert segs == ["segment-000000000000.jsonl"]
+
+
+def test_cdc_never_clobbers_published_segment(spark, tmp_path, monkeypatch):
+    # Two exporters racing to the same offset: the loser of the publish
+    # race must NOT overwrite the winner's (immutable) segment — a
+    # streaming consumer may already have recorded it as processed.
+    import os
+
+    from grapho_spark.streaming import cdc as cdc_mod
+
+    d = str(tmp_path / "cdcrace")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    assert export_cdc_segments(eng) == 1
+    seg = os.path.join(d, "cdc", "segment-000000000000.jsonl")
+    winner_bytes = open(seg, "rb").read()
+
+    # Simulate the loser: its offset read + exists-check both happened
+    # before the winner published. Reset the offset and blind the
+    # exists-check so the write path runs against an existing segment.
+    with open(os.path.join(d, "cdc", "_exported_offset"), "w") as f:
+        f.write("0")
+    eng.execute("INSERT NODE P (name: 'b');")  # log grew: loser sees 2 records
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        cdc_mod.os.path,
+        "exists",
+        lambda p: False if p == seg else real_exists(p),
+    )
+    n = export_cdc_segments(eng)
+    monkeypatch.undo()
+    assert open(seg, "rb").read() == winner_bytes  # untouched
+    assert n == 1  # advanced past the existing segment's 1 record
+    # next export picks up the remaining record in a NEW segment
+    assert export_cdc_segments(eng) == 1
+    assert sorted(os.listdir(os.path.join(d, "cdc")))[:2] == [
+        "_exported_offset",
+        "segment-000000000000.jsonl",
+    ]
