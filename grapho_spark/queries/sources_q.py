@@ -106,6 +106,33 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partitioned_copy(
+    spark: SparkSession, sf_dir: str, table: str, part_col: str
+) -> DataFrame:
+    """Hive-partitioned parquet copy of a fixture table, cached in a
+    temp dir. Cache key = source identity (path + mtime + size) + uid:
+    a regenerated fixture gets a fresh partitioned copy instead of
+    silently serving stale data, and two users never collide on one
+    temp dir."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{part_col}"
+    except OSError:
+        ident = f"{os.path.abspath(sf_dir)}:{table}:{part_col}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"grapho_src_part_{os.getuid()}_{key}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, table).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 @query(
     "source_partitioned_parquet_pruning",
     oracle="""
@@ -128,29 +155,49 @@ def source_partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> Data
     Scale: partition layout + pruning is THE first lever at 100 TB —
     a filtered query reads 1/k of the files before any row-level work.
     """
-    import hashlib
-    import os
-    import tempfile
-
-    o = load_table(spark, sf_dir, "orders")
-    # Cache key = source identity (path + mtime + size) + uid: a
-    # regenerated fixture gets a fresh partitioned copy instead of
-    # silently serving stale data, and two users never collide on one
-    # temp dir.
-    src = os.path.join(sf_dir, "orders.parquet")
-    try:
-        st = os.stat(src)
-        ident = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        ident = os.path.abspath(sf_dir)
-    key = hashlib.md5(ident.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"grapho_src_part_{os.getuid()}_{key}"
+    back = _partitioned_copy(spark, sf_dir, "orders", "o_orderpriority").filter(
+        F.col("o_orderpriority") == "1-URGENT"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dec("o_totalprice", 14, 2), "revenue"),
+    )
+
+
+@query(
+    "source_dynamic_partition_pruning",
+    oracle="""
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 1
+GROUP BY 1
+""",
+)
+def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): customer Hive-partitioned by
+    c_nationkey, joined to the nation dim filtered on n_regionkey — the
+    partition filter is NOT a literal in the query; Catalyst injects a
+    runtime ``dynamicpruningexpression`` subquery into the fact scan
+    from the broadcast dim side, so only the ~1/5 of partitions whose
+    nationkey survives the dim filter are listed and read (asserted on
+    the plan in tests/test_operators.py).
+
+    Scale: static pruning covers literal filters; DPP is what keeps a
+    100 TB star-schema join from scanning every partition when the
+    restriction lives on the dimension table.
+    """
+    cust = _partitioned_copy(spark, sf_dir, "customer", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    return (
+        cust.join(
+            F.broadcast(nat),
+            cust.c_nationkey == nat.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal", 14, 2), "total_acctbal"),
+        )
     )

@@ -33,6 +33,7 @@ CHECKS = {
     "deterministic_stratified_sample": ["PushedFilters", "ReadSchema"],
     # round-3 additions
     "source_partitioned_parquet_pruning": ["PartitionFilters"],
+    "source_dynamic_partition_pruning": ["dynamicpruning", "BroadcastHashJoin"],
     "text_contamination_probe": ["BroadcastHashJoin"],
     "embedding_ivf_recall": [
         "BroadcastNestedLoopJoin|BroadcastHashJoin|Cross",

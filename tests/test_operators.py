@@ -341,18 +341,23 @@ def test_salted_join_rejects_right_and_full(spark):
 def test_partitioned_parquet_scan_prunes(spark, sf_dir):
     # The partitioned-sink query's read-back must push the partition
     # filter into the scan (directory pruning, not row filtering).
-    import os
-    import tempfile
+    from grapho_spark.queries.sources_q import _partitioned_copy
 
-    from grapho_spark.queries import all_queries
-
-    all_queries()["source_partitioned_parquet_pruning"].spark_fn(
-        spark, sf_dir
-    ).collect()
-    path = os.path.join(
-        tempfile.gettempdir(), f"grapho_src_part_{os.path.basename(sf_dir)}"
+    back = _partitioned_copy(spark, sf_dir, "orders", "o_orderpriority").filter(
+        "o_orderpriority = '1-URGENT'"
     )
-    back = spark.read.parquet(path).filter("o_orderpriority = '1-URGENT'")
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "1-URGENT" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    # The DPP query's fact scan must carry a runtime
+    # dynamicpruningexpression subquery fed by the broadcast dim side —
+    # not a full scan of every nationkey partition.
+    from grapho_spark.queries import all_queries
+
+    df = all_queries()["source_dynamic_partition_pruning"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan
