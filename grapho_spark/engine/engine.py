@@ -765,6 +765,60 @@ class GraphEngine:
             raise EngineError(f"{side} node not found for {ref.node_type}")
         return hits[0][ID_COLUMN]
 
+    def _endpoint_id_set(
+        self, ref: ast.NodeRef, declared_label: str, side: str
+    ) -> DataFrame:
+        """ALL node ids matching an endpoint ref (set semantics for
+        UPDATE/DELETE qualification — unlike INSERT's single resolve).
+        A bare ref (no id, no props) matches every node of the type."""
+        if ref.node_type != declared_label:
+            raise EngineError(
+                f"{side} node type {ref.node_type!r} does not match "
+                f"edge endpoint {declared_label!r}"
+            )
+        nt = self.catalog.node(ref.node_type)
+        if nt is None:
+            raise EngineError(f"node type {ref.node_type!r} does not exist")
+        df = self._merged_df(("node", ref.node_type))
+        if ref.id is not None:
+            pred = F.col(ID_COLUMN) == F.lit(ref.id.text)
+        elif ref.properties:
+            pred = self._where_pred(ref.properties, nt.field_map(), df.columns)
+        else:
+            pred = F.lit(True)
+        return df.filter(pred).select(ID_COLUMN)
+
+    def _endpoint_qualify(
+        self,
+        df: DataFrame,
+        edge_type: str,
+        from_ref: ast.NodeRef | None,
+        to_ref: ast.NodeRef | None,
+    ) -> tuple[DataFrame, Column, list[str]]:
+        """Join endpoint-id sets onto an edge DataFrame as marker
+        columns; returns (joined df, match predicate, marker columns to
+        drop afterwards). Node ids are unique, so the left joins never
+        duplicate edge rows — and the predicate stays a distributed
+        plan (no driver-side id collection)."""
+        et = self.catalog.edge(edge_type)
+        assert et is not None
+        pred = F.lit(True)
+        drops: list[str] = []
+        for ref, side, col, label in (
+            (from_ref, "FROM", SRC_COLUMN, et.from_ep.label),
+            (to_ref, "TO", DST_COLUMN, et.to_ep.label),
+        ):
+            if ref is None:
+                continue
+            marker = f"_grapho_{side.lower()}_match"
+            ids = self._endpoint_id_set(ref, label, side).select(
+                F.col(ID_COLUMN).alias(marker)
+            )
+            df = df.join(ids, df[col] == ids[marker], "left")
+            pred = pred & F.col(marker).isNotNull()
+            drops.append(marker)
+        return df, pred, drops
+
     def _insert_edge(self, stmt: ast.InsertEdgeStmt) -> StatementResult:
         et = self.catalog.edge(stmt.edge_type)
         if et is None:
@@ -812,6 +866,12 @@ class GraphEngine:
         tab = self._table(*key)
         df = self._merged_df(key)
         pred = self._where_pred(stmt.where, specs, df.columns) if stmt.where else F.lit(True)
+        ep_drops: list[str] = []
+        if not is_node and (stmt.from_node or stmt.to_node):
+            df, ep_pred, ep_drops = self._endpoint_qualify(
+                df, type_name, stmt.from_node, stmt.to_node
+            )
+            pred = pred & ep_pred
 
         sets: dict[str, object] = {}
         for p in stmt.set:
@@ -838,7 +898,7 @@ class GraphEngine:
                 new_df = new_df.withColumn(
                     k, F.when(F.col(hit), typed).otherwise(F.col(k))
                 )
-            new_df = new_df.drop(hit)
+            new_df = new_df.drop(hit, *ep_drops)
             # uniqueness guard over the would-be result
             if is_node:
                 nt = self.catalog.node(type_name)
@@ -873,10 +933,23 @@ class GraphEngine:
         key = (kind, type_name)
         tab = self._table(*key)
         df = self._merged_df(key)
-        pred = self._where_pred(stmt.where, specs, df.columns)
+        pred = (
+            self._where_pred(stmt.where, specs, df.columns)
+            if stmt.where
+            else F.lit(True)
+        )
+        ep_drops: list[str] = []
+        if not is_node and (stmt.from_node or stmt.to_node):
+            df, ep_pred, ep_drops = self._endpoint_qualify(
+                df, type_name, stmt.from_node, stmt.to_node
+            )
+            pred = pred & ep_pred
+        elif not stmt.where:
+            # the parser mandates a predicate; guard the programmatic path
+            raise EngineError("DELETE requires WHERE or endpoint refs")
         count = df.filter(pred).count()
         if count:
-            tab.base = df.filter(~pred).localCheckpoint()
+            tab.base = df.filter(~pred).drop(*ep_drops).localCheckpoint()
             tab.buffer = []
             tab.dirty = True
         # NOTE: like the reference, DELETE NODE does not cascade or

@@ -212,6 +212,12 @@ class UpdateEdgeStmt(Stmt):
     edge_type: str
     set: tuple[Property, ...] = ()
     where: tuple[Property, ...] = ()
+    # Endpoint qualification (extension): ``UPDATE EDGE E FROM <ref> TO
+    # <ref> SET ...`` restricts the update to edges whose endpoints
+    # match the refs (ALL matching nodes, unlike INSERT's single
+    # resolve). None = unqualified (the reference's surface).
+    from_node: NodeRef | None = None
+    to_node: NodeRef | None = None
     line: int = 0
     col: int = 0
 
@@ -228,6 +234,10 @@ class DeleteNodeStmt(Stmt):
 class DeleteEdgeStmt(Stmt):
     edge_type: str
     where: tuple[Property, ...] = ()
+    # Endpoint qualification (extension); when present it satisfies the
+    # mandatory-predicate rule, so WHERE becomes optional.
+    from_node: NodeRef | None = None
+    to_node: NodeRef | None = None
     line: int = 0
     col: int = 0
 

@@ -388,28 +388,67 @@ class Parser:
             edge_type, from_ref, to_ref, props, line=t.line, col=t.col
         )
 
+    def _parse_endpoint_refs(
+        self, is_node: bool
+    ) -> tuple[ast.NodeRef | None, ast.NodeRef | None]:
+        """Optional ``FROM <ref> TO <ref>`` endpoint qualification on
+        edge UPDATE/DELETE (extension; INSERT EDGE's ref grammar
+        reused). Bare refs (no parens) mean "any node of that type"."""
+        if is_node or not self._match(T.FROM):
+            return None, None
+        from_ref = self._parse_node_ref()
+        self._expect(T.TO)
+        return from_ref, self._parse_node_ref()
+
     def _parse_update(self) -> ast.Stmt:
         t = self._tok
         self._next()
         is_node = self._node_or_edge("UPDATE")
         type_name = self._expect(T.IDENT).lit
+        from_ref, to_ref = self._parse_endpoint_refs(is_node)
         self._expect(T.SET)
         set_props = self._parse_property_list()
         where: tuple[ast.Property, ...] = ()
         if self._match(T.WHERE):
             where = self._parse_property_list()
-        cls = ast.UpdateNodeStmt if is_node else ast.UpdateEdgeStmt
-        return cls(type_name, set=set_props, where=where, line=t.line, col=t.col)
+        if is_node:
+            return ast.UpdateNodeStmt(
+                type_name, set=set_props, where=where, line=t.line, col=t.col
+            )
+        return ast.UpdateEdgeStmt(
+            type_name,
+            set=set_props,
+            where=where,
+            from_node=from_ref,
+            to_node=to_ref,
+            line=t.line,
+            col=t.col,
+        )
 
     def _parse_delete(self) -> ast.Stmt:
         t = self._tok
         self._next()
         is_node = self._node_or_edge("DELETE")
         type_name = self._expect(T.IDENT).lit
-        self._expect(T.WHERE)  # WHERE is mandatory for DELETE
-        where = self._parse_property_list()
-        cls = ast.DeleteNodeStmt if is_node else ast.DeleteEdgeStmt
-        return cls(type_name, where=where, line=t.line, col=t.col)
+        from_ref, to_ref = self._parse_endpoint_refs(is_node)
+        where: tuple[ast.Property, ...] = ()
+        if from_ref is not None:
+            # endpoint refs satisfy the mandatory-predicate rule
+            if self._match(T.WHERE):
+                where = self._parse_property_list()
+        else:
+            self._expect(T.WHERE)  # WHERE is mandatory for DELETE
+            where = self._parse_property_list()
+        if is_node:
+            return ast.DeleteNodeStmt(type_name, where=where, line=t.line, col=t.col)
+        return ast.DeleteEdgeStmt(
+            type_name,
+            where=where,
+            from_node=from_ref,
+            to_node=to_ref,
+            line=t.line,
+            col=t.col,
+        )
 
     def _parse_match(self) -> ast.MatchStmt:
         t = self._tok

@@ -225,3 +225,56 @@ def gql_alter_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = eng.execute("MATCH Item RETURN name, qty, location;")[0]
     return res.df
+
+
+@query(
+    "gql_edge_endpoint_dml",
+    oracle="""
+SELECT * FROM (VALUES
+  ('ann', 'acme',   'eng',  2019),
+  ('bob', 'acme',   'lead', 2020)
+) AS t(who, com, role, since)
+ORDER BY who
+""",
+)
+def gql_edge_endpoint_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint-qualified edge DML (extension): ``UPDATE EDGE E FROM
+    <ref> TO <ref> SET ...`` / ``DELETE EDGE E FROM <ref> TO <ref>``
+    mutate the edges whose endpoints match the refs — ALL matching
+    nodes (set semantics), unlike INSERT's single-node resolve. The
+    reference can only predicate on the edge's own props
+    (server/server.go:543-584); selecting edges by who they connect
+    needs a manual id lookup there. Verified through an edge-pattern
+    MATCH of the surviving graph against the hand-computed oracle."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE Person (name: string);"
+        "CREATE NODE Company (cname: string);"
+        "CREATE EDGE WorksAt (FROM Person MANY, TO Company MANY,"
+        "                     PROPS (role: string, since: int));"
+        "INSERT NODE Person (name: 'ann'); INSERT NODE Person (name: 'bob');"
+        "INSERT NODE Company (cname: 'acme');"
+        "INSERT NODE Company (cname: 'globex');"
+        "INSERT EDGE WorksAt FROM Person (name: 'ann') TO Company (cname: 'acme')"
+        "  (role: 'eng', since: 2019);"
+        "INSERT EDGE WorksAt FROM Person (name: 'bob') TO Company (cname: 'acme')"
+        "  (role: 'eng', since: 2020);"
+        "INSERT EDGE WorksAt FROM Person (name: 'bob') TO Company (cname: 'globex')"
+        "  (role: 'mgr', since: 2021);"
+        # bob's edges everywhere -> lead
+        "UPDATE EDGE WorksAt FROM Person (name: 'bob') TO Company SET role: 'lead';"
+        # drop globex edges regardless of who holds them
+        "DELETE EDGE WorksAt FROM Person TO Company (cname: 'globex');"
+    )
+    res = eng.execute("MATCH Person p, WorksAt w, Company c;")[0]
+    return (
+        res.df.select(
+            F.col("p_name").alias("who"),
+            F.col("c_cname").alias("com"),
+            F.col("w_role").alias("role"),
+            F.col("w_since").cast("int").alias("since"),
+        )
+        .orderBy("who")
+    )

@@ -550,3 +550,57 @@ def test_flush_crash_manifest_rollback_replays_consistently(spark, tmp_path):
     eng2 = GraphEngine(spark, data_dir=d)
     rows = eng2.node_df("P").collect()
     assert [r.title for r in rows] == ["b"]
+
+
+ENDPOINT_GRAPH = (
+    "CREATE NODE Person (name: string);"
+    "CREATE NODE Company (cname: string);"
+    "CREATE EDGE WorksAt (FROM Person MANY, TO Company MANY,"
+    "                     PROPS (role: string, since: int));"
+    "INSERT NODE Person (name: 'ann'); INSERT NODE Person (name: 'bob');"
+    "INSERT NODE Company (cname: 'acme'); INSERT NODE Company (cname: 'globex');"
+    "INSERT EDGE WorksAt FROM Person (name: 'ann') TO Company (cname: 'acme')"
+    "  (role: 'eng', since: 2019);"
+    "INSERT EDGE WorksAt FROM Person (name: 'bob') TO Company (cname: 'acme')"
+    "  (role: 'eng', since: 2020);"
+    "INSERT EDGE WorksAt FROM Person (name: 'bob') TO Company (cname: 'globex')"
+    "  (role: 'mgr', since: 2021);"
+)
+
+
+def test_edge_endpoint_update_delete(spark):
+    eng = GraphEngine(spark)
+    eng.execute(ENDPOINT_GRAPH)
+    r = eng.execute(
+        "UPDATE EDGE WorksAt FROM Person (name: 'bob') TO Company SET role: 'lead';"
+    )[0]
+    assert r.count == 2  # set semantics: ALL of bob's edges
+    roles = {x.since: x.role for x in eng.edge_df("WorksAt").collect()}
+    assert roles == {2019: "eng", 2020: "lead", 2021: "lead"}
+    # endpoint + WHERE combine conjunctively
+    r = eng.execute(
+        "DELETE EDGE WorksAt FROM Person TO Company (cname: 'acme') WHERE since: 2019;"
+    )[0]
+    assert r.count == 1
+    # endpoint-only DELETE (WHERE optional when refs present)
+    r = eng.execute("DELETE EDGE WorksAt FROM Person (name: 'bob') TO Company;")[0]
+    assert r.count == 2
+    assert eng.edge_df("WorksAt").count() == 0
+    # mismatched endpoint label is an error
+    with pytest.raises(EngineError, match="does not match edge endpoint"):
+        eng.execute("UPDATE EDGE WorksAt FROM Company TO Company SET role: 'x';")
+
+
+def test_edge_endpoint_dml_replays(spark, tmp_path):
+    # Endpoint-qualified statements ride the commit log; replay must
+    # re-resolve the refs and land on the same state.
+    d = str(tmp_path / "epdml")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(ENDPOINT_GRAPH)
+    eng.execute(
+        "UPDATE EDGE WorksAt FROM Person (name: 'bob') TO Company SET role: 'lead';"
+        "DELETE EDGE WorksAt FROM Person TO Company (cname: 'globex');"
+    )
+    eng2 = GraphEngine(spark, data_dir=d)
+    rows = {x.since: x.role for x in eng2.edge_df("WorksAt").collect()}
+    assert rows == {2019: "eng", 2020: "lead"}

@@ -184,3 +184,27 @@ def test_mixed_script():
         "MatchStmt",
         "DropEdgeStmt",
     ]
+
+
+def test_update_delete_edge_endpoint_refs():
+    st = one(
+        "UPDATE EDGE WorksAt FROM Person (name: 'bob') TO Company "
+        "SET role: 'lead' WHERE since: 2020;"
+    )
+    assert isinstance(st, ast.UpdateEdgeStmt)
+    assert st.from_node.node_type == "Person"
+    assert st.from_node.properties[0].name == "name"
+    assert st.to_node.node_type == "Company"
+    assert st.to_node.properties == ()
+    assert st.set[0].name == "role" and st.where[0].name == "since"
+
+    st = one("DELETE EDGE WorksAt FROM Person TO Company (cname: 'acme');")
+    assert isinstance(st, ast.DeleteEdgeStmt)
+    assert st.where == () and st.to_node.properties[0].name == "cname"
+
+    # endpoint refs do NOT waive DELETE's predicate rule when absent
+    _, errors = parse_script("DELETE EDGE WorksAt;")
+    assert errors
+    # UPDATE NODE must not accept FROM
+    _, errors = parse_script("UPDATE NODE P FROM Q TO R SET x: 1;")
+    assert errors
