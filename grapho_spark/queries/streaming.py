@@ -371,3 +371,59 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id",
         "error_ts",
     )
+
+
+@query(
+    "streaming_timeout_sessions",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000
+              OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM pts),
+sessions AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged),
+agg AS (
+  SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM agg
+WHERE session_end_us <= (SELECT MAX(us) FROM pts)
+                        - 3600000000 - 1800000000 - 300000000
+""",
+)
+def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization with EVENT-TIME TIMEOUT
+    (applyInPandasWithState): gap-closed sessions emit in-batch; each
+    user's trailing open session emits when the watermark passes its
+    end + 30-minute gap — output driven by state eviction, the
+    timeout semantics the other stateful queries don't exercise.
+
+    Determinism: Spark emits every gap-closed session plus timed-out
+    trailing sessions (timeout fires once the final watermark,
+    max ts - 1h, passes end + gap). BOTH sides therefore keep only
+    sessions with end <= max_ts - 1h - gap - 5min margin: below that
+    line a session is provably emitted under either >/>= timeout
+    boundary semantics, and above it the oracle can't know which side
+    Spark chose. Session bounds ride as epoch-microsecond longs so no
+    timezone/unit coercion can skew the comparison.
+    """
+    from grapho_spark.streaming.ops import sessionize_with_timeout
+
+    max_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.unix_micros(F.max("ts"))).collect()[0][0]
+    )
+    cutoff = max_us - 3_600_000_000 - 1_800_000_000 - 300_000_000
+    ev = load_stream(spark, sf_dir, "events")
+    out = run_to_memory(sessionize_with_timeout(ev), "append")
+    return out.filter(F.col("session_end_us") <= F.lit(cutoff))

@@ -103,3 +103,87 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n long"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user gap sessionizer with EVENT-TIME TIMEOUT: sessions
+    closed by a gap inside the batch emit immediately; the trailing
+    open session stays in state with a timeout at end + gap, and emits
+    when the watermark passes it (state eviction == session close —
+    the semantics ``session_window`` gives declaratively, done here
+    with explicit GroupState to exercise the timeout path)."""
+    if state.hasTimedOut:
+        start, end, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_us": [start],
+                "session_end_us": [end],
+                "n_events": [n],
+            }
+        )
+        return
+    batches = [p for p in pdfs if len(p)]
+    if not batches:
+        return
+    rows = pd.concat(batches)
+    ts_us = rows["ts"].astype("datetime64[us]").astype("int64").sort_values().tolist()
+    sessions: list[tuple[int, int, int]] = []
+    if state.exists:
+        cur = tuple(state.get)
+    else:
+        cur = (ts_us[0], ts_us[0], 0)
+        # n=0: first event folds in below
+    start, end, n = cur
+    for t in ts_us:
+        if t - end > SESSION_GAP_US:
+            sessions.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            end, n = max(end, t), n + 1
+    closed = [s for s in sessions if s[2] > 0]
+    state.update((start, end, n))
+    # fire when the watermark passes the open session's gap horizon;
+    # never set a timeout at/below the current watermark (illegal)
+    timeout_ms = max(
+        (end + SESSION_GAP_US) // 1000, state.getCurrentWatermarkMs() + 1
+    )
+    state.setTimeoutTimestamp(timeout_ms)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start_us": [s[0] for s in closed],
+                "session_end_us": [s[1] for s in closed],
+                "n_events": [s[2] for s in closed],
+            }
+        )
+
+
+def sessionize_with_timeout(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """(user_id, session bounds, n_events) per 30-minute-gap session,
+    with the trailing session per user closed by event-time TIMEOUT.
+    State is one open session per active user; timed-out keys are
+    removed, so state size tracks concurrently-active users only."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
