@@ -456,3 +456,126 @@ def deterministic_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+WITH w AS (
+  SELECT lang, string_split(text, ' ') AS words FROM documents),
+m AS (
+  SELECT lang,
+         len(words) AS n_words,
+         len(list_distinct(words)) AS n_distinct,
+         len(words) - 1 AS n_bigrams,
+         len(list_distinct(list_transform(range(1, len(words)),
+             i -> words[i] || ' ' || words[i+1]))) AS n_distinct_bigrams
+  FROM w)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_distinct * 2 < n_words THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity,
+       CAST(SUM(CASE WHEN (n_bigrams - n_distinct_bigrams) * 20 > n_bigrams
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words) AS corpus_distinct_ratio
+FROM m GROUP BY lang
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality signals (the Gopher-rules family):
+    per-document distinct-word ratio and duplicated-bigram fraction,
+    rolled up per language as filter counts. Thresholds are integer
+    comparisons (n_distinct*2 < n_words; dup_bigrams*20 > n_bigrams)
+    and the corpus ratio is ONE division of exact integer sums, so no
+    float-summation-order drift can split the engines.
+
+    Scale: pure per-row array expressions in codegen (no explode, no
+    UDF) + one partial-aggregated groupBy on a 5-value key. The bigram
+    array is built once per row via sequence+element_at — O(len)
+    memory, no self-join.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    n = F.size("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at("words", i), F.element_at("words", i + 1)),
+    )
+    m = d.select(
+        "lang",
+        n.alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        (n - 1).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_distinct") * 2 < F.col("n_words"), 1).otherwise(0)
+        ).cast("long").alias("n_low_diversity"),
+        F.sum(
+            F.when(
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 20
+                > F.col("n_bigrams"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_repetitive"),
+        (
+            F.sum("n_distinct").cast("double") / F.sum("n_words")
+        ).alias("corpus_distinct_ratio"),
+    )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources
+        FROM per_source)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) AS sampling_weight
+FROM per_source, tot
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: per-source token counts, corpus
+    share, and the per-source sampling weight that equalizes the token
+    mixture (weight = uniform_target / actual_share). The multiplier a
+    data-loader applies to hit a target mix — the standard knob for
+    up/down-weighting sources in LLM pre-training corpora.
+
+    Determinism: shares and weights are SINGLE divisions of exact
+    integer sums (no float accumulation), so both engines produce
+    bit-identical doubles.
+
+    Scale: one partial-aggregated groupBy on the source key; the
+    total rides a broadcast of the tiny per-source aggregate, not a
+    second pass over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+            "token_share"
+        ),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens"))
+        ).alias("sampling_weight"),
+    )
