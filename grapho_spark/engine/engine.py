@@ -329,6 +329,48 @@ class GraphEngine:
         )
         return find_motif(vertices, edges, pattern)
 
+    def table_versions(self, kind: str, name: str) -> list[int]:
+        """Flushed parquet versions available for time travel (ascending;
+        empty for in-memory engines or never-flushed tables)."""
+        if not self.data_dir:
+            return []
+        tdir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
+        try:
+            entries = os.listdir(tdir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            if e.startswith("v") and e[1:].isdigit():
+                out.append(int(e[1:]))
+        return sorted(out)
+
+    def node_df_at(self, name: str, version: int) -> DataFrame:
+        """Time travel: the node table as of flush ``version``. The
+        engine's copy-on-write flush keeps every version's parquet
+        (v1, v2, ...), so old versions stay readable — Delta-style
+        time travel on plain parquet. Schema is read as-of the version
+        (an ALTER between versions shows the old shape)."""
+        return self._df_at("node", name, version)
+
+    def edge_df_at(self, name: str, version: int) -> DataFrame:
+        """Time travel: the edge table as of flush ``version``."""
+        return self._df_at("edge", name, version)
+
+    def _df_at(self, kind: str, name: str, version: int) -> DataFrame:
+        if not self.data_dir:
+            raise EngineError("time travel needs a durable engine (data_dir)")
+        path = os.path.join(
+            self.data_dir, "tables", f"{kind}_{name}", f"v{version}"
+        )
+        if not os.path.exists(path):
+            have = self.table_versions(kind, name)
+            raise EngineError(
+                f"{kind} {name!r} has no version {version} "
+                f"(available: {have or 'none'})"
+            )
+        return self.spark.read.parquet(path)
+
     def history(self) -> list[dict]:
         """Catalog version history (time-travel audit) reconstructed
         from the DDL event log; empty for in-memory engines."""

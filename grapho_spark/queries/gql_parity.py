@@ -278,3 +278,54 @@ def gql_edge_endpoint_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("who")
     )
+
+
+@query(
+    "gql_time_travel",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, CAST(3 AS BIGINT), CAST(17 AS BIGINT)),
+  (2, CAST(3 AS BIGINT), CAST(22 AS BIGINT)),
+  (3, CAST(2 AS BIGINT), CAST(22 AS BIGINT))
+) AS t(version, n_rows, total_qty)
+""",
+)
+def gql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the engine's copy-on-write flushes: every
+    flush writes a new parquet version (v1, v2, ...) and KEEPS the old
+    ones, so any past state stays readable — Delta-style time travel
+    on plain parquet, from the versioning the durable engine already
+    does (the reference overwrites its node files in place,
+    server/server.go:870-905, and has no history). Three flushes
+    (insert / update / delete between them) are read back per-version
+    and aggregated; the oracle is the hand-computed state at each
+    version."""
+    import tempfile
+
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark, data_dir=tempfile.mkdtemp(prefix="grapho_tt_"))
+    eng.execute(
+        "CREATE NODE Item (name: string, qty: int);"
+        "INSERT NODE Item (name: 'widget', qty: 10);"
+        "INSERT NODE Item (name: 'gizmo', qty: 7);"
+        "INSERT NODE Item (name: 'junk', qty: 0);"
+    )
+    eng.flush()  # v1
+    eng.execute("UPDATE NODE Item SET qty: 15 WHERE name: 'widget';")
+    eng.flush()  # v2
+    eng.execute("DELETE NODE Item WHERE qty: 0;")
+    eng.flush()  # v3
+    frames = []
+    for v in eng.table_versions("node", "Item"):
+        frames.append(
+            eng.node_df_at("Item", v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").cast("long").alias("total_qty"),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

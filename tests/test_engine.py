@@ -604,3 +604,24 @@ def test_edge_endpoint_dml_replays(spark, tmp_path):
     eng2 = GraphEngine(spark, data_dir=d)
     rows = {x.since: x.role for x in eng2.edge_df("WorksAt").collect()}
     assert rows == {2019: "eng", 2020: "lead"}
+
+
+def test_time_travel_versions(spark, tmp_path):
+    d = str(tmp_path / "tt")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute(
+        "CREATE NODE P (name: string);"
+        "INSERT NODE P (name: 'a');"
+    )
+    eng.flush()  # v1
+    eng.execute("ALTER NODE P ADD extra: int; INSERT NODE P (name: 'b', extra: 5);")
+    eng.flush()  # v2
+    assert eng.table_versions("node", "P") == [1, 2]
+    v1 = eng.node_df_at("P", 1)
+    assert "extra" not in v1.columns  # schema as-of the version
+    assert v1.count() == 1
+    assert eng.node_df_at("P", 2).count() == 2
+    with pytest.raises(EngineError, match="no version 9"):
+        eng.node_df_at("P", 9)
+    with pytest.raises(EngineError, match="durable engine"):
+        GraphEngine(spark).node_df_at("P", 1)
