@@ -6,6 +6,7 @@ algorithms)."""
 from grapho_spark.analytics.algorithms import (
     bfs,
     connected_components,
+    connected_components_lss,
     degrees,
     kcore_peel,
     label_propagation,
@@ -18,6 +19,7 @@ from grapho_spark.analytics.motif import find_motif
 __all__ = [
     "bfs",
     "connected_components",
+    "connected_components_lss",
     "degrees",
     "kcore_peel",
     "label_propagation",

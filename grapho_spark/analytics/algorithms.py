@@ -171,6 +171,108 @@ def _cc_loop(sym, labels, max_iter):
     return labels
 
 
+def connected_components_lss(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Same labeling contract as ``connected_components`` (component =
+    min node id, any orderable id type), different scaling shape: the
+    pointer-jumping loop concentrates its shortcut-join keys on
+    component roots near convergence, while each star round here only
+    ever groups a node with its CURRENT neighbors and re-attaches them
+    to the local minimum — per-round fan-in is bounded by current
+    degree, which the star steps themselves keep shrinking. This is
+    the formulation for power-law graphs with billion-node components
+    where a root-keyed join would be one giant hot key.
+
+    Each round = two star steps; each step is one groupBy + one
+    broadcast-free shuffle join on the node key. Converges in
+    O(log^2 n) rounds (in practice a handful).
+    """
+    spark = edges.sparkSession
+    parts = _loop_partitions(2 * edges.count(), spark)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # For each node u (over the symmetrized neighborhood): attach
+        # every LARGER neighbor to m = min(N(u) ∪ {u}).
+        sym = _symmetrize(e)
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+            "src", F.least("mn", "src").alias("m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Orient every edge large->small, then attach each SMALLER
+        # neighbor (and u itself) to m = min(N_small(u) ∪ {u}).
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        reattached = (
+            oriented.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+        return (
+            reattached.unionByName(self_edges)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    with no_aqe(spark), shuffle_partitions(spark, parts):
+        # Track original nodes: singletons and nodes whose edges get
+        # absorbed must still appear in the output labeled as of the
+        # final star forest.
+        nodes = materialize(
+            _symmetrize(edges).select(F.col("src").alias("node")).distinct()
+        )
+        e = materialize(
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        prev_fp = None
+        for _ in range(max_iter):
+            e = checkpoint_state(small_star(large_star(e)))
+            # Fingerprint convergence: edge multiset unchanged. Dual
+            # independently-seeded hash sums (same scheme as _cc_loop)
+            # make a false fixpoint require both deltas to cancel.
+            fp = tuple(
+                e.agg(
+                    F.count(F.lit(1)),
+                    F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                    F.sum(
+                        F.xxhash64(F.lit("lss2"), "src", "dst").cast("decimal(38,0)")
+                    ),
+                ).collect()[0]
+            )
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+        # Converged: e is a star forest pointing node -> component min.
+        labels = (
+            _symmetrize(e)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("component"))
+        )
+        return (
+            nodes.join(labels, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("component") < F.col("node"), F.col("component")
+                ).otherwise(F.col("node")).alias("component"),
+            )
+        )
+
+
 def pagerank(
     edges: DataFrame, iters: int = 10, damping: float = 0.85, directed: bool = True
 ) -> DataFrame:

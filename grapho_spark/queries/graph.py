@@ -346,6 +346,35 @@ def graph_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_cc_largestar",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+reach(n, m) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.n, e.dst FROM reach r JOIN sym e ON r.m = e.src)
+SELECT n AS node, MIN(m) AS component
+FROM reach GROUP BY n
+""",
+)
+def graph_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via LARGE-STAR/SMALL-STAR alternation
+    (Kiveris et al.) — the skew-safe formulation whose per-round
+    fan-in is bounded by current degree, for power-law graphs where
+    pointer jumping's shortcut join would hammer one root key. Same
+    recursive-CTE oracle as the other CC queries: three independent
+    implementations (driver union-find, pointer jumping, LSS) must
+    agree on the labeling.
+    """
+    from grapho_spark.analytics import connected_components_lss
+
+    edges = copurchase_edges(spark, sf_dir)
+    return connected_components_lss(
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
 def _duck_pagerank_sql() -> str:
     n_expr = "(SELECT COUNT(*) FROM nodes)"
     chains = [
