@@ -733,3 +733,101 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "full_outer_nation_presence",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT n.n_name AS nation,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       (c.nk IS NOT NULL AND s.nk IS NOT NULL) AS has_both
+FROM c FULL JOIN s ON c.nk = s.nk
+JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+""",
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with asymmetric key coverage
+    (at small SF most nations have customers but no suppliers):
+    null-side coalescing and the both-sides-present flag are the
+    outer-join semantics no other query exercises.
+
+    Scale: both inputs are pre-aggregated to nation cardinality before
+    the join — the full-outer shuffle moves 25 rows, not the raw
+    tables; nation is broadcast onto the result.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.withColumnRenamed("nk", "cnk").join(
+        s.withColumnRenamed("nk", "snk"),
+        F.col("cnk") == F.col("snk"),
+        "full_outer",
+    )
+    return (
+        joined.join(
+            F.broadcast(n),
+            n.n_nationkey == F.coalesce(F.col("cnk"), F.col("snk")),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            (F.col("cnk").isNotNull() & F.col("snk").isNotNull()).alias("has_both"),
+        )
+    )
+
+
+@query(
+    "approx_percentiles_bounded",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch, accuracy 1000 =>
+    rank error <= 0.1%) checked against the exact interpolated
+    percentile: the query emits the exact values plus booleans
+    asserting the sketch landed within the value range spanned by the
+    rank-error window [p - 3*eps, p + 3*eps]. The oracle recomputes
+    the exact percentiles and expects literal TRUE — same shape as
+    approx_aggregates' bounded check, extended to quantile sketches
+    (sketches are THE 100 TB percentile path; exact sort-based
+    percentiles don't scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 3 * 0.001  # 3x the configured rank error, conservative
+    aggs = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_exact"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("p50_approx"),
+        F.expr("percentile_approx(l_extendedprice, 0.95, 1000)").alias("p95_approx"),
+        F.expr(f"percentile(l_extendedprice, {0.5 - eps})").alias("p50_lo"),
+        F.expr(f"percentile(l_extendedprice, {0.5 + eps})").alias("p50_hi"),
+        F.expr(f"percentile(l_extendedprice, {0.95 - eps})").alias("p95_lo"),
+        F.expr(f"percentile(l_extendedprice, {0.95 + eps})").alias("p95_hi"),
+    )
+    return aggs.select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        ((F.col("p50_approx") >= F.col("p50_lo")) & (F.col("p50_approx") <= F.col("p50_hi"))).alias("p50_within_bound"),
+        ((F.col("p95_approx") >= F.col("p95_lo")) & (F.col("p95_approx") <= F.col("p95_hi"))).alias("p95_within_bound"),
+    )
