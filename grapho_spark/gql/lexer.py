@@ -32,6 +32,7 @@ class TokenType(enum.Enum):
     COMMA = "COMMA"
     SEMI = "SEMI"
     COLON = "COLON"
+    DOT = "DOT"
 
     # keywords
     CREATE = "CREATE"
@@ -203,6 +204,7 @@ class Lexer:
             ",": TokenType.COMMA,
             ";": TokenType.SEMI,
             ":": TokenType.COLON,
+            ".": TokenType.DOT,
         }
         if ch in punct:
             self._advance()

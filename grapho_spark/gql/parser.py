@@ -341,13 +341,21 @@ class Parser:
 
     # -- DML --------------------------------------------------------------
 
-    def _parse_property_list(self) -> tuple[ast.Property, ...]:
+    def _parse_property_list(
+        self, qualified: bool = False
+    ) -> tuple[ast.Property, ...]:
+        """``qualified=True`` (MATCH WHERE only) additionally accepts
+        alias-qualified keys — ``a.name: 'x'`` — stored with the dot in
+        the property name; the engine resolves the alias."""
         props: list[ast.Property] = []
         while True:
             name = self._expect(T.IDENT)
+            full = name.lit
+            if qualified and self._match(T.DOT):
+                full = f"{full}.{self._expect(T.IDENT).lit}"
             self._expect(T.COLON)
             lit = self._parse_literal()
-            props.append(ast.Property(name.lit, lit, name.line, name.col))
+            props.append(ast.Property(full, lit, name.line, name.col))
             if not self._match(T.COMMA):
                 break
         return tuple(props)
@@ -469,7 +477,7 @@ class Parser:
                 break
         where: tuple[ast.Property, ...] = ()
         if self._match(T.WHERE):
-            where = self._parse_property_list()
+            where = self._parse_property_list(qualified=True)
         returns: list[str] = []
         if self._match(T.RETURN):
             returns.append(self._expect(T.IDENT).lit)
