@@ -24,8 +24,12 @@ def _roundtrip(spark: SparkSession, df: DataFrame, fmt: str, tag: str) -> DataFr
     from grapho_spark.sources import read_table, write_table
 
     path = os.path.join(tempfile.gettempdir(), f"grapho_src_{fmt}_{tag}")
-    write_table(df, path, fmt=fmt, timestampFormat=TS_FMT)
-    return read_table(spark, path, fmt=fmt, schema=df.schema, timestampFormat=TS_FMT)
+    # timestampNTZFormat too: if an NTZ column ever reaches the writer,
+    # the plain timestampFormat silently doesn't apply and the default
+    # NTZ format truncates to milliseconds (a silent wrong answer).
+    opts = {"timestampFormat": TS_FMT, "timestampNTZFormat": TS_FMT}
+    write_table(df, path, fmt=fmt, **opts)
+    return read_table(spark, path, fmt=fmt, schema=df.schema, **opts)
 
 
 @query(

@@ -59,10 +59,21 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
 
 def _convert_ns_columns(df: DataFrame) -> DataFrame:
-    if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
-        # integer `div`, NOT `/`: float division loses sub-us precision
-        # on epoch-nanosecond magnitudes (> 2^53).
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") == "bigint":
+        # legacy fixtures: TIMESTAMP(NANOS) parquet surfaced as raw long
+        # nanoseconds via nanosAsLong. integer `div`, NOT `/`: float
+        # division loses sub-us precision on epoch-nanosecond
+        # magnitudes (> 2^53).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # current fixtures: plain timestamp[us] with no timezone, which
+    # Spark 4 reads as TIMESTAMP_NTZ. unix_micros()/withWatermark()
+    # reject NTZ and the JSON writer formats it under a different
+    # option, so normalize to TIMESTAMP. Value-preserving: the session
+    # timezone is pinned to UTC in _ensure_session_confs.
+    for name, dtype in dtypes.items():
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 
