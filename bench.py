@@ -11,26 +11,26 @@ import sys
 import time
 
 HEADLINE = [
-    "q1_pricing_summary",
+    "core_q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "top_customers_by_revenue",
-    "window_running_order_total",
+    "core_window_running_order_total",
     "rollup_revenue_by_year_priority",
-    "events_sessionization",
-    "events_asof_last_purchase",
+    "core_events_sessionization",
+    "core_events_asof_last_purchase",
     "dedup_exact_summary",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
+    "core_dedup_minhash_lsh_pairs",
+    "core_dedup_simhash",
     "text_quality_scores",
     "text_token_stats",
     "embedding_knn_pandas",
-    "embedding_ivf_knn",
+    "core_embedding_ivf_knn",
     "graph_copurchase_edges",
     "graph_pagerank",
-    "graph_cc_distributed",
-    "graph_pagerank_distributed",
+    "core_graph_cc_distributed",
+    "core_graph_pagerank_distributed",
 ]
 
 
@@ -43,6 +43,9 @@ def main() -> None:
 
     spark = get_spark("grapho_spark_bench")
     registry = all_queries()
+    missing = [n for n in HEADLINE if n not in registry]
+    if missing:  # a silent skip would under-report the bench total
+        raise SystemExit(f"bench: unknown query names: {missing}")
 
     # Warm the JVM / parquet footers with a trivial action.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()

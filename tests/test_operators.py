@@ -357,7 +357,7 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     # not a full scan of every nationkey partition.
     from grapho_spark.queries import all_queries
 
-    df = all_queries()["source_dynamic_partition_pruning"].spark_fn(spark, sf_dir)
+    df = all_queries()["core_source_dynamic_partition_pruning"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "BroadcastHashJoin" in plan
