@@ -96,9 +96,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     parts = _loop_partitions(2 * edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
         sym = materialize(_symmetrize(edges))
-        labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-            "component", F.col("node")
-        ).transform(materialize)
+        # Seed each node with min({self} ∪ N(v)) in ONE aggregation over
+        # the symmetrized edges — the same state a full first round of
+        # join+union+min would produce from identity labels, minus that
+        # round's data-sized join shuffle.
+        labels = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select(
+                F.col("src").alias("node"),
+                F.least(F.col("mn"), F.col("src")).alias("component"),
+            )
+            .transform(materialize)
+        )
         return _cc_loop(sym, labels, max_iter)
 
 
@@ -309,18 +319,26 @@ def pagerank(
 
 
 def _pr_loop(e, nodes, deg, ranks, n, iters, damping, has_dangling=True):
+    # One-time: fold the out-degree into the edge list so every
+    # iteration is exactly one edge⋈rank join + one aggregation — the
+    # node-sized rank⋈degree join would otherwise repeat per round
+    # (node tables are billions of rows at target scale). Contribution
+    # stays pr/d (not pr * (1/d)) to match the oracle's arithmetic
+    # bit-for-bit before the final rounding.
+    ed = materialize(
+        e.join(deg.withColumnRenamed("node", "src"), "src").select("src", "dst", "d")
+    )
     for _ in range(iters):
-        with_deg = ranks.join(deg, "node", "left")
         dangling = (
-            (with_deg.filter(F.col("d").isNull()).agg(F.sum("pr")).collect()[0][0] or 0.0)
+            (
+                ranks.join(deg, "node", "left_anti").agg(F.sum("pr")).collect()[0][0]
+                or 0.0
+            )
             if has_dangling
             else 0.0
         )
         contribs = (
-            e.join(
-                with_deg.filter(F.col("d").isNotNull()).withColumnRenamed("node", "src_n"),
-                F.col("src") == F.col("src_n"),
-            )
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), (F.col("pr") / F.col("d")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
