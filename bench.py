@@ -47,8 +47,16 @@ def main() -> None:
     if missing:  # a silent skip would under-report the bench total
         raise SystemExit(f"bench: unknown query names: {missing}")
 
-    # Warm the JVM / parquet footers with a trivial action.
+    # Warm the JVM / parquet footers with a trivial action, and the
+    # Python worker pool with a no-op mapInPandas (daemon + worker
+    # startup is deployment cost, same bucket as JVM warmup — on a
+    # long-lived cluster both pools are already hot).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    def _ident(it):
+        yield from it
+
+    spark.range(64).repartition(32).mapInPandas(_ident, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -579,3 +579,120 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_sources") * F.col("n_tokens"))
         ).alias("sampling_weight"),
     )
+
+
+CHUNK_W = 32  # tokens per context window
+CHUNK_S = 24  # stride (windows overlap by W - S tokens)
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(range(0, len(words), {CHUNK_S})) AS start
+  FROM w)
+SELECT doc_id,
+       CAST(start / {CHUNK_S} AS BIGINT) AS chunk_idx,
+       len(list_slice(words, start + 1, start + {CHUNK_W})) AS n_chunk_tokens,
+       array_to_string(list_slice(words, start + 1, start + {CHUNK_W}), ' ')
+         AS chunk_text
+FROM s
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into overlapping
+    windows of ``CHUNK_W`` whitespace tokens at stride ``CHUNK_S`` —
+    the pre-training step that turns variable-length documents into
+    model-sized training sequences (overlap preserves cross-boundary
+    context).
+
+    Scale: per-row array build + explode, no shuffle at all — chunking
+    100 TB is a map-only job whose output feeds the tokenizer
+    directly. The words array is bound to a column BEFORE the explode
+    so project-collapse cannot inline the split into every consumer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("words", F.split(F.trim("text"), r"\s+"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.size("words") - 1),
+        F.lit(CHUNK_S),
+    )
+    chunk = F.slice(F.col("words"), F.col("start") + 1, CHUNK_W)
+    return (
+        d.select("doc_id", "words", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+PACK_CTX = 256  # token budget per packed training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents),
+cum AS (
+  SELECT source, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS tokens_before
+  FROM tok)
+SELECT source,
+       CAST(FLOOR(tokens_before / {PACK_CTX}.0) AS BIGINT) AS seq_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM cum
+GROUP BY source, seq_bin
+""",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chop): documents are concatenated
+    per source in doc_id order and chopped into ``PACK_CTX``-token
+    training sequences; a document belongs to the bin where it starts.
+    Reports docs and tokens per packed sequence — the packing
+    efficiency view a data-loader needs before training.
+
+    Determinism: bin assignment is integer math over an exact integer
+    running sum with a total per-source order (doc_id), identical in
+    both engines.
+
+    Scale: the running sum is a window partitioned BY SOURCE — packing
+    parallelizes across shards (the way production packers run) rather
+    than forcing one global sequential pass.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim("text"), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select("doc_id", "source", n.alias("n")).withColumn(
+        "tokens_before", F.sum("n").over(w) - F.col("n")
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("tokens_before") / F.lit(float(PACK_CTX)))
+            .cast("long")
+            .alias("seq_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
