@@ -64,7 +64,11 @@ def bfs(edges: DataFrame, start_nodes: DataFrame, max_hops: int, directed: bool 
     Each round: frontier ⋈ edges -> next frontier minus visited — one
     shuffle per hop, frontier-sized not graph-sized.
     """
-    e = (edges.select("src", "dst") if directed else _symmetrize(edges)).transform(materialize)
+    # Cache the edge table PRE-PARTITIONED on the per-hop join key:
+    # each hop then shuffles only the frontier, never the edges.
+    e = materialize(
+        (edges.select("src", "dst") if directed else _symmetrize(edges)).repartition("src")
+    )
     visited = start_nodes.select("node").distinct().withColumn("hops", F.lit(0))
     frontier = visited.select("node")
     spark = edges.sparkSession
@@ -95,7 +99,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     spark = edges.sparkSession
     parts = _loop_partitions(2 * edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
-        sym = materialize(_symmetrize(edges))
+        # Pre-partitioned on src (the per-round join/groupBy key): the
+        # cached edge table never re-exchanges inside the loop — only
+        # the node-sized label table shuffles per round.
+        sym = materialize(_symmetrize(edges).repartition("src"))
         # Seed each node with min({self} ∪ N(v)) in ONE aggregation over
         # the symmetrized edges — the same state a full first round of
         # join+union+min would produce from identity labels, minus that
@@ -374,7 +381,8 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     spark = edges.sparkSession
     parts = _loop_partitions(2 * edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
-        sym = materialize(_symmetrize(edges))
+        # src-partitioned cache: rounds shuffle labels, not edges.
+        sym = materialize(_symmetrize(edges).repartition("src"))
         labels = (
             sym.select(F.col("src").alias("node"))
             .distinct()
@@ -411,7 +419,9 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     spark = edges.sparkSession
     parts = _loop_partitions(2 * edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
-        sym = materialize(_symmetrize(edges))
+        # src-partitioned: the degree groupBy and the src-side semi
+        # join reuse the cached partitioning every round.
+        sym = materialize(_symmetrize(edges).repartition("src"))
         for _ in range(rounds):
             deg = sym.groupBy(F.col("src").alias("node")).agg(
                 F.count(F.lit(1)).alias("d")
@@ -442,7 +452,9 @@ def sssp(weighted_edges: DataFrame, start_nodes: DataFrame, max_hops: int) -> Da
     spark = weighted_edges.sparkSession
     parts = _loop_partitions(2 * weighted_edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
-        e = materialize(weighted_edges.select("src", "dst", "cost"))
+        # src-partitioned: relaxation joins shuffle only the distance
+        # table.
+        e = materialize(weighted_edges.select("src", "dst", "cost").repartition("src"))
         dist = start_nodes.select("node").distinct().withColumn("dist", F.lit(0.0))
         for _ in range(max_hops):
             relaxed = (

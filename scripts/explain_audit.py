@@ -33,14 +33,17 @@ CHECKS = {
     "deterministic_stratified_sample": ["PushedFilters", "ReadSchema"],
     # round-3 additions
     "source_partitioned_parquet_pruning": ["PartitionFilters"],
-    "source_dynamic_partition_pruning": ["dynamicpruning", "BroadcastHashJoin"],
+    "core_source_dynamic_partition_pruning": ["dynamicpruning", "BroadcastHashJoin"],
     "text_contamination_probe": ["BroadcastHashJoin"],
     "embedding_ivf_recall": [
         "BroadcastNestedLoopJoin|BroadcastHashJoin|Cross",
         "ReadSchema",
     ],
     "events_hierarchical_rollup": ["HashAggregate", "ReadSchema"],
-    "gql_match_edge_pattern": ["BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+    "core_gql_match_edge_pattern": ["BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+    # round-5 additions
+    "text_chunk_windows": ["Generate", "ReadSchema"],
+    "text_pack_sequences": ["Window", "RunningWindowFunction|WindowExec|Window"],
 }
 
 
