@@ -498,3 +498,78 @@ def embedding_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cosine") >= 0.6, 1).otherwise(0)).alias("n_neardup"),
         F.countDistinct("bucket").alias("n_shared_buckets"),
     )
+
+
+@query(
+    "embedding_int8_quantization",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+m AS (
+  SELECT vec_id, ev,
+         list_aggregate(ev, 'min') AS mn,
+         list_aggregate(ev, 'max') AS mx
+  FROM e),
+s AS (
+  SELECT vec_id, ev, mn,
+         CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale
+  FROM m),
+q AS (
+  SELECT vec_id, mn, scale,
+         list_transform(ev, x -> floor((x - mn) / scale + 0.5)) AS codes,
+         list_transform(
+           ev,
+           x -> (x - (mn + floor((x - mn) / scale + 0.5) * scale))
+                * (x - (mn + floor((x - mn) / scale + 0.5) * scale))
+         ) AS sqerr
+  FROM s)
+SELECT vec_id, mn, scale,
+       CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_codes,
+       round(list_aggregate(sqerr, 'sum') / len(sqerr), 10) AS mse
+FROM q
+""",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: per-vector
+    min/max affine scale to the 0..255 code range, with codebook usage
+    (distinct codes) and reconstruction MSE — the compression step that
+    cuts an embedding corpus 4x before ANN indexing at 100 TB.
+
+    Determinism: float32 inputs cast exactly to double; rounding is
+    ``floor(v + 0.5)`` on BOTH engines (Spark round() and DuckDB
+    round() disagree on tie semantics); the MSE left-fold runs in array
+    order in both engines and is rounded at 10dp, far coarser than
+    double accumulation error over 64 elements.
+
+    Scale: pure per-row codegen array math — map-only over the scan,
+    no shuffle, no Python.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", ev.alias("ev")).select(
+        "vec_id",
+        "ev",
+        F.array_min("ev").alias("mn"),
+        F.array_max("ev").alias("mx"),
+    )
+    base = base.withColumn(
+        "scale",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+            (F.col("mx") - F.col("mn")) / F.lit(255.0)
+        ),
+    )
+    code = "floor((x - mn) / scale + 0.5)"
+    err = f"(x - (mn + {code} * scale)) * (x - (mn + {code} * scale))"
+    return base.select(
+        "vec_id",
+        "mn",
+        "scale",
+        F.size(F.array_distinct(F.expr(f"transform(ev, x -> {code})")))
+        .cast("long")
+        .alias("n_distinct_codes"),
+        F.round(
+            F.expr(f"aggregate(transform(ev, x -> {err}), 0D, (acc, x) -> acc + x)")
+            / F.size("ev"),
+            10,
+        ).alias("mse"),
+    )

@@ -696,3 +696,71 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_tokens"),
         )
     )
+
+
+VOCAB_TOP_K = 64
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+counts AS (SELECT term, COUNT(*) AS n_occurrences FROM toks GROUP BY term),
+tot AS (SELECT SUM(n_occurrences) AS total FROM counts),
+topk AS (
+  SELECT term, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS rank
+  FROM counts
+  QUALIFY rank <= {VOCAB_TOP_K})
+SELECT rank, term, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(SUM(n_occurrences) OVER (ORDER BY rank
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+FROM topk, tot
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design statistic: the top-``VOCAB_TOP_K`` vocabulary by
+    corpus frequency with each prefix's cumulative share of all token
+    occurrences — how much of the corpus a vocabulary of size k covers.
+
+    Determinism: integer counts, ties broken by term; each share is a
+    single division of exact integer sums.
+
+    Scale: the global top-k is ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    driver-side merge), NOT a single-partition global sort. Only the
+    k-row result uses a one-partition window.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    from grapho_spark.sparkutil import materialize
+
+    counts = materialize(counts)
+    tot = counts.agg(F.sum("n_occurrences").alias("total"))
+    topk = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(VOCAB_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+            ),
+        )
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return topk.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "term",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        (F.sum("n_occurrences").over(w_cum).cast("double") / F.col("total")).alias(
+            "cum_share"
+        ),
+    )
