@@ -211,7 +211,12 @@ def connected_components_lss(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 
     def large_star(e: DataFrame) -> DataFrame:
         # For each node u (over the symmetrized neighborhood): attach
-        # every LARGER neighbor to m = min(N(u) ∪ {u}).
+        # every LARGER neighbor to m = min(N(u) ∪ {u}). No explicit
+        # repartition here: the min-aggregation's exchange carries
+        # map-side-combined partials (node-sized), and the join needs
+        # one raw-edge exchange regardless — measured via explain, a
+        # shared src repartition DUPLICATES the edge exchange instead
+        # (ReuseExchange does not fire across the agg/join subtrees).
         sym = _symmetrize(e)
         mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
             "src", F.least("mn", "src").alias("m")
