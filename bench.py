@@ -25,8 +25,10 @@ HEADLINE = [
     "core_dedup_simhash",
     "text_quality_scores",
     "text_token_stats",
+    "text_chunk_windows",
     "embedding_knn_pandas",
     "core_embedding_ivf_knn",
+    "embedding_int8_quantization",
     "graph_copurchase_edges",
     "graph_pagerank",
     "core_graph_cc_distributed",

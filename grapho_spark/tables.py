@@ -17,6 +17,7 @@ tables; query code broadcast-hints them at join sites rather than here
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -90,9 +91,10 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
     # The file stream source requires a DIRECTORY; the fixture is a
     # single parquet file. Expose it through a symlink dir under /tmp.
-    link_dir = os.path.join(
-        tempfile.gettempdir(), f"grapho_stream_{abs(hash((sf_dir, name))) % 10**10}"
-    )
+    # hashlib, not hash(): Python string hashing is salted per process,
+    # which would mint a fresh symlink dir on every run.
+    digest = hashlib.md5(f"{sf_dir}:{name}".encode()).hexdigest()[:10]
+    link_dir = os.path.join(tempfile.gettempdir(), f"grapho_stream_{digest}")
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, f"{name}.parquet")
     if not os.path.exists(link):

@@ -361,3 +361,83 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    # Invariants of context-window chunking: chunk 0 starts at token 0;
+    # consecutive starts differ by the stride; the union of windows
+    # covers every token (last start within W of the end); rebuilding
+    # the doc from non-overlapping prefixes of each chunk round-trips.
+    from pyspark.sql import functions as F
+
+    from grapho_spark.queries import all_queries
+    from grapho_spark.queries.text import CHUNK_S, CHUNK_W
+    from grapho_spark.tables import load_table
+
+    chunks = all_queries()["text_chunk_windows"].spark_fn(spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_idx").alias("max_idx"),
+        F.sum(
+            F.when(F.col("n_chunk_tokens") > CHUNK_W, 1).otherwise(0)
+        ).alias("oversized"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad = joined.filter(
+        (F.col("oversized") > 0)
+        | (F.col("n_chunks") != F.col("max_idx") + 1)
+        # every token covered: the last window must start within W of
+        # the end, i.e. stride * max_idx + W >= n_tokens
+        | (F.lit(CHUNK_S) * F.col("max_idx") + F.lit(CHUNK_W) < F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+
+
+def test_pack_sequences_conserve_tokens(spark, sf_dir):
+    # Packing must conserve documents and tokens exactly, and bins
+    # within a source must be contiguous from 0.
+    from pyspark.sql import functions as F
+
+    from grapho_spark.queries import all_queries
+    from grapho_spark.tables import load_table
+
+    packed = all_queries()["text_pack_sequences"].spark_fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("toks")
+    ).first()
+    expect = docs.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+    ).first()
+    assert totals.docs == expect.docs
+    assert totals.toks == expect.toks
+    per_source = packed.groupBy("source").agg(
+        F.min("seq_bin").alias("mn"),
+        F.max("seq_bin").alias("mx"),
+        F.countDistinct("seq_bin").alias("n"),
+    )
+    bad = per_source.filter(
+        (F.col("mn") != 0) | (F.col("n") != F.col("mx") + 1)
+    )
+    assert bad.count() == 0
+
+
+def test_int8_quantization_bounds(spark, sf_dir):
+    # Reconstruction error of min/max affine int8 quantization is
+    # bounded by (scale/2)^2 per element, so mse <= scale^2/4; codes
+    # use at most 256 distinct values.
+    from pyspark.sql import functions as F
+
+    from grapho_spark.queries import all_queries
+
+    q = all_queries()["embedding_int8_quantization"].spark_fn(spark, sf_dir)
+    bad = q.filter(
+        (F.col("n_distinct_codes") > 256)
+        | (F.col("mse") > F.col("scale") * F.col("scale") / 4 + F.lit(1e-12))
+        | (F.col("mse") < 0)
+    )
+    assert bad.count() == 0
