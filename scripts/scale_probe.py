@@ -1,0 +1,130 @@
+"""Empirical scaling probe: inflate the sf0.1 fixtures ~10x into /tmp
+and compare STEADY-STATE (second-run) per-query times against sf0.1.
+
+Purpose: validate the 100 TB extrapolation claims in PERF.md with
+measured marginal costs — a linear operator should scale ~10x in its
+data-sized term (minus fixed per-job overhead, which dominates at
+sf0.1); the MinHash probe doubles as a hot-bucket stress test because
+the inflated corpus is 10 near-copies of every document, exactly the
+adversarial shape BUCKET_CAP exists for.
+
+Usage: PYTHONPATH=/root/repo python scripts/scale_probe.py
+Writes nothing outside /tmp; prints one result line per (query, scale).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG_DIR = "/tmp/grapho_scale_x10"
+COPIES = 10
+
+PROBES = [
+    "core_dedup_minhash_lsh_pairs",
+    "dedup_lsh_bucket_stats",
+    "core_dedup_simhash",
+    "text_chunk_windows",
+    "text_pack_sequences",
+    "text_vocab_coverage",
+    "embedding_int8_quantization",
+    "core_embedding_ivf_knn",
+    "graph_copurchase_edges",
+    "core_graph_cc_distributed",
+    "core_graph_pagerank_distributed",
+    "core_q1_pricing_summary",
+]
+
+
+def build_inflated(spark) -> None:
+    """~10x sf0.1: distinct ids everywhere; document texts get a
+    per-copy suffix token (near-dup heavy, not pure duplicates)."""
+    if os.path.isdir(BIG_DIR):
+        shutil.rmtree(BIG_DIR)
+    os.makedirs(BIG_DIR)
+    from grapho_spark.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        df = load_table(spark, SF_DIR, name)
+        out = os.path.join(BIG_DIR, f"{name}.parquet")
+        if name == "documents":
+            parts = [
+                df.select(
+                    (F.col("doc_id") + F.lit(k * 1_000_000)).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" copytag{k}")).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+                for k in range(COPIES)
+            ]
+        elif name == "embeddings":
+            parts = [
+                df.select(
+                    (F.col("vec_id") + F.lit(k * 1_000_000)).alias("vec_id"),
+                    F.expr(f"transform(embedding, x -> x + float({k}) * 1e-4f)").alias(
+                        "embedding"
+                    ),
+                    "label",
+                )
+                for k in range(COPIES)
+            ]
+        elif name == "lineitem":
+            parts = [
+                df.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+                )
+                for k in range(COPIES)
+            ]
+        elif name == "orders":
+            parts = [
+                df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000)
+                )
+                for k in range(COPIES)
+            ]
+        elif name == "events":
+            parts = [
+                df.withColumn("event_id", F.col("event_id") + F.lit(k * 100_000_000))
+                for k in range(COPIES)
+            ]
+        else:  # dimensions stay dimension-sized
+            parts = [df]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(out)
+
+
+def steady_time(fn, spark, sf_dir: str) -> tuple[float, int]:
+    fn(spark, sf_dir).count()  # warm plan + memos
+    t0 = time.perf_counter()
+    n = fn(spark, sf_dir).count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    from grapho_spark.queries import all_queries
+    from grapho_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    build_inflated(spark)
+    reg = all_queries()
+    print(f"{'query':40s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}  rows(x10)")
+    for name in PROBES:
+        fn = reg[name].spark_fn
+        t1, _ = steady_time(fn, spark, SF_DIR)
+        t10, n10 = steady_time(fn, spark, BIG_DIR)
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        print(
+            f"{name:40s} {t1:7.2f}s {t10:7.2f}s {ratio:5.1f}x  {n10}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
