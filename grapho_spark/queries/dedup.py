@@ -619,3 +619,65 @@ def text_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Incremental split: deterministic 80/20 by doc_id — "corpus" is the
+# existing index, "new" is today's increment.
+_INCR_CORPUS_PRED = "doc_id % 10 < 8"
+_INCR_NEW_PRED = "doc_id % 10 >= 8"
+
+
+@query(
+    "dedup_incremental_new_vs_corpus",
+    oracle=f"""
+WITH {_duck_signature_cte()},
+band_corpus AS (
+  SELECT band_id, band_key,
+         list_sort(list(DISTINCT doc_id))[1:{BUCKET_CAP}] AS docs
+  FROM band_long WHERE {_INCR_CORPUS_PRED}
+  GROUP BY band_id, band_key),
+links AS (
+  SELECT DISTINCT n.doc_id AS new_doc, t.c AS corpus_doc
+  FROM band_long n, band_corpus b, UNNEST(b.docs) AS t(c)
+  WHERE n.band_id = b.band_id AND n.band_key = b.band_key
+    AND n.{_INCR_NEW_PRED})
+SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches
+FROM links GROUP BY new_doc
+""",
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: flag documents of a NEW batch (20% split
+    by doc_id) that LSH-collide with the EXISTING corpus (80%) — the
+    production shape where a daily increment is deduped against a
+    standing signature index instead of re-pairing the whole corpus.
+
+    Scale: the corpus side is grouped into capped band buckets (ONE
+    groupBy over the standing index — in production a maintained
+    table); the new batch joins bucket keys and explodes at most
+    ``BUCKET_CAP`` corpus ids per collision. Cost per increment is
+    O(new x bands), independent of corpus size beyond the index probe.
+    """
+    sigs = _spark_signatures(spark, sf_dir)
+    stack_args = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
+    band_long = sigs.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+    corpus_buckets = (
+        band_long.filter(_INCR_CORPUS_PRED)
+        .groupBy("band_id", "band_key")
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_set(doc_id)), 1, {BUCKET_CAP})"
+            ).alias("docs")
+        )
+    )
+    links = (
+        band_long.filter(_INCR_NEW_PRED)
+        .withColumnRenamed("doc_id", "new_doc")
+        .join(corpus_buckets, ["band_id", "band_key"])
+        .select("new_doc", F.explode("docs").alias("corpus_doc"))
+        .distinct()
+    )
+    return links.groupBy("new_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_matches")
+    )

@@ -764,3 +764,63 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT SUM(c) AS total FROM freq),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(CAST(total AS DOUBLE) / c), 6) AS DECIMAL(18,6)) AS neglogp
+  FROM toks t JOIN freq USING (term), tot)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(neglogp) AS DOUBLE) / COUNT(*), 6) AS avg_neglogp
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document: average -ln p(term) under the
+    corpus unigram distribution — the cheap perplexity proxy used for
+    quality filtering (high surprisal = off-distribution/noisy text;
+    in production the LM is trained on a reference corpus, here on the
+    corpus itself).
+
+    Determinism: per-token surprisal is ONE double division + ln
+    rounded at 6dp (empirically libm-stable, same policy as TF-IDF),
+    accumulated as EXACT decimals so Spark's and DuckDB's different
+    summation orders cannot diverge; the final mean is one division
+    rounded at 6dp.
+
+    Scale: two aggregations over the exploded token stream; the
+    frequency table is vocabulary-sized — broadcast to the scoring
+    join, so the token stream never shuffles twice.
+    """
+    from grapho_spark.sparkutil import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = materialize(
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("total"))
+    neglogp = F.round(
+        F.log(F.col("total").cast("double") / F.col("c")), 6
+    ).cast("decimal(18,6)")
+    scored = toks.join(F.broadcast(freq), "term").crossJoin(F.broadcast(tot)).select(
+        "doc_id", neglogp.alias("neglogp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("neglogp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_neglogp"
+        ),
+    )
