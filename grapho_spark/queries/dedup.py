@@ -135,19 +135,56 @@ def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_table(spark, f"doc_shingles:{sf_dir}", build)
 
 
+def _spark_group_mins(g: int) -> str:
+    """All 3 window-minima of seed group ``g`` in ONE pass: the digest
+    array is built once by the transform, then a single fold tracks the
+    per-window minima. Writing ``spark_sig(j)`` per signature instead
+    recomputes the group's md5 array for every window (12 md5 passes
+    where 4 suffice — measured ~2.4x slower signature build). 'zz' is
+    the +inf sentinel ('z' > 'f' beats any hex substring)."""
+    return (
+        f"aggregate("
+        f"transform(shingles, s -> md5(concat('{g}:', s))), "
+        f"array('zz', 'zz', 'zz'), "
+        f"(acc, h) -> array("
+        f"least(acc[0], substring(h, 1, 10)), "
+        f"least(acc[1], substring(h, 11, 10)), "
+        f"least(acc[2], substring(h, 21, 10))))"
+    )
+
+
 def _spark_signatures(
     spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
 ) -> DataFrame:
     def build() -> DataFrame:
         d = shingled if shingled is not None else _spark_shingled(spark, sf_dir)
-        for j in range(N_SEEDS):
-            d = d.withColumn(f"s{j}", F.expr(spark_sig(j)))
+        # Stage 1 (the heavy pass): one digest transform + fold per
+        # seed group over the shingle arrays. MATERIALIZED before the
+        # scalar extraction — otherwise project-collapse would inline
+        # each group fold into its 3 consumers, resurrecting the 12-pass
+        # plan this stage exists to avoid. Tiny cache: 4 x 3 strings/doc.
+        grouped = materialize(
+            d.select(
+                "doc_id",
+                *[
+                    F.expr(_spark_group_mins(g)).alias(f"g{g}")
+                    for g in range(N_SEED_GROUPS)
+                ],
+            )
+        )
+        # Stage 2 (cheap): unpack s{j} = group[j//3] window [j%3] and
+        # hash the band keys — plain projections over the cached rows.
+        out = grouped.select(
+            "doc_id",
+            *[
+                F.element_at(f"g{j // 3}", j % 3 + 1).alias(f"s{j}")
+                for j in range(N_SEEDS)
+            ],
+        )
         for k in range(N_BANDS):
             cols = [f"s{j}" for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)]
-            d = d.withColumn(f"b{k}", F.md5(F.concat(*cols)))
-        return d.select(
-            "doc_id", *[f"s{j}" for j in range(N_SEEDS)], *[f"b{k}" for k in range(N_BANDS)]
-        )
+            out = out.withColumn(f"b{k}", F.md5(F.concat(*cols)))
+        return out
 
     # consumed by 3+ joins downstream and by two queries — memoized
     return memo_table(spark, f"minhash_sigs:{sf_dir}", build)
