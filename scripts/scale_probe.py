@@ -28,9 +28,11 @@ PROBES = [
     "core_dedup_minhash_lsh_pairs",
     "dedup_lsh_bucket_stats",
     "core_dedup_simhash",
+    "dedup_incremental_new_vs_corpus",
     "text_chunk_windows",
     "text_pack_sequences",
     "text_vocab_coverage",
+    "text_unigram_logprob",
     "embedding_int8_quantization",
     "core_embedding_ivf_knn",
     "graph_copurchase_edges",
