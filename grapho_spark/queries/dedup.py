@@ -664,9 +664,7 @@ _INCR_CORPUS_PRED = "doc_id % 10 < 8"
 _INCR_NEW_PRED = "doc_id % 10 >= 8"
 
 
-@query(
-    "dedup_incremental_new_vs_corpus",
-    oracle=f"""
+INCR_ORACLE = f"""
 WITH {_duck_signature_cte()},
 band_corpus AS (
   SELECT band_id, band_key,
@@ -680,8 +678,10 @@ links AS (
     AND n.{_INCR_NEW_PRED})
 SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches
 FROM links GROUP BY new_doc
-""",
-)
+"""
+
+
+@query("dedup_incremental_new_vs_corpus", oracle=INCR_ORACLE)
 def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: flag documents of a NEW batch (20% split
     by doc_id) that LSH-collide with the EXISTING corpus (80%) — the

@@ -427,3 +427,86 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_stream(spark, sf_dir, "events")
     out = run_to_memory(sessionize_with_timeout(ev), "append")
     return out.filter(F.col("session_end_us") <= F.lit(cutoff))
+
+
+from grapho_spark.queries.dedup import INCR_ORACLE
+
+
+@query("streaming_lsh_index_probe", oracle=INCR_ORACLE)
+def streaming_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC LSH probe: new documents arrive as a stream and
+    are checked against the standing corpus band index in real time —
+    the streaming twin of ``dedup_incremental_new_vs_corpus``, with an
+    architecture chosen so the streaming side needs ZERO stateful
+    operators: the static index is split per band (three key->capped
+    doc-list tables), the stream does three stateless stream-static
+    left joins, and the distinct-union of matches happens map-side in
+    one array expression. Append mode, no watermark, no state store —
+    at scale the index tables are broadcastable or bucket-joined, and
+    per-document probe cost is O(bands).
+
+    The result (matched new docs with distinct corpus-match counts)
+    equals the batch incremental query, so it shares that exact DuckDB
+    oracle — a full value-hash check on a stream-static join.
+    """
+    from grapho_spark.queries.dedup import (
+        _INCR_NEW_PRED,
+        _spark_signatures,
+        BUCKET_CAP,
+        N_BANDS,
+        N_SEEDS,
+        SPARK_SHINGLES,
+        spark_sig,
+    )
+
+    # Static side: one capped bucket table per band from the standing
+    # signature index (batch, memoized).
+    sigs = _spark_signatures(spark, sf_dir).filter("doc_id % 10 < 8")
+    band_tables = []
+    for k in range(N_BANDS):
+        band_tables.append(
+            sigs.groupBy(F.col(f"b{k}").alias(f"key{k}")).agg(
+                F.expr(
+                    f"slice(array_sort(collect_set(doc_id)), 1, {BUCKET_CAP})"
+                ).alias(f"docs{k}")
+            )
+        )
+
+    # Stream side: new-batch docs -> signatures (stateless projections).
+    stream = (
+        load_stream(spark, sf_dir, "documents")
+        .filter(_INCR_NEW_PRED)
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            F.split(F.trim(F.lower("text")), r"\s+").alias("words"),
+        )
+        .select("new_doc", F.expr(SPARK_SHINGLES).alias("shingles"))
+    )
+    for j in range(N_SEEDS):
+        stream = stream.withColumn(f"s{j}", F.expr(spark_sig(j)))
+    from grapho_spark.queries.dedup import ROWS_PER_BAND
+
+    for k in range(N_BANDS):
+        cols = [f"s{j}" for j in range(k * ROWS_PER_BAND, (k + 1) * ROWS_PER_BAND)]
+        stream = stream.withColumn(f"b{k}", F.md5(F.concat(*cols)))
+    probe = stream.select("new_doc", *[f"b{k}" for k in range(N_BANDS)])
+    for k, bt in enumerate(band_tables):
+        probe = probe.join(bt, probe[f"b{k}"] == bt[f"key{k}"], "left")
+    merged = probe.select(
+        "new_doc",
+        F.array_distinct(
+            F.concat(
+                *[
+                    F.coalesce(F.col(f"docs{k}"), F.expr("array()"))
+                    for k in range(N_BANDS)
+                ]
+            )
+        ).alias("matches"),
+    )
+    out = run_to_memory(
+        merged.select(
+            "new_doc", F.size("matches").cast("long").alias("n_corpus_matches")
+        ).filter(F.col("n_corpus_matches") > 0),
+        "append",
+    )
+    return out
