@@ -1074,6 +1074,8 @@ class GraphEngine:
             raise EngineError(
                 "edge-pattern MATCH must alternate node, edge, node, ..."
             )
+        if any(el.max_hops > 1 or el.min_hops != 1 for el in pattern):
+            return self._match_var_length(stmt)
         specs: list[dict[str, FieldSpec]] = []
         for i, el in enumerate(pattern):
             if i % 2 == 0:
@@ -1151,6 +1153,150 @@ class GraphEngine:
                 )
                 if owner is None:
                     raise EngineError(f"RETURN field {rf!r} not found in pattern")
+                cols.append(f"{owner}_{rf}")
+            out = out.select(*cols)
+        sort_cols: list[Column] = []
+        for c in id_cols:
+            sort_cols.extend([F.length(c), F.col(c)])
+        out = out.orderBy(*sort_cols)
+        return StatementResult("match", "", count=-1, df=out)
+
+    def _match_var_length(self, stmt: ast.MatchStmt) -> StatementResult:
+        """Variable-length traversal (grammar extension, absent from
+        the reference): ``MATCH A a, E*lo..hi e, B b`` where edge type
+        E connects the SAME node label on both endpoints. Returns one
+        row per reachable (a, b) pair with ``<alias>_hops`` = the
+        SHORTEST path length within [lo, hi] — deterministic (path
+        multiplicity is collapsed by a min aggregation), which is what
+        makes the statement oracle-checkable.
+
+        Plan shape: the L-step reach sets are built by L-1 self-joins
+        of the edge list (bounded unrolling, L <= 10 — declarative, so
+        Catalyst plans ordinary equi-joins), unioned with a hops tag,
+        min-aggregated on the endpoint pair, then joined back to the
+        endpoint node tables for properties. Self-pairs (a = b via a
+        cycle) are kept — a cycle IS a path.
+        """
+        pattern = stmt.pattern
+        if len(pattern) != 3:
+            raise EngineError(
+                "variable-length MATCH supports exactly node, edge*, node"
+            )
+        left_el, edge_el, right_el = pattern
+        for el, kind in ((left_el, "node"), (right_el, "node")):
+            if el.max_hops > 1 or el.min_hops != 1:
+                raise EngineError("only the edge element may carry *bounds")
+        nt_l = self.catalog.node(left_el.type)
+        nt_r = self.catalog.node(right_el.type)
+        et = self.catalog.edge(edge_el.type)
+        if nt_l is None or nt_r is None or et is None:
+            raise EngineError(
+                "variable-length MATCH needs node, edge, node types"
+            )
+        if not (
+            et.from_ep.label == left_el.type
+            and et.to_ep.label == right_el.type
+            and left_el.type == right_el.type
+        ):
+            raise EngineError(
+                f"variable-length edge {edge_el.type!r} must connect one "
+                f"node label to itself "
+                f"({et.from_ep.label!r}->{et.to_ep.label!r} declared)"
+            )
+        aliases = [el.alias or el.type for el in pattern]
+        if len(set(aliases)) != len(aliases):
+            raise EngineError(
+                "repeated types in an edge pattern need distinct aliases"
+            )
+        a, e_alias, b = aliases
+
+        edges = self._merged_df(("edge", edge_el.type)).select(
+            F.col(SRC_COLUMN).alias("_s"), F.col(DST_COLUMN).alias("_d")
+        )
+        lo, hi = edge_el.min_hops, edge_el.max_hops
+        reach = edges.select("_s", "_d", F.lit(1).alias("_hops"))
+        layers = [reach] if lo <= 1 else []
+        frontier = reach
+        for depth in range(2, hi + 1):
+            nxt = edges.select(
+                F.col("_s").alias("_s2"), F.col("_d").alias("_d2")
+            )
+            frontier = (
+                frontier.join(nxt, frontier["_d"] == F.col("_s2"))
+                .select("_s", F.col("_d2").alias("_d"), F.lit(depth).alias("_hops"))
+                .distinct()  # per-layer: many paths, one (s, d) pair
+            )
+            if depth >= lo:
+                layers.append(frontier)
+        if not layers:
+            raise EngineError("variable-length bounds produced no layers")
+        pairs = layers[0]
+        for extra in layers[1:]:
+            pairs = pairs.unionByName(extra)
+        pairs = pairs.groupBy("_s", "_d").agg(F.min("_hops").alias("_hops"))
+
+        def prefixed(alias: str, type_name: str) -> DataFrame:
+            df = self._merged_df(("node", type_name))
+            return df.select(
+                *[F.col(c).alias(f"{alias}_{c}") for c in df.columns]
+            )
+
+        out = (
+            prefixed(a, left_el.type)
+            .join(pairs, F.col("_s") == F.col(f"{a}_{ID_COLUMN}"))
+            .join(
+                prefixed(b, right_el.type),
+                F.col("_d") == F.col(f"{b}_{ID_COLUMN}"),
+            )
+            .withColumn(f"{e_alias}_hops", F.col("_hops").cast("long"))
+            .drop("_s", "_d", "_hops")
+        )
+
+        node_specs = [nt_l.field_map(), nt_r.field_map()]
+        node_aliases = [a, b]
+        for p in stmt.where:
+            owners = [
+                (node_aliases[i], sp[p.name])
+                for i, sp in enumerate(node_specs)
+                if p.name in sp
+            ]
+            if p.name in et.prop_map() and not owners:
+                raise EngineError(
+                    f"WHERE on edge property {p.name!r} is not supported "
+                    f"across a variable-length edge"
+                )
+            if not owners:
+                out = out.filter(F.lit(False))
+                continue
+            for alias, spec in owners:
+                try:
+                    val = coerce_literal(p.value, spec.type, p.name)
+                except CoercionError as e:
+                    raise EngineError(str(e)) from e
+                out = out.filter(
+                    F.col(f"{alias}_{p.name}").eqNullSafe(
+                        F.lit(val).cast(spark_type(spec.type))
+                    )
+                )
+
+        id_cols = [f"{a}_{ID_COLUMN}", f"{b}_{ID_COLUMN}"]
+        if stmt.return_fields:
+            cols = list(id_cols) + [f"{e_alias}_hops"]
+            for rf in stmt.return_fields:
+                if rf == "hops":
+                    continue  # always projected as <alias>_hops
+                owner = next(
+                    (
+                        node_aliases[i]
+                        for i, sp in enumerate(node_specs)
+                        if rf in sp
+                    ),
+                    None,
+                )
+                if owner is None:
+                    raise EngineError(
+                        f"RETURN field {rf!r} not found on the endpoint types"
+                    )
                 cols.append(f"{owner}_{rf}")
             out = out.select(*cols)
         sort_cols: list[Column] = []

@@ -249,6 +249,10 @@ class MatchElement:
     is_edge: bool = False
     line: int = 0
     col: int = 0
+    # variable-length extension (edge elements only): TYPE* / TYPE*n /
+    # TYPE*lo..hi. (1, 1) = plain single-hop element.
+    min_hops: int = 1
+    max_hops: int = 1
 
 
 @dataclass(frozen=True)

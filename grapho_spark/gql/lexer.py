@@ -33,6 +33,7 @@ class TokenType(enum.Enum):
     SEMI = "SEMI"
     COLON = "COLON"
     DOT = "DOT"
+    STAR = "STAR"
 
     # keywords
     CREATE = "CREATE"
@@ -205,6 +206,7 @@ class Lexer:
             ";": TokenType.SEMI,
             ":": TokenType.COLON,
             ".": TokenType.DOT,
+            "*": TokenType.STAR,
         }
         if ch in punct:
             self._advance()
@@ -272,7 +274,10 @@ class Lexer:
         start = self.pos
         while self.pos < len(self.text) and self._peek().isdigit():
             self._advance()
-        if self._peek() == ".":
+        # `1..3` (variable-length range) must lex as NUMBER DOT DOT
+        # NUMBER, so a dot only joins the number when NOT followed by
+        # another dot ('1.' alone still lexes as the float '1.').
+        if self._peek() == "." and self._peek(1) != ".":
             self._advance()
             while self.pos < len(self.text) and self._peek().isdigit():
                 self._advance()

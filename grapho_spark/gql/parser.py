@@ -466,12 +466,43 @@ class Parser:
             el_tok = self._tok
             el_type = el_tok.lit
             self._next()
+            # Variable-length extension (edge elements): TYPE* (1..3),
+            # TYPE*n (exactly n), TYPE*lo..hi. Bounds capped at 10 so a
+            # typo cannot request an unbounded chain-join union.
+            min_hops = max_hops = 1
+            if self._match(T.STAR):
+                min_hops, max_hops = 1, 3
+                if self._tok.type is T.NUMBER:
+                    lo_tok = self._tok
+                    self._next()
+                    lo = int(lo_tok.lit)
+                    if self._tok.type is T.DOT:
+                        self._expect(T.DOT)
+                        self._expect(T.DOT)
+                        hi_tok = self._expect(T.NUMBER)
+                        min_hops, max_hops = lo, int(hi_tok.lit)
+                    else:
+                        min_hops = max_hops = lo
+                if not (1 <= min_hops <= max_hops <= 10):
+                    self._err(
+                        el_tok,
+                        f"variable-length bounds must satisfy "
+                        f"1 <= lo <= hi <= 10, got {min_hops}..{max_hops}",
+                    )
             alias = ""
             if self._tok.type is T.IDENT:
                 alias = self._tok.lit
                 self._next()
             pattern.append(
-                ast.MatchElement(el_type, alias, is_edge=False, line=el_tok.line, col=el_tok.col)
+                ast.MatchElement(
+                    el_type,
+                    alias,
+                    is_edge=False,
+                    min_hops=min_hops,
+                    max_hops=max_hops,
+                    line=el_tok.line,
+                    col=el_tok.col,
+                )
             )
             if not self._match(T.COMMA):
                 break

@@ -53,6 +53,7 @@ CORE = frozenset(
         "gql_edge_endpoint_dml",
         "gql_insert_update_delete_roundtrip",
         "gql_match_edge_pattern",
+        "gql_match_var_length",
         "gql_match_full_scan",
         "gql_match_where_return",
         "gql_time_travel",

@@ -329,3 +329,62 @@ def gql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+@query(
+    "gql_match_var_length",
+    oracle="""
+WITH e AS (
+  SELECT c1.c_custkey AS s, c2.c_custkey AS d
+  FROM customer c1 JOIN customer c2
+    ON c2.c_custkey = c1.c_custkey + 1
+   AND c2.c_mktsegment = c1.c_mktsegment),
+h1 AS (SELECT s, d, 1 AS hops FROM e),
+h2 AS (SELECT DISTINCT e1.s, e2.d, 2 AS hops
+       FROM e e1 JOIN e e2 ON e1.d = e2.s),
+h3 AS (SELECT DISTINCT e1.s, e3.d, 3 AS hops
+       FROM e e1 JOIN e e2 ON e1.d = e2.s
+                JOIN e e3 ON e2.d = e3.s),
+pairs AS (
+  SELECT s, d, MIN(hops) AS hops
+  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        UNION ALL SELECT * FROM h3)
+  GROUP BY s, d)
+SELECT CAST(a.c_custkey AS VARCHAR) AS a__id,
+       CAST(b.c_custkey AS VARCHAR) AS b__id,
+       CAST(p.hops AS BIGINT) AS n_hops,
+       a.c_name AS a_c_name
+FROM pairs p
+JOIN customer a ON a.c_custkey = p.s
+JOIN customer b ON b.c_custkey = p.d
+WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+""",
+)
+def gql_match_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length traversal through the full GQL engine (grammar
+    extension — the reference cannot express any traversal at all):
+    ``MATCH Customer a, NextInSeg*1..3 n, Customer b WHERE ... RETURN
+    c_name`` returns each reachable pair with the SHORTEST hop count
+    in 1..3, compiled to a bounded union of edge self-joins + a min
+    aggregation (declarative — Catalyst plans ordinary equi-joins).
+    The ``NextInSeg`` edge links each customer to the next customer id
+    within its market segment, derived from the fixture."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    eng.bind_node_type("Customer", cust, pk="c_custkey")
+    c1 = cust.select(F.col("c_custkey").alias("sk"), F.col("c_mktsegment").alias("m1"))
+    c2 = cust.select(F.col("c_custkey").alias("dk"), F.col("c_mktsegment").alias("m2"))
+    edges = c1.join(
+        c2, (F.col("dk") == F.col("sk") + 1) & (F.col("m1") == F.col("m2"))
+    ).select("sk", "dk")
+    eng.bind_edge_type(
+        "NextInSeg", edges, src="sk", dst="dk",
+        from_label="Customer", to_label="Customer",
+    )
+    res = eng.execute(
+        "MATCH Customer a, NextInSeg*1..3 n, Customer b "
+        "WHERE c_mktsegment: 'BUILDING' RETURN c_name;"
+    )[0]
+    return res.df

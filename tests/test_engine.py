@@ -625,3 +625,44 @@ def test_time_travel_versions(spark, tmp_path):
         eng.node_df_at("P", 9)
     with pytest.raises(EngineError, match="durable engine"):
         GraphEngine(spark).node_df_at("P", 1)
+
+
+def test_match_var_length_shortest_hops(spark):
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE VPerson (id: int PRIMARY KEY, name: string);"
+        "CREATE EDGE VKnows (FROM VPerson MANY, TO VPerson MANY);"
+    )
+    for i in range(1, 6):
+        eng.execute(f"INSERT NODE VPerson (id: {i}, name: 'p{i}');")
+    # chain 1->2->3->4->5 plus shortcut 1->3
+    for s, d in [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]:
+        eng.execute(f"INSERT EDGE VKnows FROM VPerson(id: {s}) TO VPerson(id: {d});")
+    res = eng.execute("MATCH VPerson a, VKnows*1..3 k, VPerson b;")[0]
+    got = {(r["a__id"], r["b__id"]): r["k_hops"] for r in res.df.collect()}
+    # shortest-within-bounds semantics: 1->4 is 2 via the shortcut
+    assert got[("1", "4")] == 2
+    assert got[("1", "5")] == 3
+    assert got[("1", "3")] == 1
+    # exactly-2: paths of length exactly two, not shortest
+    res2 = eng.execute("MATCH VPerson a, VKnows*2 k, VPerson b;")[0]
+    pairs2 = {(r["a__id"], r["b__id"]) for r in res2.df.collect()}
+    assert ("1", "3") in pairs2 and ("1", "4") in pairs2
+
+
+def test_match_var_length_requires_self_label_edge(spark):
+    import pytest as _pytest
+
+    from grapho_spark.engine import GraphEngine
+    from grapho_spark.engine.engine import EngineError
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE VA (id: int PRIMARY KEY);"
+        "CREATE NODE VB (id: int PRIMARY KEY);"
+        "CREATE EDGE VAB (FROM VA MANY, TO VB MANY);"
+    )
+    with _pytest.raises(EngineError, match="node label to itself"):
+        eng.execute("MATCH VA a, VAB*1..2 e, VB b;")

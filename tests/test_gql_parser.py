@@ -208,3 +208,44 @@ def test_update_delete_edge_endpoint_refs():
     # UPDATE NODE must not accept FROM
     _, errors = parse_script("UPDATE NODE P FROM Q TO R SET x: 1;")
     assert errors
+
+
+def test_match_var_length_bounds_parse():
+    from grapho_spark.gql.parser import parse_script
+
+    stmts, errs = parse_script("MATCH Person a, Knows*2..4 k, Person b;")
+    assert not errs
+    el = stmts[0].pattern[1]
+    assert (el.min_hops, el.max_hops) == (2, 4)
+
+    stmts, errs = parse_script("MATCH Person a, Knows* k, Person b;")
+    assert not errs
+    el = stmts[0].pattern[1]
+    assert (el.min_hops, el.max_hops) == (1, 3)
+
+    stmts, errs = parse_script("MATCH Person a, Knows*2 k, Person b;")
+    assert not errs
+    el = stmts[0].pattern[1]
+    assert (el.min_hops, el.max_hops) == (2, 2)
+
+
+def test_match_var_length_bad_bounds_rejected():
+    from grapho_spark.gql.parser import parse_script
+
+    _, errs = parse_script("MATCH Person a, Knows*4..2 k, Person b;")
+    assert errs
+    _, errs = parse_script("MATCH Person a, Knows*0..3 k, Person b;")
+    assert errs
+    _, errs = parse_script("MATCH Person a, Knows*1..99 k, Person b;")
+    assert errs
+
+
+def test_number_lexing_unaffected_by_range_fix():
+    from grapho_spark.gql.lexer import Lexer, TokenType
+
+    toks = Lexer("1..3").tokens()
+    assert [t.type for t in toks[:4]] == [
+        TokenType.NUMBER, TokenType.DOT, TokenType.DOT, TokenType.NUMBER,
+    ]
+    toks = Lexer("1.5").tokens()
+    assert toks[0].type is TokenType.NUMBER and toks[0].lit == "1.5"
