@@ -90,12 +90,16 @@ def decode_media_batch(
             ]
             n = len(payloads)
             # All header math runs vectorized over one (n, 64) uint8
-            # matrix; only byte extraction and md5 are per-item (as a
-            # real codec/hash is).
-            heads = np.zeros((n, 64), dtype=np.uint16)
-            for i, p in enumerate(payloads):
-                h = np.frombuffer(p[:64], dtype=np.uint8)
-                heads[i, : len(h)] = h
+            # matrix (single frombuffer over the zero-padded
+            # concatenation); only md5 is per-item (as a real hash is).
+            heads = (
+                np.frombuffer(
+                    b"".join(p[:64].ljust(64, b"\0") for p in payloads),
+                    dtype=np.uint8,
+                )
+                .reshape(n, 64)
+                .astype(np.uint16)
+            )
             checksum = heads.sum(axis=1).astype(np.int64)
             n_bytes = np.fromiter(
                 (len(p) for p in payloads), dtype=np.int64, count=n
@@ -163,10 +167,14 @@ def extract_embedding_batch(
                 bytes(p) if p is not None else b"" for p in pdf[blob_col]
             ]
             n = len(payloads)
-            heads = np.zeros((n, 64), dtype=np.float64)
-            for i, p in enumerate(payloads):
-                h = np.frombuffer(p[:64], dtype=np.uint8)
-                heads[i, : len(h)] = h
+            heads = (
+                np.frombuffer(
+                    b"".join(p[:64].ljust(64, b"\0") for p in payloads),
+                    dtype=np.uint8,
+                )
+                .reshape(n, 64)
+                .astype(np.float64)
+            )
             # lane i = sum of bytes at positions j ≡ i (mod EMBED_DIM):
             # reshape (n, 64) -> (n, 64/DIM, DIM) and sum the middle
             # axis — one vectorized reduction for the whole batch.
