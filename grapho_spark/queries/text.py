@@ -824,3 +824,72 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_neglogp"
         ),
     )
+
+
+SPAN_W = 16  # tokens per span window
+SPAN_S = 8  # span stride
+
+
+@query(
+    "text_repeated_spans",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents),
+spans AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(words[i:i+{SPAN_W - 1}], ' ') AS span
+  FROM w, UNNEST(range(1, greatest(len(words) - {SPAN_W - 1}, 1) + 1, {SPAN_S}))
+         AS t(i)),
+rep AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(r.span) AS BIGINT) AS n_repeated,
+       CAST(COUNT(r.span) AS DOUBLE) / COUNT(*) AS repeat_fraction
+FROM spans s LEFT JOIN rep r ON s.span = r.span
+GROUP BY s.doc_id
+""",
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span signal (the industrial
+    substring-dedup statistic): slide a {SPAN_W}-token window at
+    stride {SPAN_S} over every document, find windows whose exact text
+    occurs in >= 2 distinct documents, and report each document's
+    distinct-span count and repeated fraction — the per-doc evidence
+    for span-level (not whole-doc) duplication in a training corpus.
+
+    Scale: one explode + two aggregations keyed on the span text; at
+    100 TB the span table shuffles once (map-side combined) and the
+    repeated-span set is the join's build side — no pairwise document
+    comparison anywhere.
+    """
+    from grapho_spark.sparkutil import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("words", F.split(F.trim(F.lower("text")), r"\s+"))
+    spans_expr = (
+        f"transform(sequence(1, greatest(size(words) - {SPAN_W - 1}, 1), {SPAN_S}), "
+        f"i -> concat_ws(' ', slice(words, i, {SPAN_W})))"
+    )
+    spans = materialize(
+        d.select("doc_id", F.explode(F.expr(spans_expr)).alias("span")).distinct()
+    )
+    rep = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(1).alias("_rep"))
+    )
+    return (
+        spans.join(rep, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0))).cast("long").alias("n_repeated"),
+            (
+                F.sum(F.coalesce(F.col("_rep"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("repeat_fraction"),
+        )
+    )
