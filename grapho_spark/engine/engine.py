@@ -1016,6 +1016,12 @@ class GraphEngine:
             for el in stmt.pattern
         ):
             return self._match_chain(stmt)
+        if any(el.max_hops > 1 or el.min_hops != 1 for el in stmt.pattern):
+            # *bounds on a node-only pattern would otherwise be
+            # silently dropped by the union path below.
+            raise EngineError(
+                "variable-length *bounds require an edge element in the pattern"
+            )
         frames: list[DataFrame] = []
         multi = len(stmt.pattern) > 1
         for el in stmt.pattern:
@@ -1183,7 +1189,7 @@ class GraphEngine:
                 "variable-length MATCH supports exactly node, edge*, node"
             )
         left_el, edge_el, right_el = pattern
-        for el, kind in ((left_el, "node"), (right_el, "node")):
+        for el in (left_el, right_el):
             if el.max_hops > 1 or el.min_hops != 1:
                 raise EngineError("only the edge element may carry *bounds")
         nt_l = self.catalog.node(left_el.type)

@@ -666,3 +666,15 @@ def test_match_var_length_requires_self_label_edge(spark):
     )
     with _pytest.raises(EngineError, match="node label to itself"):
         eng.execute("MATCH VA a, VAB*1..2 e, VB b;")
+
+
+def test_match_var_length_bounds_on_node_only_pattern_rejected(spark):
+    import pytest as _pytest
+
+    from grapho_spark.engine import GraphEngine
+    from grapho_spark.engine.engine import EngineError
+
+    eng = GraphEngine(spark)
+    eng.execute("CREATE NODE VC (id: int PRIMARY KEY);")
+    with _pytest.raises(EngineError, match="require an edge element"):
+        eng.execute("MATCH VC*3;")
