@@ -1,0 +1,66 @@
+"""Physical-plan expectation matrix for the headline queries.
+
+Each entry maps a registered query name to the regex patterns its
+*executed or formatted* physical plan must contain — the evidence for
+PERF.md's scaling claims (predicate pushdown reaches the parquet scan,
+small dimensions broadcast, top-k compiles to TakeOrderedAndProject,
+partition pruning and DPP fire).  A lost broadcast or an unpushed
+filter is a silent 100x regression at the 100 TB target even when the
+answer stays correct, so these are asserted in CI
+(``tests/test_plan_expectations.py``) and printable on demand via
+``scripts/explain_audit.py``.
+
+The reference engine has no optimizer to audit (full scans only,
+reference server/server.go:526-803); this matrix is about keeping the
+Spark plans we *chose* from regressing.
+"""
+
+from __future__ import annotations
+
+PLAN_CHECKS: dict[str, list[str]] = {
+    "q6_forecast_revenue": ["PushedFilters", "ReadSchema", "VectorizedScan"],
+    "q5_local_supplier_volume": ["BroadcastHashJoin", "PushedFilters"],
+    "q3_shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "semi_join_urgent_customers": ["LeftSemi", "PushedFilters"],
+    "embedding_knn_bruteforce": ["BroadcastNestedLoopJoin|BroadcastHashJoin|Cross"],
+    "q4_order_priority": ["LeftSemi", "PushedFilters"],
+    "q7_volume_shipping": ["BroadcastHashJoin", "PushedFilters"],
+    "q8_market_share": ["BroadcastHashJoin", "PushedFilters"],
+    "q19_discount_revenue": ["BroadcastHashJoin", "PushedFilters"],
+    "q22_dormant_customers": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "LeftAnti"],
+    "q16_supplier_count_by_part": ["LeftAnti", "BroadcastHashJoin"],
+    "timeseries_daily_ohlc": ["Window", "ReadSchema"],
+    "window_order_gap_days": ["Window", "ReadSchema"],
+    "graph_neighborhood_jaccard": ["BroadcastHashJoin"],
+    "deterministic_stratified_sample": ["PushedFilters", "ReadSchema"],
+    "source_partitioned_parquet_pruning": ["PartitionFilters"],
+    "core_source_dynamic_partition_pruning": ["dynamicpruning", "BroadcastHashJoin"],
+    "text_contamination_probe": ["BroadcastHashJoin"],
+    "embedding_ivf_recall": [
+        "BroadcastNestedLoopJoin|BroadcastHashJoin|Cross",
+        "ReadSchema",
+    ],
+    "events_hierarchical_rollup": ["HashAggregate", "ReadSchema"],
+    "core_gql_match_edge_pattern": [
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+    ],
+    "text_chunk_windows": ["Generate", "ReadSchema"],
+    "text_pack_sequences": ["Window", "RunningWindowFunction|WindowExec|Window"],
+}
+
+
+def formatted_plan(df) -> str:
+    """Return df.explain('formatted') output as a string, with a
+    synthetic ``VectorizedScan`` marker appended when the parquet scan
+    is batched (under AQE the pre-execution plan carries no ``*(n)``
+    codegen markers, so ``Batched: true`` is the stable signal)."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    if "Batched: true" in plan:
+        plan += "\nVectorizedScan"
+    return plan

@@ -15,20 +15,34 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from grapho_spark.gql import ast
+from grapho_spark.gql.lexer import KEYWORDS
 from grapho_spark.gql.parser import parse_script
 
+# The grammar reserves keywords (case-insensitive), so generated
+# identifiers must avoid them.  Derive the exclusion set from the
+# lexer's own table — a hand-copied list drifted once (it omitted ON,
+# so hypothesis drew the field name `on` and the parse legitimately
+# failed; reference/parser/keywords.go:25 reserves ON identically).
 idents = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,15}", fullmatch=True).filter(
-    # keywords would change the parse; the grammar reserves them
-    lambda s: s.upper()
-    not in {
-        "CREATE", "NODE", "EDGE", "ALTER", "DROP", "INSERT", "UPDATE", "DELETE",
-        "MATCH", "WHERE", "RETURN", "SET", "FROM", "TO", "PROPS", "PRIMARY",
-        "KEY", "UNIQUE", "NOT", "NULL", "DEFAULT", "ONE", "MANY", "TRUE",
-        "FALSE", "ADD", "MODIFY", "SHOW", "DESCRIBE", "STRING", "TEXT", "INT",
-        "FLOAT", "BOOL", "UUID", "DATE", "TIME", "DATETIME", "JSON", "BLOB",
-        "ARRAY", "ENUM", "AND", "NODES", "EDGES", "TYPE", "CHECK", "INDEX",
-    }
+    lambda s: s.upper() not in KEYWORDS
 )
+
+# The 46 reserved words of the reference grammar
+# (reference/parser/keywords.go:5-54).  Pinned here so a lexer edit
+# that adds/drops a keyword fails loudly instead of silently changing
+# which programs parse.
+REFERENCE_KEYWORDS = {
+    "CREATE", "NODE", "EDGE", "FROM", "TO", "PROPS", "PRIMARY", "KEY",
+    "UNIQUE", "NOT", "NULL", "DEFAULT", "CHECK", "ALTER", "DROP", "ADD",
+    "MODIFY", "SET", "INDEX", "ON", "ONE", "MANY", "ARRAY", "ENUM",
+    "SHOW", "DESCRIBE", "TYPE", "DATE", "TIME", "DATETIME", "JSON",
+    "BLOB", "INT", "FLOAT", "STRING", "TEXT", "BOOL", "UUID", "TRUE",
+    "FALSE", "INSERT", "UPDATE", "DELETE", "MATCH", "WHERE", "RETURN",
+}
+
+
+def test_keyword_table_matches_reference():
+    assert set(KEYWORDS) == REFERENCE_KEYWORDS
 
 
 @given(st.text(max_size=200))
