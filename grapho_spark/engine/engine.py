@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import threading
 from dataclasses import dataclass, field
 
@@ -112,6 +113,7 @@ class GraphEngine:
         replay: bool = True,
         log_format: str | None = None,
         snapshot_every: int = 64,
+        keep_versions: int | None = None,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
@@ -120,9 +122,19 @@ class GraphEngine:
 
         ``snapshot_every``: auto-compaction cadence — once this many
         DDL events accumulate past the last snapshot, the engine runs a
-        full ``flush()`` so reopen replays only the tail."""
+        full ``flush()`` so reopen replays only the tail.
+
+        ``keep_versions``: time-travel retention — keep this many most
+        recent flushed parquet versions per table, pruning older ones
+        at the end of each ``flush()`` (Delta-style VACUUM). ``None``
+        (default) keeps every version forever; without a bound a
+        long-lived OLTP workload grows storage without limit. Must be
+        >= 1 when set (the live version is never pruned)."""
+        if keep_versions is not None and keep_versions < 1:
+            raise EngineError("keep_versions must be >= 1 (or None)")
         self.spark = spark
         self.data_dir = data_dir
+        self.keep_versions = keep_versions
         self._lock = threading.RLock()
         self.tables: dict[tuple[str, str], _Table] = {}
         self.next_id = 1
@@ -429,6 +441,31 @@ class GraphEngine:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, self._manifest_path())
+            # Retention GC runs strictly AFTER the manifest publish: a
+            # crash mid-prune can only leave extra old versions behind
+            # (re-pruned next flush), never touch a version the
+            # manifest references.
+            if self.keep_versions is not None:
+                self._prune_versions()
+
+    def _prune_versions(self) -> None:
+        """Delete flushed parquet version dirs older than the retention
+        window (``keep_versions`` most recent per table). Time travel
+        to a pruned version raises the normal no-such-version error,
+        which lists what survives."""
+        for (kind, name), tab in self.tables.items():
+            victims = [
+                v
+                for v in self.table_versions(kind, name)
+                if v <= tab.version - self.keep_versions
+            ]
+            for v in victims:
+                shutil.rmtree(
+                    os.path.join(
+                        self.data_dir, "tables", f"{kind}_{name}", f"v{v}"
+                    ),
+                    ignore_errors=True,
+                )
 
     # ------------------------------------------------------- persistence
 

@@ -627,6 +627,40 @@ def test_time_travel_versions(spark, tmp_path):
         GraphEngine(spark).node_df_at("P", 1)
 
 
+def test_version_retention_prunes_outside_window(spark, tmp_path):
+    # keep_versions=2: travel works inside the window, pruned versions
+    # raise the normal no-such-version error, and the live table plus
+    # reopen/replay are untouched by GC.
+    d = str(tmp_path / "gc")
+    eng = GraphEngine(spark, data_dir=d, keep_versions=2)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    eng.flush()  # v1
+    eng.execute("INSERT NODE P (name: 'b');")
+    eng.flush()  # v2
+    assert eng.table_versions("node", "P") == [1, 2]  # inside window
+    eng.execute("INSERT NODE P (name: 'c');")
+    eng.flush()  # v3 -> v1 pruned
+    assert eng.table_versions("node", "P") == [2, 3]
+    assert eng.node_df_at("P", 2).count() == 2
+    assert eng.node_df_at("P", 3).count() == 3
+    with pytest.raises(EngineError, match="no version 1"):
+        eng.node_df_at("P", 1)
+    eng2 = GraphEngine(spark, data_dir=d)  # reopen reads the live v3
+    assert eng2.node_df("P").count() == 3
+
+
+def test_version_retention_default_keeps_all(spark, tmp_path):
+    d = str(tmp_path / "keepall")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    for i in range(3):
+        eng.execute(f"INSERT NODE P (name: 'x{i}');")
+        eng.flush()
+    assert eng.table_versions("node", "P") == [1, 2, 3]
+    with pytest.raises(EngineError, match="keep_versions"):
+        GraphEngine(spark, data_dir=str(tmp_path / "bad"), keep_versions=0)
+
+
 def test_match_var_length_shortest_hops(spark):
     from grapho_spark.engine import GraphEngine
 
