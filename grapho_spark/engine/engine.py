@@ -1206,12 +1206,24 @@ class GraphEngine:
 
     def _match_var_length(self, stmt: ast.MatchStmt) -> StatementResult:
         """Variable-length traversal (grammar extension, absent from
-        the reference): ``MATCH A a, E*lo..hi e, B b`` where edge type
-        E connects the SAME node label on both endpoints. Returns one
+        the reference): ``MATCH A a, E*lo..hi e, B b``. Returns one
         row per reachable (a, b) pair with ``<alias>_hops`` = the
         SHORTEST path length within [lo, hi] — deterministic (path
         multiplicity is collapsed by a min aggregation), which is what
         makes the statement oracle-checkable.
+
+        Hop composition goes through the edge's declared endpoint
+        labels: hop i+1 can extend hop i only if E's to-label equals
+        its from-label, because endpoint IDs live in per-label key
+        spaces (a bound Customer key and a bound Nation key may share
+        the value '3' without being the same node — composing across
+        labels would fabricate paths). A self-label edge (X->X)
+        therefore composes to any depth; a heterogeneous edge (X->Y,
+        X != Y) admits exactly one hop, so bounds [lo..hi] intersect
+        {1}: lo <= 1 yields the single-hop pairs, lo > 1 yields the
+        (correct) empty result. The pattern's node labels must equal
+        the edge's declared endpoint labels; the last hop always lands
+        on B's table.
 
         Plan shape: the L-step reach sets are built by L-1 self-joins
         of the edge list (bounded unrolling, L <= 10 — declarative, so
@@ -1239,13 +1251,16 @@ class GraphEngine:
         if not (
             et.from_ep.label == left_el.type
             and et.to_ep.label == right_el.type
-            and left_el.type == right_el.type
         ):
             raise EngineError(
-                f"variable-length edge {edge_el.type!r} must connect one "
-                f"node label to itself "
-                f"({et.from_ep.label!r}->{et.to_ep.label!r} declared)"
+                f"variable-length pattern labels must match edge "
+                f"{edge_el.type!r}'s declared endpoints "
+                f"({et.from_ep.label!r}->{et.to_ep.label!r} declared, "
+                f"pattern has {left_el.type!r}->{right_el.type!r})"
             )
+        # Heterogeneous endpoints cannot self-compose (per-label key
+        # spaces) — the only realizable path length is 1.
+        composable = et.from_ep.label == et.to_ep.label
         aliases = [el.alias or el.type for el in pattern]
         if len(set(aliases)) != len(aliases):
             raise EngineError(
@@ -1257,6 +1272,8 @@ class GraphEngine:
             F.col(SRC_COLUMN).alias("_s"), F.col(DST_COLUMN).alias("_d")
         )
         lo, hi = edge_el.min_hops, edge_el.max_hops
+        if not composable:
+            hi = min(hi, 1)  # deeper layers are provably empty
         reach = edges.select("_s", "_d", F.lit(1).alias("_hops"))
         layers = [reach] if lo <= 1 else []
         frontier = reach
@@ -1272,7 +1289,10 @@ class GraphEngine:
             if depth >= lo:
                 layers.append(frontier)
         if not layers:
-            raise EngineError("variable-length bounds produced no layers")
+            # bounds admit no realizable path length (e.g. *2..3 over a
+            # heterogeneous edge) — the correct result is empty, not an
+            # error: the statement is well-formed, nothing is reachable
+            layers = [reach.filter(F.lit(False))]
         pairs = layers[0]
         for extra in layers[1:]:
             pairs = pairs.unionByName(extra)

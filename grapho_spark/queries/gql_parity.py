@@ -388,3 +388,46 @@ def gql_match_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c_mktsegment: 'BUILDING' RETURN c_name;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_var_length_hetero",
+    oracle="""
+SELECT CAST(c.c_custkey AS VARCHAR) AS a__id,
+       CAST(n.n_nationkey AS VARCHAR) AS b__id,
+       CAST(1 AS BIGINT) AS e_hops,
+       c.c_name AS a_c_name,
+       n.n_name AS b_n_name
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE n.n_name = 'GERMANY'
+""",
+)
+def gql_match_var_length_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length MATCH across DISTINCT endpoint labels:
+    ``MATCH Customer a, LocatedIn*1..3 e, Nation b``. Hop composition
+    goes through the edge's declared endpoint labels — a heterogeneous
+    edge (Customer->Nation) cannot self-compose because endpoint IDs
+    live in per-label key spaces (custkey 3 and nationkey 3 are
+    different nodes), so the realizable path lengths inside [1..3]
+    collapse to {1}: the engine plans the single-hop join to B's table
+    and skips the provably-empty deeper layers. The oracle is the
+    plain FK join with hops pinned to 1."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    eng.bind_node_type("Customer", cust, pk="c_custkey")
+    eng.bind_node_type("Nation", load_table(spark, sf_dir, "nation"), pk="n_nationkey")
+    eng.bind_edge_type(
+        "LocatedIn",
+        cust.select(
+            F.col("c_custkey").alias("sk"), F.col("c_nationkey").alias("dk")
+        ),
+        src="sk", dst="dk",
+        from_label="Customer", to_label="Nation",
+    )
+    res = eng.execute(
+        "MATCH Customer a, LocatedIn*1..3 e, Nation b "
+        "WHERE n_name: 'GERMANY' RETURN c_name, n_name;"
+    )[0]
+    return res.df

@@ -686,20 +686,35 @@ def test_match_var_length_shortest_hops(spark):
     assert ("1", "3") in pairs2 and ("1", "4") in pairs2
 
 
-def test_match_var_length_requires_self_label_edge(spark):
-    import pytest as _pytest
-
+def test_match_var_length_hetero_labels(spark):
+    # Heterogeneous endpoints: hops compose through the edge's declared
+    # endpoint labels, so a Customer->Nation edge admits exactly one
+    # hop; bounds containing 1 return the single-hop pairs, bounds
+    # excluding 1 return the (correct) empty result — per-label key
+    # spaces mean a dst key equal to some src key is NOT a path.
     from grapho_spark.engine import GraphEngine
     from grapho_spark.engine.engine import EngineError
 
     eng = GraphEngine(spark)
     eng.execute(
-        "CREATE NODE VA (id: int PRIMARY KEY);"
-        "CREATE NODE VB (id: int PRIMARY KEY);"
+        "CREATE NODE VA (id: int PRIMARY KEY, aname: string);"
+        "CREATE NODE VB (id: int PRIMARY KEY, bname: string);"
         "CREATE EDGE VAB (FROM VA MANY, TO VB MANY);"
+        "INSERT NODE VA (id: 1, aname: 'a1');"
+        "INSERT NODE VB (id: 1, bname: 'b1');"  # same pk value, other label
+        "INSERT NODE VB (id: 2, bname: 'b2');"
+        "INSERT EDGE VAB FROM VA(id: 1) TO VB(id: 1);"
+        "INSERT EDGE VAB FROM VA(id: 1) TO VB(id: 2);"
     )
-    with _pytest.raises(EngineError, match="node label to itself"):
-        eng.execute("MATCH VA a, VAB*1..2 e, VB b;")
+    res = eng.execute("MATCH VA a, VAB*1..3 e, VB b RETURN aname, bname;")[0]
+    rows = {(r["a_aname"], r["b_bname"], r["e_hops"]) for r in res.df.collect()}
+    assert rows == {("a1", "b1", 1), ("a1", "b2", 1)}
+    # bounds excluding the only realizable length -> empty, not error
+    res2 = eng.execute("MATCH VA a, VAB*2..3 e, VB b;")[0]
+    assert res2.df.count() == 0
+    # pattern labels must still match the declared endpoints
+    with pytest.raises(EngineError, match="declared endpoints"):
+        eng.execute("MATCH VB x, VAB*1..2 e, VA y;")
 
 
 def test_match_var_length_bounds_on_node_only_pattern_rejected(spark):
