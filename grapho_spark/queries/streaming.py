@@ -451,24 +451,23 @@ def streaming_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from grapho_spark.queries.dedup import (
         _INCR_NEW_PRED,
-        _spark_signatures,
-        BUCKET_CAP,
+        corpus_band_index,
         N_BANDS,
         N_SEEDS,
         SPARK_SHINGLES,
         spark_sig,
     )
 
-    # Static side: one capped bucket table per band from the standing
-    # signature index (batch, memoized).
-    sigs = _spark_signatures(spark, sf_dir).filter("doc_id % 10 < 8")
+    # Static side: per-band slices of the PERSISTED bucketed band
+    # index (corpus_band_index — built once, scanned here; no
+    # signature recompute at probe time).
+    index = corpus_band_index(spark, sf_dir)
     band_tables = []
     for k in range(N_BANDS):
         band_tables.append(
-            sigs.groupBy(F.col(f"b{k}").alias(f"key{k}")).agg(
-                F.expr(
-                    f"slice(array_sort(collect_set(doc_id)), 1, {BUCKET_CAP})"
-                ).alias(f"docs{k}")
+            index.filter(F.col("band_id") == k).select(
+                F.col("band_key").alias(f"key{k}"),
+                F.col("docs").alias(f"docs{k}"),
             )
         )
 
