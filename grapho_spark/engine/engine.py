@@ -105,6 +105,12 @@ def _id_sort_key() -> list[Column]:
     return [F.length(ID_COLUMN), F.col(ID_COLUMN)]
 
 
+def _hkey(v: object) -> object:
+    """Hashable key with value-equality semantics (array fields are
+    Python lists; nested arrays nest)."""
+    return tuple(_hkey(x) for x in v) if isinstance(v, list) else v
+
+
 class GraphEngine:
     def __init__(
         self,
@@ -775,6 +781,47 @@ class GraphEngine:
             if bf is not None and row.get(fname) is not None:
                 bf.put(row[fname])
 
+    def _py_where(
+        self,
+        where: tuple[ast.Property, ...],
+        specs: dict[str, FieldSpec],
+        columns: list[str],
+    ):
+        """Driver-side twin of ``_where_pred`` for PURE-BUFFER tables
+        (never flushed, never bound — all rows are dicts the engine
+        itself coerced): returns ``callable(row) -> bool`` with the
+        same semantics — conjunctive equality, null-safe (null matches
+        null), unknown key matches nothing, same coercion errors.
+
+        Point DML on unflushed in-memory data is the reference's own
+        execution model (Go maps on one machine); scheduling a
+        distributed job to scan a 4-row createDataFrame costs ~0.5s of
+        pure overhead per statement. Both sides of every comparison
+        come from ``coerce_literal``, so Python ``==`` agrees with the
+        Column predicate for every storable type."""
+        tests: list[tuple[str, object]] = []
+        for p in where:
+            spec = specs.get(p.name)
+            if spec is None or p.name not in columns:
+                return lambda r: False
+            try:
+                val = coerce_literal(p.value, spec.type, p.name)
+            except CoercionError as e:
+                raise EngineError(str(e)) from e
+            tests.append((p.name, val))
+
+        def match(r: dict) -> bool:
+            for name, val in tests:
+                got = r.get(name)
+                if got is None or val is None:
+                    if got is not val:
+                        return False
+                elif got != val:
+                    return False
+            return True
+
+        return match
+
     def _where_pred(
         self,
         where: tuple[ast.Property, ...],
@@ -829,6 +876,26 @@ class GraphEngine:
         if nt is None:
             raise EngineError(f"node type {ref.node_type!r} does not exist")
         key = ("node", ref.node_type)
+        tab = self._table(*key)
+        if tab.base is None:
+            # pure-buffer fast path: point lookup over driver-held rows,
+            # same deterministic smallest-ID first-match
+            columns = [f.name for f in tab.schema.fields]
+            if ref.id is not None:
+                test = lambda r: r.get(ID_COLUMN) == ref.id.text  # noqa: E731
+            elif ref.properties:
+                test = self._py_where(ref.properties, nt.field_map(), columns)
+            else:
+                raise EngineError(
+                    f"{side} node reference needs an id or properties"
+                )
+            ids = sorted(
+                (r[ID_COLUMN] for r in tab.buffer if test(r)),
+                key=lambda i: (len(i), i),
+            )
+            if not ids:
+                raise EngineError(f"{side} node not found for {ref.node_type}")
+            return ids[0]
         df = self._merged_df(key)
         if ref.id is not None:
             hits = df.filter(F.col(ID_COLUMN) == F.lit(ref.id.text)).limit(1).collect()
@@ -866,6 +933,71 @@ class GraphEngine:
         else:
             pred = F.lit(True)
         return df.filter(pred).select(ID_COLUMN)
+
+    def _py_endpoint_ids(
+        self, ref: ast.NodeRef, declared_label: str, side: str
+    ) -> set[str] | None:
+        """Driver-side twin of ``_endpoint_id_set`` for pure-buffer
+        node tables: the full id set matching an endpoint ref, or
+        ``None`` when the node table is flushed/bound (the caller must
+        take the distributed path). Validation errors are identical to
+        the distributed twin and raised before eligibility is decided."""
+        if ref.node_type != declared_label:
+            raise EngineError(
+                f"{side} node type {ref.node_type!r} does not match "
+                f"edge endpoint {declared_label!r}"
+            )
+        nt = self.catalog.node(ref.node_type)
+        if nt is None:
+            raise EngineError(f"node type {ref.node_type!r} does not exist")
+        tab = self._table("node", ref.node_type)
+        if tab.base is not None:
+            return None
+        columns = [f.name for f in tab.schema.fields]
+        if ref.id is not None:
+            test = lambda r: r.get(ID_COLUMN) == ref.id.text  # noqa: E731
+        elif ref.properties:
+            test = self._py_where(ref.properties, nt.field_map(), columns)
+        else:
+            test = lambda r: True  # noqa: E731
+        return {r[ID_COLUMN] for r in tab.buffer if test(r)}
+
+    def _py_dml_tests(
+        self,
+        stmt: ast.UpdateNodeStmt
+        | ast.UpdateEdgeStmt
+        | ast.DeleteNodeStmt
+        | ast.DeleteEdgeStmt,
+        is_node: bool,
+        type_name: str,
+        specs: dict[str, FieldSpec],
+        tab: _Table,
+    ):
+        """Match tests for a pure-buffer UPDATE/DELETE: the WHERE
+        predicate plus (edge DML) endpoint-qualification membership
+        tests. Returns a list of ``callable(row) -> bool`` or ``None``
+        when a referenced endpoint table is flushed/bound, in which
+        case the caller must run the distributed plan."""
+        columns = [f.name for f in tab.schema.fields]
+        tests = []
+        if stmt.where:
+            tests.append(self._py_where(stmt.where, specs, columns))
+        from_ref = getattr(stmt, "from_node", None)
+        to_ref = getattr(stmt, "to_node", None)
+        if not is_node and (from_ref or to_ref):
+            et = self.catalog.edge(type_name)
+            assert et is not None
+            for ref, side, col, label in (
+                (from_ref, "FROM", SRC_COLUMN, et.from_ep.label),
+                (to_ref, "TO", DST_COLUMN, et.to_ep.label),
+            ):
+                if ref is None:
+                    continue
+                ids = self._py_endpoint_ids(ref, label, side)
+                if ids is None:
+                    return None
+                tests.append(lambda r, c=col, s=ids: r.get(c) in s)
+        return tests
 
     def _endpoint_qualify(
         self,
@@ -911,18 +1043,26 @@ class GraphEngine:
         key = ("edge", stmt.edge_type)
         # declared cardinality enforcement (divergence: the reference
         # parses+stores cardinality but never checks it, SURVEY.md §1.2)
-        df = self._merged_df(key)
-        if et.from_ep.card is Cardinality.ONE:
-            if df.filter(F.col(SRC_COLUMN) == F.lit(src)).limit(1).count():
-                raise EngineError(
-                    f"cardinality violation: FROM {et.from_ep.label} is ONE "
-                    f"and node {src} already has a {stmt.edge_type} edge"
+        tab_e = self._table(*key)
+        for card, col, node_id, ep_side, ep_label in (
+            (et.from_ep.card, SRC_COLUMN, src, "FROM", et.from_ep.label),
+            (et.to_ep.card, DST_COLUMN, dst, "TO", et.to_ep.label),
+        ):
+            if card is not Cardinality.ONE:
+                continue
+            if tab_e.base is None:  # pure-buffer fast path
+                taken = any(r.get(col) == node_id for r in tab_e.buffer)
+            else:
+                taken = bool(
+                    self._merged_df(key)
+                    .filter(F.col(col) == F.lit(node_id))
+                    .limit(1)
+                    .count()
                 )
-        if et.to_ep.card is Cardinality.ONE:
-            if df.filter(F.col(DST_COLUMN) == F.lit(dst)).limit(1).count():
+            if taken:
                 raise EngineError(
-                    f"cardinality violation: TO {et.to_ep.label} is ONE "
-                    f"and node {dst} already has a {stmt.edge_type} edge"
+                    f"cardinality violation: {ep_side} {ep_label} is ONE "
+                    f"and node {node_id} already has a {stmt.edge_type} edge"
                 )
         row[ID_COLUMN] = f"edge_{self.next_id}"
         self.next_id += 1
@@ -936,22 +1076,12 @@ class GraphEngine:
             "insert", f"Inserted edge {stmt.edge_type} id={row[ID_COLUMN]}", count=1
         )
 
-    def _update(self, stmt: ast.UpdateNodeStmt | ast.UpdateEdgeStmt) -> StatementResult:
-        is_node = isinstance(stmt, ast.UpdateNodeStmt)
-        kind = "node" if is_node else "edge"
-        type_name = stmt.node_type if is_node else stmt.edge_type
-        specs = self._field_specs(kind, type_name)
-        key = (kind, type_name)
-        tab = self._table(*key)
-        df = self._merged_df(key)
-        pred = self._where_pred(stmt.where, specs, df.columns) if stmt.where else F.lit(True)
-        ep_drops: list[str] = []
-        if not is_node and (stmt.from_node or stmt.to_node):
-            df, ep_pred, ep_drops = self._endpoint_qualify(
-                df, type_name, stmt.from_node, stmt.to_node
-            )
-            pred = pred & ep_pred
-
+    def _coerce_sets(
+        self,
+        stmt: ast.UpdateNodeStmt | ast.UpdateEdgeStmt,
+        specs: dict[str, FieldSpec],
+        type_name: str,
+    ) -> dict[str, object]:
         sets: dict[str, object] = {}
         for p in stmt.set:
             spec = specs.get(p.name)
@@ -964,6 +1094,74 @@ class GraphEngine:
             if val is None and spec.not_null:
                 raise EngineError(f"field {p.name!r} is NOT NULL")
             sets[p.name] = val
+        return sets
+
+    def _update_buffer(
+        self,
+        stmt: ast.UpdateNodeStmt | ast.UpdateEdgeStmt,
+        kind: str,
+        is_node: bool,
+        type_name: str,
+        tab: _Table,
+        tests: list,
+        sets: dict[str, object],
+    ) -> StatementResult:
+        """UPDATE over a pure-buffer table: mutate the driver-held row
+        dicts in place. The uniqueness guard checks the WOULD-BE state
+        before any mutation (like the distributed path, which builds
+        new_df first), so a violation leaves the table untouched."""
+        matched = [r for r in tab.buffer if all(t(r) for t in tests)]
+        if matched:
+            if is_node:
+                nt = self.catalog.node(type_name)
+                hit_ids = {id(r) for r in matched}
+                for idx in nt.indexes:
+                    if idx.unique and idx.field in sets:
+                        seen: set = set()
+                        for r in tab.buffer:
+                            v = sets[idx.field] if id(r) in hit_ids else r.get(idx.field)
+                            if v is None:
+                                continue
+                            k = _hkey(v)
+                            if k in seen:
+                                raise EngineError(
+                                    f"unique violation on {idx.field!r} after update"
+                                )
+                            seen.add(k)
+            for r in matched:
+                r.update(sets)
+            tab.dirty = True
+            tab.blooms.clear()
+        self._log_dml(stmt)
+        return StatementResult(
+            "update", f"Updated {len(matched)} {kind}(s)", count=len(matched)
+        )
+
+    def _update(self, stmt: ast.UpdateNodeStmt | ast.UpdateEdgeStmt) -> StatementResult:
+        is_node = isinstance(stmt, ast.UpdateNodeStmt)
+        kind = "node" if is_node else "edge"
+        type_name = stmt.node_type if is_node else stmt.edge_type
+        specs = self._field_specs(kind, type_name)
+        key = (kind, type_name)
+        tab = self._table(*key)
+        if tab.base is None:
+            # pure-buffer fast path (same statement semantics, zero
+            # Spark jobs): eligible unless an endpoint ref points at a
+            # flushed/bound node table
+            tests = self._py_dml_tests(stmt, is_node, type_name, specs, tab)
+            if tests is not None:
+                sets = self._coerce_sets(stmt, specs, type_name)
+                return self._update_buffer(stmt, kind, is_node, type_name, tab, tests, sets)
+        df = self._merged_df(key)
+        pred = self._where_pred(stmt.where, specs, df.columns) if stmt.where else F.lit(True)
+        ep_drops: list[str] = []
+        if not is_node and (stmt.from_node or stmt.to_node):
+            df, ep_pred, ep_drops = self._endpoint_qualify(
+                df, type_name, stmt.from_node, stmt.to_node
+            )
+            pred = pred & ep_pred
+
+        sets = self._coerce_sets(stmt, specs, type_name)
 
         count = df.filter(pred).count()
         if count:
@@ -1011,6 +1209,25 @@ class GraphEngine:
         specs = self._field_specs(kind, type_name)
         key = (kind, type_name)
         tab = self._table(*key)
+        has_ep = not is_node and (
+            getattr(stmt, "from_node", None) or getattr(stmt, "to_node", None)
+        )
+        if not has_ep and not stmt.where:
+            # the parser mandates a predicate; guard the programmatic path
+            raise EngineError("DELETE requires WHERE or endpoint refs")
+        if tab.base is None:
+            # pure-buffer fast path: filter the driver-held rows
+            tests = self._py_dml_tests(stmt, is_node, type_name, specs, tab)
+            if tests is not None:
+                keep = [r for r in tab.buffer if not all(t(r) for t in tests)]
+                count = len(tab.buffer) - len(keep)
+                if count:
+                    tab.buffer = keep
+                    tab.dirty = True
+                self._log_dml(stmt)
+                return StatementResult(
+                    "delete", f"Deleted {count} {kind}(s)", count=count
+                )
         df = self._merged_df(key)
         pred = (
             self._where_pred(stmt.where, specs, df.columns)
@@ -1018,14 +1235,11 @@ class GraphEngine:
             else F.lit(True)
         )
         ep_drops: list[str] = []
-        if not is_node and (stmt.from_node or stmt.to_node):
+        if has_ep:
             df, ep_pred, ep_drops = self._endpoint_qualify(
                 df, type_name, stmt.from_node, stmt.to_node
             )
             pred = pred & ep_pred
-        elif not stmt.where:
-            # the parser mandates a predicate; guard the programmatic path
-            raise EngineError("DELETE requires WHERE or endpoint refs")
         count = df.filter(pred).count()
         if count:
             tab.base = df.filter(~pred).drop(*ep_drops).localCheckpoint()
