@@ -133,6 +133,7 @@ def all_queries() -> dict[str, Query]:
         gql_parity,
         multimodal,
         operators_q,
+        pipeline_q,
         relational,
         relational2,
         relational3,
