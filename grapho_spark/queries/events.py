@@ -256,3 +256,116 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("b.user_id")).alias("n_retained_next_day"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT s.user_id, s.signup_ts, MIN(p.ts) AS first_purchase_ts
+  FROM signups s
+  LEFT JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND p.ts >= s.signup_ts
+   AND epoch_us(p.ts) - epoch_us(s.signup_ts) <= CAST(604800000000 AS BIGINT)
+  GROUP BY s.user_id, s.signup_ts)
+SELECT CAST(signup_ts AS DATE) AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(COUNT(first_purchase_ts) AS BIGINT) AS n_converted_7d,
+       COUNT(first_purchase_ts) * 1.0 / COUNT(*) AS conversion_rate
+FROM conv GROUP BY cohort_day
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup -> first purchase within 7 days, rolled
+    up into per-cohort-day conversion rates — the standard two-step
+    funnel over an event stream, as one aggregate + one time-bounded
+    left join (epoch-microsecond integer bounds, no float time math).
+
+    Scale: the signup side collapses to one row per user BEFORE the
+    join; the join shuffles on user_id and the purchase side is
+    pre-filtered by event_type, so the heavy event volume crosses the
+    wire once, filtered.
+    """
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signups.join(
+            purchases,
+            (signups["user_id"] == purchases["user_id"])
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (
+                F.unix_micros("p_ts") - F.unix_micros("signup_ts")
+                <= F.lit(7 * 24 * 3600 * 1_000_000)
+            ),
+            "left",
+        )
+        .groupBy(signups["user_id"], "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return conv.groupBy(F.to_date("signup_ts").alias("cohort_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count("first_purchase_ts").cast("long").alias("n_converted_7d"),
+        (F.count("first_purchase_ts") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type,
+         CASE WHEN epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                   - epoch_us(ts) <= CAST(1800000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS within_session
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM ordered
+WHERE next_type IS NOT NULL AND within_session = 1
+GROUP BY from_type, to_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style event transition matrix: counts of (event_type ->
+    immediately-following event_type) pairs per user, restricted to
+    gaps of at most 30 minutes (the session gap) — the path-analysis
+    primitive behind next-action prediction and UX funnels.
+
+    Scale: one window pass partitioned by user_id (shard-parallel),
+    then a tiny |types|^2 aggregate; the event volume is never
+    self-joined.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            <= F.lit(30 * 60 * 1_000_000)
+        ).alias("within_session"),
+    )
+    return (
+        ordered.filter(F.col("next_type").isNotNull() & F.col("within_session"))
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
