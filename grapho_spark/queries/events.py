@@ -293,16 +293,16 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     signups = (
         e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
+        .groupBy(F.col("user_id").alias("s_user"))
         .agg(F.min("ts").alias("signup_ts"))
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts")
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
     conv = (
         signups.join(
             purchases,
-            (signups["user_id"] == purchases["user_id"])
+            (F.col("s_user") == F.col("p_user"))
             & (F.col("p_ts") >= F.col("signup_ts"))
             & (
                 F.unix_micros("p_ts") - F.unix_micros("signup_ts")
@@ -310,7 +310,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "left",
         )
-        .groupBy(signups["user_id"], "signup_ts")
+        .groupBy("s_user", "signup_ts")
         .agg(F.min("p_ts").alias("first_purchase_ts"))
     )
     return conv.groupBy(F.to_date("signup_ts").alias("cohort_day")).agg(
