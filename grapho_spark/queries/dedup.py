@@ -689,7 +689,33 @@ FROM links GROUP BY new_doc
 INDEX_BUCKETS = 8
 
 
-def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _band_long(spark: SparkSession, sf_dir: str, pred: str) -> DataFrame:
+    """(doc_id, band_id, band_key) rows for the docs matching pred."""
+    sigs = _spark_signatures(spark, sf_dir)
+    stack_args = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
+    return sigs.filter(pred).selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+
+
+def _capped_buckets(band_long: DataFrame) -> DataFrame:
+    return band_long.groupBy("band_id", "band_key").agg(
+        F.expr(f"slice(array_sort(collect_set(doc_id)), 1, {BUCKET_CAP})").alias(
+            "docs"
+        )
+    )
+
+
+def _index_name(sf_dir: str, corpus_pred: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}|{corpus_pred}".encode()).hexdigest()[:10]
+    return f"lsh_corpus_buckets_{tag}"
+
+
+def corpus_band_index(
+    spark: SparkSession, sf_dir: str, corpus_pred: str = _INCR_CORPUS_PRED
+) -> DataFrame:
     """The standing LSH band index (band_id, band_key, capped docs
     list) persisted ONCE as a BUCKETED parquet table — the
     build-once/probe-many split of production incremental dedup.
@@ -700,28 +726,15 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature recompute, no groupBy rebuild — and joins on the bucket
     keys without shuffling the index side. Rebuild happens only when
     the table is absent from the session catalog (in production: a
-    metastore table maintained by the ingest pipeline; the daily
-    increment is appended by writing new signatures into the same
-    bucket layout)."""
-    import hashlib
+    metastore table maintained by the ingest pipeline; a daily
+    increment lands via ``append_to_band_index``, same bucket
+    layout)."""
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tname = f"lsh_corpus_buckets_{tag}"
+    tname = _index_name(sf_dir, corpus_pred)
     if not spark.catalog.tableExists(tname):
-        sigs = _spark_signatures(spark, sf_dir)
-        stack_args = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
-        band_long = sigs.selectExpr(
-            "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
-        )
         (
-            band_long.filter(_INCR_CORPUS_PRED)
-            .groupBy("band_id", "band_key")
-            .agg(
-                F.expr(
-                    f"slice(array_sort(collect_set(doc_id)), 1, {BUCKET_CAP})"
-                ).alias("docs")
-            )
+            _capped_buckets(_band_long(spark, sf_dir, corpus_pred))
             .write.bucketBy(INDEX_BUCKETS, "band_id", "band_key")
             .sortBy("band_id", "band_key")
             .option(
@@ -734,6 +747,50 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .saveAsTable(tname)
         )
     return spark.table(tname)
+
+
+def append_to_band_index(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_pred: str,
+    corpus_pred: str = _INCR_CORPUS_PRED,
+) -> str:
+    """Append a new batch's capped band rows to the persisted index in
+    the SAME bucket layout (Spark verifies the bucket spec matches) —
+    the production ingest path: delta rows, no index rebuild.
+
+    A key collided by both the corpus and the batch then holds
+    multiple rows; probes explode+distinct, so multi-row keys read
+    correctly. The per-row cap still bounds any single write's
+    fan-out; a compaction (periodic rebuild) re-merges rows and
+    re-applies the global cap."""
+    tname = _index_name(sf_dir, corpus_pred)
+    corpus_band_index(spark, sf_dir, corpus_pred)  # ensure it exists
+    (
+        _capped_buckets(_band_long(spark, sf_dir, batch_pred))
+        .write.bucketBy(INDEX_BUCKETS, "band_id", "band_key")
+        .sortBy("band_id", "band_key")
+        .mode("append")
+        .saveAsTable(tname)
+    )
+    return tname
+
+
+def probe_band_index(
+    spark: SparkSession, sf_dir: str, index: DataFrame, new_pred: str
+) -> DataFrame:
+    """Count distinct index collisions per new document — the shared
+    probe shape of the batch incremental query and the append test."""
+    links = (
+        _band_long(spark, sf_dir, new_pred)
+        .withColumnRenamed("doc_id", "new_doc")
+        .join(index, ["band_id", "band_key"])
+        .select("new_doc", F.explode("docs").alias("corpus_doc"))
+        .distinct()
+    )
+    return links.groupBy("new_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_matches")
+    )
 
 
 @query("dedup_incremental_new_vs_corpus", oracle=INCR_ORACLE)
@@ -749,19 +806,6 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     corpus ids per collision. Cost per increment is O(new x bands),
     independent of corpus size beyond the index probe.
     """
-    sigs = _spark_signatures(spark, sf_dir)
-    stack_args = ", ".join(f"{k}, b{k}" for k in range(N_BANDS))
-    band_long = sigs.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"
-    )
-    corpus_buckets = corpus_band_index(spark, sf_dir)
-    links = (
-        band_long.filter(_INCR_NEW_PRED)
-        .withColumnRenamed("doc_id", "new_doc")
-        .join(corpus_buckets, ["band_id", "band_key"])
-        .select("new_doc", F.explode("docs").alias("corpus_doc"))
-        .distinct()
-    )
-    return links.groupBy("new_doc").agg(
-        F.count(F.lit(1)).cast("long").alias("n_corpus_matches")
+    return probe_band_index(
+        spark, sf_dir, corpus_band_index(spark, sf_dir), _INCR_NEW_PRED
     )
