@@ -591,6 +591,59 @@ def test_edge_endpoint_update_delete(spark):
         eng.execute("UPDATE EDGE WorksAt FROM Company TO Company SET role: 'x';")
 
 
+def test_edge_endpoint_update_delete_flushed(spark, tmp_path):
+    # Same statements as test_edge_endpoint_update_delete but against
+    # FLUSHED tables (base parquet, empty buffers) so the distributed
+    # marker-join path runs — the pure-buffer fast path must not have
+    # become the only covered route.
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "epflush"))
+    eng.execute(ENDPOINT_GRAPH)
+    eng.flush()
+    assert all(t.base is not None for t in eng.tables.values())
+    r = eng.execute(
+        "UPDATE EDGE WorksAt FROM Person (name: 'bob') TO Company SET role: 'lead';"
+    )[0]
+    assert r.count == 2
+    roles = {x.since: x.role for x in eng.edge_df("WorksAt").collect()}
+    assert roles == {2019: "eng", 2020: "lead", 2021: "lead"}
+    r = eng.execute(
+        "DELETE EDGE WorksAt FROM Person TO Company (cname: 'acme') WHERE since: 2019;"
+    )[0]
+    assert r.count == 1
+    r = eng.execute("DELETE EDGE WorksAt FROM Person (name: 'bob') TO Company;")[0]
+    assert r.count == 2
+    assert eng.edge_df("WorksAt").count() == 0
+
+
+def test_edge_endpoint_dml_mixed_storage(spark, tmp_path):
+    # Buffered edge rows + flushed node tables: the fast path must
+    # fall through (endpoint id sets live in a flushed table) and the
+    # distributed plan must still see the BUFFERED edge rows.
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "epmix"))
+    eng.execute(
+        "CREATE NODE Person (name: string);"
+        "CREATE NODE Company (cname: string);"
+        "CREATE EDGE WorksAt (FROM Person MANY, TO Company MANY,"
+        "                     PROPS (role: string, since: int));"
+        "INSERT NODE Person (name: 'ann'); INSERT NODE Person (name: 'bob');"
+        "INSERT NODE Company (cname: 'acme');"
+    )
+    eng.flush()  # nodes flushed; edge table flushes empty
+    eng.execute(
+        "INSERT EDGE WorksAt FROM Person (name: 'ann') TO Company (cname: 'acme')"
+        "  (role: 'eng', since: 2019);"
+        "INSERT EDGE WorksAt FROM Person (name: 'bob') TO Company (cname: 'acme')"
+        "  (role: 'eng', since: 2020);"
+    )
+    assert eng.tables[("edge", "WorksAt")].buffer  # unflushed edge rows
+    r = eng.execute(
+        "UPDATE EDGE WorksAt FROM Person (name: 'bob') TO Company SET role: 'lead';"
+    )[0]
+    assert r.count == 1
+    roles = {x.since: x.role for x in eng.edge_df("WorksAt").collect()}
+    assert roles == {2019: "eng", 2020: "lead"}
+
+
 def test_edge_endpoint_dml_replays(spark, tmp_path):
     # Endpoint-qualified statements ride the commit log; replay must
     # re-resolve the refs and land on the same state.
