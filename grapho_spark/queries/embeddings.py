@@ -573,3 +573,143 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("mse"),
     )
+
+
+@query(
+    "embedding_ivf_multiprobe",
+    oracle=f"""
+WITH {_DUCK_IVF_CTE.replace("assigned AS (", "assigned_mp AS (").replace(
+        "WHERE rn = 1)", "WHERE rn <= 2)").replace(
+        "SELECT q_id, label AS cell", "SELECT q_id, label AS cell, rn")},
+bf_scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cosine
+  FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id),
+bf_top AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM bf_scored)
+  WHERE rn <= 3),
+probes(n_probe) AS (VALUES (1), (2)),
+ivf_scored AS (
+  SELECT p.n_probe, q.q_id, e.vec_id,
+         {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cosine
+  FROM probes p
+  JOIN assigned_mp a ON a.rn <= p.n_probe
+  JOIN queries q ON q.q_id = a.q_id
+  JOIN embeddings e ON e.label = a.cell AND e.vec_id <> q.q_id),
+ivf_top AS (
+  SELECT n_probe, q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probe, q_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM ivf_scored)
+  WHERE rn <= 3),
+matched AS (
+  SELECT p.n_probe, q.q_id, COUNT(i.vec_id) AS m
+  FROM probes p CROSS JOIN queries q
+  LEFT JOIN (SELECT it.n_probe, it.q_id, it.vec_id FROM ivf_top it
+             JOIN bf_top bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id) i
+    ON i.q_id = q.q_id AND i.n_probe = p.n_probe
+  GROUP BY p.n_probe, q.q_id)
+SELECT n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(SUM(m) * 1.0 / (3 * COUNT(*)), 6) AS avg_recall,
+       CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+FROM matched
+GROUP BY n_probe
+""",
+)
+def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: each query searches its TOP-2 nearest cells
+    instead of one, and recall@3 vs exact brute force is reported for
+    n_probe = 1 and 2 side by side — the standard ANN accuracy/cost
+    dial (probe more cells -> scan more data -> higher recall),
+    recorded as a number instead of an assumption.
+
+    Scale: probing k cells multiplies the per-query scan by k/n_cells,
+    nothing else changes — candidate generation is still
+    broadcast-join + per-cell pruning; the brute-force side exists
+    only to measure recall and runs on the sampled query set.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("v").cast("double").cast("decimal(12,6)").alias("dv"),
+        )
+        .groupBy("label", "pos")
+        .agg((F.sum("dv").cast("double") / F.count(F.lit(1))).alias("cval"))
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    q_expl = q.select("q_id", F.posexplode("qv").alias("pos0", "qval")).select(
+        "q_id", (F.col("pos0") + 1).alias("pos"), "qval"
+    )
+    q_dots = (
+        q_expl.join(F.broadcast(cents), "pos")
+        .groupBy("q_id", "label")
+        .agg(
+            F.sum(
+                F.col("qval").cast("decimal(12,6)")
+                * F.col("cval").cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("dot_d")
+        )
+    )
+    w_assign = Window.partitionBy("q_id").orderBy(F.desc("dot_d"), "label")
+    assigned = (
+        q_dots.withColumn("cell_rank", F.row_number().over(w_assign))
+        .filter(F.col("cell_rank") <= 2)
+        .select("q_id", F.col("label").alias("cell"), "cell_rank")
+    )
+    base = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    probes = spark.range(1, 3).select(F.col("id").cast("int").alias("n_probe"))
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, F.col("cell_rank") <= F.col("n_probe"))
+        .join(q, "q_id")
+    )
+    scored = F.broadcast(cand).join(
+        base, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id"))
+    ).select("n_probe", "q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    w_top = Window.partitionBy("n_probe", "q_id").orderBy(F.desc("cosine"), "vec_id")
+    ivf_top = (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("n_probe", "q_id", "vec_id")
+    )
+    bf_scored = (
+        F.broadcast(q)
+        .crossJoin(base.drop("label"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    w_bf = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    bf_top = (
+        bf_scored.withColumn("rn", F.row_number().over(w_bf))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    inter = ivf_top.join(bf_top, ["q_id", "vec_id"]).groupBy("n_probe", "q_id").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    matched = (
+        F.broadcast(probes)
+        .crossJoin(q.select("q_id"))
+        .join(inter, ["n_probe", "q_id"], "left")
+        .select("n_probe", "q_id", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    return matched.groupBy("n_probe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.sum("m") * F.lit(1.0) / (F.lit(3) * F.count(F.lit(1))), 6).alias(
+            "avg_recall"
+        ),
+        F.sum(F.when(F.col("m") == 3, 1).otherwise(0)).cast("long").alias("n_perfect"),
+    )
