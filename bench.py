@@ -21,6 +21,7 @@ HEADLINE = [
     "core_events_sessionization",
     "core_events_asof_last_purchase",
     "dedup_exact_summary",
+    "dedup_incremental_new_vs_corpus",
     "core_dedup_minhash_lsh_pairs",
     "core_dedup_simhash",
     "text_quality_scores",
@@ -29,6 +30,8 @@ HEADLINE = [
     "embedding_knn_pandas",
     "core_embedding_ivf_knn",
     "embedding_int8_quantization",
+    "merge_upsert_documents",
+    "scd2_user_status_history",
     "graph_copurchase_edges",
     "graph_pagerank",
     "core_graph_cc_distributed",
