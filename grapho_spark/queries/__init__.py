@@ -126,6 +126,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules once, on first use.
     from grapho_spark.queries import (  # noqa: F401
         arrays_q,
+        curation,
         dedup,
         embeddings,
         events,

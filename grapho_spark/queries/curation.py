@@ -1,0 +1,397 @@
+"""Corpus-curation operators: PII redaction, duplicated-chunk removal,
+language-quota sampling, token-budget mixture selection, and a
+Gopher-style composite quality filter.
+
+These extend the LLM-data-pipeline surface beyond the reference
+(nikopapanastasiou/grapho has no analytics at all — see SURVEY.md §2.4);
+they are the document-level cleaning/selection stages a 100 TB
+training-data pipeline runs between ingest and dedup/packing.
+
+Scale notes (local[32] tests, 1000-executor design):
+
+- PII redaction and the quality filter are pure per-row codegen
+  (regexp_* builtins) — map-only, no shuffle, trivially linear.
+- Chunk-level dedup shuffles once on the chunk hash (global
+  first-occurrence election) and once on doc_id (reassembly) — the
+  same two-shuffle shape CCNet-style line dedup needs at any scale;
+  chunk text itself never rides the first shuffle, only its hash.
+- Quota sampling and budget selection use per-group windows ordered by
+  a deterministic hash rank — each language/source partition sorts
+  independently (no global sort), so the plan is shard-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grapho_spark.queries import query
+from grapho_spark.queries.text import STOPWORDS, _STOP_SQL
+from grapho_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+#
+# The synthetic documents fixture contains no natural PII, which would
+# make a redaction operator vacuously green (0 matches on both
+# engines). To exercise the machinery honestly, the query first embeds
+# DETERMINISTIC PII-shaped strings derived from each row's own columns
+# (an email, a phone number and an IPv4 address keyed off doc_id /
+# n_chars), then runs the real detection + redaction pipeline over the
+# result. Both engines derive identically, so counts and redacted text
+# are meaningfully compared — the regexes and replacement logic are the
+# production path.
+
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id, lang, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(n_chars % 256 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id, lang, source,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(
+         regexp_replace(text, '{_PHONE_RE}', '', 'g'), '{_IPV4_RE}')) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g'),
+         '{_IPV4_RE}', '<IP>', 'g') AS redacted
+FROM seeded
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: email / phone / IPv4 regex scrub with
+    per-class match counts and the redacted text.
+
+    IP counting runs on the phone-stripped text so a phone number's
+    digit groups are never double-counted as an address. Redaction
+    applies email -> phone -> IP in that order on both engines.
+
+    Scale: map-only codegen (regexp_count / regexp_replace) — no
+    shuffle, no UDF; linear in corpus bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("n_chars") % 256).cast("string"),
+        ).alias("text"),
+    )
+    no_phone = F.regexp_replace("text", F.lit(_PHONE_RE), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(_PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_IPV4_RE),
+        F.lit("<IP>"),
+    )
+    return seeded.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(no_phone, F.lit(_IPV4_RE), F.lit(0))).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-chunk removal (CCNet-style line dedup)
+# --------------------------------------------------------------------------
+
+_CHUNK_WORDS = 10
+
+
+@query(
+    "text_chunk_dedup_rewrite",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[(i*{_CHUNK_WORDS})+1 : (i+1)*{_CHUNK_WORDS}], ' ') AS chunk
+  FROM words, range(0, 100) t(i)
+  WHERE i*{_CHUNK_WORDS} < len(w)),
+elected AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                  FILTER (WHERE rn = 1), '') AS dedup_text
+FROM elected
+GROUP BY doc_id
+""",
+)
+def text_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-chunk removal (CCNet-style line dedup): split each doc
+    into {_CHUNK_WORDS}-word chunks, elect the globally-first occurrence
+    of every distinct chunk (ordered by doc_id, position), and rewrite
+    each doc keeping only its first-occurrence chunks.
+
+    Scale: chunk election shuffles on the chunk value once (at 100 TB,
+    hash the chunk and elect on the 128-bit hash so only 16-byte keys
+    ride the shuffle); reassembly shuffles on doc_id once. No pairwise
+    comparison anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    chunks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / F.lit(_CHUNK_WORDS)).cast("int") - F.lit(1),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("w", i * _CHUNK_WORDS + 1, _CHUNK_WORDS)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    elected = chunks.select("doc_id", "chunk_idx", "chunk", rn.alias("rn"))
+    return elected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+            ),
+            F.lit(""),
+        ).alias("dedup_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-quota sampling
+# --------------------------------------------------------------------------
+
+_QUOTA = 40
+
+
+@query(
+    "corpus_language_quota_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, n_chars, rk FROM ranked WHERE rk <= {_QUOTA}
+""",
+)
+def corpus_language_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus sampling: keep at most {_QUOTA} docs per
+    language, chosen by deterministic hash rank (md5 of doc_id) so the
+    sample is stable across runs and engines.
+
+    Scale: one shuffle on lang; each language partition ranks
+    independently. For languages too large for one partition, salt the
+    rank into buckets and take per-bucket quotas (quota/n_buckets).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", rk.alias("rk"))
+        .filter(F.col("rk") <= _QUOTA)
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture selection
+# --------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1500
+
+
+@query(
+    "corpus_token_budget_mix",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks)
+SELECT source,
+       count(*) AS docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(max(cum_tokens) AS BIGINT) AS max_cum
+FROM cum
+WHERE cum_tokens <= {_BUDGET_TOKENS}
+GROUP BY source
+""",
+)
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture selection: give every source the same token
+    budget ({_BUDGET_TOKENS} whitespace tokens) and keep docs in
+    deterministic hash order until the running total would exceed it —
+    the selection stage of building a fixed-size training mix.
+
+    Scale: one shuffle on source; the running sum is a per-source
+    window in hash order (no global sort). At 100 TB, sources larger
+    than a partition get bucketed sub-budgets (budget/n_buckets per
+    salt bucket), which keeps the window shard-local.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.select("doc_id", "source", "n_tokens", cum.alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.max("cum_tokens").alias("max_cum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style composite quality filter
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_quality_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+sig AS (
+  SELECT doc_id, lang, source,
+         len(words) AS n_words,
+         length(text) * 1.0 / len(words) AS avg_word_len,
+         len(list_filter(words, w -> w IN ({_STOP_SQL}))) AS n_stop,
+         len(list_distinct(words)) * 1.0 / len(words) AS distinct_ratio
+  FROM toks)
+SELECT doc_id, lang, source, n_words, avg_word_len, n_stop, distinct_ratio,
+       (n_words BETWEEN 5 AND 1000) AS ok_length,
+       (avg_word_len BETWEEN 2.0 AND 12.0) AS ok_word_len,
+       (n_stop >= 2) AS ok_stopwords,
+       (distinct_ratio > 0.2) AS ok_diversity,
+       ((n_words BETWEEN 5 AND 1000) AND (avg_word_len BETWEEN 2.0 AND 12.0)
+         AND n_stop >= 2 AND distinct_ratio > 0.2) AS accept,
+       CASE WHEN NOT (n_words BETWEEN 5 AND 1000) THEN 'length'
+            WHEN NOT (avg_word_len BETWEEN 2.0 AND 12.0) THEN 'word_len'
+            WHEN n_stop < 2 THEN 'stopwords'
+            WHEN distinct_ratio <= 0.2 THEN 'diversity'
+            ELSE 'pass' END AS verdict
+FROM sig
+""",
+)
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style composite document filter: word-count bounds,
+    mean word length bounds, minimum stopword evidence, lexical
+    diversity — each rule surfaced as a flag plus a single accept bit
+    and the first-failing-rule verdict (the shape a curation pipeline
+    logs for filter-rate audits).
+
+    Scale: pure per-row codegen, map-only; rule thresholds are
+    literals so the whole filter inlines into one projection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(words).alias("n_words"),
+        (F.length("text") * F.lit(1.0) / F.size(words)).alias("avg_word_len"),
+        F.size(
+            F.filter(words, lambda w: w.isin(*STOPWORDS))
+        ).alias("n_stop"),
+        (F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)).alias(
+            "distinct_ratio"
+        ),
+    )
+    ok_length = F.col("n_words").between(5, 1000)
+    ok_word_len = F.col("avg_word_len").between(2.0, 12.0)
+    ok_stop = F.col("n_stop") >= 2
+    ok_div = F.col("distinct_ratio") > 0.2
+    accept = ok_length & ok_word_len & ok_stop & ok_div
+    verdict = (
+        F.when(~ok_length, "length")
+        .when(~ok_word_len, "word_len")
+        .when(~ok_stop, "stopwords")
+        .when(~ok_div, "diversity")
+        .otherwise("pass")
+    )
+    return sig.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        "avg_word_len",
+        "n_stop",
+        "distinct_ratio",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_div.alias("ok_diversity"),
+        accept.alias("accept"),
+        verdict.alias("verdict"),
+    )
