@@ -105,6 +105,40 @@ def _id_sort_key() -> list[Column]:
     return [F.length(ID_COLUMN), F.col(ID_COLUMN)]
 
 
+def _apply_order_limit(
+    out: DataFrame, stmt: "ast.MatchStmt", tiebreak: list[Column]
+) -> DataFrame:
+    """ORDER BY / LIMIT extension for MATCH results.
+
+    Each ORDER BY field resolves against the result's output columns:
+    exact name first, else a unique ``<alias>_<field>`` suffix match
+    (the chain/var-length paths prefix columns with the element alias).
+    The engine's deterministic _id tiebreak always follows the user
+    keys, so LIMIT is stable across runs and engines. With a LIMIT the
+    plan is TakeOrderedAndProject — per-partition top-k then a k-row
+    merge on the driver, never a global sort.
+    """
+    user_cols: list[Column] = []
+    for name, desc in stmt.order_by:
+        if name in out.columns:
+            resolved = name
+        else:
+            suffix = [c for c in out.columns if c.endswith(f"_{name}")]
+            if len(suffix) != 1:
+                raise EngineError(
+                    f"ORDER BY field {name!r} not found in result columns "
+                    f"{out.columns}"
+                    if not suffix
+                    else f"ORDER BY field {name!r} is ambiguous: {suffix}"
+                )
+            resolved = suffix[0]
+        user_cols.append(F.col(resolved).desc() if desc else F.col(resolved).asc())
+    out = out.orderBy(*user_cols, *tiebreak)
+    if stmt.limit is not None:
+        out = out.limit(stmt.limit)
+    return out
+
+
 def _hkey(v: object) -> object:
     """Hashable key with value-equality semantics (array fields are
     Python lists; nested arrays nest)."""
@@ -1314,7 +1348,8 @@ class GraphEngine:
         out = frames[0]
         for f2 in frames[1:]:
             out = out.unionByName(f2, allowMissingColumns=True)
-        out = out.orderBy(*(["_label"] if multi else []), *_id_sort_key())
+        tiebreak = [F.col("_label")] if multi else []
+        out = _apply_order_limit(out, stmt, [*tiebreak, *_id_sort_key()])
         return StatementResult("match", "", count=-1, df=out)
 
     def _match_chain(self, stmt: ast.MatchStmt) -> StatementResult:
@@ -1415,7 +1450,7 @@ class GraphEngine:
         sort_cols: list[Column] = []
         for c in id_cols:
             sort_cols.extend([F.length(c), F.col(c)])
-        out = out.orderBy(*sort_cols)
+        out = _apply_order_limit(out, stmt, sort_cols)
         return StatementResult("match", "", count=-1, df=out)
 
     def _match_var_length(self, stmt: ast.MatchStmt) -> StatementResult:
@@ -1579,7 +1614,7 @@ class GraphEngine:
         sort_cols: list[Column] = []
         for c in id_cols:
             sort_cols.extend([F.length(c), F.col(c)])
-        out = out.orderBy(*sort_cols)
+        out = _apply_order_limit(out, stmt, sort_cols)
         return StatementResult("match", "", count=-1, df=out)
 
     # ------------------------------------------------- SHOW / DESCRIBE

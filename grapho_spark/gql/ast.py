@@ -262,6 +262,12 @@ class MatchStmt(Stmt):
     return_fields: tuple[str, ...] = ()
     line: int = 0
     col: int = 0
+    # ORDER BY / LIMIT extension (soft keywords — not reserved in the
+    # reference grammar, parser/keywords.go:5-54, so field names
+    # ``order``/``limit`` stay legal identifiers everywhere else).
+    # Each order key is (field, descending).
+    order_by: tuple[tuple[str, bool], ...] = ()
+    limit: int | None = None
 
 
 @dataclass(frozen=True)

@@ -34,12 +34,26 @@ class Parser:
     def __init__(self, text: str):
         self._lexer = Lexer(text)
         self.errors: list[ParseError] = []
+        self._peeked: Token | None = None
         self._tok = self._lexer.next_token()
 
     # -- token plumbing ---------------------------------------------------
 
     def _next(self) -> None:
-        self._tok = self._lexer.next_token()
+        if self._peeked is not None:
+            self._tok = self._peeked
+            self._peeked = None
+        else:
+            self._tok = self._lexer.next_token()
+
+    def _peek(self) -> Token:
+        """Second token of lookahead. Used ONLY to disambiguate the
+        soft keywords ORDER/LIMIT from a pattern alias in MATCH (the
+        reference grammar is strictly LL(1); the extension needs LL(2)
+        at exactly that position)."""
+        if self._peeked is None:
+            self._peeked = self._lexer.next_token()
+        return self._peeked
 
     def _expect(self, tt: T) -> Token:
         t = self._tok
@@ -490,7 +504,7 @@ class Parser:
                         f"1 <= lo <= hi <= 10, got {min_hops}..{max_hops}",
                     )
             alias = ""
-            if self._tok.type is T.IDENT:
+            if self._tok.type is T.IDENT and not self._at_soft_clause():
                 alias = self._tok.lit
                 self._next()
             pattern.append(
@@ -514,9 +528,65 @@ class Parser:
             returns.append(self._expect(T.IDENT).lit)
             while self._match(T.COMMA):
                 returns.append(self._expect(T.IDENT).lit)
+        order_by, limit = self._parse_order_limit()
         return ast.MatchStmt(
-            tuple(pattern), where, tuple(returns), line=t.line, col=t.col
+            tuple(pattern),
+            where,
+            tuple(returns),
+            line=t.line,
+            col=t.col,
+            order_by=order_by,
+            limit=limit,
         )
+
+    def _at_soft_clause(self) -> bool:
+        """True when the current IDENT begins an ORDER BY / LIMIT
+        clause rather than naming an alias/field (soft keywords: the
+        reference reserves neither, parser/keywords.go:5-54)."""
+        if self._tok.type is not T.IDENT:
+            return False
+        up = self._tok.lit.upper()
+        if up == "ORDER":
+            nxt = self._peek()
+            return nxt.type is T.IDENT and nxt.lit.upper() == "BY"
+        if up == "LIMIT":
+            return self._peek().type is T.NUMBER
+        return False
+
+    def _parse_order_limit(
+        self,
+    ) -> tuple[tuple[tuple[str, bool], ...], int | None]:
+        """MATCH extension: ``[ORDER BY field [ASC|DESC], ...]
+        [LIMIT n]``. Results stay deterministic regardless — the engine
+        appends its _id tiebreak after the user keys."""
+        order_by: list[tuple[str, bool]] = []
+        if self._at_soft_clause() and self._tok.lit.upper() == "ORDER":
+            self._next()  # ORDER
+            self._next()  # BY (validated by _at_soft_clause)
+            while True:
+                fld = self._expect(T.IDENT)
+                desc = False
+                if self._tok.type is T.IDENT and self._tok.lit.upper() in (
+                    "ASC",
+                    "DESC",
+                ):
+                    desc = self._tok.lit.upper() == "DESC"
+                    self._next()
+                order_by.append((fld.lit, desc))
+                if not self._match(T.COMMA):
+                    break
+        limit: int | None = None
+        if self._at_soft_clause() and self._tok.lit.upper() == "LIMIT":
+            lim_kw = self._tok
+            self._next()  # LIMIT
+            n_tok = self._expect(T.NUMBER)
+            try:
+                limit = int(n_tok.lit)
+            except ValueError:
+                self._err(n_tok, f"LIMIT must be an integer, got {n_tok.lit!r}")
+            if limit is not None and limit < 1:
+                self._err(lim_kw, f"LIMIT must be >= 1, got {limit}")
+        return tuple(order_by), limit
 
     # -- SHOW / DESCRIBE (extension; reserved tokens in the reference) ----
 

@@ -46,6 +46,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     ],
     "text_chunk_windows": ["Generate", "ReadSchema"],
     "text_pack_sequences": ["Window", "RunningWindowFunction|WindowExec|Window"],
+    # round-6: MATCH ... ORDER BY ... LIMIT must compile to per-partition
+    # top-k over the pushed-filter scan, never a global sort
+    "gql_match_order_limit": ["TakeOrderedAndProject", "PushedFilters"],
     # round-6: the probe must scan the persisted bucketed band index
     # (build-once/probe-many), not rebuild buckets from signatures
     "dedup_incremental_new_vs_corpus": [

@@ -431,3 +431,30 @@ def gql_match_var_length_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE n_name: 'GERMANY' RETURN c_name, n_name;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_order_limit",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_acctbal DESC,
+         length(CAST(c_custkey AS VARCHAR)), CAST(c_custkey AS VARCHAR)
+LIMIT 5
+""",
+)
+def gql_match_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY / LIMIT extension on MATCH: top-5 BUILDING customers by
+    balance through the full GQL stack. ORDER and LIMIT are soft
+    keywords (the reference reserves neither, parser/keywords.go:5-54),
+    and the engine appends its deterministic _id tiebreak after the
+    user keys so LIMIT is stable cross-engine. The physical plan is
+    TakeOrderedAndProject over the pushed-filter scan — per-partition
+    top-k, no global sort (asserted in tests/test_plan_expectations.py).
+    """
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_mktsegment: 'BUILDING' "
+        "RETURN c_name, c_acctbal ORDER BY c_acctbal DESC LIMIT 5;"
+    )[0]
+    return res.df

@@ -780,3 +780,41 @@ def test_match_var_length_bounds_on_node_only_pattern_rejected(spark):
     eng.execute("CREATE NODE VC (id: int PRIMARY KEY);")
     with _pytest.raises(EngineError, match="require an edge element"):
         eng.execute("MATCH VC*3;")
+
+
+def test_match_order_by_limit(eng):
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: 3); INSERT NODE P (name: 'b', age: 1);"
+        "INSERT NODE P (name: 'c', age: 2); INSERT NODE P (name: 'd', age: 2);"
+    )
+    res = eng.execute("MATCH P RETURN name, age ORDER BY age DESC LIMIT 2;")[0]
+    assert [r.name for r in res.df.collect()] == ["a", "c"]  # tie at age=2 -> _id
+    res = eng.execute("MATCH P ORDER BY age, name DESC;")[0]
+    assert [r.name for r in res.df.collect()] == ["b", "d", "c", "a"]
+    res = eng.execute("MATCH P LIMIT 3;")[0]
+    assert res.df.count() == 3  # no order keys -> deterministic _id order
+
+
+def test_match_order_by_unknown_field_rejected(eng):
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    with pytest.raises(EngineError, match="ORDER BY field"):
+        eng.execute("MATCH P ORDER BY ghost;")
+
+
+def test_match_chain_order_by_suffix_resolution(spark):
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE U (name: string);"
+        "CREATE EDGE F (FROM U MANY, TO U MANY, PROPS (w: int));"
+        "INSERT NODE U (name: 'a'); INSERT NODE U (name: 'b');"
+        "INSERT NODE U (name: 'c');"
+        "INSERT EDGE F FROM U(name: 'a') TO U(name: 'b') (w: 2);"
+        "INSERT EDGE F FROM U(name: 'b') TO U(name: 'c') (w: 1);"
+    )
+    # ORDER BY w resolves to the aliased edge column via suffix match
+    res = eng.execute("MATCH U s, F e, U t ORDER BY w LIMIT 1;")[0]
+    row = res.df.collect()[0]
+    assert row["e_w"] == 1 and row["s_name"] == "b"

@@ -249,3 +249,48 @@ def test_number_lexing_unaffected_by_range_fix():
     ]
     toks = Lexer("1.5").tokens()
     assert toks[0].type is TokenType.NUMBER and toks[0].lit == "1.5"
+
+
+def test_match_order_limit_parse():
+    from grapho_spark.gql.parser import parse_script
+
+    stmts, errs = parse_script(
+        "MATCH Customer RETURN c_name ORDER BY c_acctbal DESC, c_name LIMIT 5;"
+    )
+    assert not errs
+    st = stmts[0]
+    assert st.order_by == (("c_acctbal", True), ("c_name", False))
+    assert st.limit == 5
+
+    # LIMIT without ORDER BY; ORDER BY without LIMIT
+    stmts, errs = parse_script("MATCH Customer LIMIT 10;")
+    assert not errs and stmts[0].limit == 10 and stmts[0].order_by == ()
+    stmts, errs = parse_script("MATCH Customer ORDER BY c_name;")
+    assert not errs and stmts[0].limit is None
+    assert stmts[0].order_by == (("c_name", False),)
+
+
+def test_match_order_limit_soft_keywords_stay_identifiers():
+    from grapho_spark.gql.parser import parse_script
+
+    # 'order' / 'limit' remain valid aliases and field names: the
+    # clause only triggers on ORDER followed by BY / LIMIT followed by
+    # a number (LL(2) at exactly that position).
+    stmts, errs = parse_script("MATCH Customer order;")
+    assert not errs and stmts[0].pattern[0].alias == "order"
+    stmts, errs = parse_script("MATCH Customer limit;")
+    assert not errs and stmts[0].pattern[0].alias == "limit"
+    stmts, errs = parse_script("MATCH Customer RETURN order, limit;")
+    assert not errs and stmts[0].return_fields == ("order", "limit")
+
+
+def test_match_order_limit_bad_limit_rejected():
+    from grapho_spark.gql.parser import parse_script
+
+    _, errs = parse_script("MATCH Customer LIMIT 0;")
+    assert errs
+    # LIMIT with no number is an alias named 'LIMIT', then a parse
+    # error at the stray token only if something follows; bare trailing
+    # ident is consumed as the alias.
+    stmts, errs = parse_script("MATCH Customer LIMIT;")
+    assert not errs and stmts[0].pattern[0].alias == "LIMIT"
