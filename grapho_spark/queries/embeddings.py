@@ -713,3 +713,129 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("m") == 3, 1).otherwise(0)).cast("long").alias("n_perfect"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64-d -> 8 x 8-d subvectors)
+_PQ_K = 4  # codewords per subspace
+
+_DUCK_PQ_CTE = f"""
+pq_expl AS (
+  SELECT vec_id, i AS pos, (i - 1) // 8 AS sub,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) AS dv
+  FROM embeddings, range(1, 65) t(i)),
+pq_cw AS (
+  SELECT vec_id % {_PQ_K} AS grp, sub, pos,
+         CAST(CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS cw
+  FROM pq_expl GROUP BY vec_id % {_PQ_K}, sub, pos),
+pq_dists AS (
+  SELECT e.vec_id, e.sub, c.grp,
+         CAST(SUM((e.dv - c.cw) * (e.dv - c.cw)) AS DECIMAL(38,12)) AS dist
+  FROM pq_expl e JOIN pq_cw c ON e.sub = c.sub AND e.pos = c.pos
+  GROUP BY e.vec_id, e.sub, c.grp),
+pq_codes AS (
+  SELECT vec_id, sub, grp AS code
+  FROM (SELECT vec_id, sub, grp,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, grp) AS rn
+        FROM pq_dists)
+  WHERE rn = 1),
+pq_lut AS (
+  SELECT d.vec_id AS q_id, d.sub, d.grp, d.dist
+  FROM pq_dists d WHERE d.vec_id % 97 = 0),
+pq_adc AS (
+  SELECT l.q_id, c.vec_id,
+         CAST(SUM(l.dist) AS DOUBLE) AS adc_dist
+  FROM pq_codes c JOIN pq_lut l ON l.sub = c.sub AND l.grp = c.code
+  WHERE c.vec_id <> l.q_id
+  GROUP BY l.q_id, c.vec_id)
+"""
+
+
+@query(
+    "embedding_pq_adc_knn",
+    oracle=f"""
+WITH {_DUCK_PQ_CTE}
+SELECT q_id, vec_id, adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM pq_adc)
+WHERE rn <= 3
+""",
+)
+def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring:
+    each 64-d vector is split into {_PQ_M} 8-d subvectors, every
+    subvector quantized to its nearest of {_PQ_K} per-subspace
+    codewords (codebook = exact-decimal means of the deterministic
+    ``vec_id % {_PQ_K}`` seed partition — one random-partition k-means
+    init step, reproducible on both engines). A query is answered
+    WITHOUT decoding the corpus: its per-(subspace, codeword) squared
+    distances form a {_PQ_M}x{_PQ_K} lookup table, and each corpus
+    vector's approximate distance is the sum of {_PQ_M} table lookups
+    selected by its stored codes.
+
+    Scale: this is the memory-bound ANN path at 100 TB — the corpus is
+    stored as {_PQ_M} small codes per vector (8 bytes vs 256 for raw
+    float32); the codebook and per-query LUTs are KBs and broadcast;
+    scoring is a map-side join + sum, never touching raw vectors. All
+    distance math is exact DECIMAL so ranking is cross-engine stable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("pos0") / _PQ_M).cast("int").alias("sub"),
+        F.col("v").cast("double").cast("decimal(12,6)").alias("dv"),
+    )
+    cw = (
+        expl.groupBy(
+            (F.col("vec_id") % _PQ_K).alias("grp"), "sub", "pos"
+        )
+        .agg(
+            (F.sum("dv").cast("double") / F.count(F.lit(1)))
+            .cast("decimal(12,6)")
+            .alias("cw")
+        )
+    )
+    dists = (
+        expl.join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "grp")
+        .agg(
+            F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
+            .cast("decimal(38,12)")
+            .alias("dist")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("grp").alias("code"))
+    )
+    lut = dists.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sub").alias("l_sub"),
+        F.col("grp").alias("l_grp"),
+        "dist",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("sub") == F.col("l_sub")) & (F.col("code") == F.col("l_grp")),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dist").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "adc_dist")
+    )
