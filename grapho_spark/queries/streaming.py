@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from grapho_spark.queries import query
 from grapho_spark.streaming import run_to_memory
 from grapho_spark.tables import load_stream, load_table
+from grapho_spark.queries.text import _STOP_SQL as _CUR_STOP_SQL
 
 
 @query(
@@ -509,3 +510,61 @@ def streaming_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out
+
+
+@query(
+    "streaming_curation_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\\s+') AS words,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com' AS seeded
+  FROM documents)
+SELECT doc_id, lang,
+       len(words) AS n_words,
+       ((len(words) BETWEEN 5 AND 1000)
+         AND len(list_filter(words, w -> w IN ({_CUR_STOP_SQL}))) >= 2
+         AND len(list_distinct(words)) * 1.0 / len(words) > 0.2) AS accept,
+       len(regexp_extract_all(seeded, '__EMAIL__')) AS n_emails
+FROM toks
+""".replace("__EMAIL__", "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+)
+def streaming_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time curation over a document STREAM: the Gopher-style
+    accept flag and PII email count computed per document as it
+    arrives, in append mode with zero streaming state — the shape of a
+    filter-at-ingest stage in front of a corpus sink. Identical
+    expressions to the batch curation module, so the finite stream's
+    output equals the batch result and gets a full value-hash oracle.
+
+    Scale: stateless map-only streaming (no watermark, no state store);
+    throughput is bounded by codegen regex evaluation, same as batch.
+    """
+    from grapho_spark.queries.curation import _EMAIL_RE
+    from grapho_spark.queries.text import STOPWORDS
+
+    stream = load_stream(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    n_words = F.size(words)
+    accept = (
+        n_words.between(5, 1000)
+        & (F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) >= 2)
+        & (F.size(F.array_distinct(words)) * F.lit(1.0) / n_words > 0.2)
+    )
+    out = stream.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        accept.alias("accept"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+    )
+    return run_to_memory(out, "append")
