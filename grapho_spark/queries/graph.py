@@ -22,7 +22,7 @@ unrolled iteration chain (PageRank) in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
@@ -686,4 +686,97 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
         rounds=LPA_ROUNDS,
+    )
+
+
+# --------------------------------------------------------------------------
+# HITS (hubs & authorities) on the customer -> part purchase bipartite graph
+# --------------------------------------------------------------------------
+#
+# Two exact unrolled iterations with NO per-round normalization: every
+# intermediate score is an integer-valued DECIMAL (h0 = 1, then
+# alternating in-/out-neighbor sums), so Spark's and DuckDB's different
+# accumulation orders cannot diverge. A single max-normalization in
+# double happens once at the end, rounded to 6dp. (Classic HITS
+# normalizes per round, which would force a double round-trip each
+# iteration; normalization only rescales — the final ranking and
+# max-normalized scores are identical.)
+
+HITS_TOPK = 20
+
+_DUCK_HITS_SQL = f"""
+WITH bedges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+a1 AS (SELECT part, CAST(COUNT(*) AS DECIMAL(38,0)) AS a FROM bedges GROUP BY part),
+h1 AS (SELECT cust, SUM(a) AS h FROM bedges JOIN a1 USING (part) GROUP BY cust),
+a2 AS (SELECT part, SUM(h) AS a FROM bedges JOIN h1 USING (cust) GROUP BY part),
+h2 AS (SELECT cust, SUM(a) AS h FROM bedges JOIN a2 USING (part) GROUP BY cust),
+hubs AS (
+  SELECT 'hub' AS role, cust AS node,
+         round(CAST(h AS DOUBLE) / (SELECT CAST(MAX(h) AS DOUBLE) FROM h2), 6) AS score
+  FROM h2),
+auths AS (
+  SELECT 'authority' AS role, part AS node,
+         round(CAST(a AS DOUBLE) / (SELECT CAST(MAX(a) AS DOUBLE) FROM a2), 6) AS score
+  FROM a2),
+unioned AS (SELECT * FROM hubs UNION ALL SELECT * FROM auths),
+ranked AS (
+  SELECT role, node, score,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY score DESC, node) AS rk
+  FROM unioned)
+SELECT role, node, score, rk FROM ranked WHERE rk <= {HITS_TOPK}
+"""
+
+
+@query("graph_hits_bipartite", oracle=_DUCK_HITS_SQL)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the directed customer->part purchase
+    graph: hub customers buy the authoritative (widely-bought) parts;
+    authoritative parts are bought by the hub customers. Two unrolled
+    mutual-reinforcement iterations, all sums in exact DECIMAL
+    (integer-valued throughout — see module comment), one final
+    max-normalization in double rounded to 6dp; top-{HITS_TOPK} per
+    role with deterministic tiebreaks.
+
+    Scale: each half-iteration is one equi-join + groupBy on the
+    bipartite edge list (shuffle on cust or part alternately — the
+    same two partitionings reused every round, so at 100 TB the edge
+    list gets bucketed twice, once per key, and iterations are
+    shuffle-free); score state is node-sized, never edge-sized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    bedges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a1 = bedges.groupBy("part").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("a")
+    )
+    h1 = (
+        bedges.join(a1, "part").groupBy("cust").agg(F.sum("a").alias("h"))
+    )
+    a2 = bedges.join(h1, "cust").groupBy("part").agg(F.sum("h").alias("a"))
+    h2 = bedges.join(a2, "part").groupBy("cust").agg(F.sum("a").alias("h"))
+    max_h = h2.agg(F.max("h").cast("double").alias("m"))
+    max_a = a2.agg(F.max("a").cast("double").alias("m"))
+    hubs = h2.crossJoin(F.broadcast(max_h)).select(
+        F.lit("hub").alias("role"),
+        F.col("cust").alias("node"),
+        F.round(F.col("h").cast("double") / F.col("m"), 6).alias("score"),
+    )
+    auths = a2.crossJoin(F.broadcast(max_a)).select(
+        F.lit("authority").alias("role"),
+        F.col("part").alias("node"),
+        F.round(F.col("a").cast("double") / F.col("m"), 6).alias("score"),
+    )
+    w = Window.partitionBy("role").orderBy(F.desc("score"), "node")
+    return (
+        hubs.unionByName(auths)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HITS_TOPK)
+        .select("role", "node", "score", "rk")
     )
