@@ -118,6 +118,10 @@ def _apply_order_limit(
     plan is TakeOrderedAndProject — per-partition top-k then a k-row
     merge on the driver, never a global sort.
     """
+    if stmt.return_count:
+        # RETURN COUNT(*): aggregate instead of project; map-side
+        # partial count + single-row exchange, never a full sort.
+        return out.agg(F.count(F.lit(1)).alias("n_rows"))
     user_cols: list[Column] = []
     for name, desc in stmt.order_by:
         if name in out.columns:

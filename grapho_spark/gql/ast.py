@@ -268,6 +268,10 @@ class MatchStmt(Stmt):
     # Each order key is (field, descending).
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
+    # RETURN COUNT(*) extension: aggregate row count instead of a
+    # projection. The parenthesized form keeps ``count`` a legal field
+    # name (a field reference is never followed by LPAREN).
+    return_count: bool = False
 
 
 @dataclass(frozen=True)

@@ -524,11 +524,26 @@ class Parser:
         if self._match(T.WHERE):
             where = self._parse_property_list(qualified=True)
         returns: list[str] = []
+        return_count = False
         if self._match(T.RETURN):
-            returns.append(self._expect(T.IDENT).lit)
-            while self._match(T.COMMA):
-                returns.append(self._expect(T.IDENT).lit)
+            first = self._expect(T.IDENT)
+            if first.lit.upper() == "COUNT" and self._tok.type is T.LPAREN:
+                # RETURN COUNT(*) — aggregate extension
+                self._next()
+                self._expect(T.STAR)
+                self._expect(T.RPAREN)
+                return_count = True
+                if self._tok.type is T.COMMA:
+                    self._err(
+                        self._tok, "COUNT(*) cannot be combined with return fields"
+                    )
+            else:
+                returns.append(first.lit)
+                while self._match(T.COMMA):
+                    returns.append(self._expect(T.IDENT).lit)
         order_by, limit = self._parse_order_limit()
+        if return_count and order_by:
+            self._err(t, "ORDER BY is meaningless with RETURN COUNT(*)")
         return ast.MatchStmt(
             tuple(pattern),
             where,
@@ -537,6 +552,7 @@ class Parser:
             col=t.col,
             order_by=order_by,
             limit=limit,
+            return_count=return_count,
         )
 
     def _at_soft_clause(self) -> bool:

@@ -458,3 +458,21 @@ def gql_match_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN c_name, c_acctbal ORDER BY c_acctbal DESC LIMIT 5;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_count",
+    oracle="""
+SELECT COUNT(*) AS n_rows FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def gql_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN COUNT(*) aggregate extension on MATCH: predicate row
+    count through the full GQL stack. The parenthesized form keeps
+    ``count`` a legal field name. Plan: map-side partial count over
+    the pushed-filter scan + a single-row exchange."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_mktsegment: 'BUILDING' RETURN COUNT(*);"
+    )[0]
+    return res.df

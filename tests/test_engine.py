@@ -818,3 +818,14 @@ def test_match_chain_order_by_suffix_resolution(spark):
     res = eng.execute("MATCH U s, F e, U t ORDER BY w LIMIT 1;")[0]
     row = res.df.collect()[0]
     assert row["e_w"] == 1 and row["s_name"] == "b"
+
+
+def test_match_return_count(eng):
+    eng.execute(
+        "CREATE NODE P (name: string, age: int);"
+        "INSERT NODE P (name: 'a', age: 1); INSERT NODE P (name: 'b', age: 2);"
+        "INSERT NODE P (name: 'c', age: 2);"
+    )
+    res = eng.execute("MATCH P WHERE age: 2 RETURN COUNT(*);")[0]
+    rows = res.df.collect()
+    assert res.df.columns == ["n_rows"] and rows[0].n_rows == 2

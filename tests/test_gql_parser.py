@@ -294,3 +294,20 @@ def test_match_order_limit_bad_limit_rejected():
     # ident is consumed as the alias.
     stmts, errs = parse_script("MATCH Customer LIMIT;")
     assert not errs and stmts[0].pattern[0].alias == "LIMIT"
+
+
+def test_match_return_count_parse():
+    from grapho_spark.gql.parser import parse_script
+
+    stmts, errs = parse_script("MATCH Customer RETURN COUNT(*);")
+    assert not errs and stmts[0].return_count and stmts[0].return_fields == ()
+    stmts, errs = parse_script("MATCH Customer RETURN COUNT(*) LIMIT 1;")
+    assert not errs and stmts[0].return_count
+    # count stays a legal plain field name
+    stmts, errs = parse_script("MATCH Customer RETURN count;")
+    assert not errs and stmts[0].return_fields == ("count",)
+    # mixing with fields / ORDER BY is rejected
+    _, errs = parse_script("MATCH Customer RETURN COUNT(*), c_name;")
+    assert errs
+    _, errs = parse_script("MATCH Customer RETURN COUNT(*) ORDER BY c_name;")
+    assert errs
