@@ -185,3 +185,104 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exponential smoothing (truncated-FIR EWMA) and z-score anomaly flags
+# --------------------------------------------------------------------------
+#
+# True EWMA is recursive (order-dependent accumulation, not
+# cross-engine hashable); the 8-tap truncation with alpha=0.5 keeps
+# >99.6% of the mass (2^-8 tail) and becomes a pure per-row scalar
+# expression over LAG values — identical IEEE operations on both
+# engines, bit-exact with no rounding. Coefficients are powers of two,
+# so each scaled term is exact in binary floating point.
+
+_EWMA_TAPS = 8
+
+
+def _ewma_terms(lag_fmt: str) -> str:
+    """SQL for the truncated EWMA numerator/denominator over taps
+    0..7; lag_fmt formats a k-lag value expression, e.g.
+    ``lag(value, {k}) OVER w``."""
+    num = " + ".join(
+        f"coalesce({lag_fmt.format(k=k)}, 0) * {0.5 ** k!r}"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fmt.format(k=k)} IS NOT NULL THEN {0.5 ** k!r} ELSE 0 END)"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"({num}) / ({den})"
+
+
+@query(
+    "timeseries_ewma_smooth",
+    oracle=f"""
+SELECT event_id, event_type, ts, value,
+       {_ewma_terms("lag(value, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id)")} AS ewma
+FROM events
+""",
+)
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing per event_type: 8-tap truncated EWMA
+    (alpha=0.5) as a per-row FIR over LAG values with renormalized
+    weights at series start — bit-exact cross-engine (see module
+    comment).
+
+    Scale: one shuffle on event_type; the window is 8 physical lags,
+    evaluated streaming within each sorted partition (no unbounded
+    frame). Skewed series keys can be range-split because the filter
+    taps are finite.
+    """
+    e = load_table(spark, sf_dir, "events")
+    lag_fmt = "lag(value, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.expr(_ewma_terms(lag_fmt)).alias("ewma"),
+    )
+
+
+@query(
+    "timeseries_zscore_anomalies",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS zscore,
+       abs((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5 AS is_anomaly
+FROM events e JOIN stats USING (event_type)
+""",
+)
+def timeseries_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags: population mean/std derived from
+    exact DECIMAL sums (order-independent), then a per-row scalar
+    z = (x - mean)/std — rounded to 6dp; |z| > 2.5 flags the outlier.
+
+    Scale: the stats table is one row per event_type (broadcast to the
+    scoring join); the scoring pass is map-only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dv).cast("double").alias("s1"),
+        F.sum(dv * dv).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2.5).alias("is_anomaly"),
+    )
