@@ -369,3 +369,48 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+daily AS (
+  SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+         (CAST(e.ts AS DATE) = f.first_day) AS is_new
+  FROM events e JOIN firsts f USING (user_id)
+  GROUP BY 1, 2, 3)
+SELECT day,
+       count(*) FILTER (WHERE is_new) AS new_users,
+       count(*) FILTER (WHERE NOT is_new) AS returning_users
+FROM daily GROUP BY day
+""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users: a user is 'new' on their
+    first-ever active day, 'returning' on later active days — the
+    growth-dashboard split.
+
+    Scale: one shuffle on user_id to find first days, one on
+    (day, user_id) to distinct daily actives, one per-day count; the
+    first-day table is user-sized, joined on the same user_id
+    partitioning it was built with.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = (
+        e.join(firsts, "user_id")
+        .select(
+            F.to_date("ts").alias("day"),
+            "user_id",
+            (F.to_date("ts") == F.col("first_day")).alias("is_new"),
+        )
+        .distinct()
+    )
+    return daily.groupBy("day").agg(
+        F.count(F.when(F.col("is_new"), 1)).alias("new_users"),
+        F.count(F.when(~F.col("is_new"), 1)).alias("returning_users"),
+    )

@@ -780,3 +780,88 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HITS_TOPK)
         .select("role", "node", "score", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules over co-purchased parts
+# --------------------------------------------------------------------------
+
+RULE_MIN_CO = 3
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+WITH pair_orders AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+co AS (
+  SELECT p1, p2, COUNT(*) AS n_co FROM pair_orders GROUP BY p1, p2
+  HAVING COUNT(*) >= {RULE_MIN_CO}),
+item AS (
+  SELECT l_partkey AS p, COUNT(DISTINCT l_orderkey) AS n_ord
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, n_co FROM co
+  UNION ALL
+  SELECT p2, p1, n_co FROM co)
+SELECT r.antecedent, r.consequent, r.n_co,
+       round(r.n_co * 1.0 / t.n, 6) AS support,
+       round(r.n_co * 1.0 / ia.n_ord, 6) AS confidence,
+       round((r.n_co * 1.0 / ia.n_ord) / (ic.n_ord * 1.0 / t.n), 6) AS lift
+FROM rules r
+JOIN item ia ON ia.p = r.antecedent
+JOIN item ic ON ic.p = r.consequent
+CROSS JOIN tot t
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over parts co-purchased in the
+    same order: support, confidence and lift per directed rule
+    (antecedent -> consequent), thresholded at {RULE_MIN_CO} co-orders.
+    Ratios are single divisions of exact counts, rounded to 6dp.
+
+    Scale: reuses the one-shuffle set-explode pair builder; item
+    frequencies are a part-sized table broadcast to the rule join; the
+    order total is a 1-row broadcast scalar. No pass is quadratic in
+    parts — only observed pairs above threshold materialize.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir)
+    co = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= RULE_MIN_CO)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    item = l.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count_distinct("l_orderkey").alias("n_ord")
+    )
+    tot = l.agg(F.count_distinct("l_orderkey").alias("n"))
+    rules = co.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "n_co"
+    ).unionByName(
+        co.select(
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "n_co"
+        )
+    )
+    ia = item.select(F.col("p").alias("antecedent"), F.col("n_ord").alias("n_a"))
+    ic = item.select(F.col("p").alias("consequent"), F.col("n_ord").alias("n_c"))
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_co",
+            F.round(F.col("n_co") * F.lit(1.0) / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_co") * F.lit(1.0) / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_co") * F.lit(1.0) / F.col("n_a"))
+                / (F.col("n_c") * F.lit(1.0) / F.col("n")),
+                6,
+            ).alias("lift"),
+        )
+    )
