@@ -30,9 +30,14 @@ HEADLINE = [
     "embedding_knn_pandas",
     "core_embedding_ivf_knn",
     "embedding_int8_quantization",
+    "embedding_pq_adc_knn",
+    "text_pii_redaction",
+    "text_chunk_dedup_rewrite",
     "merge_upsert_documents",
     "scd2_user_status_history",
     "graph_copurchase_edges",
+    "graph_hits_bipartite",
+    "basket_association_rules",
     "graph_pagerank",
     "core_graph_cc_distributed",
     "core_graph_pagerank_distributed",
