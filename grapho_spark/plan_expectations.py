@@ -49,6 +49,13 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # round-6: MATCH ... ORDER BY ... LIMIT must compile to per-partition
     # top-k over the pushed-filter scan, never a global sort
     "gql_match_order_limit": ["TakeOrderedAndProject", "PushedFilters"],
+    # round-6: item-frequency and stats dims must broadcast to the
+    # scoring joins; chunk dedup must stay explode + window (no join)
+    "basket_association_rules": ["BroadcastHashJoin"],
+    "timeseries_zscore_anomalies": ["BroadcastHashJoin"],
+    "embedding_pq_adc_knn": ["BroadcastHashJoin"],
+    "text_chunk_dedup_rewrite": ["Generate", "Window"],
+    "text_pii_redaction": ["ReadSchema", "VectorizedScan"],
     # round-6: the probe must scan the persisted bucketed band index
     # (build-once/probe-many), not rebuild buckets from signatures
     "dedup_incremental_new_vs_corpus": [

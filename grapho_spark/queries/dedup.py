@@ -809,3 +809,41 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     return probe_band_index(
         spark, sf_dir, corpus_band_index(spark, sf_dir), _INCR_NEW_PRED
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH {_duck_signature_cte()},
+{_DUCK_VERIFIED_CTE}
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / n_sh_a, 6) AS containment_a,
+       round(n_common * 1.0 / n_sh_b, 6) AS containment_b,
+       (n_common * 1.0 / n_sh_a > 0.8 OR n_common * 1.0 / n_sh_b > 0.8)
+         AS is_contained
+FROM verified
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment on the LSH candidate pairs:
+    |A intersect B| / |A| (and /|B|) — catches quote/snippet inclusion that
+    symmetric Jaccard under-scores (a 100-shingle doc fully inside a
+    10000-shingle doc has Jaccard ~0.01 but containment 1.0). Flagged
+    at 0.8 either direction.
+
+    Scale: same candidate-restricted cost as the Jaccard verify —
+    O(candidates x shingles), never all-pairs.
+    """
+    p = _spark_verified_pairs(spark, sf_dir)
+    ca = F.round(F.col("n_common") * F.lit(1.0) / F.col("n_sh_a"), 6)
+    cb = F.round(F.col("n_common") * F.lit(1.0) / F.col("n_sh_b"), 6)
+    return p.select(
+        "doc_a",
+        "doc_b",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+        (
+            (F.col("n_common") * F.lit(1.0) / F.col("n_sh_a") > 0.8)
+            | (F.col("n_common") * F.lit(1.0) / F.col("n_sh_b") > 0.8)
+        ).alias("is_contained"),
+    )

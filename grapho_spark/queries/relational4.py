@@ -831,3 +831,70 @@ def approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("p50_approx") >= F.col("p50_lo")) & (F.col("p50_approx") <= F.col("p50_hi"))).alias("p50_within_bound"),
         ((F.col("p95_approx") >= F.col("p95_lo")) & (F.col("p95_approx") <= F.col("p95_hi"))).alias("p95_within_bound"),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+rfm AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate), (SELECT mx FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM rfm)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+FROM scored
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    anchored at the corpus max date), frequency (order count), monetary
+    (exact-decimal revenue), each mapped to a 1-5 ntile score with
+    deterministic custkey tiebreaks, concatenated into the classic
+    R#F#M# segment label.
+
+    Scale: one shuffle on custkey for the per-customer rollup. The
+    three global ntiles are rank-based — at 100 TB replace with
+    percentile thresholds from approx quantiles (a 5-number broadcast)
+    to avoid single-partition ordering; at fixture scale the exact
+    ntile is the oracle-friendly form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), "custkey")
+    w_f = Window.orderBy("frequency", "custkey")
+    w_m = Window.orderBy("monetary", "custkey")
+    scored = rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"), F.col("r_score").cast("string"),
+            F.lit("F"), F.col("f_score").cast("string"),
+            F.lit("M"), F.col("m_score").cast("string"),
+        ),
+    )

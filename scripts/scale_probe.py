@@ -39,6 +39,12 @@ PROBES = [
     "core_graph_cc_distributed",
     "core_graph_pagerank_distributed",
     "core_q1_pricing_summary",
+    # round-6 additions
+    "embedding_pq_adc_knn",
+    "text_chunk_dedup_rewrite",
+    "text_pii_redaction",
+    "graph_hits_bipartite",
+    "basket_association_rules",
 ]
 
 
