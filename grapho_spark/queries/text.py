@@ -893,3 +893,95 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_fraction"),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents),
+uni AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(words) AS term FROM w) GROUP BY term),
+tot AS (SELECT SUM(c) AS total FROM uni),
+bigr AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM w, range(1, 1000) t(i) WHERE i < len(words)),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY w1, w2),
+fc AS (SELECT w1, COUNT(*) AS c1 FROM bigr GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(-ln(0.75 * bc.c12 / fc.c1
+                        + 0.25 * u.c / CAST(total AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS neglogp
+  FROM bigr b
+  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN fc ON b.w1 = fc.w1
+  JOIN uni u ON b.w2 = u.term, tot)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(neglogp) AS DOUBLE) / COUNT(*), 6) AS avg_neglogp
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document with unigram interpolation
+    (0.75 * p(w2|w1) + 0.25 * p(w2)) — the next step up from
+    text_unigram_logprob as a perplexity-proxy quality score; the
+    interpolation term keeps unseen-bigram surprisal finite without a
+    smoothing hyperparameter per vocab size.
+
+    Determinism: per-bigram surprisal is a fixed scalar expression
+    rounded at 6dp then accumulated as EXACT decimals (same policy as
+    the unigram scorer); the final mean is one rounded division.
+
+    Scale: bigram and first-token count tables are vocabulary^2-sparse
+    (bounded by corpus tokens, zipf-concentrated) — broadcast or
+    shuffle-joined on w1/w2; the token stream is scanned a bounded
+    number of times with map-side combine. No per-doc state beyond the
+    final groupBy.
+    """
+    from grapho_spark.sparkutil import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("words"))
+    uni = (
+        w.select(F.explode("words").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("total"))
+    bigr = materialize(
+        w.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("words", 1, F.size("words") - 1),
+                    F.slice("words", 2, F.size("words") - 1),
+                )
+            ).alias("pr"),
+        ).select("doc_id", F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    )
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    fc = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    neglogp = F.round(
+        -F.log(
+            F.lit(0.75) * F.col("c12") / F.col("c1")
+            + F.lit(0.25) * F.col("c") / F.col("total").cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bigr.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(fc), "w1")
+        .join(F.broadcast(uni), F.col("w2") == F.col("term"))
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", neglogp.alias("neglogp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("neglogp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_neglogp"
+        ),
+    )
