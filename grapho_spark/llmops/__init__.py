@@ -4,14 +4,18 @@ oracle-checked query forms) and multimodal column plumbing."""
 
 from grapho_spark.llmops.multimodal import (
     attach_blob_metadata,
+    decode_audio_batch,
     decode_media_batch,
     extract_embedding_batch,
     sample_frames,
+    segment_audio,
 )
 
 __all__ = [
     "attach_blob_metadata",
+    "decode_audio_batch",
     "decode_media_batch",
     "extract_embedding_batch",
     "sample_frames",
+    "segment_audio",
 ]

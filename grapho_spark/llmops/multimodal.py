@@ -189,3 +189,82 @@ def extract_embedding_batch(
     return df.select(id_col, blob_col).mapInPandas(
         extract, schema="id long, embedding array<double>"
     )
+
+
+AUDIO_META_SCHEMA = (
+    "id long, n_bytes long, n_samples long, sample_rate int, decode_ok boolean"
+)
+
+AUDIO_SAMPLES_PER_BYTE = 2
+AUDIO_RATE = 16000
+
+
+def decode_audio_batch(
+    df: DataFrame, blob_col: str, id_col: str, real_decode: bool = False
+) -> DataFrame:
+    """Audio header inspection via ``mapInPandas`` (same Arrow-batch
+    shape as decode_media_batch): derives (n_samples, sample_rate)
+    per payload. The stub maps bytes deterministically
+    (n_samples = n_bytes * {spb}, rate = {rate}); swap for
+    soundfile/ffprobe in production.""".format(
+        spb=AUDIO_SAMPLES_PER_BYTE, rate=AUDIO_RATE
+    )
+    if real_decode:
+        raise NotImplementedError(
+            "real audio decoding requires soundfile/ffmpeg, absent in this "
+            "environment; the Spark plumbing is the production shape"
+        )
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf[blob_col]]
+            n = len(payloads)
+            n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64").to_numpy(),
+                    "n_bytes": n_bytes,
+                    "n_samples": n_bytes * AUDIO_SAMPLES_PER_BYTE,
+                    "sample_rate": np.full(n, AUDIO_RATE, dtype=np.int32),
+                    "decode_ok": True,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
+def segment_audio(meta: DataFrame, win: int, hop: int) -> DataFrame:
+    """Fixed-window audio segmentation plan over decoded metadata: one
+    row per (id, window) with sample offsets and ms timestamps — pure
+    JVM sequence+explode, no Python. Windows shorter than ``win`` at
+    the tail are dropped (VAD/feature extractors want full frames);
+    payloads under one window yield zero rows."""
+    n_win = F.when(
+        F.col("n_samples") >= win,
+        (F.col("n_samples") - F.lit(win)) / F.lit(hop) + 1,
+    ).otherwise(F.lit(0)).cast("long")
+    # sequence(0, -1) would yield [0, -1] (Spark sequences run
+    # backwards when start > stop), so zero-window payloads must map
+    # to an empty array, not a degenerate sequence.
+    idx = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return (
+        meta.select(
+            "id",
+            "n_samples",
+            "sample_rate",
+            F.explode(idx).alias("win_idx"),
+        )
+        .select(
+            "id",
+            "win_idx",
+            (F.col("win_idx") * hop).alias("start_sample"),
+            (F.col("win_idx") * hop + win).alias("end_sample"),
+            F.round(
+                F.col("win_idx") * hop * 1000.0 / F.col("sample_rate"), 3
+            ).alias("start_ms"),
+        )
+    )

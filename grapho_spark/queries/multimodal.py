@@ -151,3 +151,54 @@ def multimodal_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.expr(bucket).alias("bucket"),
     )
+
+
+AUDIO_WIN = 400  # samples per window (25 ms at 16 kHz)
+AUDIO_HOP = 160  # hop (10 ms)
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle=f"""
+WITH audio AS (
+  SELECT doc_id AS id,
+         octet_length(encode(text)) * 2 AS n_samples
+  FROM documents),
+win AS (
+  SELECT id, n_samples,
+         CASE WHEN n_samples >= {AUDIO_WIN}
+              THEN (n_samples - {AUDIO_WIN}) // {AUDIO_HOP} + 1
+              ELSE 0 END AS n_win
+  FROM audio)
+SELECT id, i AS win_idx,
+       i * {AUDIO_HOP} AS start_sample,
+       i * {AUDIO_HOP} + {AUDIO_WIN} AS end_sample,
+       round(i * {AUDIO_HOP} * 1000.0 / 16000, 3) AS start_ms
+FROM win, range(0, 100000) t(i)
+WHERE i < n_win
+""",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing: payloads decoded to
+    (n_samples, rate) via an Arrow ``mapInPandas`` stub codec, then
+    segmented into {AUDIO_WIN}-sample windows at {AUDIO_HOP}-sample hop
+    (25 ms / 10 ms at 16 kHz — the standard ASR feature grid) with a
+    JVM-side sequence+explode; tail windows dropped, sub-window
+    payloads yield zero rows. The oracle recomputes the deterministic
+    stub decode in SQL, so the whole Python batch path is
+    value-checked.
+
+    Scale: decode is one Arrow roundtrip per partition batch; the
+    window explode is pure codegen with fan-out n_samples/hop —
+    linear in audio duration, no shuffle.
+    """
+    from grapho_spark.llmops import decode_audio_batch, segment_audio
+
+    meta = decode_audio_batch(_blob_df(spark, sf_dir), "payload", "doc_id")
+    return segment_audio(meta, win=AUDIO_WIN, hop=AUDIO_HOP).select(
+        "id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.col("start_sample").cast("long").alias("start_sample"),
+        F.col("end_sample").cast("long").alias("end_sample"),
+        "start_ms",
+    )

@@ -201,3 +201,46 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderstatus", F.col("sum_tp").cast("double").alias("sum_totalprice")
     )
+
+
+@query(
+    "approx_distinct_sketch_merge",
+    oracle="""
+SELECT COUNT(DISTINCT user_id) AS exact_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_partial_sketches,
+       TRUE AS merged_within_5pct
+FROM events
+""",
+)
+def approx_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: build one Datasketches HLL
+    sketch of user_id PER event_type partition, then merge the partial
+    sketches with hll_union_agg and estimate the global distinct count
+    — the build-partial/merge-later pattern that lets 100 TB pipelines
+    maintain distinct counts incrementally (per day/shard) and combine
+    them without re-scanning. Same bounded-check contract as
+    approx_aggregates_rows_only: the query emits the exact count plus
+    a Spark-computed 5%-relative-error boolean (sketch estimates are
+    engine-specific, so the estimate itself is not hash-compared).
+
+    Scale: each partial sketch is KBs regardless of cardinality; the
+    merge is a constant-size reduction, not a shuffle of values.
+    """
+    e = load_table(spark, sf_dir, "events")
+    partials = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_partial_sketches"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        F.col("n_partial_sketches").cast("long").alias("n_partial_sketches"),
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+            / F.col("exact_users").cast("double")
+            <= F.lit(0.05)
+        ).alias("merged_within_5pct"),
+    )
