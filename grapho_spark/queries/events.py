@@ -414,3 +414,54 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_new"), 1)).alias("new_users"),
         F.count(F.when(~F.col("is_new"), 1)).alias("returning_users"),
     )
+
+
+@query(
+    "orders_cohort_revenue",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey),
+facts AS (
+  SELECT f.cohort_month,
+         date_diff('month', f.cohort_month,
+                   date_trunc('month', o.o_orderdate)) AS months_since,
+         CAST(o.o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders o JOIN firsts f USING (o_custkey))
+SELECT cohort_month, months_since,
+       count(*) AS n_orders,
+       CAST(sum(price) AS DOUBLE) AS revenue
+FROM facts
+WHERE months_since <= 24
+GROUP BY cohort_month, months_since
+""",
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-LTV matrix: customers grouped by first-order month, and
+    each later order's revenue attributed to (cohort, months-since) —
+    the retention/LTV triangle, first 24 months. Exact-decimal revenue.
+
+    Scale: one custkey shuffle to find cohorts (customer-sized table,
+    joined back on the same key), one shuffle for the matrix rollup.
+    The matrix itself is months^2-sized — trivially small at any data
+    scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("cohort_month")
+    )
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            F.months_between(F.trunc("o_orderdate", "month"), F.col("cohort_month"))
+        ).cast("long").alias("months_since"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    return (
+        facts.filter(F.col("months_since") <= 24)
+        .groupBy("cohort_month", "months_since")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )

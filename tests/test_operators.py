@@ -441,3 +441,22 @@ def test_int8_quantization_bounds(spark, sf_dir):
         | (F.col("mse") < 0)
     )
     assert bad.count() == 0
+
+
+def test_segment_audio_zero_window_payloads(spark):
+    from grapho_spark.llmops import decode_audio_batch, segment_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 300)), (2, bytearray(b"y" * 100)), (3, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    meta = decode_audio_batch(df, "payload", "doc_id")
+    # 300 bytes -> 600 samples -> windows at 400/160: idx 0 and 1
+    # 100 bytes -> 200 samples < 400 -> zero rows (not a [0,-1] sequence)
+    out = segment_audio(meta, win=400, hop=160).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r.win_idx)
+    assert by_id == {1: [0, 1]}
+    starts = {r.win_idx: r.start_sample for r in out if r.id == 1}
+    assert starts == {0: 0, 1: 160}
