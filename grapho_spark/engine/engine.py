@@ -1624,6 +1624,18 @@ class GraphEngine:
     # ------------------------------------------------- SHOW / DESCRIBE
 
     def _show(self, stmt: ast.ShowStmt) -> StatementResult:
+        if stmt.kind == "VERSIONS":
+            kind = "node" if self.catalog.node(stmt.target) else (
+                "edge" if self.catalog.edge(stmt.target) else None
+            )
+            if kind is None:
+                raise EngineError(f"type {stmt.target!r} does not exist")
+            versions = self.table_versions(kind, stmt.target)
+            df = self.spark.createDataFrame(
+                [(stmt.target, v, v == (versions[-1] if versions else -1)) for v in versions],
+                "name string, version long, is_latest boolean",
+            )
+            return StatementResult("show", "", count=-1, df=df)
         if stmt.kind == "NODES":
             rows = [
                 (n.name, len(n.fields), n.pk, self.catalog.version)

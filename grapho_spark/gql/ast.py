@@ -276,11 +276,13 @@ class MatchStmt(Stmt):
 
 @dataclass(frozen=True)
 class ShowStmt(Stmt):
-    """SHOW NODES | SHOW EDGES — catalog introspection. The reference
-    reserves the SHOW token with no grammar (parser/token.go:32-46);
-    we implement the clearly-intended form (SURVEY.md §2.4)."""
+    """SHOW NODES | SHOW EDGES | SHOW VERSIONS <type> — catalog and
+    time-travel introspection. The reference reserves the SHOW token
+    with no grammar (parser/token.go:32-46); we implement the
+    clearly-intended forms (SURVEY.md §2.4)."""
 
-    kind: str  # "NODES" | "EDGES"
+    kind: str  # "NODES" | "EDGES" | "VERSIONS"
+    target: str = ""  # type name, VERSIONS only
     line: int = 0
     col: int = 0
 

@@ -611,8 +611,13 @@ class Parser:
         self._next()
         kw = self._expect(T.IDENT)
         kind = kw.lit.upper()
+        if kind == "VERSIONS":
+            # SHOW VERSIONS <type> — time-travel introspection: one row
+            # per flushed copy-on-write version of the named type.
+            name = self._expect(T.IDENT)
+            return ast.ShowStmt(kind, target=name.lit, line=t.line, col=t.col)
         if kind not in ("NODES", "EDGES"):
-            self._err(kw, "expected NODES or EDGES after SHOW")
+            self._err(kw, "expected NODES, EDGES or VERSIONS after SHOW")
         return ast.ShowStmt(kind, line=t.line, col=t.col)
 
     def _parse_describe(self) -> ast.DescribeStmt:

@@ -839,3 +839,62 @@ def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", "adc_dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64-d -> 16-d)
+# --------------------------------------------------------------------------
+
+_JL_OUT = 16
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """Deterministic +/-1 projection entry for output dim j, input dim
+    i — a fixed pseudo-random sign pattern both engines can replay
+    (md5 of "j:i", parity of first hex nibble)."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def _jl_spark_expr(j: int) -> str:
+    terms = " + ".join(
+        f"({'' if _jl_sign(j, i) > 0 else '-'}CAST(embedding[{i}] AS DOUBLE))"
+        for i in range(DIM)
+    )
+    return f"round(({terms}) / 4.0, 6)"
+
+
+def _jl_duck_expr(j: int) -> str:
+    # DuckDB lists are 1-based
+    terms = " + ".join(
+        f"({'' if _jl_sign(j, i) > 0 else '-'}CAST(embedding[{i + 1}] AS DOUBLE))"
+        for i in range(DIM)
+    )
+    return f"round(({terms}) / 4.0, 6)"
+
+
+@query(
+    "embedding_random_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(f"{_jl_duck_expr(j)} AS d{j}" for j in range(_JL_OUT))
+    + " FROM embeddings",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: 64-d -> 16-d via
+    a fixed +/-1 sign matrix (Achlioptas construction, scaled by
+    1/sqrt(16) = 1/4). The sign pattern derives from md5(j:i) so both
+    engines replay the identical matrix; each output dim is one fixed
+    left-to-right sum of 64 signed doubles rounded at 6dp —
+    deterministic scalar math, no aggregation.
+
+    Scale: map-only codegen (16 fused projections per row, zero
+    shuffle); the JL guarantee lets downstream ANN/clustering run on
+    a 4x smaller vector at bounded distance distortion.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        *[F.expr(_jl_spark_expr(j)).alias(f"d{j}") for j in range(_JL_OUT)],
+    )

@@ -829,3 +829,27 @@ def test_match_return_count(eng):
     res = eng.execute("MATCH P WHERE age: 2 RETURN COUNT(*);")[0]
     rows = res.df.collect()
     assert res.df.columns == ["n_rows"] and rows[0].n_rows == 2
+
+
+def test_show_versions(spark, tmp_path):
+    d = str(tmp_path / "db_sv")
+    eng = GraphEngine(spark, data_dir=d)
+    eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
+    # no flush yet -> empty version list, stable schema
+    res = eng.execute("SHOW VERSIONS P;")[0]
+    assert res.df.columns == ["name", "version", "is_latest"]
+    assert res.df.count() == 0
+    eng.flush()
+    eng.execute("INSERT NODE P (name: 'b');")
+    eng.flush()
+    rows = eng.execute("SHOW VERSIONS P;")[0].df.orderBy("version").collect()
+    assert [r.version for r in rows] == eng.table_versions("node", "P")
+    assert len(rows) == 2 and rows[-1].is_latest and not rows[0].is_latest
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute("SHOW VERSIONS Ghost;")
+
+
+def test_show_versions_in_memory_engine(eng):
+    eng.execute("CREATE NODE P (name: string);")
+    res = eng.execute("SHOW VERSIONS P;")[0]
+    assert res.df.count() == 0  # no data_dir -> no flushed versions
