@@ -37,7 +37,7 @@ HEADLINE = [
     "scd2_user_status_history",
     "graph_copurchase_edges",
     "graph_hits_bipartite",
-    "basket_association_rules",
+    "market_basket_rules",
     "graph_pagerank",
     "core_graph_cc_distributed",
     "core_graph_pagerank_distributed",

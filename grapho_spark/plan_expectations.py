@@ -51,7 +51,7 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "gql_match_order_limit": ["TakeOrderedAndProject", "PushedFilters"],
     # round-6: item-frequency and stats dims must broadcast to the
     # scoring joins; chunk dedup must stay explode + window (no join)
-    "basket_association_rules": ["BroadcastHashJoin"],
+    "market_basket_rules": ["BroadcastHashJoin"],
     "timeseries_zscore_anomalies": ["BroadcastHashJoin"],
     "embedding_pq_adc_knn": ["BroadcastHashJoin"],
     "text_chunk_dedup_rewrite": ["Generate", "Window"],

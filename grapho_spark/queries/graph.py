@@ -790,7 +790,7 @@ RULE_MIN_CO = 3
 
 
 @query(
-    "basket_association_rules",
+    "market_basket_rules",
     oracle=f"""
 WITH pair_orders AS (
   SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
@@ -817,7 +817,7 @@ JOIN item ic ON ic.p = r.consequent
 CROSS JOIN tot t
 """,
 )
-def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over parts co-purchased in the
     same order: support, confidence and lift per directed rule
     (antecedent -> consequent), thresholded at {RULE_MIN_CO} co-orders.

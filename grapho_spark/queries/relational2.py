@@ -204,7 +204,7 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "approx_distinct_sketch_merge",
+    "sketch_merge_distinct_bounded",
     oracle="""
 SELECT COUNT(DISTINCT user_id) AS exact_users,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_partial_sketches,
@@ -212,7 +212,7 @@ SELECT COUNT(DISTINCT user_id) AS exact_users,
 FROM events
 """,
 )
-def approx_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_merge_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: build one Datasketches HLL
     sketch of user_id PER event_type partition, then merge the partial
     sketches with hll_union_agg and estimate the global distinct count

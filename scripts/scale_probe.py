@@ -44,7 +44,7 @@ PROBES = [
     "text_chunk_dedup_rewrite",
     "text_pii_redaction",
     "graph_hits_bipartite",
-    "basket_association_rules",
+    "market_basket_rules",
 ]
 
 
