@@ -395,3 +395,135 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         accept.alias("accept"),
         verdict.alias("verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split + cross-split leakage check
+# --------------------------------------------------------------------------
+
+
+def _split_expr_sql() -> str:
+    """Split assignment from the md5 hash of doc_id: 80/10/10."""
+    return (
+        "CASE WHEN (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100) < 80 THEN 'train' "
+        "WHEN (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100) < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+@query(
+    "corpus_train_val_test_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         {_split_expr_sql()} AS split
+  FROM documents)
+SELECT lang, split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY lang, split
+""",
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the assignment is a
+    pure function of md5(doc_id) (first 6 hex digits mod 100), so the
+    split is reproducible across runs, engines and shards — per
+    (lang, split) doc and token counts for the split-balance audit.
+
+    Scale: map-only assignment plus one rollup shuffle; no sampling
+    state, no global ordering.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+_LEAK_SPAN = 8  # tokens per shingled span for the leakage check
+
+
+@query(
+    "corpus_split_leakage",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS words,
+         {_split_expr_sql()} AS split
+  FROM documents),
+spans AS (
+  SELECT DISTINCT doc_id, split,
+         array_to_string(words[i : i + {_LEAK_SPAN} - 1], ' ') AS span
+  FROM assigned, range(1, 1000) t(i)
+  WHERE i + {_LEAK_SPAN} - 1 <= len(words)),
+train_spans AS (SELECT DISTINCT span FROM spans WHERE split = 'train'),
+eval_hits AS (
+  SELECT s.split, s.doc_id, count(*) AS n_leaked_spans
+  FROM spans s JOIN train_spans t USING (span)
+  WHERE s.split <> 'train'
+  GROUP BY s.split, s.doc_id)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs_leaked,
+       CAST(sum(n_leaked_spans) AS BIGINT) AS n_spans_leaked
+FROM eval_hits GROUP BY split
+""",
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination check: {_LEAK_SPAN}-token spans of
+    val/test documents that also occur anywhere in the train split —
+    the decontamination audit run after splitting (leaked spans mean
+    the eval set can be memorized from training data).
+
+    Scale: spans shuffle once on the span value (at 100 TB, hash the
+    span first so only 16-byte keys ride the shuffle); the train-span
+    set is the join build side. Same no-pairwise shape as
+    text_repeated_spans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    assigned = d.select("doc_id", split.alias("split"), words.alias("words"))
+    spans = assigned.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("words") - _LEAK_SPAN + 1, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("words", i, _LEAK_SPAN)),
+                )
+            )
+        ).alias("span"),
+    ).distinct()
+    train_spans = spans.filter(F.col("split") == "train").select("span").distinct()
+    hits = (
+        spans.filter(F.col("split") != "train")
+        .join(train_spans, "span")
+        .groupBy("split", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked_spans"))
+    )
+    return hits.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_leaked"),
+        F.sum("n_leaked_spans").cast("long").alias("n_spans_leaked"),
+    )
