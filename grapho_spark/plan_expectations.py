@@ -56,6 +56,14 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "embedding_pq_adc_knn": ["BroadcastHashJoin"],
     "text_chunk_dedup_rewrite": ["Generate", "Window"],
     "text_pii_redaction": ["ReadSchema", "VectorizedScan"],
+    # temporal enrichment must be an equi-join on user_id with the
+    # validity range as a RESIDUAL condition, never a nested loop
+    "events_temporal_enrichment": [
+        "BroadcastHashJoin|SortMergeJoin",
+        "Left keys \\[1\\]: \\[user_id",
+        "Join condition: \\(\\(ts.* >= valid_from",
+        "EqualTo\\(event_type,purchase\\)",
+    ],
     # round-6: the probe must scan the persisted bucketed band index
     # (build-once/probe-many), not rebuild buckets from signatures
     "dedup_incremental_new_vs_corpus": [
