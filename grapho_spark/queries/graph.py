@@ -865,3 +865,110 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+ed AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM sym e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM ed)
+SELECT n AS n_directed_edges,
+       round((n*sxy - sx*sy) * 1.0 /
+             (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+         AS assortativity
+FROM m
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edge instances —
+    positive means hubs link to hubs. All moments accumulate as exact
+    integers; one final double division rounded at 6dp.
+
+    Scale: degree table shuffles once on node and joins back to the
+    edge list twice on its two keys; the moment rollup is map-side
+    combined into a single row.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    ed = sym.join(ds, "src").join(dd, "dst")
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy) * F.lit(1.0)
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return m.select(
+        n.cast("long").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.p2 = e2.p1
+  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+       round(3.0 * n_triangles / n_wedges, 6) AS global_clustering
+FROM tri, wed
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3 x triangles /
+    wedges, where wedges = sum over nodes of C(degree, 2) — how often
+    two co-purchase neighbors are themselves co-purchased. Integer
+    counts; one final rounded division.
+
+    Scale: reuses the ordered wedge-join triangle count (bounded by
+    sum(deg^2) on the thresholded graph) and the degree rollup; both
+    are single-shuffle aggregates of the shared edge table.
+    """
+    e = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = sym_edges(copurchase_edges(spark, sf_dir)).groupBy(
+        F.col("src").alias("node")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    return tris.crossJoin(F.broadcast(wedges)).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "global_clustering"
+        ),
+    )
