@@ -847,3 +847,56 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_common") * F.lit(1.0) / F.col("n_sh_b") > 0.8)
         ).alias("is_contained"),
     )
+
+
+@query(
+    "dedup_minhash_estimator_error",
+    oracle=f"""
+WITH {_duck_signature_cte()},
+{_DUCK_VERIFIED_CTE},
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         ({_MATCH_SUM_DUCK}) * 1.0 / {N_SEEDS} AS est_jaccard
+  FROM cand_pairs p
+  JOIN sigs sa ON p.doc_a = sa.doc_id
+  JOIN sigs sb ON p.doc_b = sb.doc_id)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, v.jaccard,
+       round(abs(e.est_jaccard - v.jaccard), 6) AS abs_err
+FROM est e JOIN verified v ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b
+""",
+)
+def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: per candidate pair, the
+    signature-estimated Jaccard next to the exact shingle Jaccard and
+    their absolute error — the observability that tells you whether
+    {N_SEEDS} seeds are enough for the corpus' similarity profile
+    before trusting the estimate at scale.
+
+    Scale: both inputs are already candidate-restricted; the
+    comparison join is pair-keyed and pair-sized.
+    """
+    sigs = _spark_signatures(spark, sf_dir)
+    pairs = _spark_candidate_pairs(sigs)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    match_sum = sum(
+        F.when(F.col(f"sa.s{j}") == F.col(f"sb.s{j}"), 1).otherwise(0)
+        for j in range(N_SEEDS)
+    )
+    est = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (match_sum * F.lit(1.0) / F.lit(N_SEEDS)).alias("est_jaccard"),
+        )
+    )
+    exact = _spark_verified_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )

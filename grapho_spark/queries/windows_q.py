@@ -192,3 +192,38 @@ def window_first_last_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@query(
+    "window_rank_battery",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery per order priority: rank, dense_rank,
+    percent_rank and cume_dist over totalprice with orderkey tiebreaks.
+    percent_rank/cume_dist are exact rank ratios — one division each,
+    rounded at 6dp.
+
+    Scale: one shuffle on the partition key; each priority ranks
+    independently (no global sort).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
