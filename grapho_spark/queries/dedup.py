@@ -900,3 +900,49 @@ def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame
         "jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+@query(
+    "dedup_source_leakage_matrix",
+    oracle=f"""
+WITH {_duck_signature_cte()},
+{_DUCK_VERIFIED_CTE},
+near AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {DEDUP_JACCARD_THRESHOLD}),
+srcs AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_x,
+       greatest(sa.source, sb.source) AS source_y,
+       count(*) AS n_neardup_pairs
+FROM near n
+JOIN srcs sa ON sa.doc_id = n.doc_a
+JOIN srcs sb ON sb.doc_id = n.doc_b
+GROUP BY 1, 2
+""",
+)
+def dedup_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate leakage matrix: verified near-dup pairs
+    (exact Jaccard >= {DEDUP_JACCARD_THRESHOLD}) bucketed by the
+    unordered pair of their documents' sources — diagonal entries are
+    within-source duplication, off-diagonal entries reveal one feed
+    mirroring another (the signal for dropping a redundant source
+    entirely rather than deduping row by row).
+
+    Scale: pair-sized join against a doc->source projection
+    (broadcastable or pair-key-shuffled); the matrix is
+    sources^2-bounded.
+    """
+    near = _spark_verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= DEDUP_JACCARD_THRESHOLD
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        near.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+    )

@@ -465,3 +465,49 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events)
+SELECT user_id,
+       count(*) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(sum(gap_s) AS BIGINT) AS total_gap_s,
+       CAST(median(gap_s) AS DOUBLE) AS median_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+""",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics (seconds between consecutive
+    events): count, min/max, total and exact median — the
+    activity-cadence profile behind sessionization thresholds and bot
+    detection. All integer seconds; the median is Spark's exact
+    percentile against DuckDB's median (both exact on integers).
+
+    Scale: one shuffle on user_id shared by the lag window and the
+    rollup; no global ordering.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.sum("gap_s").cast("long").alias("total_gap_s"),
+        F.expr("percentile(gap_s, 0.5)").cast("double").alias("median_gap_s"),
+    )

@@ -898,3 +898,99 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), F.col("m_score").cast("string"),
         ),
     )
+
+
+@query(
+    "orders_seasonal_index",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_part('month', o_orderdate) AS BIGINT) AS month,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_rev,
+         count(*) AS total_n
+  FROM orders)
+SELECT month, n, rev,
+       round((rev / n) / (total_rev / total_n), 6) AS seasonal_index
+FROM monthly, tot
+""",
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonality profile: each calendar month's average
+    order value relative to the overall average (index 1.0 = no
+    seasonal effect) — the classic seasonal-index decomposition step.
+    Revenue sums are exact decimals; the index is one double division
+    chain rounded at 6dp.
+
+    Scale: one month-keyed rollup plus a 1-row broadcast scalar.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("rev"),
+    )
+    tot = o.agg(
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total_rev"),
+        F.count(F.lit(1)).alias("total_n"),
+    )
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n",
+        "rev",
+        F.round(
+            (F.col("rev") / F.col("n")) / (F.col("total_rev") / F.col("total_n")), 6
+        ).alias("seasonal_index"),
+    )
+
+
+@query(
+    "customer_balance_gini",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS x, c_custkey
+  FROM customer WHERE c_acctbal > 0),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, c_custkey) AS i FROM pos),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(i * x) AS DOUBLE) AS six
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM m
+""",
+)
+def customer_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of positive customer balances via the sorted
+    rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Rank order is
+    deterministic (value then custkey); the moments are exact decimal
+    sums with one final rounded division.
+
+    Scale: the global rank is the only total order — at 100 TB compute
+    it as a two-pass distributed rank (per-partition counts then
+    offset), which Spark's window already does under range
+    partitioning; moment accumulation is map-side combined.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_acctbal").cast("decimal(12,2)").alias("x"), "c_custkey"
+    )
+    ranked = pos.select(
+        "x", F.row_number().over(Window.orderBy("x", "c_custkey")).alias("i")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -12,7 +12,7 @@ forms.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
@@ -984,4 +984,68 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("neglogp").cast("double") / F.count(F.lit(1)), 6).alias(
             "avg_neglogp"
         ),
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+WITH freq AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents) GROUP BY term),
+ranked AS (
+  SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC, term)), 6)
+              AS DECIMAL(18,6)) AS lx,
+         CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS ly
+  FROM freq),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+         CAST(sum(lx*ly) AS DOUBLE) AS sxy, CAST(sum(lx*lx) AS DOUBLE) AS sxx
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope
+FROM m
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: least-squares slope of
+    ln(frequency) on ln(rank) (a natural corpus near -1; strong
+    deviations flag synthetic or templated text). Per-term logs round
+    at 6dp then accumulate as exact decimals; the slope is one rounded
+    division of integer-exact moment combinations.
+
+    Scale: one vocabulary rollup; the global frequency rank is
+    vocabulary-sized (zipf-concentrated), distributed-rankable the
+    same way as the Gini rank.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "term")
+    ranked = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lx"),
+        F.round(F.log(F.col("c").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("ly"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        n.cast("long").alias("n_terms"),
+        F.round(
+            (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 6
+        ).alias("zipf_slope"),
     )
