@@ -1022,3 +1022,42 @@ def embedding_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "cell", "vec_id", "adc_dist")
     )
+
+
+@query(
+    "embedding_cell_balance",
+    oracle="""
+WITH cells AS (
+  SELECT label AS cell, count(*) AS n_vectors FROM embeddings GROUP BY label),
+tot AS (SELECT count(*) AS n, count(DISTINCT label) AS n_cells FROM embeddings)
+SELECT cell, n_vectors,
+       round(n_vectors * 1.0 / n, 6) AS share,
+       round(n_vectors * 1.0 / (n * 1.0 / n_cells), 6) AS balance_ratio
+FROM cells, tot
+""",
+)
+def embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance observability: vectors per coarse cell, each
+    cell's corpus share, and its ratio to the ideal uniform cell size —
+    the skew report that predicts IVF tail latency (a 10x-overloaded
+    cell makes every query routed there 10x slower; the fix is
+    splitting hot cells or multi-probing).
+
+    Scale: one cell-keyed count plus a 1-row broadcast scalar.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("label").alias("n_cells")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") * F.lit(1.0) / F.col("n"), 6).alias("share"),
+        F.round(
+            F.col("n_vectors") * F.lit(1.0) / (F.col("n") * F.lit(1.0) / F.col("n_cells")),
+            6,
+        ).alias("balance_ratio"),
+    )

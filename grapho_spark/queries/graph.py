@@ -972,3 +972,62 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+RICH_CLUB_K = 20
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+club AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rk FROM deg)
+  WHERE rk <= {RICH_CLUB_K}),
+club_edges AS (
+  SELECT count(*) AS n_club_edges
+  FROM edges e
+  WHERE e.p1 IN (SELECT node FROM club) AND e.p2 IN (SELECT node FROM club))
+SELECT {RICH_CLUB_K} AS k, CAST(n_club_edges AS BIGINT) AS n_club_edges,
+       round(n_club_edges * 2.0 / ({RICH_CLUB_K} * ({RICH_CLUB_K} - 1)), 6)
+         AS rich_club_coeff
+FROM club_edges
+""",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient: the edge density among the
+    {RICH_CLUB_K} highest-degree vertices (observed club edges /
+    possible pairs) — near 1 means the hubs form a tight core.
+    Deterministic top-k by (degree, node); integer counts with one
+    rounded division.
+
+    Scale: the club is a k-row broadcast; counting club edges is one
+    semi-join pass over the edge list.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = sym_edges(edges).groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    w = Window.orderBy(F.desc("d"), "node")
+    club = (
+        deg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RICH_CLUB_K)
+        .select("node")
+    )
+    club_a = club.select(F.col("node").alias("p1"))
+    club_b = club.select(F.col("node").alias("p2"))
+    n_club = (
+        edges.join(F.broadcast(club_a), "p1", "left_semi")
+        .join(F.broadcast(club_b), "p2", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_club_edges"))
+    )
+    return n_club.select(
+        F.lit(RICH_CLUB_K).alias("k"),
+        F.col("n_club_edges").cast("long").alias("n_club_edges"),
+        F.round(
+            F.col("n_club_edges") * F.lit(2.0) / F.lit(RICH_CLUB_K * (RICH_CLUB_K - 1)),
+            6,
+        ).alias("rich_club_coeff"),
+    )

@@ -994,3 +994,92 @@ def customer_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "part_abc_analysis",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(revenue) AS DOUBLE) AS total FROM rev),
+ranked AS (
+  SELECT partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM rev)
+SELECT partkey, round(revenue, 2) AS revenue,
+       CASE WHEN cum_rev / total <= 0.8 THEN 'A'
+            WHEN cum_rev / total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, tot
+""",
+)
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by discounted
+    revenue, classed A/B/C at the 80%/95% cumulative-share thresholds.
+    Revenue is exact decimal (cast to double only after summing), the
+    running share a deterministic-order window, the class a threshold
+    on one division.
+
+    Scale: one part rollup; the global revenue rank/cumsum distributes
+    as a range-partitioned window (the same two-pass shape as Gini).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = l.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(disc_price(), "revenue")
+    )
+    tot = rev.agg(F.sum("revenue").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select("partkey", "revenue", F.sum("revenue").over(w).alias("cum_rev"))
+    share = F.col("cum_rev") / F.col("total")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "partkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+@query(
+    "supplier_ship_delay_percentiles",
+    oracle="""
+WITH delays AS (
+  SELECT l_suppkey AS suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT suppkey,
+       count(*) AS n_lines,
+       CAST(median(delay_days) AS DOUBLE) AS p50_delay,
+       CAST(quantile_cont(delay_days, 0.95) AS DOUBLE) AS p95_delay,
+       CAST(max(delay_days) AS BIGINT) AS max_delay
+FROM delays GROUP BY suppkey
+""",
+)
+def supplier_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier order-to-ship latency profile: days between the
+    order date and each line's ship date, with exact p50/p95
+    (integer-day inputs keep the interpolated percentiles
+    engine-identical) — the supplier-SLA scorecard.
+
+    Scale: one supplier-keyed rollup; exact percentiles per group sort
+    within the group only. At much larger line counts per supplier,
+    swap in approx_percentile with the bounded-error contract.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delays = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    return delays.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("percentile(delay_days, 0.5)").cast("double").alias("p50_delay"),
+        F.expr("percentile(delay_days, 0.95)").cast("double").alias("p95_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+    )
