@@ -1010,7 +1010,7 @@ ranked AS (
          sum(revenue) OVER (ORDER BY revenue DESC, partkey
                             ROWS UNBOUNDED PRECEDING) AS cum_rev
   FROM rev)
-SELECT partkey, round(revenue, 2) AS revenue,
+SELECT partkey, revenue,
        CASE WHEN cum_rev / total <= 0.8 THEN 'A'
             WHEN cum_rev / total <= 0.95 THEN 'B'
             ELSE 'C' END AS abc_class
@@ -1039,7 +1039,7 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.col("cum_rev") / F.col("total")
     return ranked.crossJoin(F.broadcast(tot)).select(
         "partkey",
-        F.round("revenue", 2).alias("revenue"),
+        "revenue",
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
             "abc_class"
         ),
