@@ -511,3 +511,40 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_s").cast("long").alias("total_gap_s"),
         F.expr("percentile(gap_s, 0.5)").cast("double").alias("median_gap_s"),
     )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+WITH tot AS (SELECT count(*) AS n FROM events)
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       round(count(*) * 1.0 / n, 6) AS share
+FROM events, tot
+GROUP BY 1, 2, n
+""",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event volume per (ISO weekday, hour-of-day)
+    cell with each cell's corpus share — the traffic-seasonality
+    profile capacity planning reads. Integer counts; one rounded
+    division.
+
+    Scale: one 168-cell rollup with map-side combine plus a 1-row
+    scalar.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    cells = e.groupBy(
+        F.dayofweek(F.date_sub("ts", 0)).alias("_dow_raw"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Spark dayofweek: 1=Sunday..7=Saturday; ISO dow: 1=Monday..7=Sunday
+    iso = F.when(F.col("_dow_raw") == 1, 7).otherwise(F.col("_dow_raw") - 1)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        iso.cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_events",
+        F.round(F.col("n_events") * F.lit(1.0) / F.col("n"), 6).alias("share"),
+    )

@@ -1031,3 +1031,47 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rich_club_coeff"),
     )
+
+
+@query(
+    "graph_degree_ccdf",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+hist AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d),
+tot AS (SELECT count(*) AS n FROM deg)
+SELECT degree, n_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_least,
+       round(sum(n_nodes) OVER (ORDER BY degree DESC
+                                ROWS UNBOUNDED PRECEDING) * 1.0 / n, 6) AS ccdf
+FROM hist, tot
+""",
+)
+def graph_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution with complementary CDF: for each observed
+    degree, how many vertices have at least that degree and their
+    share — the heavy-tail profile that decides hub-mitigation
+    strategy (salting, degree caps). Integer counts; one rounded
+    division per row.
+
+    Scale: the histogram is degree-distinct-sized (tiny); the running
+    tail sum is a window over that tiny table.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = sym_edges(edges).groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    tot = deg.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("long").alias("n_at_least"),
+        F.round(F.sum("n_nodes").over(w) * F.lit(1.0) / F.col("n"), 6).alias("ccdf"),
+    )
