@@ -244,3 +244,52 @@ def sketch_merge_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
             <= F.lit(0.05)
         ).alias("merged_within_5pct"),
     )
+
+
+@query(
+    "fuzzy_name_match_blocked",
+    oracle="""
+WITH c AS (SELECT c_custkey AS ckey, c_name FROM customer),
+s AS (SELECT s_suppkey AS skey, s_name FROM supplier),
+blocked AS (
+  SELECT c.ckey, c.c_name, s.skey, s.s_name,
+         levenshtein(substring(c.c_name, 10), substring(s.s_name, 10)) AS name_dist
+  FROM c JOIN s
+    ON substring(CAST(c.ckey AS VARCHAR), 1, 1) = substring(CAST(s.skey AS VARCHAR), 1, 1))
+SELECT ckey, c_name, skey, s_name, CAST(name_dist AS BIGINT) AS name_dist
+FROM blocked WHERE name_dist <= 2
+""",
+)
+def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity-resolution shape): customer and
+    supplier identifier suffixes compared by Levenshtein edit distance
+    WITHIN blocks (first digit of the key), keeping near-matches
+    (distance <= 2). The blocking key is what makes fuzzy matching
+    feasible at scale — the edit-distance comparison never runs
+    across blocks, so cost is sum of block-pair products instead of
+    the full cross product.
+
+    Scale: equi-join on the block key with the distance as a residual
+    filter; block sizing (here 1 digit, in production a phonetic/
+    prefix key) bounds the quadratic term.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"), "c_name"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("skey"), "s_name"
+    )
+    blocked = c.join(
+        s,
+        F.substring(F.col("ckey").cast("string"), 1, 1)
+        == F.substring(F.col("skey").cast("string"), 1, 1),
+    ).select(
+        "ckey",
+        "c_name",
+        "skey",
+        "s_name",
+        F.levenshtein(
+            F.substring("c_name", 10, 100), F.substring("s_name", 10, 100)
+        ).cast("long").alias("name_dist"),
+    )
+    return blocked.filter(F.col("name_dist") <= 2)

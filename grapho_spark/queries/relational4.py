@@ -1083,3 +1083,59 @@ def supplier_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("percentile(delay_days, 0.95)").cast("double").alias("p95_delay"),
         F.max("delay_days").cast("long").alias("max_delay"),
     )
+
+
+@query(
+    "lineitem_weighted_median_price",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS qty,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cum_qty,
+         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tot_qty
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(tot_qty AS BIGINT) AS total_quantity,
+       min(price) AS weighted_median_price
+FROM ranked
+WHERE cum_qty * 2 >= tot_qty
+GROUP BY l_returnflag, tot_qty
+""",
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the price at
+    which half the total QUANTITY (not half the rows) is cheaper — the
+    inventory-weighted central price. Integer quantity cumsums in a
+    deterministic order; the median is the first price whose
+    cumulative weight reaches half.
+
+    Scale: one shuffle on the flag; the cumulative window is
+    shard-local per flag. A distributed global weighted median would
+    use the same two-pass rank-offset shape as Gini.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(F.col("l_quantity").cast("long")).over(w_cum).alias("cum_qty"),
+        F.sum(F.col("l_quantity").cast("long")).over(w_tot).alias("tot_qty"),
+    )
+    return (
+        ranked.filter(F.col("cum_qty") * 2 >= F.col("tot_qty"))
+        .groupBy("l_returnflag", "tot_qty")
+        .agg(F.min("price").alias("weighted_median_price"))
+        .select(
+            "l_returnflag",
+            F.col("tot_qty").cast("long").alias("total_quantity"),
+            "weighted_median_price",
+        )
+    )

@@ -1049,3 +1049,68 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 6
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_trending_terms",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+counts AS (
+  SELECT source, term, count(*) AS c FROM toks GROUP BY source, term),
+ranked AS (
+  SELECT source, term, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
+  FROM counts),
+top AS (SELECT * FROM ranked WHERE rk <= 5),
+base AS (
+  SELECT term, count(*) AS c_base FROM toks GROUP BY term),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all FROM toks),
+src_tot AS (
+  SELECT source, count(*) AS n_src FROM toks GROUP BY source)
+SELECT t.source, t.term, t.c AS n_in_source, t.rk,
+       round((t.c * 1.0 / s.n_src) / (b.c_base * 1.0 / x.n_all), 6) AS lift
+FROM top t
+JOIN base b USING (term)
+JOIN src_tot s ON s.source = t.source
+CROSS JOIN tot x
+""",
+)
+def text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trending terms: each source's top-5 terms by count
+    with their lift — the term's in-source frequency relative to its
+    corpus-wide frequency (lift >> 1 means the term is characteristic
+    of the source, the keyword-extraction signal dashboards surface).
+
+    Scale: two token rollups (per-source and global) with map-side
+    combine; the per-source top-5 is a partitioned rank; frequency
+    dims broadcast to the lift join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "term")
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    base = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_base"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_all"))
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        top.join(F.broadcast(base), "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            F.col("c").alias("n_in_source"),
+            "rk",
+            F.round(
+                (F.col("c") * F.lit(1.0) / F.col("n_src"))
+                / (F.col("c_base") * F.lit(1.0) / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+    )
