@@ -11,6 +11,7 @@ from grapho_spark.streaming.ops import (
     run_to_memory,
     sessionized_counts,
     stateful_user_totals,
+    tws_user_stats,
     windowed_counts,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "run_to_memory",
     "sessionized_counts",
     "stateful_user_totals",
+    "tws_user_stats",
     "windowed_counts",
 ]

@@ -187,3 +187,66 @@ def sessionize_with_timeout(events: DataFrame, watermark: str = "1 hour") -> Dat
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running stats on Spark 4's ``transformWithStateInPandas``
+    (the StatefulProcessor successor to applyInPandasWithState):
+    explicit ValueState per key, Arrow-batched updates, update-mode
+    emission of the running snapshot. Min/max are order-independent;
+    count is exact; the float total is rounded by the caller.
+
+    NOTE: the StatefulProcessor runtime serializes state through
+    google.protobuf, which is broken in this environment (ImportError
+    on google.protobuf.descriptor) — so this operator is covered by a
+    protobuf-gated pytest instead of a registry query; the
+    applyInPandasWithState twin (stateful_user_totals) carries the
+    oracle-checked coverage of custom stateful streaming."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, total double, vmin double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmin, vmax = 0, 0.0, None, None
+            if self._agg.exists():
+                n, total, vmin, vmax = self._agg.get()
+            for pdf in rows:
+                vals = pdf["value"]
+                n += int(len(pdf))
+                total += float(vals.sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+            self._agg.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "min_value": [vmin],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=(
+                "user_id long, n_events long, total_value double, "
+                "min_value double, max_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -158,3 +158,26 @@ def test_cdc_never_clobbers_published_segment(spark, tmp_path, monkeypatch):
         "_exported_offset",
         "segment-000000000000.jsonl",
     ]
+
+
+def test_tws_user_stats_protobuf_gated(spark, sf_dir):
+    """transformWithStateInPandas needs google.protobuf at runtime;
+    run the operator end-to-end when available, skip (not fail) where
+    the sandbox's protobuf is broken."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable; StatefulProcessor runtime needs it")
+    from pyspark.sql import functions as F
+
+    from grapho_spark.streaming import run_to_memory, tws_user_stats
+    from grapho_spark.tables import load_stream, load_table
+
+    out = run_to_memory(tws_user_stats(load_stream(spark, sf_dir, "events")), "update")
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    got = {r.user_id: r.n_events for r in final.collect()}
+    want = {r.user_id: r["count"] for r in batch.collect()}
+    assert got == want
