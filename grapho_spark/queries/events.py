@@ -548,3 +548,52 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("n_events") * F.lit(1.0) / F.col("n"), 6).alias("share"),
     )
+
+
+@query(
+    "events_trigram_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3,
+         CASE WHEN epoch_us(LEAD(ts, 2) OVER w) - epoch_us(ts)
+                   <= CAST(1800000000 AS BIGINT) THEN 1 ELSE 0 END AS tight
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM ordered
+WHERE t3 IS NOT NULL AND tight = 1
+GROUP BY t1, t2, t3
+ORDER BY n_paths DESC, t1, t2, t3
+LIMIT 20
+""",
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over the event stream: the 20 most
+    frequent 3-step event-type paths where the whole triple fits in a
+    30-minute window — the sequence primitive behind journey mining
+    and next-k-action models.
+
+    Scale: one window pass partitioned by user_id (shard-parallel, no
+    self-join), then an aggregate over at most |types|^3 keys and a
+    TakeOrderedAndProject top-20 with a total tie-break order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        (
+            (F.unix_micros(F.lead("ts", 2).over(w)) - F.unix_micros("ts"))
+            <= F.lit(30 * 60 * 1_000_000)
+        ).alias("tight"),
+    )
+    return (
+        ordered.filter(F.col("t3").isNotNull() & F.col("tight"))
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(20)
+    )

@@ -22,9 +22,11 @@ pushdown — is what each query exercises):
       scalar subquery)
 
 With Q1/Q2/Q3/Q5/Q6/Q13/Q14/Q18 in the earlier batches, every TPC-H
-query shape expressible over this schema is covered (Q11/Q12 need
-partsupp.availqty / l_shipmode, which do not exist here). Plus
-GROUPING SETS and exact-moment statistics.
+query shape is covered — including Q11 (per-part value vs a global
+scalar-subquery threshold; stock value derived from lineitem since
+partsupp.availqty does not exist) and Q12 (CASE-pivot priority counts
+over a late-shipping join; grouped by l_returnflag since l_shipmode
+does not exist). Plus GROUPING SETS and exact-moment statistics.
 
 All money math uses exact DECIMAL sums cast to double at the end
 (see _util docstring) so Spark and DuckDB hash identically.
@@ -1138,4 +1140,150 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("tot_qty").cast("long").alias("total_quantity"),
             "weighted_median_price",
         )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH value_by_part AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(val AS DOUBLE) AS part_value
+FROM value_by_part
+WHERE val > (SELECT SUM(val) * 0.0005 FROM value_by_part)
+ORDER BY part_value DESC, partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value vs a GLOBAL scalar-subquery
+    threshold (HAVING val > SUM(val) * fraction). No partsupp table in
+    this schema, so "stock value" is the observed lineitem revenue
+    supplied from one nation (reference grammar has no analogue; the
+    shape is the point — SURVEY.md §2.4 scalar-subquery joins).
+
+    Scale: nation-filtered supplier is tiny and broadcast, so lineitem
+    never shuffles for the join; one groupBy on l_partkey, then the
+    1-row global sum is computed from the cached grouped result and
+    broadcast back as a cross-join literal — the per-part table is
+    aggregated once, not twice, and the threshold compare is map-side.
+    """
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    by_part = (
+        l.join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(dec("l_extendedprice"), "part_value"))
+    ).cache()
+    total = by_part.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,2)")) * F.lit(0.0005)).alias("thr")
+    )
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("partkey", "part_value")
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@query(
+    "q12_late_lines_by_returnflag",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_late_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counts (CASE-pivot on order
+    priority) over a join with a cross-column date predicate. This
+    schema has no l_shipmode/commitdate/receiptdate, so the grouping
+    axis is l_returnflag and "late" is shipped >= 60 days after the
+    order date.
+
+    Scale: only (o_orderkey, o_orderpriority) survive the orders
+    projection; the join shuffles both sides on orderkey once, the
+    cross-column date filter runs map-side post-join, and the CASE
+    aggregation collapses to 3 groups with map-side partials.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "part_skyline_frontier",
+    oracle="""
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+ORDER BY p_size DESC, p_retailprice, p_partkey
+""",
+)
+def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) operator: parts not dominated on
+    (maximize p_size, minimize p_retailprice). The oracle states it as
+    the quadratic NOT EXISTS dominance test; the engine computes it in
+    two linear passes — no self-join of the fact table.
+
+    Scale: dominance in 2-D reduces to per-size minima: a part is
+    dominated iff a strictly larger size offers an equal-or-lower
+    price, or its own size offers a strictly lower price. The per-size
+    min-price table is |distinct sizes| rows (tiny — groupBy with
+    map-side partials), the suffix-min over sizes runs on that tiny
+    table, and the verdict joins back via broadcast. O(n) + O(sizes),
+    vs the oracle's O(n^2).
+    """
+    p = load_table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_size").agg(F.min("p_retailprice").alias("size_min"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    size_info = per_size.select(
+        "p_size",
+        "size_min",
+        F.min("size_min").over(w).alias("better_min"),
+    )
+    return (
+        p.join(F.broadcast(size_info), "p_size")
+        .filter(
+            (F.col("better_min").isNull() | (F.col("better_min") > F.col("p_retailprice")))
+            & (F.col("size_min") == F.col("p_retailprice"))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy(F.desc("p_size"), "p_retailprice", "p_partkey")
     )

@@ -1114,3 +1114,84 @@ def text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "text_psi_drift_by_source",
+    oracle="""
+WITH binned AS (
+  SELECT source,
+         LEAST(CAST(FLOOR(n_chars / 500.0) AS BIGINT), 7) AS bin
+  FROM documents),
+per_source AS (
+  SELECT source, bin, COUNT(*) AS c FROM binned GROUP BY source, bin),
+src_tot AS (
+  SELECT source, COUNT(*) AS tot FROM binned GROUP BY source),
+gbin AS (
+  SELECT bin, COUNT(*) AS gc FROM binned GROUP BY bin),
+gtotal AS (SELECT COUNT(*) AS gtot FROM binned),
+scaffold AS (
+  SELECT s.source, b.bin
+  FROM (SELECT DISTINCT source FROM binned) s,
+       (SELECT UNNEST(range(8)) AS bin) b),
+terms AS (
+  SELECT sc.source,
+         CAST(round(
+           ((COALESCE(ps.c, 0) + 0.5) / (st.tot + 4.0)
+              - (COALESCE(g.gc, 0) + 0.5) / (gt.gtot + 4.0))
+           * ln(((COALESCE(ps.c, 0) + 0.5) / (st.tot + 4.0))
+                / ((COALESCE(g.gc, 0) + 0.5) / (gt.gtot + 4.0))), 6)
+           AS DECIMAL(18,6)) AS contrib
+  FROM scaffold sc
+  JOIN src_tot st ON sc.source = st.source
+  LEFT JOIN per_source ps ON sc.source = ps.source AND sc.bin = ps.bin
+  LEFT JOIN gbin g ON sc.bin = g.bin
+  CROSS JOIN gtotal gt)
+SELECT source, CAST(SUM(contrib) AS DOUBLE) AS psi
+FROM terms
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection: how far each
+    source's document-length distribution drifts from the corpus-wide
+    distribution over 8 fixed 500-char bins (PSI > 0.25 is the classic
+    retrain-trigger threshold). Laplace smoothing (+0.5 per bin) keeps
+    empty bins finite; each bin's contribution rounds at 6dp and
+    accumulates as an exact decimal (the repo's standard libm-parity
+    policy), so the per-source sum is engine-exact.
+
+    Scale: two count rollups (per-source-bin and global-bin) over one
+    scan; everything after is |sources| x 8 rows — the scaffold cross
+    join, smoothing math, and the final sum all run on broadcast-sized
+    tables. The document bodies never shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 500.0).cast("long"), F.lit(7)).alias("bin"),
+    )
+    per_source = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = binned.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    glob = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("gc"))
+    gtot = binned.count()
+    scaffold = (
+        src_tot.select("source", "tot")
+        .crossJoin(F.broadcast(spark.range(8).select(F.col("id").alias("bin"))))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 0.5) / (F.col("tot") + 4.0)
+    q = (F.coalesce(F.col("gc"), F.lit(0)) + 0.5) / (F.lit(gtot) + 4.0)
+    terms = (
+        scaffold.join(per_source, ["source", "bin"], "left")
+        .join(F.broadcast(glob), ["bin"], "left")
+        .select(
+            "source",
+            F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)").alias("contrib"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("contrib").cast("double").alias("psi"))
+        .orderBy("source")
+    )
