@@ -597,3 +597,99 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+@query(
+    "events_touch_attribution",
+    oracle="""
+WITH touches AS (
+  SELECT user_id, ts, event_type
+  FROM (SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type IN ('view', 'click'))
+  WHERE rn = 1),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+attributed AS (
+  SELECT p.value,
+         (SELECT t.event_type FROM touches t
+          WHERE t.user_id = p.user_id AND t.ts < p.ts
+            AND epoch_us(p.ts) - epoch_us(t.ts) <= CAST(604800000000 AS BIGINT)
+          ORDER BY t.ts LIMIT 1) AS first_touch,
+         (SELECT t.event_type FROM touches t
+          WHERE t.user_id = p.user_id AND t.ts < p.ts
+            AND epoch_us(p.ts) - epoch_us(t.ts) <= CAST(604800000000 AS BIGINT)
+          ORDER BY t.ts DESC LIMIT 1) AS last_touch
+  FROM purchases p)
+SELECT position, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT 'first' AS position, first_touch AS channel, value
+  FROM attributed WHERE first_touch IS NOT NULL
+  UNION ALL
+  SELECT 'last' AS position, last_touch AS channel, value
+  FROM attributed WHERE last_touch IS NOT NULL)
+GROUP BY position, channel
+ORDER BY position, channel
+""",
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style touch attribution: each purchase credits the
+    FIRST and the LAST view/click touch of the same user inside a
+    7-day lookback; revenue rolls up per (position, channel).
+    Touches are deduplicated to the min event_id per (user, ts) so
+    equal-timestamp ties cannot flip the winner between engines.
+
+    Scale: both the last-touch and first-touch sweeps are range-frame
+    window passes over the per-user timeline (one shuffle on user_id)
+    — the oracle's correlated LIMIT-1 probes per purchase are stated
+    semantics only. The final rollup has at most 2 x |channels| keys.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    is_touch = F.col("event_type").isin("view", "click")
+    tagged = (
+        e.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn(
+            "rn", F.when(is_touch, F.row_number().over(w_dedup)).otherwise(F.lit(1))
+        )
+        .filter((F.col("rn") == 1) & (is_touch | (F.col("event_type") == "purchase")))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+            "value",
+        )
+    )
+    lookback = 7 * 24 * 3600 * 1_000_000
+    w_range = (
+        Window.partitionBy("user_id").orderBy("us").rangeBetween(-lookback, -1)
+    )
+    touch_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = tagged.select(
+        "event_type",
+        "value",
+        F.first(touch_type, ignorenulls=True).over(w_range).alias("first_touch"),
+        F.last(touch_type, ignorenulls=True).over(w_range).alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    unioned = attributed.filter(F.col("first_touch").isNotNull()).select(
+        F.lit("first").alias("position"),
+        F.col("first_touch").alias("channel"),
+        "value",
+    ).unionByName(
+        attributed.filter(F.col("last_touch").isNotNull()).select(
+            F.lit("last").alias("position"),
+            F.col("last_touch").alias("channel"),
+            "value",
+        )
+    )
+    return (
+        unioned.groupBy("position", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        )
+        .orderBy("position", "channel")
+    )

@@ -286,3 +286,145 @@ def timeseries_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore"),
         (F.abs(z) > 2.5).alias("is_anomaly"),
     )
+
+
+@query(
+    "timeseries_gapfill_interpolate",
+    oracle=f"""
+WITH rights AS (
+  SELECT user_id, ts, value
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE user_id % 5 = 0)
+  WHERE rn = 1),
+users AS (SELECT DISTINCT user_id FROM rights),
+grid AS (
+  SELECT u.user_id, g.ts
+  FROM users u,
+       generate_series(TIMESTAMP '{GRID_START}', TIMESTAMP '{GRID_END}',
+                       INTERVAL {STEP_HOURS} HOUR) g(ts)),
+bounds AS (
+  SELECT grid.user_id, grid.ts,
+         (SELECT epoch_us(r.ts) FROM rights r
+          WHERE r.user_id = grid.user_id AND r.ts <= grid.ts
+          ORDER BY r.ts DESC LIMIT 1) AS prev_us,
+         (SELECT r.value FROM rights r
+          WHERE r.user_id = grid.user_id AND r.ts <= grid.ts
+          ORDER BY r.ts DESC LIMIT 1) AS prev_val,
+         (SELECT epoch_us(r.ts) FROM rights r
+          WHERE r.user_id = grid.user_id AND r.ts > grid.ts
+          ORDER BY r.ts LIMIT 1) AS next_us,
+         (SELECT r.value FROM rights r
+          WHERE r.user_id = grid.user_id AND r.ts > grid.ts
+          ORDER BY r.ts LIMIT 1) AS next_val
+  FROM grid)
+SELECT user_id, ts AS grid_ts,
+       CASE WHEN prev_us = epoch_us(ts) THEN round(prev_val, 6)
+            WHEN prev_us IS NULL OR next_us IS NULL THEN NULL
+            ELSE round(prev_val + (next_val - prev_val)
+                       * (CAST(epoch_us(ts) - prev_us AS DOUBLE)
+                          / CAST(next_us - prev_us AS DOUBLE)), 6)
+       END AS value_interp
+FROM bounds
+""",
+)
+def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB linear-interpolation gap-fill (the `interpolate()` half of
+    hypertable resampling, next to the LOCF ffill twin): each 6-hour
+    grid point gets the time-weighted blend of the nearest observation
+    on each side; exact hits pass through, points outside the observed
+    span stay null. Observations are pre-deduplicated to the max
+    event_id per (user, ts); the blend rounds at 6dp (the repo's
+    float-parity policy — both engines compute the identical IEEE
+    expression).
+
+    Scale: grid + observations are unioned and swept with two window
+    passes partitioned by user_id (last-non-null backward, first-non-
+    null forward) — one shuffle on user_id, no range join, no
+    per-grid-point probes; the oracle's correlated LIMIT-1 subqueries
+    state the semantics, the engine never executes that shape.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    rights = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("obs_us"),
+            F.col("value").alias("obs_val"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("timestamp").alias("grid_ts"),
+        )
+    )
+    grid = (
+        rights.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(GRID_START).cast("timestamp"),
+                    F.lit(GRID_END).cast("timestamp"),
+                    F.expr(f"INTERVAL {STEP_HOURS} HOURS"),
+                )
+            ).alias("grid_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("grid_ts").alias("obs_us"),
+            F.lit(None).cast("double").alias("obs_val"),
+            F.lit(1).alias("tag"),
+            "grid_ts",
+        )
+    )
+    merged = rights.unionByName(grid)
+    order = [F.col("obs_us"), F.col("tag")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    swept = merged.select(
+        "user_id",
+        "grid_ts",
+        "tag",
+        F.unix_micros("grid_ts").alias("g_us"),
+        F.last(F.when(F.col("tag") == 0, F.col("obs_us")), ignorenulls=True)
+        .over(w_back)
+        .alias("prev_us"),
+        F.last(F.when(F.col("tag") == 0, F.col("obs_val")), ignorenulls=True)
+        .over(w_back)
+        .alias("prev_val"),
+        F.first(F.when(F.col("tag") == 0, F.col("obs_us")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("next_us"),
+        F.first(F.when(F.col("tag") == 0, F.col("obs_val")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("next_val"),
+    )
+    frac = (F.col("g_us") - F.col("prev_us")).cast("double") / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    return swept.filter(F.col("tag") == 1).select(
+        "user_id",
+        "grid_ts",
+        F.when(F.col("prev_us") == F.col("g_us"), F.round(F.col("prev_val"), 6))
+        .when(
+            F.col("prev_us").isNull() | F.col("next_us").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac, 6
+            )
+        )
+        .alias("value_interp"),
+    )
