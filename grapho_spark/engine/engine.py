@@ -72,6 +72,17 @@ from grapho_spark.gql.ast import Cardinality, LiteralKind, TypeSpec
 from grapho_spark.gql.parser import parse_script
 
 
+def _cmp(col: Column, op: str, lit: Column) -> Column:
+    """WHERE comparison: ``=`` is null-safe equality (the reference's
+    observed semantics, server/server.go:793-797); ``<``/``>`` are the
+    range extension — plain SQL comparisons, null never matches."""
+    if op == "<":
+        return col < lit
+    if op == ">":
+        return col > lit
+    return col.eqNullSafe(lit)
+
+
 class EngineError(Exception):
     pass
 
@@ -837,7 +848,7 @@ class GraphEngine:
         pure overhead per statement. Both sides of every comparison
         come from ``coerce_literal``, so Python ``==`` agrees with the
         Column predicate for every storable type."""
-        tests: list[tuple[str, object]] = []
+        tests: list[tuple[str, str, object]] = []
         for p in where:
             spec = specs.get(p.name)
             if spec is None or p.name not in columns:
@@ -846,12 +857,18 @@ class GraphEngine:
                 val = coerce_literal(p.value, spec.type, p.name)
             except CoercionError as e:
                 raise EngineError(str(e)) from e
-            tests.append((p.name, val))
+            tests.append((p.name, p.op, val))
 
         def match(r: dict) -> bool:
-            for name, val in tests:
+            for name, op, val in tests:
                 got = r.get(name)
-                if got is None or val is None:
+                if op != "=":
+                    # range extension: null never matches (SQL semantics)
+                    if got is None or val is None:
+                        return False
+                    if not (got < val if op == "<" else got > val):
+                        return False
+                elif got is None or val is None:
                     if got is not val:
                         return False
                 elif got != val:
@@ -866,8 +883,10 @@ class GraphEngine:
         specs: dict[str, FieldSpec],
         columns: list[str],
     ) -> Column:
-        """Conjunctive equality predicate; a key absent from the schema
-        matches nothing (server/server.go:779-782)."""
+        """Conjunctive predicate; a key absent from the schema matches
+        nothing (server/server.go:779-782). ``=`` is null-safe equality
+        (server.go:793-797); the ``<``/``>`` extension uses ordinary
+        SQL comparison, so stored nulls never match a range."""
         pred = F.lit(True)
         for p in where:
             spec = specs.get(p.name)
@@ -877,7 +896,7 @@ class GraphEngine:
                 val = coerce_literal(p.value, spec.type, p.name)
             except CoercionError as e:
                 raise EngineError(str(e)) from e
-            pred = pred & F.col(p.name).eqNullSafe(F.lit(val).cast(spark_type(spec.type)))
+            pred = pred & _cmp(F.col(p.name), p.op, F.lit(val).cast(spark_type(spec.type)))
         return pred
 
     # ------------------------------------------------------------- DML
@@ -1435,8 +1454,10 @@ class GraphEngine:
                 except CoercionError as e:
                     raise EngineError(str(e)) from e
                 out = out.filter(
-                    F.col(f"{alias}_{p.name}").eqNullSafe(
-                        F.lit(val).cast(spark_type(spec.type))
+                    _cmp(
+                        F.col(f"{alias}_{p.name}"),
+                        p.op,
+                        F.lit(val).cast(spark_type(spec.type)),
                     )
                 )
 
@@ -1590,8 +1611,10 @@ class GraphEngine:
                 except CoercionError as e:
                     raise EngineError(str(e)) from e
                 out = out.filter(
-                    F.col(f"{alias}_{p.name}").eqNullSafe(
-                        F.lit(val).cast(spark_type(spec.type))
+                    _cmp(
+                        F.col(f"{alias}_{p.name}"),
+                        p.op,
+                        F.lit(val).cast(spark_type(spec.type)),
                     )
                 )
 

@@ -95,6 +95,10 @@ class Property:
     value: Literal
     line: int = 0
     col: int = 0
+    #: comparison operator — "=" (the reference's only one), or "<"/">"
+    #: in WHERE clauses (engine-side extension; the lexer already had
+    #: LT/GT for generic type params, reference parser/token.go:70-71)
+    op: str = "="
 
 
 class Stmt:

@@ -356,20 +356,29 @@ class Parser:
     # -- DML --------------------------------------------------------------
 
     def _parse_property_list(
-        self, qualified: bool = False
+        self, qualified: bool = False, allow_cmp: bool = False
     ) -> tuple[ast.Property, ...]:
         """``qualified=True`` (MATCH WHERE only) additionally accepts
         alias-qualified keys — ``a.name: 'x'`` — stored with the dot in
-        the property name; the engine resolves the alias."""
+        the property name; the engine resolves the alias.
+        ``allow_cmp=True`` (WHERE clauses only) additionally accepts
+        ``name < literal`` / ``name > literal`` range predicates
+        (extension — the reference grammar has only ``name: value``
+        equality, parser.go:741-778)."""
         props: list[ast.Property] = []
         while True:
             name = self._expect(T.IDENT)
             full = name.lit
             if qualified and self._match(T.DOT):
                 full = f"{full}.{self._expect(T.IDENT).lit}"
-            self._expect(T.COLON)
+            op = "="
+            if allow_cmp and self._tok.type in (T.LT, T.GT):
+                op = "<" if self._tok.type is T.LT else ">"
+                self._next()
+            else:
+                self._expect(T.COLON)
             lit = self._parse_literal()
-            props.append(ast.Property(full, lit, name.line, name.col))
+            props.append(ast.Property(full, lit, name.line, name.col, op=op))
             if not self._match(T.COMMA):
                 break
         return tuple(props)
@@ -432,7 +441,7 @@ class Parser:
         set_props = self._parse_property_list()
         where: tuple[ast.Property, ...] = ()
         if self._match(T.WHERE):
-            where = self._parse_property_list()
+            where = self._parse_property_list(allow_cmp=True)
         if is_node:
             return ast.UpdateNodeStmt(
                 type_name, set=set_props, where=where, line=t.line, col=t.col
@@ -457,10 +466,10 @@ class Parser:
         if from_ref is not None:
             # endpoint refs satisfy the mandatory-predicate rule
             if self._match(T.WHERE):
-                where = self._parse_property_list()
+                where = self._parse_property_list(allow_cmp=True)
         else:
             self._expect(T.WHERE)  # WHERE is mandatory for DELETE
-            where = self._parse_property_list()
+            where = self._parse_property_list(allow_cmp=True)
         if is_node:
             return ast.DeleteNodeStmt(type_name, where=where, line=t.line, col=t.col)
         return ast.DeleteEdgeStmt(
@@ -522,7 +531,7 @@ class Parser:
                 break
         where: tuple[ast.Property, ...] = ()
         if self._match(T.WHERE):
-            where = self._parse_property_list(qualified=True)
+            where = self._parse_property_list(qualified=True, allow_cmp=True)
         returns: list[str] = []
         return_count = False
         if self._match(T.RETURN):

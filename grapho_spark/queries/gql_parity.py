@@ -476,3 +476,25 @@ def gql_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH Customer WHERE c_mktsegment: 'BUILDING' RETURN COUNT(*);"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_range_where",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > 9000.0 AND c_mktsegment = 'BUILDING'
+""",
+)
+def gql_match_range_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH with the range-WHERE extension: ``field > literal`` next
+    to the reference's ``field: value`` equality (the lexer always had
+    LT/GT for generic type params, reference parser/token.go:70-71;
+    the reference grammar never uses them in WHERE). Typed coercion
+    applies to the bound the same way it does to equality literals."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_acctbal > 9000.0, c_mktsegment: 'BUILDING' "
+        "RETURN c_name, c_acctbal;"
+    )[0]
+    return res.df

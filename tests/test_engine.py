@@ -853,3 +853,26 @@ def test_show_versions_in_memory_engine(eng):
     eng.execute("CREATE NODE P (name: string);")
     res = eng.execute("SHOW VERSIONS P;")[0]
     assert res.df.count() == 0  # no data_dir -> no flushed versions
+
+
+def test_where_range_dml_and_match(eng):
+    eng.execute(
+        "CREATE NODE R (id: int PRIMARY KEY, name: string, age: int);"
+        "INSERT NODE R (id: 1, name: 'a', age: 10);"
+        "INSERT NODE R (id: 2, name: 'b', age: 20);"
+        "INSERT NODE R (id: 3, name: 'c', age: 30);"
+        "INSERT NODE R (id: 4, name: 'd');"  # null age never matches a range
+    )
+    rows = eng.execute("MATCH R WHERE age > 10 RETURN name;")[0].df.collect()
+    assert sorted(r.name for r in rows) == ["b", "c"]
+    eng.execute("UPDATE NODE R SET name: 'big' WHERE age > 25;")
+    rows = eng.execute("MATCH R WHERE name: 'big' RETURN age;")[0].df.collect()
+    assert [r.age for r in rows] == [30]
+    eng.execute("DELETE NODE R WHERE age < 15;")
+    assert eng.node_df("R").count() == 3  # id=1 gone; null-age row kept
+
+
+def test_where_range_typed_coercion_error(eng):
+    eng.execute("CREATE NODE S (id: int PRIMARY KEY, age: int);")
+    with pytest.raises(EngineError):
+        eng.execute("MATCH S WHERE age > 'not a number';")

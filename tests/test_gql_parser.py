@@ -311,3 +311,29 @@ def test_match_return_count_parse():
     assert errs
     _, errs = parse_script("MATCH Customer RETURN COUNT(*) ORDER BY c_name;")
     assert errs
+
+
+def test_where_range_operators_parse():
+    stmts, errors = parse_script(
+        "MATCH Person WHERE age > 30, score < 2.5, name: 'x' RETURN name;"
+    )
+    assert not errors
+    where = stmts[0].where
+    assert [(p.name, p.op) for p in where] == [
+        ("age", ">"),
+        ("score", "<"),
+        ("name", "="),
+    ]
+    _, errors = parse_script("DELETE NODE Person WHERE age > 90;")
+    assert not errors
+    _, errors = parse_script("UPDATE NODE Person SET flag: true WHERE age < 18;")
+    assert not errors
+
+
+def test_range_operator_rejected_outside_where():
+    # INSERT property lists and SET lists are reference grammar; the
+    # range extension applies to WHERE only.
+    _, errors = parse_script("INSERT NODE Person (age > 30);")
+    assert errors
+    _, errors = parse_script("UPDATE NODE Person SET age > 30 WHERE id: 1;")
+    assert errors
