@@ -116,6 +116,22 @@ def _id_sort_key() -> list[Column]:
     return [F.length(ID_COLUMN), F.col(ID_COLUMN)]
 
 
+def _resolve_result_col(out: DataFrame, name: str, clause: str) -> str:
+    """Resolve a user field against result columns: exact name first,
+    else a unique ``<alias>_<field>`` suffix match (the chain and
+    var-length paths prefix columns with the element alias)."""
+    if name in out.columns:
+        return name
+    suffix = [c for c in out.columns if c.endswith(f"_{name}")]
+    if len(suffix) != 1:
+        raise EngineError(
+            f"{clause} field {name!r} not found in result columns {out.columns}"
+            if not suffix
+            else f"{clause} field {name!r} is ambiguous: {suffix}"
+        )
+    return suffix[0]
+
+
 def _apply_order_limit(
     out: DataFrame, stmt: "ast.MatchStmt", tiebreak: list[Column]
 ) -> DataFrame:
@@ -133,20 +149,16 @@ def _apply_order_limit(
         # RETURN COUNT(*): aggregate instead of project; map-side
         # partial count + single-row exchange, never a full sort.
         return out.agg(F.count(F.lit(1)).alias("n_rows"))
+    if stmt.return_agg:
+        # RETURN SUM/MIN/MAX/AVG(field): same map-side-partial shape
+        # as COUNT(*); the field resolves like an ORDER BY key.
+        func, fname = stmt.return_agg
+        resolved = _resolve_result_col(out, fname, "aggregate")
+        agg_fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
+        return out.agg(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
     user_cols: list[Column] = []
     for name, desc in stmt.order_by:
-        if name in out.columns:
-            resolved = name
-        else:
-            suffix = [c for c in out.columns if c.endswith(f"_{name}")]
-            if len(suffix) != 1:
-                raise EngineError(
-                    f"ORDER BY field {name!r} not found in result columns "
-                    f"{out.columns}"
-                    if not suffix
-                    else f"ORDER BY field {name!r} is ambiguous: {suffix}"
-                )
-            resolved = suffix[0]
+        resolved = _resolve_result_col(out, name, "ORDER BY")
         user_cols.append(F.col(resolved).desc() if desc else F.col(resolved).asc())
     out = out.orderBy(*user_cols, *tiebreak)
     if stmt.limit is not None:

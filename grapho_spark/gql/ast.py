@@ -276,6 +276,9 @@ class MatchStmt(Stmt):
     # projection. The parenthesized form keeps ``count`` a legal field
     # name (a field reference is never followed by LPAREN).
     return_count: bool = False
+    # RETURN SUM/MIN/MAX/AVG(field) extension: (func, field), same
+    # parenthesized-form rule as COUNT(*).
+    return_agg: tuple[str, str] | None = None
 
 
 @dataclass(frozen=True)

@@ -534,25 +534,31 @@ class Parser:
             where = self._parse_property_list(qualified=True, allow_cmp=True)
         returns: list[str] = []
         return_count = False
+        return_agg: tuple[str, str] | None = None
         if self._match(T.RETURN):
             first = self._expect(T.IDENT)
-            if first.lit.upper() == "COUNT" and self._tok.type is T.LPAREN:
-                # RETURN COUNT(*) — aggregate extension
+            up = first.lit.upper()
+            if up in ("COUNT", "SUM", "MIN", "MAX", "AVG") and self._tok.type is T.LPAREN:
+                # RETURN <agg>(...) — aggregate extension; the
+                # parenthesized form keeps these legal field names.
                 self._next()
-                self._expect(T.STAR)
+                if up == "COUNT":
+                    self._expect(T.STAR)
+                    return_count = True
+                else:
+                    return_agg = (up, self._expect(T.IDENT).lit)
                 self._expect(T.RPAREN)
-                return_count = True
                 if self._tok.type is T.COMMA:
                     self._err(
-                        self._tok, "COUNT(*) cannot be combined with return fields"
+                        self._tok, "an aggregate cannot be combined with return fields"
                     )
             else:
                 returns.append(first.lit)
                 while self._match(T.COMMA):
                     returns.append(self._expect(T.IDENT).lit)
         order_by, limit = self._parse_order_limit()
-        if return_count and order_by:
-            self._err(t, "ORDER BY is meaningless with RETURN COUNT(*)")
+        if (return_count or return_agg) and order_by:
+            self._err(t, "ORDER BY is meaningless with an aggregate RETURN")
         return ast.MatchStmt(
             tuple(pattern),
             where,
@@ -562,6 +568,7 @@ class Parser:
             order_by=order_by,
             limit=limit,
             return_count=return_count,
+            return_agg=return_agg,
         )
 
     def _at_soft_clause(self) -> bool:

@@ -498,3 +498,23 @@ def gql_match_range_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN c_name, c_acctbal;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_agg_return",
+    oracle="""
+SELECT CAST(SUM(c_nationkey) AS BIGINT) AS sum_c_nationkey
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+""",
+)
+def gql_match_agg_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH with the aggregate-RETURN extension beyond COUNT(*):
+    ``RETURN SUM(field)`` (SUM/MIN/MAX/AVG), combined with the
+    range-WHERE extension — map-side partial aggregation, single-row
+    exchange, never a full sort."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_mktsegment: 'BUILDING', c_acctbal > 0.0 "
+        "RETURN SUM(c_nationkey);"
+    )[0]
+    return res.df

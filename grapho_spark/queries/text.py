@@ -1195,3 +1195,49 @@ def text_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("contrib").cast("double").alias("psi"))
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(round(ln((CAST(CAST('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR)), 1, 8) AS VARCHAR)::UBIGINT
+                  % 1000000 AS DOUBLE) + 0.5) / 1000000.0), 6)
+               / n_chars, 12) AS sample_key
+  FROM documents)
+SELECT doc_id, lang, n_chars, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT 25
+""",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each document draws a deterministic hash uniform u and competes on
+    key = ln(u)/weight; the global top-k by key IS an exact weighted
+    sample. Weight here is n_chars (length-proportional corpus
+    sampling); any quality score slots in unchanged. Hash-derived
+    uniforms make the sample identical on every engine, run, and
+    partitioning — rand()-based weighted sampling is none of those.
+    ln rounds at 6dp and the key at 12dp (the repo's libm-parity
+    policy), with doc_id breaking boundary ties.
+
+    Scale: the key is pure map-side codegen; the global top-k is
+    TakeOrderedAndProject (k rows per partition, no sort
+    materialization) — this is exactly how you draw a 1M-doc training
+    mix from a 100 TB corpus in one pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    ).cast("double") + F.lit(0.5)
+    key = F.round(F.round(F.log(u / 1_000_000.0), 6) / F.col("n_chars"), 12)
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(25)
+    )

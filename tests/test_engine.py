@@ -876,3 +876,33 @@ def test_where_range_typed_coercion_error(eng):
     eng.execute("CREATE NODE S (id: int PRIMARY KEY, age: int);")
     with pytest.raises(EngineError):
         eng.execute("MATCH S WHERE age > 'not a number';")
+
+
+def test_match_aggregate_return(eng):
+    eng.execute(
+        "CREATE NODE A (id: int PRIMARY KEY, v: int, f: float);"
+        "INSERT NODE A (id: 1, v: 10, f: 1.5);"
+        "INSERT NODE A (id: 2, v: 30, f: 2.5);"
+        "INSERT NODE A (id: 3, v: 20);"  # null f ignored by aggregates
+    )
+    assert eng.execute("MATCH A RETURN SUM(v);")[0].df.collect()[0].sum_v == 60
+    assert eng.execute("MATCH A RETURN MIN(v);")[0].df.collect()[0].min_v == 10
+    assert eng.execute("MATCH A RETURN MAX(f);")[0].df.collect()[0].max_f == 2.5
+    assert eng.execute("MATCH A RETURN AVG(v);")[0].df.collect()[0].avg_v == 20.0
+    assert (
+        eng.execute("MATCH A WHERE v > 15 RETURN COUNT(*);")[0].df.collect()[0].n_rows
+        == 2
+    )
+
+
+def test_match_aggregate_return_errors(eng):
+    eng.execute("CREATE NODE B (id: int PRIMARY KEY, v: int);")
+    with pytest.raises(EngineError):
+        eng.execute("MATCH B RETURN SUM(nosuch);")
+    # parse errors: aggregate combined with fields / with ORDER BY
+    from grapho_spark.gql.parser import parse_script
+
+    _, errs = parse_script("MATCH B RETURN SUM(v), v;")
+    assert errs
+    _, errs = parse_script("MATCH B RETURN SUM(v) ORDER BY v;")
+    assert errs
