@@ -41,6 +41,14 @@ HEADLINE = [
     "graph_pagerank",
     "core_graph_cc_distributed",
     "core_graph_pagerank_distributed",
+    "q11_important_stock",
+    "q12_late_lines_by_returnflag",
+    "part_skyline_frontier",
+    "events_trigram_paths",
+    "events_touch_attribution",
+    "timeseries_gapfill_interpolate",
+    "text_psi_drift_by_source",
+    "corpus_weighted_sample",
 ]
 
 

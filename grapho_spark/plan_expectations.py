@@ -64,6 +64,13 @@ PLAN_CHECKS: dict[str, list[str]] = {
         "Join condition: \\(\\(ts.* >= valid_from",
         "EqualTo\\(event_type,purchase\\)",
     ],
+    # round-6b: skyline joins its tiny per-size table broadcast; the
+    # weighted sample must be per-partition top-k, never a global sort;
+    # Q11's nation-filtered supplier side must broadcast
+    "part_skyline_frontier": ["BroadcastHashJoin", "ReadSchema"],
+    "corpus_weighted_sample": ["TakeOrderedAndProject", "ReadSchema"],
+    "q11_important_stock": ["BroadcastHashJoin", "PushedFilters"],
+    "events_touch_attribution": ["Window", "ReadSchema"],
     # round-6: the probe must scan the persisted bucketed band index
     # (build-once/probe-many), not rebuild buckets from signatures
     "dedup_incremental_new_vs_corpus": [
