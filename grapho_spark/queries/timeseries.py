@@ -428,3 +428,86 @@ def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .alias("value_interp"),
     )
+
+
+@query(
+    "timeseries_cusum_changepoints",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 7 = 0),
+mus AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM base GROUP BY user_id),
+seq AS (SELECT b.user_id, b.rn, b.value, m.mu FROM base b JOIN mus m USING (user_id)),
+walk AS (
+  SELECT user_id, rn, GREATEST(0.0, value - mu - 1.0) AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, GREATEST(0.0, w.s + s.value - s.mu - 1.0)
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE s > 5.0) AS BIGINT) AS n_alarms,
+       round(MAX(s), 6) AS max_cusum
+FROM walk
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def timeseries_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per user series: the one-sided
+    recurrence s_i = max(0, s_{i-1} + x_i - mu - k) with drift k=1 and
+    alarm threshold h=5 — genuinely SEQUENTIAL state that no window
+    frame can express, so this is the batch showcase for the
+    applyInPandas custom-operator path (Arrow batches, one pandas call
+    per user group). The per-user mean is an exact-decimal Spark
+    aggregate joined in beforehand, so both engines walk the identical
+    IEEE sequence; the oracle states the recurrence as a recursive CTE.
+
+    Scale: one shuffle partitions users across executors; each series
+    walks locally in numpy. 100 TB of telemetry with millions of
+    series parallelizes per-key; a single monster series would need
+    segmented scan-style prefix reconstruction instead.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    mus = e.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    joined = e.select("user_id", "ts", "event_id", "value").join(
+        F.broadcast(mus), "user_id"
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        mu = pdf["mu"].iloc[0]
+        s = 0.0
+        n_alarms = 0
+        max_s = 0.0
+        for x in pdf["value"].to_numpy():
+            s = s + x - mu - 1.0
+            if s < 0.0:
+                s = 0.0
+            if s > 5.0:
+                n_alarms += 1
+            if s > max_s:
+                max_s = s
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_alarms": [n_alarms],
+                "max_cusum": [round(max_s, 6)],
+            }
+        )
+
+    return (
+        joined.groupBy("user_id")
+        .applyInPandas(cusum, schema="user_id long, n_alarms long, max_cusum double")
+        .orderBy("user_id")
+    )
