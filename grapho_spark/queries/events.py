@@ -693,3 +693,114 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position", "channel")
     )
+
+
+@query(
+    "events_asof_tolerance",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, value
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view')
+  WHERE rn = 1)
+SELECT p.event_id, p.user_id,
+       (SELECT v.value FROM views v
+        WHERE v.user_id = p.user_id AND v.ts <= p.ts
+          AND v.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY v.ts DESC LIMIT 1) AS view_value_asof
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof semantics):
+    each purchase carries the latest same-user view value, but only if
+    it is at most one hour stale — older matches null out. Exercises
+    the generic operator's ``tolerance`` parameter end-to-end
+    (operators/asof.py; the plain as-of twin is
+    events_asof_last_purchase). Views pre-deduplicate to the max
+    event_id per (user, ts) for tie determinism.
+
+    Scale: same union-window shape as the untolerated as-of — one
+    shuffle on user_id, no range join; the tolerance is a map-side
+    comparison on the carried timestamp.
+    """
+    from grapho_spark.operators import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value_asof").alias("view_value_asof")
+    )
+
+
+@query(
+    "events_lag_feature_matrix",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'purchase'),
+feats AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(value, 1) OVER w AS lag1,
+         LAG(value, 2) OVER w AS lag2,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / LEAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 5) AS roll5_mean
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, value, lag1, lag2, round(roll5_mean, 6) AS roll5_mean
+FROM feats WHERE lag2 IS NOT NULL
+""",
+)
+def events_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature engineering over the purchase stream: per-user lag-1
+    / lag-2 features and a 5-row rolling mean (exact-decimal numerator
+    over a row frame, rounded at 6dp), keeping rows with a full lag
+    history — the sliding feature matrix a training pipeline feeds to
+    a forecaster.
+
+    Scale: every feature rides ONE window pass partitioned by user_id
+    (shard-parallel); nothing joins, nothing re-sorts — adding more
+    lags or frames is marginal cost zero shuffles.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, 0)
+    feats = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w5).cast("double")
+            / F.least(F.count(F.lit(1)).over(w5), F.lit(5)),
+            6,
+        ).alias("roll5_mean"),
+    )
+    return feats.filter(F.col("lag2").isNotNull()).select(
+        "event_id", "user_id", "value", "lag1", "lag2", "roll5_mean"
+    )

@@ -1287,3 +1287,59 @@ def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy(F.desc("p_size"), "p_retailprice", "p_partkey")
     )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+WITH counts AS (
+  SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+stats AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows
+  FROM counts),
+top AS (
+  SELECT key, c, ROW_NUMBER() OVER (ORDER BY c DESC, key) AS rk
+  FROM counts)
+SELECT t.key AS hot_key, CAST(t.c AS BIGINT) AS key_rows,
+       s.n_keys, s.n_rows,
+       round(CAST(t.c AS DOUBLE) * s.n_keys / s.n_rows, 6) AS skew_ratio
+FROM top t CROSS JOIN stats s
+WHERE t.rk <= 10
+ORDER BY key_rows DESC, hot_key
+""",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics: the 10 hottest join keys with their
+    row counts and skew ratio (key share vs the uniform share) — the
+    report that decides between a plain shuffle join, AQE skew
+    splitting, and explicit salting BEFORE a 100 TB join runs.
+
+    Scale: one groupBy on the key (map-side partials), a top-10
+    TakeOrderedAndProject, and a broadcast 1-row stats join; the fact
+    table is never scanned twice.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    counts = l.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+    )
+    top = counts.orderBy(F.desc("c"), "key").limit(10)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("key").alias("hot_key"),
+            F.col("c").cast("long").alias("key_rows"),
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("c").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("key_rows"), "hot_key")
+    )
