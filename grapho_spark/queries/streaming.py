@@ -568,3 +568,87 @@ def streaming_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(out, "append")
+
+
+@query(
+    "streaming_drift_monitor",
+    oracle="""
+WITH binned AS (
+  SELECT date_trunc('day', ts) AS day,
+         LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 7) AS bin
+  FROM events),
+ref AS (
+  SELECT bin, COUNT(*) AS rc FROM binned GROUP BY bin),
+ref_tot AS (SELECT COUNT(*) AS rtot FROM binned),
+win AS (
+  SELECT day, bin, COUNT(*) AS c FROM binned GROUP BY day, bin),
+win_tot AS (
+  SELECT day, COUNT(*) AS tot FROM binned GROUP BY day),
+scaffold AS (
+  SELECT d.day, b.bin
+  FROM (SELECT DISTINCT day FROM binned) d,
+       (SELECT UNNEST(range(8)) AS bin) b),
+terms AS (
+  SELECT sc.day,
+         CAST(round(
+           ((COALESCE(w.c, 0) + 0.5) / (wt.tot + 4.0)
+              - (COALESCE(r.rc, 0) + 0.5) / (rt.rtot + 4.0))
+           * ln(((COALESCE(w.c, 0) + 0.5) / (wt.tot + 4.0))
+                / ((COALESCE(r.rc, 0) + 0.5) / (rt.rtot + 4.0))), 6)
+           AS DECIMAL(18,6)) AS contrib
+  FROM scaffold sc
+  JOIN win_tot wt ON sc.day = wt.day
+  LEFT JOIN win w ON sc.day = w.day AND sc.bin = w.bin
+  LEFT JOIN ref r ON sc.bin = r.bin
+  CROSS JOIN ref_tot rt)
+SELECT CAST(day AS TIMESTAMP) AS window_start,
+       CAST(SUM(contrib) AS DOUBLE) AS psi
+FROM terms GROUP BY day ORDER BY window_start
+""",
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per-day value-distribution PSI of the
+    live stream against a static reference distribution (here the
+    full-corpus profile; in production, the training-time profile).
+    The STREAMING stage is the per-(window, bin) count — bounded state
+    under the watermark; the PSI math is stateless post-processing on
+    the window-sized sink output (bins x days rows), exactly how a
+    monitoring sink feeds a dashboard query. Same Laplace smoothing +
+    6dp-rounded exact-decimal accumulation as the batch PSI operator.
+
+    Scale: streaming state is |windows in horizon| x 8 bins; the
+    reference profile is a broadcast scalar table; the event volume
+    itself never joins anything.
+    """
+    bin_col = F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(7))
+    stream = (
+        load_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = run_to_memory(stream, "complete").select(
+        F.col("window.start").alias("window_start"), "bin", "c"
+    )
+    e = load_table(spark, sf_dir, "events").select(bin_col.alias("bin"))
+    ref = e.groupBy("bin").agg(F.count(F.lit(1)).alias("rc"))
+    rtot = e.count()
+    win_tot = win.groupBy("window_start").agg(F.sum("c").alias("tot"))
+    scaffold = win_tot.crossJoin(
+        F.broadcast(spark.range(8).select(F.col("id").alias("bin")))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 0.5) / (F.col("tot") + 4.0)
+    q = (F.coalesce(F.col("rc"), F.lit(0)) + 0.5) / (F.lit(rtot) + 4.0)
+    terms = (
+        scaffold.join(win, ["window_start", "bin"], "left")
+        .join(F.broadcast(ref), ["bin"], "left")
+        .select(
+            "window_start",
+            F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)").alias("contrib"),
+        )
+    )
+    return (
+        terms.groupBy("window_start")
+        .agg(F.sum("contrib").cast("double").alias("psi"))
+        .orderBy("window_start")
+    )
