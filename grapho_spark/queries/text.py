@@ -1241,3 +1241,58 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(trim(lower(text)), ' ')) AS term
+  FROM documents),
+postings AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         list_sort(list(doc_id)) AS posting_list
+  FROM tok
+  WHERE term NOT IN ({{stops}}) AND length(term) >= 3
+  GROUP BY term)
+SELECT term, df, posting_list
+FROM postings
+WHERE df BETWEEN 40 AND 200
+ORDER BY df DESC, term
+LIMIT 50
+""".format(stops=_STOP_SQL),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: term -> sorted posting list of containing
+    doc_ids plus document frequency, for mid-frequency terms (stopword
+    + df-band filtering keeps head terms from exploding the lists —
+    exactly the skew control a 100 TB index build needs). Output is
+    the 50 highest-df indexed terms with full posting lists, value-
+    compared element-wise against the oracle.
+
+    Scale: the (doc, term) pairs dedup map-side under the distinct,
+    one shuffle on term builds each posting via sort_array(collect_set)
+    — deterministic regardless of arrival order; the df band bounds
+    any single reducer's list. Head terms (stopwords) never shuffle at
+    all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(~F.col("term").isin(*STOPWORDS) & (F.length("term") >= 3))
+        .distinct()
+    )
+    postings = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("posting_list"),
+    )
+    return (
+        postings.filter((F.col("df") >= 40) & (F.col("df") <= 200))
+        .select("term", "df", "posting_list")
+        .orderBy(F.desc("df"), "term")
+        .limit(50)
+    )

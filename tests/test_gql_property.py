@@ -104,3 +104,34 @@ def test_error_recovery_resumes_at_semicolon(junk):
     assert any(
         isinstance(s, ast.CreateNodeStmt) and s.name == "Ok" for s in stmts
     )
+
+
+@given(
+    st.lists(
+        st.tuples(idents, st.sampled_from([":", "<", ">"]),
+                  st.integers(min_value=0, max_value=10**6)),
+        min_size=1, max_size=4,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_where_op_roundtrip(conds):
+    # range-WHERE extension: ':' / '<' / '>' all parse, op preserved
+    body = ", ".join(f"{f} {op if op != ':' else ':'} {n}" if op != ":"
+                     else f"{f}: {n}" for f, op, n in conds)
+    stmts, errors = parse_script(f"MATCH T WHERE {body} RETURN a;")
+    assert not errors, (body, errors)
+    got = [(p.name, p.op, p.value.text) for p in stmts[0].where]
+    want = [(f, "=" if op == ":" else op, str(n)) for f, op, n in conds]
+    assert got == want
+
+
+@given(st.sampled_from(["SUM", "MIN", "MAX", "AVG"]), idents)
+@settings(max_examples=50, deadline=None)
+def test_aggregate_return_roundtrip(func, field):
+    stmts, errors = parse_script(f"MATCH T RETURN {func}({field});")
+    assert not errors
+    assert stmts[0].return_agg == (func, field)
+    # lowercase function names parse too (keywords are soft here)
+    stmts, errors = parse_script(f"MATCH T RETURN {func.lower()}({field});")
+    assert not errors
+    assert stmts[0].return_agg == (func, field)
