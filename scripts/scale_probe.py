@@ -45,6 +45,15 @@ PROBES = [
     "text_pii_redaction",
     "graph_hits_bipartite",
     "market_basket_rules",
+    # round-6b additions
+    "events_touch_attribution",
+    "timeseries_gapfill_interpolate",
+    "timeseries_cusum_changepoints",
+    "text_inverted_index",
+    "text_psi_drift_by_source",
+    "corpus_weighted_sample",
+    "part_skyline_frontier",
+    "join_key_skew_report",
 ]
 
 
