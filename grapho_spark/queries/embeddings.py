@@ -1061,3 +1061,57 @@ def embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("balance_ratio"),
     )
+
+
+@query(
+    "embedding_quantile_normalize",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id, embedding[p.pos] AS val, p.pos
+  FROM embeddings
+  CROSS JOIN (SELECT UNNEST(range(1, 5)) AS pos) p),
+ranked AS (
+  SELECT vec_id, pos - 1 AS dim, val,
+         ROW_NUMBER() OVER (PARTITION BY pos ORDER BY val, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY pos) AS n
+  FROM flat)
+SELECT vec_id, dim,
+       round((rk - 0.5) / n, 6) AS qnorm
+FROM ranked
+WHERE vec_id % 199 = 0
+ORDER BY vec_id, dim
+""",
+)
+def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of the embedding
+    matrix — the feature-preprocessing step that uniformizes each
+    dimension's marginal before tabular training or histogram-based
+    indexing. qnorm = (rank - 0.5)/n per dimension, ties broken by
+    vec_id so both engines rank identically; checked on the first 4
+    dims for a deterministic sample of vectors.
+
+    Scale: posexplode keys every value by dimension, so each
+    dimension ranks independently in its own partition (shard-parallel
+    window, no global sort); at 100 TB you'd swap the exact rank for a
+    per-dimension t-digest lookup, same pipeline shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("dim", "val")
+    )
+    w = Window.partitionBy("dim").orderBy("val", "vec_id")
+    ranked = flat.select(
+        "vec_id",
+        "dim",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("dim")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("vec_id") % 199 == 0)
+        .select(
+            "vec_id",
+            "dim",
+            F.round((F.col("rk") - 0.5) / F.col("n"), 6).alias("qnorm"),
+        )
+        .orderBy("vec_id", "dim")
+    )

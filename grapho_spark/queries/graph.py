@@ -1075,3 +1075,88 @@ def graph_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nodes").over(w).cast("long").alias("n_at_least"),
         F.round(F.sum("n_nodes").over(w) * F.lit(1.0) / F.col("n"), 6).alias("ccdf"),
     )
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+seeds AS (
+  SELECT node FROM nodes JOIN part ON node = p_partkey WHERE p_size >= 48),
+sc AS (SELECT COUNT(*) AS s FROM seeds),
+r0 AS (
+  SELECT node, CAST(1000000000000 // (SELECT s FROM sc) AS BIGINT) AS r
+  FROM seeds),
+restart AS (
+  SELECT node, r * 3 // 20 AS t FROM r0),
+in1 AS (
+  SELECT e.dst AS node, SUM(r0.r // deg.d) * 17 // 20 AS t
+  FROM sym e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node
+  GROUP BY e.dst),
+r1 AS (
+  SELECT COALESCE(a.node, b.node) AS node,
+         COALESCE(a.t, 0) + COALESCE(b.t, 0) AS r
+  FROM restart a FULL OUTER JOIN in1 b ON a.node = b.node),
+in2 AS (
+  SELECT e.dst AS node, SUM(r1.r // deg.d) * 17 // 20 AS t
+  FROM sym e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node
+  GROUP BY e.dst),
+r2 AS (
+  SELECT COALESCE(a.node, b.node) AS node,
+         COALESCE(a.t, 0) + COALESCE(b.t, 0) AS r
+  FROM restart a FULL OUTER JOIN in2 b ON a.node = b.node)
+SELECT node, CAST(r AS BIGINT) AS ppr_fp
+FROM r2 ORDER BY ppr_fp DESC, node LIMIT 20
+""",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (2 unrolled iterations, damping 0.85,
+    teleport restricted to the seed set = large parts, p_size >= 48)
+    on the symmetrized co-purchase graph — the recommendation scorer
+    "relevance to THIS interest set" vs global PageRank's authority.
+    All arithmetic is fixed-point integer (1e12 scale, floor integer
+    division, x*17//20 damping), so both engines produce bit-identical
+    ranks with zero float accumulation anywhere.
+
+    Scale: the rank vector is sparse (seeds, then their frontier) and
+    node-sized; each iteration is one join against the degree-annotated
+    edge table + one aggregation on dst — the same two-shuffle shape as
+    the distributed PageRank loop, unrolled. Seeds and degrees
+    broadcast; the edge table never re-shuffles between iterations.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.join(F.broadcast(p), nodes.node == p.p_partkey, "left_semi")
+    s = seeds.count()
+    r0 = seeds.select("node", F.lit(1_000_000_000_000 // s).alias("r"))
+    restart = r0.select("node", F.expr("r * 3 div 20").alias("t"))
+    ann = sym.join(F.broadcast(deg), sym.src == deg.node).select(
+        F.col("src"), F.col("dst"), F.col("d")
+    )
+
+    def push(rank: DataFrame) -> DataFrame:
+        inflow = (
+            ann.join(F.broadcast(rank), ann.src == rank.node)
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("sum(c) * 17 div 20").alias("t"))
+        )
+        return (
+            restart.withColumnRenamed("t", "rt")
+            .join(inflow.withColumnRenamed("t", "it"), "node", "full_outer")
+            .select(
+                "node",
+                (F.coalesce(F.col("rt"), F.lit(0)) + F.coalesce(F.col("it"), F.lit(0))).alias("r"),
+            )
+        )
+
+    r2 = push(push(r0))
+    return (
+        r2.select("node", F.col("r").cast("long").alias("ppr_fp"))
+        .orderBy(F.desc("ppr_fp"), "node")
+        .limit(20)
+    )
