@@ -804,3 +804,71 @@ def events_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.filter(F.col("lag2").isNotNull()).select(
         "event_id", "user_id", "value", "lag1", "lag2", "roll5_mean"
     )
+
+
+@query(
+    "events_ks_two_sample",
+    oracle="""
+WITH pv AS (
+  SELECT value,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS ca,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS cb
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY value),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY value) AS cuma,
+         SUM(cb) OVER (ORDER BY value) AS cumb
+  FROM pv)
+SELECT t.na, t.nb,
+       round(MAX(ABS(CAST(c.cuma AS DOUBLE) / t.na
+                     - CAST(c.cumb AS DOUBLE) / t.nb)), 6) AS ks_stat
+FROM cum c CROSS JOIN tot t
+GROUP BY t.na, t.nb
+""",
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase
+    and view value distributions: max |ECDF_a - ECDF_b| evaluated
+    after each distinct value (tie-safe: counts roll up per value
+    BEFORE the cumulative pass, so step order within a value cannot
+    differ between engines). The nonparametric companion to the PSI
+    drift score — no binning choices to defend.
+
+    Scale: the per-value rollup collapses the event volume to
+    |distinct values| rows map-side; the single-partition cumulative
+    window runs on that collapsed table only (value domains are small;
+    for continuous data you'd pre-round to fixed precision — a
+    quantized ECDF — keeping the same shape).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pv = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
+    )
+    tot = pv.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cuma").cast("double") / F.col("na")
+                        - F.col("cumb").cast("double") / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select("na", "nb", "ks_stat")
+    )

@@ -1343,3 +1343,53 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("key_rows"), "hot_key")
     )
+
+
+@query(
+    "rollup_percent_of_parent",
+    oracle="""
+WITH leaf AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year, o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT o_year, o_orderpriority,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE), 6)
+         AS pct_of_year,
+       round(CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS year_pct_of_total
+FROM leaf
+ORDER BY o_year, o_orderpriority
+""",
+)
+def rollup_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent OLAP rollup: each (year, priority) cell's
+    share of its year, and each year's share of the grand total — the
+    drill-down ratio view every BI layer derives from a rollup. All
+    shares are single divisions of exact-decimal sums (one rounded
+    double op each), so both engines agree bit-for-bit.
+
+    Scale: one aggregation to the |years|x|priorities| leaf grid; the
+    parent shares are window sums over that tiny grid, not second
+    passes over orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    leaf = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"), "o_orderpriority"
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w_year = Window.partitionBy("o_year")
+    w_all = Window.partitionBy()
+    return leaf.select(
+        "o_year",
+        "o_orderpriority",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_year).cast("double"), 6
+        ).alias("pct_of_year"),
+        F.round(
+            F.sum("rev").over(w_year).cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        ).alias("year_pct_of_total"),
+    ).orderBy("o_year", "o_orderpriority")
