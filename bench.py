@@ -49,6 +49,10 @@ HEADLINE = [
     "timeseries_gapfill_interpolate",
     "text_psi_drift_by_source",
     "corpus_weighted_sample",
+    "graph_personalized_pagerank",
+    "graph_adamic_adar",
+    "text_inverted_index",
+    "events_ks_two_sample",
 ]
 
 
