@@ -71,6 +71,19 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "corpus_weighted_sample": ["TakeOrderedAndProject", "ReadSchema"],
     "q11_important_stock": ["BroadcastHashJoin", "PushedFilters"],
     "events_touch_attribution": ["Window", "ReadSchema"],
+    # round-6b second batch: degree/seed tables broadcast into the
+    # fixed-point PPR and Adamic-Adar wedge streams; the inverted
+    # index ends in per-partition top-k; KS and gapfill stay window
+    # passes over collapsed inputs
+    "graph_personalized_pagerank": ["BroadcastHashJoin", "HashAggregate"],
+    "graph_adamic_adar": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "text_inverted_index": [
+        "ObjectHashAggregate|HashAggregate|SortAggregate",
+        "TakeOrderedAndProject",
+    ],
+    "events_ks_two_sample": ["HashAggregate", "Window"],
+    "timeseries_gapfill_interpolate": ["Window", "ReadSchema"],
+    "events_trigram_paths": ["Window", "TakeOrderedAndProject"],
     # round-6: the probe must scan the persisted bucketed band index
     # (build-once/probe-many), not rebuild buckets from signatures
     "dedup_incremental_new_vs_corpus": [
