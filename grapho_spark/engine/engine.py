@@ -75,11 +75,15 @@ from grapho_spark.gql.parser import parse_script
 def _cmp(col: Column, op: str, lit: Column) -> Column:
     """WHERE comparison: ``=`` is null-safe equality (the reference's
     observed semantics, server/server.go:793-797); ``<``/``>`` are the
-    range extension — plain SQL comparisons, null never matches."""
+    range extension — null never matches. The range branches COALESCE
+    the three-valued comparison to False so the predicate is total:
+    DELETE keeps rows via ``filter(~pred)``, and ``~NULL`` is NULL,
+    which would silently DELETE null-valued rows a range predicate
+    never matched (caught by tests/test_differential_model.py)."""
     if op == "<":
-        return col < lit
+        return F.coalesce(col < lit, F.lit(False))
     if op == ">":
-        return col > lit
+        return F.coalesce(col > lit, F.lit(False))
     return col.eqNullSafe(lit)
 
 
