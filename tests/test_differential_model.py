@@ -101,3 +101,89 @@ def eng(spark, tmp_path):
     # a real data_dir so the mid-stream flush persists (without one,
     # flush() is a documented no-op and everything stays pure-buffer)
     return GraphEngine(spark, data_dir=str(tmp_path / "diff_model"))
+
+
+def test_differential_random_edge_dml(eng):
+    """Same differential harness over EDGE DML incl. endpoint-qualified
+    UPDATE/DELETE (set semantics over matching endpoints) and the
+    smallest-id endpoint resolution of INSERT EDGE (QUIRKS.md #9)."""
+    rng = random.Random(7)
+    eng.execute(
+        "CREATE NODE P (k: int);"
+        "CREATE EDGE E (FROM P MANY, TO P MANY, PROPS (w: int));"
+    )
+    nodes: list[tuple[str, int]] = []  # (id, k)
+    edges: list[dict] = []  # {id, src, dst, w}
+    counter = [0]
+
+    def ins_node():
+        k = rng.choice(DOMAIN)
+        eng.execute(f"INSERT NODE P (k: {k});")
+        counter[0] += 1
+        nodes.append((str(counter[0]), k))
+
+    def resolve(k: int) -> str:
+        # deterministic first match = smallest id (numeric-aware)
+        ids = [nid for nid, nk in nodes if nk == k]
+        return min(ids, key=lambda s: (len(s), s))
+
+    def ins_edge():
+        if not nodes:
+            return
+        xk = rng.choice([nk for _, nk in nodes])
+        yk = rng.choice([nk for _, nk in nodes])
+        w = rng.choice(DOMAIN)
+        eng.execute(f"INSERT EDGE E FROM P(k: {xk}) TO P(k: {yk}) (w: {w});")
+        counter[0] += 1
+        edges.append(
+            {"id": f"edge_{counter[0]}", "src": resolve(xk), "dst": resolve(yk), "w": w}
+        )
+
+    def ep_ids(k: int | None) -> set[str] | None:
+        if k is None:
+            return None
+        return {nid for nid, nk in nodes if nk == k}
+
+    def _ep_clause(rng):
+        if rng.random() < 0.5 or not nodes:
+            return "", None, None
+        xk = rng.choice([nk for _, nk in nodes])
+        yk = rng.choice([nk for _, nk in nodes])
+        return f" FROM P(k: {xk}) TO P(k: {yk})", ep_ids(xk), ep_ids(yk)
+
+    def upd_edge():
+        ep_text, from_ids, to_ids = _ep_clause(rng)
+        setv = rng.choice(DOMAIN)
+        wv = rng.choice(DOMAIN)
+        eng.execute(f"UPDATE EDGE E{ep_text} SET w: {setv} WHERE w: {wv};")
+        for e in edges:
+            if e["w"] == wv and (from_ids is None or e["src"] in from_ids) and (
+                to_ids is None or e["dst"] in to_ids
+            ):
+                e["w"] = setv
+
+    def del_edge():
+        ep_text, from_ids, to_ids = _ep_clause(rng)
+        wv = rng.choice(DOMAIN)
+        eng.execute(f"DELETE EDGE E{ep_text} WHERE w > {wv};")
+        edges[:] = [
+            e
+            for e in edges
+            if not (
+                e["w"] > wv
+                and (from_ids is None or e["src"] in from_ids)
+                and (to_ids is None or e["dst"] in to_ids)
+            )
+        ]
+
+    ops = [ins_node] * 2 + [ins_edge] * 3 + [upd_edge] * 2 + [del_edge]
+    for i in range(60):
+        rng.choice(ops)()
+        if i == 30:
+            eng.flush()
+
+    got = sorted(
+        (r["_id"], r["_src"], r["_dst"], r.w) for r in eng.edge_df("E").collect()
+    )
+    want = sorted((e["id"], e["src"], e["dst"], e["w"]) for e in edges)
+    assert got == want
