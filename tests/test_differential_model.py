@@ -95,6 +95,13 @@ def test_differential_random_dml(eng):
     want = sorted(((r["a"], r["b"], r["tag"]) for r in model), key=key)
     assert got == want
 
+    # crash-recovery equivalence: a FRESH engine on the same data_dir
+    # (flushed parquet + commit-log tail replay) must reconstruct the
+    # exact same state the model predicts
+    eng2 = GraphEngine(eng.spark, data_dir=eng.data_dir)
+    got2 = sorted(((r.a, r.b, r.tag) for r in eng2.node_df("D").collect()), key=key)
+    assert got2 == want
+
 
 @pytest.fixture()
 def eng(spark, tmp_path):
