@@ -511,3 +511,117 @@ def timeseries_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame
         .applyInPandas(cusum, schema="user_id long, n_alarms long, max_cusum double")
         .orderBy("user_id")
     )
+
+
+@query(
+    "timeseries_mad_robust_anomalies",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+  GROUP BY event_type)
+SELECT d.event_type,
+       round(MAX(d.med), 6) AS median_value,
+       round(MAX(a.mad), 6) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.adev > 3 * 1.4826 * a.mad) AS BIGINT)
+         AS n_robust_anomalies
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def timeseries_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: the
+    outlier-resistant twin of the z-score flags (one extreme value
+    shifts a mean and stddev, but not a median). Two exact-median
+    passes (interpolated order statistics — identical in both
+    engines), then the classic |x - med| > 3 * 1.4826 * MAD rule.
+
+    Scale: two groupBy-percentile rollups over the same shuffle key
+    and a broadcast join of the |types|-row stats back onto the
+    deviation stream; exact medians at 100 TB would swap for
+    approx_percentile with the same pipeline shape.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1)
+            ).cast("long").alias("n_robust_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "timeseries_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events WHERE user_id % 11 = 0),
+seg AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6)) * (next_us - us) AS wv,
+         next_us - us AS dur
+  FROM seq WHERE next_us IS NOT NULL)
+SELECT user_id,
+       CAST(SUM(dur) AS BIGINT) AS total_us,
+       round(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+         AS time_weighted_avg
+FROM seg GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user series (the TSDB `time_weight`
+    aggregate): each observation holds until the next one, so its
+    weight is the integer-microsecond duration; the weighted sum
+    accumulates as exact decimals and the final division is one
+    rounded double op — engine-exact without float accumulation.
+
+    Scale: one lead() window pass partitioned by user (shard-parallel)
+    and a rollup on the same key — no joins, no range lookups.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * (F.col("next_us") - F.col("us"))).alias("wv"),
+        (F.col("next_us") - F.col("us")).alias("dur"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("long").alias("total_us"),
+            F.round(
+                F.sum("wv").cast("double") / F.sum("dur").cast("double"), 6
+            ).alias("time_weighted_avg"),
+        )
+        .orderBy("user_id")
+    )
