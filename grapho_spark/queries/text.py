@@ -1296,3 +1296,98 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(50)
     )
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(trim(lower(text)), ' ')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('hash', 'join') GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)
+           AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s)
+SELECT doc_id,
+       CAST(SUM(c) AS DOUBLE) AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query "hash join" (k1=1.2,
+    b=0.75, the BM25+ idf that stays positive for common terms): the
+    scoring function behind every lexical search engine, composed from
+    the same token pipeline as the inverted index. Per-term
+    contributions round at 6dp and accumulate as exact decimals; the
+    top-10 is engine-exact with doc_id tie-breaks.
+
+    Scale: doc lengths and term stats are two rollups over the token
+    stream; only rows for the QUERY terms survive into the scoring
+    join (the corpus-wide token volume never joins anything), and
+    df/avgdl are broadcast scalars. Ranking ends in per-partition
+    top-k.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin("hash", "join"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
