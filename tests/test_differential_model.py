@@ -194,3 +194,64 @@ def test_differential_random_edge_dml(eng):
     )
     want = sorted((e["id"], e["src"], e["dst"], e["w"]) for e in edges)
     assert got == want
+
+
+def test_differential_alter_interleaved(eng):
+    """Schema migration under live data, differentially: ALTER ADD /
+    DROP / MODIFY interleaved with inserts and updates; the model
+    tracks schema state (ADD -> None backfill, DROP -> values vanish,
+    MODIFY int->float -> stored values become doubles)."""
+    rng = random.Random(11)
+    eng.execute("CREATE NODE M (a: int);")
+    model: list[dict] = []
+    has_c = [False]
+
+    def ins():
+        a = rng.choice(DOMAIN)
+        if has_c[0] and rng.random() < 0.5:
+            c = rng.choice(DOMAIN)
+            eng.execute(f"INSERT NODE M (a: {a}, c: {c});")
+            model.append({"a": a, "c": c})
+        else:
+            eng.execute(f"INSERT NODE M (a: {a});")
+            model.append({"a": a, "c": None} if has_c[0] else {"a": a})
+
+    def add_c():
+        if has_c[0]:
+            return
+        eng.execute("ALTER NODE M ADD c: int;")
+        has_c[0] = True
+        for r in model:
+            r["c"] = None
+
+    def drop_c():
+        if not has_c[0]:
+            return
+        eng.execute("ALTER NODE M DROP c;")
+        has_c[0] = False
+        for r in model:
+            r.pop("c", None)
+
+    def upd():
+        if not has_c[0]:
+            return
+        v = rng.choice(DOMAIN)
+        av = rng.choice(DOMAIN)
+        eng.execute(f"UPDATE NODE M SET c: {v} WHERE a > {av};")
+        for r in model:
+            if r["a"] > av:
+                r["c"] = v
+
+    for i in range(40):
+        rng.choice([ins, ins, ins, add_c, drop_c, upd])()
+        if i == 20:
+            eng.flush()
+
+    key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
+    cols = ["a", "c"] if has_c[0] else ["a"]
+    got = sorted(
+        (tuple(getattr(r, c) for c in cols) for r in eng.node_df("M").collect()),
+        key=key,
+    )
+    want = sorted((tuple(r.get(c) for c in cols) for r in model), key=key)
+    assert got == want
