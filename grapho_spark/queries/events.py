@@ -872,3 +872,113 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("na", "nb", "ks_stat")
     )
+
+
+@query(
+    "events_interval_overlap_join",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > CAST(1800000000 AS BIGINT)
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id % 13 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid,
+         ts
+  FROM seq),
+intervals AS (
+  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY user_id, sid),
+hits AS (
+  SELECT i.user_id, i.sid, i.s_start, i.s_end, e.event_id
+  FROM intervals i
+  JOIN events e
+    ON e.ts >= i.s_start AND e.ts <= i.s_end AND e.user_id <> i.user_id)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, s_start, s_end,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_concurrent_events
+FROM hits
+GROUP BY user_id, sid, s_start, s_end
+ORDER BY user_id, session_id
+""",
+)
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: for each user session (30-min gap rule,
+    sampled users), count how many OTHER users' events fall inside the
+    session's [start, end] — concurrency/contention analysis. The
+    oracle states it as the raw inequality join; the engine BUCKETS
+    both sides by hour (sessions explode into their covered hour
+    buckets via ``sequence``), so candidates pair only within a bucket
+    and the residual range predicate runs on that bounded set — the
+    IEJoin-avoidance pattern that keeps a 100 TB interval join from
+    going quadratic. Events spanning a bucket only (no true overlap)
+    are cut by the residual filter; DISTINCT event_id undoes the
+    at-most-2-bucket double-count of boundary hits.
+
+    Scale: the bucketed equi-join shuffles on (hour bucket); session
+    intervals are tiny (sessions << events) and their bucket explosion
+    is bounded by session duration (30-min gaps cap it). No
+    BroadcastNestedLoopJoin anywhere in the plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mine = e.filter(F.col("user_id") % 13 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = mine.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_US) | F.lag(us).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    HOUR = 3600 * 1_000_000
+    i_buckets = intervals.select(
+        "user_id",
+        "sid",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                (F.unix_micros("s_start") / HOUR).cast("long"),
+                (F.unix_micros("s_end") / HOUR).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    e_buckets = e.select(
+        F.col("user_id").alias("e_user"),
+        "event_id",
+        F.col("ts").alias("e_ts"),
+        (F.unix_micros("ts") / HOUR).cast("long").alias("bucket"),
+    )
+    hits = i_buckets.join(e_buckets, "bucket").filter(
+        (F.col("e_ts") >= F.col("s_start"))
+        & (F.col("e_ts") <= F.col("s_end"))
+        & (F.col("e_user") != F.col("user_id"))
+    )
+    return (
+        hits.groupBy("user_id", "sid", "s_start", "s_end")
+        .agg(F.countDistinct("event_id").cast("long").alias("n_concurrent_events"))
+        .select(
+            "user_id",
+            F.col("sid").cast("long").alias("session_id"),
+            "s_start",
+            "s_end",
+            "n_concurrent_events",
+        )
+        .orderBy("user_id", "session_id")
+    )
