@@ -33,3 +33,20 @@ def test_plan_expectation(spark, sf_dir, name):
             if any(k in line for k in ("Join", "Filters", "ReadSchema", "Scan"))
         )[:4000]
     )
+
+
+NEGATIVE_CHECKS = {
+    # the bucketed interval join exists precisely to avoid the
+    # quadratic nested-loop plan the raw inequality join would pick
+    "events_interval_overlap_join": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(NEGATIVE_CHECKS))
+def test_plan_negative_expectation(spark, sf_dir, name):
+    from grapho_spark.queries import all_queries
+
+    df = all_queries()[name].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    present = [pat for pat in NEGATIVE_CHECKS[name] if re.search(pat, plan)]
+    assert not present, f"{name}: forbidden operators in plan: {present}"
