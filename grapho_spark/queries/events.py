@@ -982,3 +982,83 @@ def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "events_concurrent_sessions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > CAST(1800000000 AS BIGINT)
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+intervals AS (
+  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM (SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid,
+               ts
+        FROM seq)
+  GROUP BY user_id, sid),
+deltas AS (
+  SELECT s_start AS t, 1 AS d FROM intervals
+  UNION ALL
+  SELECT s_end, -1 FROM intervals),
+marks AS (
+  SELECT t, SUM(d) AS d FROM deltas GROUP BY t),
+sweep AS (
+  SELECT t, SUM(d) OVER (ORDER BY t) AS live FROM marks)
+SELECT CAST(t AS DATE) AS day,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrent_sessions
+FROM sweep GROUP BY 1 ORDER BY day
+""",
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: the peak number of simultaneously-open
+    user sessions per day, computed by summing +1/-1 boundary deltas
+    in time order — the interval-counting operator that needs NO
+    interval join at all (capacity planning's favorite query).
+    Boundary ties collapse per timestamp before the prefix sum, so the
+    sweep order is unambiguous across engines; a session closing at
+    the same instant another opens nets to zero.
+
+    Scale: intervals are session-sized (tiny vs events); the prefix
+    sum runs over the 2x-sessions boundary stream. At 100 TB you'd
+    range-partition the sweep on time and carry partition-boundary
+    offsets — same algebra, the deltas commute.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_US) | F.lag(us).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    deltas = intervals.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionAll(
+        intervals.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    marks = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    sweep = marks.select(
+        "t",
+        F.sum("d").over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)).alias("live"),
+    )
+    return (
+        sweep.groupBy(F.col("t").cast("date").alias("day"))
+        .agg(F.max("live").cast("long").alias("peak_concurrent_sessions"))
+        .orderBy("day")
+    )
