@@ -1115,3 +1115,69 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "dim")
     )
+
+
+@query(
+    "embedding_standardize",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id, embedding[p.pos] AS val, p.pos - 1 AS dim
+  FROM embeddings
+  CROSS JOIN (SELECT UNNEST(range(1, 5)) AS pos) p),
+stats AS (
+  SELECT dim,
+         CAST(SUM(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         CAST(SUM(CAST(round(val * val, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS m2,
+         COUNT(*) AS n
+  FROM flat GROUP BY dim)
+SELECT f.vec_id, f.dim,
+       round((f.val - s.mu) / sqrt(s.m2 - s.mu * s.mu), 6) AS zval
+FROM flat f JOIN stats s USING (dim)
+WHERE f.vec_id % 199 = 0
+ORDER BY f.vec_id, f.dim
+""",
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-scoring) of the embedding
+    matrix — the parametric twin of the quantile normalizer: each
+    dimension's mean and variance come from exact-decimal moment sums
+    (per-value rounding at 6/9dp keeps float32 inputs engine-exact),
+    then one rounded double expression standardizes; checked on the
+    first 4 dims for a deterministic vector sample.
+
+    Scale: one moments rollup per dimension (map-side partials over
+    the exploded stream), broadcast back onto the values — no window,
+    no sort, unlike the rank-based normalizer.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("dim", "val")
+    )
+    stats = flat.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("val"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        (
+            F.sum(F.round(F.col("val") * F.col("val"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    return (
+        flat.join(F.broadcast(stats), "dim")
+        .filter(F.col("vec_id") % 199 == 0)
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                (F.col("val") - F.col("mu"))
+                / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")),
+                6,
+            ).alias("zval"),
+        )
+        .orderBy("vec_id", "dim")
+    )
