@@ -47,7 +47,16 @@ def coerce_literal(lit: Literal, ts: TypeSpec, field_name: str) -> Any:
     if base is BaseType.INT:
         if lit.kind is not LiteralKind.NUMBER or "." in lit.text:
             raise CoercionError(f"field {field_name!r}: expected int, got {lit.text!r}")
-        return int(lit.text)
+        v = int(lit.text)
+        if not -(2**63) <= v < 2**63:
+            # Python ints are unbounded; a literal past int64 would
+            # escape as a py4j serialization error from F.lit() and
+            # kill the server session instead of rendering an error
+            # (caught by the wire-handler fuzz test).
+            raise CoercionError(
+                f"field {field_name!r}: int literal out of 64-bit range"
+            )
+        return v
     if base is BaseType.FLOAT:
         if lit.kind is not LiteralKind.NUMBER:
             raise CoercionError(f"field {field_name!r}: expected float, got {lit.text!r}")

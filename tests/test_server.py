@@ -112,3 +112,30 @@ def test_two_clients_share_engine(server):
     assert any("v:7" in ln for ln in block)
     a.close()
     b.close()
+
+
+def test_execute_command_never_crashes_on_fuzz(spark):
+    """The wire handler must ALWAYS return a rendered response — parse
+    errors, engine errors, binary garbage, huge tokens — never raise
+    (a crash would drop the TCP session; the reference's handler has
+    the same always-respond contract, server/server.go:126-152)."""
+    import random
+
+    from grapho_spark.engine import GraphEngine
+    from grapho_spark.server import execute_command
+
+    eng = GraphEngine(spark)
+    eng.execute("CREATE NODE F (a: int);")
+    rng = random.Random(3)
+    corpus = [
+        "", ";", ";;;", "MATCH", "MATCH F WHERE a >", "INSERT NODE F (a: );",
+        "CREATE NODE F (a: int);",  # duplicate type
+        "UPDATE NODE F SET", "DELETE NODE F", "\x00\x01\xff", "'unterminated",
+        "`backtick", "/* open comment", "-- just a comment",
+        "MATCH F RETURN SUM();", "MATCH F RETURN COUNT(*) ORDER BY a;",
+        "A" * 5000, "MATCH F WHERE a: " + "9" * 200 + ";",
+    ]
+    for _ in range(60):
+        cmd = rng.choice(corpus)
+        out = execute_command(eng, cmd)
+        assert isinstance(out, str)
