@@ -226,15 +226,21 @@ class Parser:
         T.BLOB: ast.BaseType.BLOB,
     }
 
-    def _parse_type_spec(self) -> ast.TypeSpec:
+    def _parse_type_spec(self, depth: int = 0) -> ast.TypeSpec:
         t = self._tok
+        if depth > 32:
+            # grammar allows unbounded array<array<...>> recursion; an
+            # adversarial ~3000-deep literal otherwise escapes as a
+            # RecursionError that kills the server session instead of
+            # a positioned parse error (wire-handler fuzz coverage)
+            self._err(t, "type nesting too deep (max 32)")
         if t.type in self._SIMPLE_TYPES:
             self._next()
             return ast.TypeSpec(base=self._SIMPLE_TYPES[t.type])
         if t.type is T.ARRAY:
             self._next()
             self._expect(T.LT)
-            elem = self._parse_type_spec()
+            elem = self._parse_type_spec(depth + 1)
             self._expect(T.GT)
             return ast.TypeSpec(elem=elem)
         if t.type is T.ENUM:

@@ -337,3 +337,12 @@ def test_range_operator_rejected_outside_where():
     assert errors
     _, errors = parse_script("UPDATE NODE Person SET age > 30 WHERE id: 1;")
     assert errors
+
+
+def test_type_nesting_depth_capped():
+    deep = "CREATE NODE X (a: " + "array<" * 3000 + "int" + ">" * 3000 + ");"
+    stmts, errors = parse_script(deep)  # must not raise RecursionError
+    assert errors and "nesting too deep" in errors[0].msg
+    ok = "CREATE NODE X (a: " + "array<" * 8 + "int" + ">" * 8 + ");"
+    stmts, errors = parse_script(ok)
+    assert not errors
