@@ -624,6 +624,10 @@ class Parser:
                 self._err(n_tok, f"LIMIT must be an integer, got {n_tok.lit!r}")
             if limit is not None and limit < 1:
                 self._err(lim_kw, f"LIMIT must be >= 1, got {limit}")
+            if limit is not None and limit > 2**31 - 1:
+                # Dataset.limit takes a JVM int; a larger literal would
+                # escape as a py4j overflow instead of a parse error
+                self._err(lim_kw, f"LIMIT must be <= {2**31 - 1}, got {limit}")
         return tuple(order_by), limit
 
     # -- SHOW / DESCRIBE (extension; reserved tokens in the reference) ----

@@ -346,3 +346,10 @@ def test_type_nesting_depth_capped():
     ok = "CREATE NODE X (a: " + "array<" * 8 + "int" + ">" * 8 + ");"
     stmts, errors = parse_script(ok)
     assert not errors
+
+
+def test_limit_out_of_jvm_int_range_rejected():
+    _, errors = parse_script("MATCH P LIMIT 3000000000;")
+    assert errors and "LIMIT" in errors[0].msg
+    stmts, errors = parse_script("MATCH P LIMIT 2147483647;")
+    assert not errors and stmts[0].limit == 2**31 - 1
