@@ -60,7 +60,14 @@ def coerce_literal(lit: Literal, ts: TypeSpec, field_name: str) -> Any:
     if base is BaseType.FLOAT:
         if lit.kind is not LiteralKind.NUMBER:
             raise CoercionError(f"field {field_name!r}: expected float, got {lit.text!r}")
-        return float(lit.text)
+        f = float(lit.text)
+        if f in (float("inf"), float("-inf")):
+            # a ~400-digit literal overflows float64 to infinity; the
+            # grammar has no inf literal, so store an error, not inf
+            raise CoercionError(
+                f"field {field_name!r}: float literal out of range"
+            )
+        return f
     if base is BaseType.BOOL:
         if lit.kind is not LiteralKind.BOOL:
             raise CoercionError(f"field {field_name!r}: expected bool, got {lit.text!r}")

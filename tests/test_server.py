@@ -134,6 +134,9 @@ def test_execute_command_never_crashes_on_fuzz(spark):
         "`backtick", "/* open comment", "-- just a comment",
         "MATCH F RETURN SUM();", "MATCH F RETURN COUNT(*) ORDER BY a;",
         "A" * 5000, "MATCH F WHERE a: " + "9" * 200 + ";",
+        "MATCH F LIMIT 3000000000;",
+        "CREATE NODE G (x: " + "array<" * 3000 + "int" + ">" * 3000 + ");",
+        "CREATE NODE H (f: float); INSERT NODE H (f: " + "9" * 400 + ");",
     ]
     for _ in range(60):
         cmd = rng.choice(corpus)
