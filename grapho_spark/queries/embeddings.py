@@ -1181,3 +1181,124 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "dim")
     )
+
+
+@query(
+    "embedding_kmeans_lloyd",
+    oracle="""
+WITH dims AS (SELECT UNNEST(range(1, 65)) AS pos),
+vecs AS (
+  SELECT vec_id, embedding[d.pos] AS val, d.pos
+  FROM embeddings CROSS JOIN dims d),
+c0 AS (
+  SELECT vec_id AS cid, val, pos FROM vecs WHERE vec_id < 4),
+d1 AS (
+  SELECT v.vec_id, c.cid,
+         SUM(CAST(round((v.val - c.val) * (v.val - c.val), 9)
+                  AS DECIMAL(28,9))) AS dist
+  FROM vecs v JOIN c0 c USING (pos)
+  GROUP BY v.vec_id, c.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d1) WHERE rk = 1),
+c1 AS (
+  SELECT a.cid, v.pos,
+         round(CAST(SUM(CAST(round(v.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS val
+  FROM vecs v JOIN a1 a USING (vec_id)
+  GROUP BY a.cid, v.pos),
+d2 AS (
+  SELECT v.vec_id, c.cid,
+         SUM(CAST(round((v.val - c.val) * (v.val - c.val), 9)
+                  AS DECIMAL(28,9))) AS dist
+  FROM vecs v JOIN c1 c USING (pos)
+  GROUP BY v.vec_id, c.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d2) WHERE rk = 1)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(vec_id) AS BIGINT) AS representative
+FROM a2 GROUP BY cid ORDER BY cluster_id
+""",
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=4, two iterations, centroids
+    seeded from the first four vectors): the iterative clustering
+    primitive, engine-exact — squared-difference terms round at 9dp
+    and accumulate as EXACT decimals, so the argmin assignment cannot
+    flip on accumulation order; recomputed centroids are 6dp-rounded
+    exact-decimal means. The oracle unrolls both Lloyd iterations as
+    CTEs over dimension-exploded vectors.
+
+    Scale: assignments are a broadcast join of k centroid vectors
+    against the corpus with a k-row-per-vector argmin (map-side after
+    the broadcast); centroid recomputation is one groupBy on
+    (cluster, dim) with map-side partials. Production k-means on
+    Spark is exactly this loop with float sums; the decimal policy
+    here buys the cross-engine bit-exactness the oracle requires.
+    """
+    from pyspark.sql.types import DecimalType
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    zero = F.lit(0).cast(DecimalType(28, 9))
+
+    def dist_to(cvec) -> "F.Column":
+        terms = F.zip_with(
+            F.col("embedding"),
+            cvec,
+            lambda x, y: F.round((x - y) * (x - y), 9).cast(DecimalType(28, 9)),
+        )
+        # decimal + decimal widens to DECIMAL(29,9); cast back so the
+        # accumulator type stays fixed across the fold
+        return F.aggregate(
+            terms, zero, lambda acc, t: (acc + t).cast(DecimalType(28, 9))
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        pairs = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", dist_to(F.col("cvec")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        flat = e.join(assigned, "vec_id").select(
+            "cid", F.posexplode("embedding").alias("pos", "val")
+        )
+        means = flat.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.round(F.col("val"), 6).cast(DecimalType(18, 6))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mval")
+        )
+        return means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s.getField("mval"),
+            ).alias("cvec")
+        )
+
+    c0 = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a1 = assign(c0)
+    c1 = recompute(a1)
+    a2 = assign(c1)
+    return (
+        a2.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("vec_id").cast("long").alias("representative"),
+        )
+        .orderBy("cluster_id")
+    )
