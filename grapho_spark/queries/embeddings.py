@@ -1302,3 +1302,137 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(trim(lower(text)), ' ')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('hash', 'join') GROUP BY doc_id, term),
+idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         SUM(CAST(round(
+           ln((s.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)
+           AS DECIMAL(18,6))) AS bm25
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         {_DUCK_COS.format(a="e.embedding::DOUBLE[]", b="q.v")} AS cosine
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+  FROM cos ORDER BY cosine DESC, doc_id LIMIT 50),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(COALESCE(round(1.0 / (60 + l.r), 6), 0) AS DECIMAL(18,6))
+           + CAST(COALESCE(round(1.0 / (60 + s.r), 6), 0) AS DECIMAL(18,6))
+           AS rrf
+  FROM lex l FULL OUTER JOIN sem s USING (doc_id))
+SELECT doc_id, CAST(rrf AS DOUBLE) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    top-50 (query "hash join") fuses with the embedding-cosine
+    semantic top-50 (query-by-example: vector 0) via
+    RRF(k=60) = sum 1/(60 + rank) — the standard way production search
+    merges lexical and vector lists without score calibration. Rank
+    contributions round at 6dp and add as exact decimals; every rank
+    is tie-broken by doc_id so both engines fuse identical lists.
+
+    Scale: each branch is its own bounded top-k (TakeOrdered on the
+    lexical side, broadcast query vector + top-k on the semantic
+    side); fusion joins two 50-row lists — driver-trivial at any
+    corpus size.
+    """
+    from pyspark.sql.types import DecimalType
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin("hash", "join"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bm = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+                6,
+            )
+            .cast(DecimalType(18, 6))
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("bm25"))
+    )
+    lex = (
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r"))
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"), _spark_cosine("ev", "qv").alias("cosine")
+        )
+    )
+    sem = (
+        cos.orderBy(F.desc("cosine"), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(Window.orderBy(F.desc("cosine"), "doc_id")).alias("r"))
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (60 + r), 6), F.lit(0.0)
+    ).cast(DecimalType(18, 6))
+    fused = (
+        lex.withColumnRenamed("r", "lr")
+        .join(sem.withColumnRenamed("r", "sr"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (contrib(F.col("lr")) + contrib(F.col("sr"))).cast("double").alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
