@@ -53,6 +53,10 @@ HEADLINE = [
     "graph_adamic_adar",
     "text_inverted_index",
     "events_ks_two_sample",
+    "embedding_kmeans_lloyd",
+    "hybrid_rrf_retrieval",
+    "timeseries_cusum_changepoints",
+    "events_interval_overlap_join",
 ]
 
 
