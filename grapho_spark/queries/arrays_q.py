@@ -53,3 +53,53 @@ def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_max({arr})").alias("max_elem"),
         F.expr(f"array_position({arr}, array_max({arr}))").alias("pos_of_max"),
     )
+
+
+@query(
+    "array_setop_battery",
+    oracle="""
+WITH sets AS (
+  SELECT user_id,
+         list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id),
+pairs AS (
+  SELECT a.user_id, a.types AS ta, b.types AS tb
+  FROM sets a JOIN sets b ON b.user_id = a.user_id + 1)
+SELECT user_id,
+       list_sort(list_intersect(ta, tb)) AS common_types,
+       len(list_distinct(list_concat(ta, tb))) AS n_union,
+       list_sort(list_filter(ta, x -> NOT list_contains(tb, x)))
+         AS only_mine,
+       list_has_any(ta, tb) AS overlaps
+FROM pairs
+ORDER BY user_id
+""",
+)
+def array_setop_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation battery over per-user event-type sets:
+    intersect, union cardinality, except, and overlap between each
+    user and the next — the collection algebra (array_intersect /
+    array_union / array_except / arrays_overlap) all JVM-codegen,
+    with arrays sorted so element order is engine-exact.
+
+    Scale: the per-user set rollup is a groupBy with tiny (<=5
+    element) state; the neighbor join is an equi-join on user_id+1 —
+    no cross product, no UDFs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sets = e.groupBy("user_id").agg(
+        F.sort_array(F.array_distinct(F.collect_list("event_type"))).alias("types")
+    )
+    a = sets.select("user_id", F.col("types").alias("ta"))
+    b = sets.select((F.col("user_id") - 1).alias("user_id"), F.col("types").alias("tb"))
+    return (
+        a.join(b, "user_id")
+        .select(
+            "user_id",
+            F.sort_array(F.array_intersect("ta", "tb")).alias("common_types"),
+            F.size(F.array_union("ta", "tb")).alias("n_union"),
+            F.sort_array(F.array_except("ta", "tb")).alias("only_mine"),
+            F.arrays_overlap("ta", "tb").alias("overlaps"),
+        )
+        .orderBy("user_id")
+    )
