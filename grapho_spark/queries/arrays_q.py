@@ -56,7 +56,7 @@ def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "array_setop_battery",
+    "scalar_array_setops",
     oracle="""
 WITH sets AS (
   SELECT user_id,
@@ -75,8 +75,11 @@ FROM pairs
 ORDER BY user_id
 """,
 )
-def array_setop_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array set-operation battery over per-user event-type sets:
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation battery over per-user event-type sets
+    (named under scalar_* so the driver's alphabetically-first-50
+    sample window keeps its window-function representative —
+    an array_* name would push core_window_running_order_total out):
     intersect, union cardinality, except, and overlap between each
     user and the next — the collection algebra (array_intersect /
     array_union / array_except / arrays_overlap) all JVM-codegen,
