@@ -780,7 +780,8 @@ scored AS (
   FROM toks t JOIN freq USING (term), tot)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(CAST(SUM(neglogp) AS DOUBLE) / COUNT(*), 6) AS avg_neglogp
+       CAST((2 * CAST(SUM(neglogp) * 1000000 AS BIGINT) + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_neglogp
 FROM scored GROUP BY doc_id
 """,
 )
@@ -818,11 +819,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = toks.join(F.broadcast(freq), "term").crossJoin(F.broadcast(tot)).select(
         "doc_id", neglogp.alias("neglogp")
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.sum("neglogp").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_neglogp"
-        ),
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("neglogp") * 1_000_000).cast("long").alias("_sm"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # exact half-up integer mean at 1e-6 resolution: round(x/n, 6)
+            # on a double lands on half boundaries where Spark and DuckDB
+            # round differently (observed at sf0.1); integer math cannot
+            (
+                F.expr("(2 * _sm + n_tokens) div (2 * n_tokens)").cast("double")
+                / 1_000_000.0
+            ).alias("avg_neglogp"),
+        )
     )
 
 
@@ -921,7 +934,8 @@ scored AS (
   JOIN uni u ON b.w2 = u.term, tot)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       round(CAST(SUM(neglogp) AS DOUBLE) / COUNT(*), 6) AS avg_neglogp
+       CAST((2 * CAST(SUM(neglogp) * 1000000 AS BIGINT) + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_neglogp
 FROM scored GROUP BY doc_id
 """,
 )
@@ -979,11 +993,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", neglogp.alias("neglogp"))
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(F.sum("neglogp").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_neglogp"
-        ),
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.sum("neglogp") * 1_000_000).cast("long").alias("_sm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            # same exact half-up integer mean as the unigram scorer
+            (
+                F.expr("(2 * _sm + n_bigrams) div (2 * n_bigrams)").cast("double")
+                / 1_000_000.0
+            ).alias("avg_neglogp"),
+        )
     )
 
 
