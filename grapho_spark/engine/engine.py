@@ -312,6 +312,23 @@ class GraphEngine:
             raise EngineError(f"edge type {name!r} does not exist")
         return self._merged_df(("edge", name))
 
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL over the graph: every node type is exposed as
+        the view ``node_<Name>`` and every edge type as
+        ``edge_<Name>`` (current-state snapshots of base+buffer at
+        call time). This is the GQL<->SQL bridge: traversals in MATCH,
+        analytics in full Spark SQL over the same tables — e.g.
+        ``SELECT k, count(*) FROM node_P GROUP BY k`` or joins through
+        ``edge_E``'s (_src, _dst) columns. Views refresh per call, so
+        DML between calls is visible; names never clash with user
+        fields (views live in Spark's catalog, not the engine's).
+        """
+        for nt in self.catalog.nodes:
+            self.node_df(nt.name).createOrReplaceTempView(f"node_{nt.name}")
+        for et in self.catalog.edges:
+            self.edge_df(et.name).createOrReplaceTempView(f"edge_{et.name}")
+        return self.spark.sql(query)
+
     def bind_node_type(self, name: str, df: DataFrame, pk: str) -> None:
         """Register an existing DataFrame (e.g. a parquet fixture table)
         as a node type; ``pk`` becomes both the declared PRIMARY KEY and

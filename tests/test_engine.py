@@ -906,3 +906,24 @@ def test_match_aggregate_return_errors(eng):
     assert errs
     _, errs = parse_script("MATCH B RETURN SUM(v) ORDER BY v;")
     assert errs
+
+
+def test_sql_bridge_views(eng):
+    eng.execute(
+        "CREATE NODE V (k: int);"
+        "CREATE EDGE L (FROM V MANY, TO V MANY);"
+        "INSERT NODE V (k: 1); INSERT NODE V (k: 2); INSERT NODE V (k: 2);"
+        "INSERT EDGE L FROM V(k: 1) TO V(k: 2);"
+    )
+    rows = eng.sql(
+        "SELECT k, count(*) AS n FROM node_V GROUP BY k ORDER BY k"
+    ).collect()
+    assert [(r.k, r.n) for r in rows] == [(1, 1), (2, 2)]
+    joined = eng.sql(
+        "SELECT a.k AS from_k, b.k AS to_k FROM edge_L e "
+        "JOIN node_V a ON e._src = a._id JOIN node_V b ON e._dst = b._id"
+    ).collect()
+    assert [(r.from_k, r.to_k) for r in joined] == [(1, 2)]
+    # views refresh per call: DML between calls is visible
+    eng.execute("INSERT NODE V (k: 7);")
+    assert eng.sql("SELECT count(*) AS n FROM node_V").collect()[0].n == 4
