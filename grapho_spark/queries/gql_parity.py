@@ -518,3 +518,30 @@ def gql_match_agg_return(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN SUM(c_nationkey);"
     )[0]
     return res.df
+
+
+@query(
+    "gql_sql_bridge",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_nationkey < 10
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def gql_sql_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GQL<->SQL bridge end-to-end: ``engine.sql()`` runs full
+    Spark SQL (aggregation with exact-decimal money math) over the
+    ``node_Customer`` view the engine registers from its own catalog —
+    the path a reference user takes to get the analytics the reference
+    never had, without leaving the engine."""
+    eng = _engine_with_customer(spark, sf_dir)
+    return eng.sql(
+        "SELECT c_mktsegment, CAST(COUNT(*) AS LONG) AS n, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal "
+        "FROM node_Customer WHERE c_nationkey < 10 "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
