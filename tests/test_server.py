@@ -142,3 +142,41 @@ def test_execute_command_never_crashes_on_fuzz(spark):
         cmd = rng.choice(corpus)
         out = execute_command(eng, cmd)
         assert isinstance(out, str)
+
+
+def test_concurrent_writers_serialize(spark):
+    """Statement execution holds the engine lock, so N threads
+    hammering INSERTs concurrently must lose nothing: exact final
+    count, all sequential IDs unique (the wire server shares one
+    engine across connections, server.py; the reference serializes
+    per-connection reads the same way)."""
+    import threading
+
+    from grapho_spark.engine import GraphEngine
+    from grapho_spark.server import execute_command
+
+    eng = GraphEngine(spark)
+    eng.execute("CREATE NODE C (v: int);")
+    N_THREADS, N_EACH = 8, 25
+    errs: list = []
+
+    def worker(t: int) -> None:
+        try:
+            for i in range(N_EACH):
+                out = execute_command(eng, f"INSERT NODE C (v: {t * 1000 + i});")
+                assert "OK" in out or "Inserted" in out, out
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = eng.node_df("C").collect()
+    assert len(rows) == N_THREADS * N_EACH
+    ids = [r["_id"] for r in rows]
+    assert len(set(ids)) == len(ids)  # sequential IDs never collided
+    vals = sorted(r.v for r in rows)
+    assert vals == sorted(t * 1000 + i for t in range(N_THREADS) for i in range(N_EACH))
