@@ -927,3 +927,19 @@ def test_sql_bridge_views(eng):
     # views refresh per call: DML between calls is visible
     eng.execute("INSERT NODE V (k: 7);")
     assert eng.sql("SELECT count(*) AS n FROM node_V").collect()[0].n == 4
+
+
+def test_where_range_string_and_date(eng):
+    eng.execute(
+        "CREATE NODE W (id: int PRIMARY KEY, name: string, d: date);"
+        "INSERT NODE W (id: 1, name: 'apple', d: '2024-01-05');"
+        "INSERT NODE W (id: 2, name: 'mango', d: '2024-03-05');"
+        "INSERT NODE W (id: 3, name: 'zebra', d: '2024-06-05');"
+    )
+    rows = eng.execute("MATCH W WHERE name > 'b' RETURN name;")[0].df.collect()
+    assert sorted(r.name for r in rows) == ["mango", "zebra"]
+    rows = eng.execute("MATCH W WHERE d < '2024-04-01' RETURN id;")[0].df.collect()
+    assert sorted(r.id for r in rows) == [1, 2]
+    # buffer path agrees with the distributed path after flush
+    eng.execute("DELETE NODE W WHERE d > '2024-05-01';")
+    assert eng.node_df("W").count() == 2
