@@ -946,3 +946,77 @@ def dedup_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
     )
+
+
+@query(
+    "dedup_quality_survivor",
+    oracle=f"""
+WITH RECURSIVE {{sig_cte}},
+{{verified_cte}},
+dedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  WHERE jaccard >= {DEDUP_JACCARD_THRESHOLD}),
+dsym AS (
+  SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges),
+dnodes AS (SELECT DISTINCT src AS node FROM dsym),
+dreach(n, m) AS (
+  SELECT node, node FROM dnodes
+  UNION
+  SELECT r.n, e.dst FROM dreach r JOIN dsym e ON r.m = e.src),
+dcomp AS (SELECT n, MIN(m) AS component FROM dreach GROUP BY n),
+ranked AS (
+  SELECT c.component, c.n AS doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.n) AS rk
+  FROM dcomp c JOIN documents d ON c.n = d.doc_id)
+SELECT component AS cluster_id,
+       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_doc,
+       CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+         AS survivor_chars,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY component
+ORDER BY cluster_id
+""".format(sig_cte=_duck_signature_cte(), verified_cte=_DUCK_VERIFIED_CTE),
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection per near-dup cluster: keep the
+    member with the MOST CONTENT (n_chars, doc_id tie-break) instead
+    of the arbitrary min-id — what production corpus dedup actually
+    ships (the longest near-duplicate usually subsumes the others).
+    Cluster identity stays the min-label component for stable naming.
+
+    Scale: same bucketed-LSH + distributed-CC machinery as the
+    canonical variant; the argmax is a per-cluster window over the
+    component assignment joined to document metadata (never bodies).
+    """
+    from grapho_spark.analytics import connected_components
+    from pyspark.sql import Window as W
+
+    pairs = _spark_verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= DEDUP_JACCARD_THRESHOLD
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(edges)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = (
+        cc.join(d, cc.node == d.doc_id)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("component").orderBy(F.desc("n_chars"), "node")
+            ),
+        )
+    )
+    return (
+        ranked.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("node")))
+            .cast("long")
+            .alias("survivor_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("survivor_chars"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1415,3 +1415,52 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS words
+  FROM documents),
+bigr AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM w, range(1, 100000) t(i) WHERE i < len(words))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bigr
+WHERE w1 = 'hash' AND w2 = 'join'
+GROUP BY doc_id
+ORDER BY n_occurrences DESC, doc_id
+LIMIT 20
+""",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("hash join" as adjacent tokens): the
+    positional-index complement to BM25's bag-of-words scoring —
+    phrase hits need token ADJACENCY, which term frequency cannot see.
+    Top-20 docs by occurrence count with doc_id tie-breaks.
+
+    Scale: adjacency pairs are generated map-side per document (zip of
+    the token array with its own tail — no positional join); the
+    phrase filter collapses the stream before the only shuffle. A
+    production positional index stores (term, doc, positions) lists;
+    this is the query-time shape over raw text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("words"))
+    bigr = w.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    return (
+        bigr.filter((F.col("w1") == "hash") & (F.col("w2") == "join"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(20)
+    )
