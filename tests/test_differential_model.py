@@ -80,6 +80,14 @@ def test_differential_random_dml(eng):
         eng.execute(f"DELETE NODE D WHERE {text};")
         model[:] = [r for r in model if not _model_match(r, conds)]
 
+    def check_match() -> None:
+        # result-level differential: MATCH WHERE through the full
+        # engine vs the model's filter, not just end-state equality
+        text, conds = _rand_conds(rng)
+        got = eng.execute(f"MATCH D WHERE {text} RETURN a, b;")[0].df.collect()
+        want = [r for r in model if _model_match(r, conds)]
+        assert len(got) == len(want), (text, len(got), len(want))
+
     for i in range(N_OPS):
         rng.choice([insert, insert, insert, update, update, delete])()
         if i == N_OPS // 2:
@@ -88,6 +96,8 @@ def test_differential_random_dml(eng):
             # DISTRIBUTED predicate/update/delete plans on the merged
             # base+buffer table
             eng.flush()
+        if i in (N_OPS // 3, (2 * N_OPS) // 3, N_OPS - 1):
+            check_match()
 
     # None sorts fail on mixed types in py3 — sort on a null-aware key
     key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
