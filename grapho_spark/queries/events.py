@@ -1062,3 +1062,70 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").cast("long").alias("peak_concurrent_sessions"))
         .orderBy("day")
     )
+
+
+@query(
+    "events_daily_correlation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS HUGEINT) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS HUGEINT) AS y
+  FROM events GROUP BY 1),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM daily)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS pearson_r
+FROM m
+""",
+)
+def events_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between daily event count and daily total
+    value, from EXACT integer/decimal moment sums combined in one
+    final double formula (the same engineered-determinism recipe as
+    the Zipf fit — never `corr()`, whose float accumulation order
+    differs between engines).
+
+    Scale: one daily rollup (map-side partials), then five moments
+    over |days| rows — a single-row result with no second pass over
+    events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # Pearson is scale-invariant, so y lifts to exact integer
+    # micro-units; every moment product then fits decimal(38,0)
+    # (HUGEINT in the oracle) with zero rounding before the final
+    # double formula.
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x"),
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        n.cast("long").alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / (
+                F.sqrt(n * F.col("sxx") - sx * sx)
+                * F.sqrt(n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
