@@ -1436,3 +1436,111 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+@query(
+    "embedding_fisher_ratio",
+    oracle="""
+WITH flat AS (
+  SELECT label, embedding[p.pos] AS val, p.pos - 1 AS dim
+  FROM embeddings
+  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) p),
+per_class AS (
+  SELECT dim, label,
+         COUNT(*) AS n,
+         SUM(CAST(round(val, 6) AS DECIMAL(18,6))) AS s_dec,
+         SUM(CAST(round(val * val, 9) AS DECIMAL(28,9))) AS s2_dec
+  FROM flat GROUP BY dim, label),
+pc AS (
+  SELECT dim, label, n,
+         CAST(s_dec AS DOUBLE) AS s, CAST(s2_dec AS DOUBLE) AS s2
+  FROM per_class),
+gstats AS (
+  SELECT dim,
+         CAST(SUM(CAST(n AS HUGEINT)) AS DOUBLE) AS gn,
+         CAST(SUM(s_dec) AS DOUBLE) AS gs
+  FROM per_class GROUP BY dim),
+parts AS (
+  SELECT p.dim,
+         SUM(CAST(round(p.n * (p.s / p.n - g.gs / g.gn)
+                        * (p.s / p.n - g.gs / g.gn), 9)
+                  AS DECIMAL(28,9))) AS between_c,
+         SUM(CAST(round(p.s2 - p.s * p.s / p.n, 9)
+                  AS DECIMAL(28,9))) AS within_c
+  FROM pc p JOIN gstats g USING (dim)
+  GROUP BY p.dim)
+SELECT dim,
+       round(CAST(between_c AS DOUBLE) / CAST(within_c AS DOUBLE), 6)
+         AS fisher_ratio
+FROM parts
+ORDER BY fisher_ratio DESC, dim
+LIMIT 10
+""",
+)
+def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio (between-class scatter
+    over within-class scatter, across the label groups): the classic
+    filter-style feature selector — the top-10 dimensions best
+    separating the classes. Per-class moments accumulate as exact
+    decimals; each ratio combines a handful of per-class doubles in a
+    fixed expression (classes sum in label order via the grouped sum
+    over a tiny |labels| set — deterministic at this cardinality on
+    both engines).
+
+    Scale: one (dim, label) moments rollup over the exploded matrix
+    (map-side partials); everything after is |dims| x |labels| rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    per_class = flat.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("val"), 6).cast("decimal(18,6)")).alias("s_dec"),
+        F.sum(F.round(F.col("val") * F.col("val"), 9).cast("decimal(28,9)")).alias(
+            "s2_dec"
+        ),
+    )
+    # class AND global sums stay exact decimals; doubles appear only
+    # inside each fixed per-class term expression
+    glob = per_class.groupBy("dim").agg(
+        F.sum("n").cast("double").alias("gn"),
+        F.sum("s_dec").cast("double").alias("gs"),
+    )
+    per_class = per_class.select(
+        "dim",
+        "label",
+        "n",
+        F.col("s_dec").cast("double").alias("s"),
+        F.col("s2_dec").cast("double").alias("s2"),
+    )
+    mean_diff = F.col("s") / F.col("n") - F.col("gs") / F.col("gn")
+    parts = (
+        per_class.join(glob, "dim")
+        .groupBy("dim")
+        .agg(
+            # per-class terms round at 9dp then sum as exact decimals:
+            # a plain double SUM over the label set is the same
+            # accumulation-order risk class the sf0.1 sweep exposed in
+            # the LM-surprisal means
+            F.sum(
+                F.round(F.col("n") * mean_diff * mean_diff, 9).cast("decimal(28,9)")
+            ).alias("between_c"),
+            F.sum(
+                F.round(
+                    F.col("s2") - F.col("s") * F.col("s") / F.col("n"), 9
+                ).cast("decimal(28,9)")
+            ).alias("within_c"),
+        )
+    )
+    return (
+        parts.select(
+            "dim",
+            F.round(
+                F.col("between_c").cast("double") / F.col("within_c").cast("double"),
+                6,
+            ).alias("fisher_ratio"),
+        )
+        .orderBy(F.desc("fisher_ratio"), "dim")
+        .limit(10)
+    )

@@ -1129,3 +1129,61 @@ def events_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+@query(
+    "events_trend_slope_by_type",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS HUGEINT) AS x,
+         CAST(COUNT(*) AS HUGEINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM daily GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS events_per_day_slope
+FROM m ORDER BY event_type
+""",
+)
+def events_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend: the least-squares slope of daily event count
+    over day index, per event type — "is this signal growing?"
+    computed from exact integer moment sums per group with one closing
+    double formula each (the grouped sibling of the Pearson/Zipf
+    recipe; never a float accumulation).
+
+    Scale: a (type, day) rollup with map-side partials, then five
+    moments over |types| x |days| rows grouped on the same key — the
+    regression itself costs one tiny aggregation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 6
+        ).alias("events_per_day_slope"),
+    ).orderBy("event_type")
