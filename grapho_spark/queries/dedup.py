@@ -1020,3 +1020,92 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "dedup_lsh_recall_probe",
+    oracle=f"""
+WITH {{sig_cte}},
+sample_sh AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+  FROM shingles_t WHERE doc_id % 20 = 0),
+sample_sizes AS (
+  SELECT doc_id, len(list_distinct(shingles)) AS n_sh
+  FROM shingles_t WHERE doc_id % 20 = 0),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sample_sh a JOIN sample_sh b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth_pairs AS (
+  SELECT t.doc_a, t.doc_b
+  FROM truth t
+  JOIN sample_sizes sa ON sa.doc_id = t.doc_a
+  JOIN sample_sizes sb ON sb.doc_id = t.doc_b
+  WHERE t.n_common * 1.0 / (sa.n_sh + sb.n_sh - t.n_common)
+        >= {DEDUP_JACCARD_THRESHOLD}),
+caught AS (
+  SELECT tp.doc_a, tp.doc_b,
+         CASE WHEN cp.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth_pairs tp
+  LEFT JOIN cand_pairs cp
+    ON cp.doc_a = tp.doc_a AND cp.doc_b = tp.doc_b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_caught,
+       round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM caught
+""".format(sig_cte=_duck_signature_cte()),
+)
+def dedup_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall: on a deterministic document sample, the
+    ground truth is EXACT all-pairs Jaccard (affordable on the sample)
+    and the measurement is what fraction of true near-dup pairs the
+    banded MinHash-LSH candidate generation catches — the
+    evaluation-metric companion to the estimator-calibration probe,
+    and the number that justifies the band/row configuration.
+
+    Scale: ground truth is quadratic ONLY in the sample (a fixed
+    slice); the candidate side reuses the production LSH pipeline
+    unchanged. In production this probe runs on every reconfiguration
+    of bands x rows.
+    """
+    d = _spark_shingled(spark, sf_dir)
+    sample = d.filter(F.col("doc_id") % 20 == 0)
+    sh = sample.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+    )
+    sizes = sample.select(
+        "doc_id", F.size(F.array_distinct("shingles")).alias("n_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    truth = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    truth_pairs = (
+        truth.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            F.col("n_common")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common"))
+            >= DEDUP_JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    sigs = _spark_signatures(spark, sf_dir, shingled=d)
+    cand = _spark_candidate_pairs(sigs).select("doc_a", "doc_b").withColumn(
+        "hit", F.lit(1)
+    )
+    caught = truth_pairs.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    return caught.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
+        F.sum("hit").cast("long").alias("n_caught"),
+        F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+    )

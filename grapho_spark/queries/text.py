@@ -1464,3 +1464,116 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_langid_prf_metrics",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql(LANG_MARKERS['de'])} AS s_de,
+         {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+         {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+         {_lang_score_sql(LANG_MARKERS['fr'])} AS s_fr,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 1 ELSE 0 END AS s_zh
+  FROM (SELECT doc_id, lang, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS words
+        FROM documents)),
+labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_zh > 0 THEN 'zh'
+              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+              WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM scored),
+metrics AS (
+  SELECT l.lang,
+         CAST(COUNT(*) FILTER (WHERE predicted_lang = l.lang) AS BIGINT) AS tp,
+         CAST(COUNT(*) AS BIGINT) AS n_actual
+  FROM labeled l GROUP BY l.lang),
+pred_tot AS (
+  SELECT predicted_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+  FROM labeled GROUP BY predicted_lang)
+SELECT m.lang, m.tp, m.n_actual,
+       COALESCE(p.n_predicted, 0) AS n_predicted,
+       round(CAST(m.tp AS DOUBLE) / m.n_actual, 6) AS recall,
+       CASE WHEN COALESCE(p.n_predicted, 0) = 0 THEN NULL
+            ELSE round(CAST(m.tp AS DOUBLE) / p.n_predicted, 6) END AS precision
+FROM metrics m LEFT JOIN pred_tot p USING (lang)
+ORDER BY m.lang
+""",
+)
+def text_langid_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall of the heuristic language
+    identifier against the labeled lang column — the model-evaluation
+    rollup a curation pipeline runs before trusting a classifier for
+    quota decisions. Integer tp/actual/predicted counts with one
+    rounded division each.
+
+    Scale: two rollups of the prediction stream (by actual, by
+    predicted) joined on the tiny language set — the classifier scan
+    itself is the only data-sized pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("words", F.split(F.trim(F.lower("text")), r"\s+"))
+    scores = {
+        code: F.size(
+            F.expr(
+                "filter(words, w -> w IN ({}))".format(
+                    ", ".join(f"'{w}'" for w in marks)
+                )
+            )
+        )
+        for code, marks in LANG_MARKERS.items()
+    }
+    s_zh = F.when(F.col("text").rlike("[一-鿿]"), 1).otherwise(0)
+    scored = d.select(
+        "lang",
+        scores["de"].alias("s_de"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        s_zh.alias("s_zh"),
+    )
+    best = F.greatest("s_de", "s_en", "s_es", "s_fr")
+    predicted = (
+        F.when(F.col("s_zh") > 0, "zh")
+        .when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    labeled = scored.select("lang", predicted.alias("predicted_lang"))
+    metrics = labeled.groupBy("lang").agg(
+        F.count(F.when(F.col("predicted_lang") == F.col("lang"), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.lit(1)).cast("long").alias("n_actual"),
+    )
+    pred_tot = labeled.groupBy(
+        F.col("predicted_lang").alias("lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_predicted"))
+    return (
+        metrics.join(F.broadcast(pred_tot), "lang", "left")
+        .select(
+            "lang",
+            "tp",
+            "n_actual",
+            F.coalesce(F.col("n_predicted"), F.lit(0)).alias("n_predicted"),
+            F.round(F.col("tp").cast("double") / F.col("n_actual"), 6).alias(
+                "recall"
+            ),
+            F.when(
+                F.coalesce(F.col("n_predicted"), F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(F.col("tp").cast("double") / F.col("n_predicted"), 6)
+            )
+            .alias("precision"),
+        )
+        .orderBy("lang")
+    )
