@@ -1187,3 +1187,94 @@ def events_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 6
         ).alias("events_per_day_slope"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events
+  WHERE user_id % 9 = 0 GROUP BY user_id, event_type),
+tot AS (SELECT user_id, SUM(c) AS n FROM counts GROUP BY user_id),
+terms AS (
+  SELECT c.user_id,
+         CAST(round(-(c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n), 6)
+              AS DECIMAL(18,6)) AS h
+  FROM counts c JOIN tot t USING (user_id))
+SELECT user_id,
+       CAST(SUM(h) AS DOUBLE) AS entropy_nats
+FROM terms GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution (0 = one-note bots, ln(5) = uniform across all five
+    types) — the engagement-mix feature behind persona clustering.
+    Each -p ln p term rounds at 6dp and accumulates as exact decimals
+    (the standard libm-parity policy).
+
+    Scale: one (user, type) rollup with map-side partials; the entropy
+    sum runs over <=5 rows per user on the same shuffle key.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 9 == 0)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    terms = counts.join(tot, "user_id").select(
+        "user_id",
+        F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("h"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(F.sum("h").cast("double").alias("entropy_nats"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_user_burstiness",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events WHERE user_id % 9 = 0 GROUP BY user_id, CAST(ts AS DATE)),
+m AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s,
+         CAST(SUM(c * c) AS DOUBLE) AS s2
+  FROM daily GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round((s2 - s * s / n) / (n - 1) / (s / n), 6) AS fano_factor
+FROM m WHERE n > 1
+ORDER BY user_id
+""",
+)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per user: the Fano factor (sample variance over mean
+    of daily event counts; 1 = Poisson-like, >1 bursty, <1 metronomic)
+    — the dispersion feature that separates schedulers from humans.
+    Exact integer moments per user, one closing double expression.
+
+    Scale: a (user, day) rollup then three moments per user on the
+    same shuffle key — no second pass over events.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 9 == 0)
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+    )
+    n, s2, s = F.col("n"), F.col("s2"), F.col("s")
+    return (
+        m.filter(n > 1)
+        .select(
+            "user_id",
+            n.cast("long").alias("n_days"),
+            F.round((s2 - s * s / n) / (n - 1) / (s / n), 6).alias("fano_factor"),
+        )
+        .orderBy("user_id")
+    )
