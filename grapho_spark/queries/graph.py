@@ -1132,7 +1132,12 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct()
     seeds = nodes.join(F.broadcast(p), nodes.node == p.p_partkey, "left_semi")
     s = seeds.count()
-    r0 = seeds.select("node", F.lit(1_000_000_000_000 // s).alias("r"))
+    # the literal MUST pin to long: with enough seeds 1e12//s fits
+    # int32, Spark infers IntegerType, and r*17 overflows downstream
+    # (caught by the 10x scale probe under ANSI mode)
+    r0 = seeds.select(
+        "node", F.lit(1_000_000_000_000 // s).cast("long").alias("r")
+    )
     restart = r0.select("node", F.expr("r * 3 div 20").alias("t"))
     ann = sym.join(F.broadcast(deg), sym.src == deg.node).select(
         F.col("src"), F.col("dst"), F.col("d")
