@@ -54,6 +54,15 @@ PROBES = [
     "corpus_weighted_sample",
     "part_skyline_frontier",
     "join_key_skew_report",
+    # round-6c additions
+    "embedding_kmeans_lloyd",
+    "hybrid_rrf_retrieval",
+    "graph_personalized_pagerank",
+    "graph_adamic_adar",
+    "text_bm25_search",
+    "events_ks_two_sample",
+    "events_concurrent_sessions",
+    "dedup_quality_survivor",
 ]
 
 
