@@ -1234,3 +1234,68 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adamic_adar"), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "graph_local_clustering_topk",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+tri AS (
+  SELECT a.src AS node, COUNT(*) AS n_tri
+  FROM sym a JOIN sym b ON a.dst = b.src
+  JOIN sym c ON b.dst = c.src AND c.dst = a.src
+  GROUP BY a.src)
+SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) / 2 AS BIGINT) AS n_triangles,
+       round(CAST(COALESCE(t.n_tri, 0) AS DOUBLE) / (d.d * (d.d - 1)), 6)
+         AS local_cc
+FROM deg d LEFT JOIN tri t ON d.node = t.node
+WHERE d.d >= 2
+ORDER BY local_cc DESC, degree DESC, d.node
+LIMIT 25
+""",
+)
+def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (the top-25 most
+    clique-embedded nodes): closed wedges at each node over its
+    possible wedges d(d-1) — the node-level refinement of the global
+    coefficient, the feature that finds tightly-knit product
+    communities. Triangle incidences count each triangle twice per
+    node (both orientations), so n_triangles halves the directed
+    count; integer counts divide once into a rounded double.
+
+    Scale: the same Sum(deg^2)-bounded wedge join as triangle
+    counting, grouped by the apex node; degrees broadcast into the
+    verdict join and the ranking is per-partition top-k.
+    """
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("src").alias("x"), F.col("dst").alias("y1"))
+    b = sym.select(F.col("src").alias("y2"), F.col("dst").alias("z1"))
+    c = sym.select(F.col("src").alias("z2"), F.col("dst").alias("x2"))
+    tri = (
+        a.join(b, a.y1 == b.y2)
+        .join(c, (F.col("z1") == F.col("z2")) & (F.col("x2") == F.col("x")))
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            (F.coalesce(F.col("n_tri"), F.lit(0)) / 2).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+        .orderBy(F.desc("local_cc"), F.desc("degree"), "node")
+        .limit(25)
+    )

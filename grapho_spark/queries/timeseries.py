@@ -625,3 +625,94 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "timeseries_stl_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS HUGEINT) AS y
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT day, y,
+         CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily),
+trend AS (
+  SELECT day, y, dow, rn, n,
+         CAST(SUM(y) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS HUGEINT) AS tsum,
+         COUNT(*) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS tcnt
+  FROM idx),
+detr AS (
+  SELECT day, dow,
+         CAST(round(CAST(y AS DOUBLE)
+                    - CAST(tsum AS DOUBLE) / tcnt, 6) AS DECIMAL(18,6)) AS d
+  FROM trend WHERE rn > 3 AND rn <= n - 3),
+seasonal AS (
+  SELECT dow,
+         round(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS s
+  FROM detr GROUP BY dow)
+SELECT dow, s AS seasonal_effect,
+       CAST((SELECT COUNT(*) FROM detr dd WHERE dd.dow = seasonal.dow)
+            AS BIGINT) AS n_days
+FROM seasonal ORDER BY dow
+""",
+)
+def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily event count:
+    trend = centered 7-day moving average, seasonal = mean of the
+    detrended series per weekday (edge days without a full trend
+    window are excluded) — the decomposition that separates
+    day-of-week rhythm from growth before anomaly flags fire.
+    Detrended values round at 6dp and accumulate as exact decimals;
+    the per-weekday mean divides by an integer count.
+
+    Scale: one daily rollup, one 7-row window over |days| rows, one
+    7-group aggregate — the event volume is touched once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "y",
+        F.dayofweek("day").cast("long").alias("dow"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    w7 = w_ord.rowsBetween(-3, 3)
+    trend = idx.select(
+        "day",
+        "y",
+        "dow",
+        "rn",
+        "n",
+        F.sum("y").over(w7).alias("tsum"),
+        F.count(F.lit(1)).over(w7).alias("tcnt"),
+    )
+    detr = trend.filter((F.col("rn") > 3) & (F.col("rn") <= F.col("n") - 3)).select(
+        "dow",
+        F.round(
+            F.col("y").cast("double") - F.col("tsum").cast("double") / F.col("tcnt"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("d"),
+    )
+    return (
+        detr.groupBy("dow")
+        .agg(
+            F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 6).alias(
+                "seasonal_effect"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select("dow", "seasonal_effect", "n_days")
+        .orderBy("dow")
+    )
