@@ -654,11 +654,14 @@ detr AS (
   FROM trend WHERE rn > 3 AND rn <= n - 3),
 seasonal AS (
   SELECT dow,
-         round(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS s
+         CAST(SUM(d) * 1000000 AS BIGINT) AS sm,
+         COUNT(*) AS n
   FROM detr GROUP BY dow)
-SELECT dow, s AS seasonal_effect,
-       CAST((SELECT COUNT(*) FROM detr dd WHERE dd.dow = seasonal.dow)
-            AS BIGINT) AS n_days
+SELECT dow,
+       CAST(CASE WHEN sm >= 0 THEN (2 * sm + n) // (2 * n)
+                 ELSE -((2 * (-sm) + n) // (2 * n)) END AS DOUBLE)
+         / 1000000.0 AS seasonal_effect,
+       CAST(n AS BIGINT) AS n_days
 FROM seasonal ORDER BY dow
 """,
 )
@@ -705,14 +708,19 @@ def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("d"),
     )
-    return (
-        detr.groupBy("dow")
-        .agg(
-            F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 6).alias(
-                "seasonal_effect"
-            ),
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-        )
-        .select("dow", "seasonal_effect", "n_days")
-        .orderBy("dow")
+    # exact half-away-from-zero integer mean at 1e-6 resolution — the
+    # round(sum/count, 6) double shape is the boundary-risk class the
+    # sf0.1 sweep exposed in the LM-surprisal scorers
+    agg = detr.groupBy("dow").agg(
+        (F.sum("d") * 1_000_000).cast("long").alias("sm"),
+        F.count(F.lit(1)).alias("n"),
     )
+    sm, n = F.col("sm"), F.col("n")
+    mean_fp = F.when(
+        sm >= 0, F.expr("(2 * sm + n) div (2 * n)")
+    ).otherwise(-F.expr("(2 * (-sm) + n) div (2 * n)"))
+    return agg.select(
+        "dow",
+        (mean_fp.cast("double") / 1_000_000.0).alias("seasonal_effect"),
+        n.cast("long").alias("n_days"),
+    ).orderBy("dow")
