@@ -1577,3 +1577,87 @@ def text_langid_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS words
+  FROM documents),
+uni AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(words) AS term FROM w) GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bigr AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM w, range(1, 100000) t(i) WHERE i < len(words)),
+bc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY w1, w2
+  HAVING COUNT(*) >= 25)
+SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS n_cooccur,
+       round(ln(CAST(bc.c12 AS DOUBLE) * t.n
+                / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+FROM bc
+JOIN uni u1 ON bc.w1 = u1.term
+JOIN uni u2 ON bc.w2 = u2.term
+CROSS JOIN tot t
+ORDER BY pmi DESC, bc.w1, bc.w2
+LIMIT 25
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: the 25
+    adjacent-token pairs most over-represented vs independence
+    (PMI = ln(p(w1,w2) / p(w1)p(w2))), with a min-count floor so rare
+    coincidences cannot top the list — how multiword expressions get
+    discovered for tokenizer merges. One ln per surviving pair,
+    rounded at 6dp; ranking tie-breaks on the pair.
+
+    Scale: unigram and bigram count tables are zipf-sparse rollups
+    with map-side partials; only floor-passing pairs join the
+    (broadcast) unigram stats, and ranking is per-partition top-k.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.split(F.trim(F.lower("text")), r"\s+").alias("words"))
+    uni = (
+        w.select(F.explode("words").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    bigr = w.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1),
+            )
+        ).alias("pr")
+    ).select(F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    bc = (
+        bigr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 25)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n_cooccur"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )
