@@ -1278,3 +1278,68 @@ def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM aud GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM aud a JOIN aud b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       round(CAST(p.n_both AS DOUBLE) / (sa.n + sb.n - p.n_both), 6)
+         AS audience_jaccard
+FROM pairs p
+JOIN sizes sa ON p.type_a = sa.event_type
+JOIN sizes sb ON p.type_b = sb.event_type
+ORDER BY type_a, type_b
+""",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard between the user sets of
+    every event-type pair — the segment-overlap report behind
+    campaign targeting (and the exact ground truth the mergeable-HLL
+    sketch approximates at 100 TB). The (user, type) dedup collapses
+    the event volume map-side; the pair join is keyed on user with at
+    most |types| rows per user.
+
+    Scale: exact at |users| x |types| — beyond memory budgets the
+    same query swaps user sets for the HLL sketches already in the
+    registry (sketch_merge_distinct_bounded), keeping this shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    aud = e.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("audience_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
