@@ -1343,3 +1343,65 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "events_chi2_hour_type",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) % 6 AS hour_band,
+         event_type, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2),
+row_t AS (SELECT hour_band, SUM(o) AS r FROM obs GROUP BY hour_band),
+col_t AS (SELECT event_type, SUM(o) AS c FROM obs GROUP BY event_type),
+tot AS (SELECT SUM(o) AS n FROM obs),
+terms AS (
+  SELECT CAST(round(
+           (CAST(o.o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / t.n)
+           * (CAST(o.o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / t.n)
+           / (CAST(r.r * c.c AS DOUBLE) / t.n), 6) AS DECIMAL(18,6)) AS x2
+  FROM obs o
+  JOIN row_t r USING (hour_band)
+  JOIN col_t c USING (event_type)
+  CROSS JOIN tot t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(x2) AS DOUBLE) AS chi2_stat
+FROM terms
+""",
+)
+def events_chi2_hour_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between hour-of-day band and
+    event type (does WHEN depend on WHAT?): observed vs expected
+    contingency cells, each (O-E)^2/E term rounded at 6dp and
+    accumulated as exact decimals — the categorical-association
+    hypothesis test next to KS (continuous) and PSI (binned drift).
+    Expected counts use exact integer row x column products divided
+    once in double.
+
+    Scale: one contingency rollup with map-side partials; margins and
+    the statistic live on the |bands| x |types| grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        (F.hour("ts").cast("long") % 6).alias("hour_band"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    row_t = obs.groupBy("hour_band").agg(F.sum("o").alias("r"))
+    col_t = obs.groupBy("event_type").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    expected = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    x2 = F.round(
+        (F.col("o").cast("double") - expected)
+        * (F.col("o").cast("double") - expected)
+        / expected,
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        obs.join(F.broadcast(row_t), "hour_band")
+        .join(F.broadcast(col_t), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(x2.alias("x2"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("x2").cast("double").alias("chi2_stat"),
+    )

@@ -1405,3 +1405,60 @@ def rollup_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("year_pct_of_total"),
     ).orderBy("o_year", "o_orderpriority")
+
+
+@query(
+    "brand_hhi_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT p_brand, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_suppkey),
+tot AS (SELECT p_brand, SUM(r) AS t FROM rev GROUP BY p_brand),
+shares AS (
+  SELECT rev.p_brand,
+         CAST(round(
+           (CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE))
+           * (CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 10000,
+           6) AS DECIMAL(18,6)) AS s2
+  FROM rev JOIN tot USING (p_brand))
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(s2) AS DOUBLE) AS hhi
+FROM shares GROUP BY p_brand
+ORDER BY hhi DESC, p_brand
+""",
+)
+def brand_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per brand:
+    the sum of squared supplier revenue shares (x10000, the antitrust
+    scale — 10000 = single-supplier monopoly, ->0 = fragmented).
+    Revenue sums are exact decimals; each squared share rounds at 6dp
+    and accumulates as exact decimals.
+
+    Scale: one (brand, supplier) rollup with the part dimension
+    broadcast into the join; the share math runs on the rolled-up
+    grid only.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    tot = rev.groupBy("p_brand").agg(F.sum("r").alias("t"))
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    shares = rev.join(F.broadcast(tot), "p_brand").select(
+        "p_brand",
+        F.round(share * share * 10000, 6).cast("decimal(18,6)").alias("s2"),
+    )
+    return (
+        shares.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("s2").cast("double").alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "p_brand")
+    )
