@@ -1109,3 +1109,35 @@ def dedup_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("long").alias("n_caught"),
         F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
     )
+
+
+@query(
+    "dedup_lsh_precision_probe",
+    oracle=f"""
+WITH {{sig_cte}},
+{{verified_cte}}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(*) FILTER (WHERE jaccard >= {DEDUP_JACCARD_THRESHOLD})
+            AS BIGINT) AS n_true_neardups,
+       round(CAST(COUNT(*) FILTER (WHERE jaccard >= {DEDUP_JACCARD_THRESHOLD})
+                  AS DOUBLE) / COUNT(*), 6) AS precision
+FROM verified
+""".format(sig_cte=_duck_signature_cte(), verified_cte=_DUCK_VERIFIED_CTE),
+)
+def dedup_lsh_precision_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH precision: of all banded candidate pairs, the
+    fraction whose EXACT Jaccard clears the near-dup threshold — the
+    companion to the recall probe (together they justify bands x
+    rows: precision prices the wasted verify work, recall prices the
+    missed duplicates).
+
+    Scale: the verify stage already computes exact Jaccard per
+    candidate (never O(n^2)); this is one aggregate over that stream.
+    """
+    v = _spark_verified_pairs(spark, sf_dir)
+    hit = F.count(F.when(F.col("jaccard") >= DEDUP_JACCARD_THRESHOLD, 1))
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        hit.cast("long").alias("n_true_neardups"),
+        F.round(hit.cast("double") / F.count(F.lit(1)), 6).alias("precision"),
+    )
