@@ -180,3 +180,25 @@ def test_concurrent_writers_serialize(spark):
     assert len(set(ids)) == len(ids)  # sequential IDs never collided
     vals = sorted(r.v for r in rows)
     assert vals == sorted(t * 1000 + i for t in range(N_THREADS) for i in range(N_EACH))
+
+
+def test_statement_fragmented_across_packets(server):
+    """The reference buffers per line until ';' (server.go:126-152);
+    our handler must likewise assemble a statement that arrives split
+    across multiple TCP writes — and flush only at the terminator."""
+    import time
+
+    c = _Client(server.port)
+    c.read_until_blank()
+    pieces = ["CREATE NODE Frag (", "v: int", "); INSERT NODE ", "Frag (v: 5);"]
+    for p in pieces:
+        c.sock.sendall(p.encode())
+        time.sleep(0.05)  # force separate packets / reads
+    c.sock.sendall(b"\n")
+    reply = c.read_until_blank()
+    assert any("OK - 2 statement(s)" in ln for ln in reply), reply
+    c.send("MATCH Frag;")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    assert any("v:5" in ln for ln in block)
+    c.close()
