@@ -1405,3 +1405,61 @@ def events_chi2_hour_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("x2").cast("double").alias("chi2_stat"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT user_id, day + CAST(x.off AS INTEGER) AS day
+  FROM ud, (SELECT UNNEST(range(0, 7)) AS off) x),
+wau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS wau
+  FROM contrib GROUP BY day),
+grid AS (SELECT day FROM dau)
+SELECT g.day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM grid g JOIN dau d USING (day) JOIN wau w USING (day)
+ORDER BY g.day
+""",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU/WAU staple: daily active users, trailing-7-day active
+    users, and the DAU/WAU stickiness ratio per day (reported only
+    for days with activity). The trailing-window distinct is computed
+    by exploding each (user, day) into the 7 future days it covers —
+    map-side fan-out of 7, then one distinct count per day — instead
+    of re-scanning a 7-day window per day (the standard scalable
+    rewrite; at 100 TB the distinct swaps for the registry's HLL
+    sketches, same shape).
+
+    Scale: the (user, day) dedup collapses the event volume first;
+    everything after is |users| x |days| sized with bounded fan-out.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
