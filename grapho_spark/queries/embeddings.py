@@ -1544,3 +1544,95 @@ def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fisher_ratio"), "dim")
         .limit(10)
     )
+
+
+@query(
+    "embedding_triplet_mining",
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id AS a_id, embedding::DOUBLE[] AS av, label AS a_label
+  FROM embeddings WHERE vec_id % 199 = 0),
+others AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+scored AS (
+  SELECT a.a_id, a.a_label, o.vec_id, o.label,
+         {_DUCK_COS.format(a="a.av", b="o.ev")} AS cosine
+  FROM anchors a JOIN others o ON a.a_id <> o.vec_id),
+pos AS (
+  SELECT a_id, vec_id AS pos_id, cosine AS pos_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored WHERE label = a_label)
+  WHERE rk = 1),
+neg AS (
+  SELECT s.a_id, s.vec_id AS neg_id, s.cosine AS neg_cos
+  FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.a_id
+                                       ORDER BY s.cosine DESC, s.vec_id) AS rk
+        FROM scored s JOIN pos p ON s.a_id = p.a_id
+        WHERE s.label <> s.a_label AND s.cosine > p.pos_cos) s
+  WHERE rk = 1)
+SELECT p.a_id AS anchor, p.pos_id, p.pos_cos,
+       n.neg_id AS hard_neg_id, n.neg_cos AS hard_neg_cos
+FROM pos p LEFT JOIN neg n USING (a_id)
+ORDER BY anchor
+""",
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for contrastive training: per
+    anchor, the most-similar SAME-label vector (positive) and the
+    most-similar OTHER-label vector that scores above it (the hard
+    negative — null when no negative violates the margin). Cosines
+    round at 6dp with vec_id tie-breaks, so triplet selection is
+    engine-exact.
+
+    Scale: anchors broadcast against the corpus (the query-set
+    pattern); both argmaxes are ranked windows per anchor. At 100 TB
+    the corpus side routes through the registry's IVF cells first —
+    same triplet logic over candidate sets instead of the full scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev"), "label"
+    )
+    anchors = e.filter(F.col("vec_id") % 199 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("ev").alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(e)
+        .filter(F.col("a_id") != F.col("vec_id"))
+        .select(
+            "a_id",
+            "a_label",
+            "vec_id",
+            "label",
+            _spark_cosine("av", "ev").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), "vec_id")
+    pos = (
+        scored.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("a_id", F.col("vec_id").alias("pos_id"), F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("a_label"))
+        .join(F.broadcast(pos.select("a_id", "pos_cos")), "a_id")
+        .filter(F.col("cosine") > F.col("pos_cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("a_id", F.col("vec_id").alias("neg_id"), F.col("cosine").alias("neg_cos"))
+    )
+    return (
+        pos.join(neg, "a_id", "left")
+        .select(
+            F.col("a_id").alias("anchor"),
+            "pos_id",
+            "pos_cos",
+            F.col("neg_id").alias("hard_neg_id"),
+            F.col("neg_cos").alias("hard_neg_cos"),
+        )
+        .orderBy("anchor")
+    )
