@@ -57,6 +57,8 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "timeseries_cusum_changepoints",
     "events_interval_overlap_join",
+    "events_dau_wau",
+    "embedding_triplet_mining",
 ]
 
 
