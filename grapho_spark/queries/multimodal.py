@@ -202,3 +202,69 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_sample").cast("long").alias("end_sample"),
         "start_ms",
     )
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle=f"""
+WITH {_DECODE_CTE},
+frames AS (
+  SELECT id, width, height, unnest(range(0, n_frames, 2)) AS frame_idx
+  FROM meta),
+sigs AS (
+  SELECT id,
+         md5(CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)
+             || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig
+  FROM frames)
+SELECT frame_sig,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_items
+FROM sigs
+GROUP BY frame_sig
+HAVING COUNT(*) >= 3
+ORDER BY n_frames DESC, frame_sig
+LIMIT 15
+""",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-item frame-level dedup over the stub-decoded media: each
+    sampled frame gets a content signature (here the deterministic
+    stub's dimensions + index; a real codec would perceptual-hash the
+    pixel buffer through the same column), and signatures shared by 3+
+    frames across items surface as duplicate candidates — the
+    video-dedup step that removes re-uploads before training.
+
+    Scale: frames explode JVM-side from the Arrow-decoded metadata;
+    the signature is one md5 in codegen, and the dedup is a
+    hash-groupBy on the signature (pixel payloads would never
+    shuffle — only their hashes do, same as text dedup).
+    """
+    from grapho_spark.llmops import decode_media_batch, sample_frames
+
+    meta = decode_media_batch(_blob_df(spark, sf_dir), "payload", "doc_id")
+    # sample_frames projects to (id, n_frames, frame_idx); join the
+    # dimensions back from the decoded metadata for the signature
+    frames = sample_frames(meta, every_nth=2).join(
+        meta.select("id", "width", "height"), "id"
+    )
+    sigs = frames.select(
+        "id",
+        F.md5(
+            F.concat_ws(
+                "",
+                F.concat_ws("x", F.col("width").cast("string"), F.col("height").cast("string")),
+                F.lit(":"),
+                F.col("frame_idx").cast("string"),
+            )
+        ).alias("frame_sig"),
+    )
+    return (
+        sigs.groupBy("frame_sig")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.countDistinct("id").cast("long").alias("n_items"),
+        )
+        .filter(F.col("n_frames") >= 3)
+        .orderBy(F.desc("n_frames"), "frame_sig")
+        .limit(15)
+    )
