@@ -1462,3 +1462,76 @@ def brand_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hhi"), "p_brand")
     )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+WITH o_h AS (
+  SELECT o_orderkey // 10000 AS bucket,
+         COUNT(*) AS n_o, COUNT(DISTINCT o_orderkey) AS d_o
+  FROM orders GROUP BY 1),
+l_h AS (
+  SELECT l_orderkey // 10000 AS bucket,
+         COUNT(*) AS n_l, COUNT(DISTINCT l_orderkey) AS d_l
+  FROM lineitem GROUP BY 1),
+est AS (
+  SELECT CAST(SUM(CAST(o_h.n_o AS HUGEINT) * l_h.n_l
+              // greatest(o_h.d_o, l_h.d_l)) AS BIGINT) AS est_rows
+  FROM o_h JOIN l_h USING (bucket)),
+act AS (
+  SELECT COUNT(*) AS actual_rows
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT est.est_rows,
+       CAST(act.actual_rows AS BIGINT) AS actual_rows,
+       round(CAST(est.est_rows AS DOUBLE) / act.actual_rows, 6)
+         AS est_over_actual
+FROM est CROSS JOIN act
+""",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join-cardinality estimation: per-bucket key
+    histograms of both sides (count + distinct per equi-width key
+    range) combine as sum(n1*n2/max(d1,d2)) — the containment
+    assumption every cost-based optimizer uses — compared against the
+    exact join count. The ratio is the estimator's calibration; on a
+    PK-FK join it should sit near 1.0.
+
+    Scale: the histograms are two rollups (map-side partials) over the
+    key columns ONLY, thousands of times smaller than running the
+    join; the exact side here exists purely to score the estimate.
+    Integer arithmetic throughout — one rounded division at the end.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    o_h = o.groupBy((F.col("o_orderkey") / 10000).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_o"),
+        F.countDistinct("o_orderkey").alias("d_o"),
+    )
+    l_h = l.groupBy((F.col("l_orderkey") / 10000).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.countDistinct("l_orderkey").alias("d_l"),
+    )
+    est = (
+        o_h.join(l_h, "bucket")
+        .select(
+            F.expr(
+                "cast(n_o as decimal(38,0)) * n_l div greatest(d_o, d_l)"
+            ).alias("part")
+        )
+        .agg(F.sum("part").cast("long").alias("est_rows"))
+    )
+    act = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(act))
+        .select(
+            "est_rows",
+            F.col("actual_rows").cast("long").alias("actual_rows"),
+            F.round(
+                F.col("est_rows").cast("double") / F.col("actual_rows"), 6
+            ).alias("est_over_actual"),
+        )
+    )
