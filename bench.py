@@ -1,6 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+(default /root/testdata/sf0.1) and prints ONE COMPACT JSON line:
+  {"metric": "headline_queries_total", "value": N, "unit": "sec", ...}
+
+The per-query warm/cold detail is written to BENCH_DETAIL.json (machine)
+and BENCH_DETAIL.md (human) next to this script instead of stdout: the
+driver captures only a ~2 KB tail of stdout, and round 6's ~5 KB
+per-query blob overflowed it (BENCH_r06.json parsed=null). The compact
+line also carries ``common_subset_vs_prev``: total median time on the
+queries shared with the previously committed BENCH_DETAIL.json, divided
+by that run's total on the same subset — a machine-checkable regression
+ratio computable from driver data alone.
 """
 
 from __future__ import annotations
@@ -116,6 +125,55 @@ def main() -> None:
         )
 
     total = round(sum(medians.values()), 3)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_json = os.path.join(repo_dir, "BENCH_DETAIL.json")
+
+    # Regression ratio vs the previously committed detail file, on the
+    # shared query subset (name-intersection so renames don't poison it).
+    prev_ratio = None
+    prev_stamp = None
+    try:
+        with open(detail_json) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf:  # cross-SF ratios are meaningless
+            common = sorted(set(prev.get("queries", {})) & set(medians))
+            prev_total = sum(prev["queries"][q] for q in common)
+            if common and prev_total > 0:
+                prev_ratio = round(sum(medians[q] for q in common) / prev_total, 3)
+                prev_stamp = prev.get("stamp")
+    except (OSError, ValueError, KeyError):
+        pass
+
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "stat": f"median_of_{REPEATS}",
+        "queries": medians,
+        "cold": colds,
+        "cold_total": round(sum(colds.values()), 3),
+        "wall_sec": round(time.perf_counter() - wall_t0, 3),
+        "sf": sf,
+        "stamp": f"sf{sf}_n{len(HEADLINE)}",
+        "common_subset_vs_prev": prev_ratio,
+        "prev_stamp": prev_stamp,
+    }
+    with open(detail_json, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    with open(os.path.join(repo_dir, "BENCH_DETAIL.md"), "w") as fh:
+        fh.write(
+            f"# Bench detail — sf={sf}, {len(HEADLINE)} queries, "
+            f"stat=median_of_{REPEATS}\n\n"
+            f"total median {total}s, total cold {detail['cold_total']}s, "
+            f"wall {detail['wall_sec']}s, "
+            f"common-subset vs prev recorded run: {prev_ratio}\n\n"
+            "| query | median s | cold s |\n|---|---|---|\n"
+        )
+        for name in HEADLINE:
+            fh.write(f"| {name} | {medians[name]} | {colds[name]} |\n")
+
+    # ONE compact stdout line (<500 bytes) — fits the driver's tail capture.
     print(
         json.dumps(
             {
@@ -123,11 +181,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "stat": f"median_of_{REPEATS}",
-                "queries": medians,
-                "cold": colds,
-                "cold_total": round(sum(colds.values()), 3),
-                "wall_sec": round(time.perf_counter() - wall_t0, 3),
+                "n_queries": len(HEADLINE),
+                "cold_total": detail["cold_total"],
+                "wall_sec": detail["wall_sec"],
                 "sf": sf,
+                "common_subset_vs_prev": prev_ratio,
+                "prev_stamp": prev_stamp,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

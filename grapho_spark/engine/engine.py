@@ -71,6 +71,11 @@ from grapho_spark.gql import ast
 from grapho_spark.gql.ast import Cardinality, LiteralKind, TypeSpec
 from grapho_spark.gql.parser import parse_script
 
+# Serializes the register-views + analyze window of GraphEngine.sql()
+# across ALL engine instances sharing this process's SparkSession (temp
+# views are session-global; see GraphEngine.sql's docstring).
+_SQL_VIEW_LOCK = threading.Lock()
+
 
 def _cmp(col: Column, op: str, lit: Column) -> Column:
     """WHERE comparison: ``=`` is null-safe equality (the reference's
@@ -322,12 +327,34 @@ class GraphEngine:
         ``edge_E``'s (_src, _dst) columns. Views refresh per call, so
         DML between calls is visible; names never clash with user
         fields (views live in Spark's catalog, not the engine's).
+
+        Temp views are session-scoped, so two engines sharing one
+        SparkSession would otherwise cross-read: this call pins the
+        session's ``node_*``/``edge_*`` views to THIS engine's catalog
+        (registers its own, drops stragglers left by other engines)
+        under a process-wide lock, and Spark analyzes the query eagerly
+        — the returned DataFrame stays bound to this engine's snapshot
+        even if another engine calls sql() afterwards. A query naming
+        another engine's type fails analysis instead of silently
+        reading foreign data.
         """
-        for nt in self.catalog.nodes:
-            self.node_df(nt.name).createOrReplaceTempView(f"node_{nt.name}")
-        for et in self.catalog.edges:
-            self.edge_df(et.name).createOrReplaceTempView(f"edge_{et.name}")
-        return self.spark.sql(query)
+        with _SQL_VIEW_LOCK:
+            mine = {f"node_{nt.name}".lower() for nt in self.catalog.nodes} | {
+                f"edge_{et.name}".lower() for et in self.catalog.edges
+            }
+            for tbl in self.spark.catalog.listTables():
+                if (
+                    tbl.isTemporary
+                    and not tbl.namespace
+                    and tbl.name.startswith(("node_", "edge_"))
+                    and tbl.name.lower() not in mine
+                ):
+                    self.spark.catalog.dropTempView(tbl.name)
+            for nt in self.catalog.nodes:
+                self.node_df(nt.name).createOrReplaceTempView(f"node_{nt.name}")
+            for et in self.catalog.edges:
+                self.edge_df(et.name).createOrReplaceTempView(f"edge_{et.name}")
+            return self.spark.sql(query)
 
     def bind_node_type(self, name: str, df: DataFrame, pk: str) -> None:
         """Register an existing DataFrame (e.g. a parquet fixture table)

@@ -17,7 +17,7 @@ from grapho_spark.tables import load_table
 
 
 @query(
-    "array_function_battery",
+    "functions_array_battery",
     oracle="""
 WITH scaled AS (
   SELECT vec_id,

@@ -648,20 +648,24 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics only. The final rollup has at most 2 x |channels| keys.
     """
     e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "ts", "event_id", "event_type", "value")
+    # Rank ONLY touch rows per (user, ts) — mirroring the oracle's
+    # `touches` CTE. Ranking the mixed stream would let a purchase with
+    # a smaller event_id shadow a same-timestamp touch out of existence.
     w_dedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
-    is_touch = F.col("event_type").isin("view", "click")
-    tagged = (
-        e.select("user_id", "ts", "event_id", "event_type", "value")
-        .withColumn(
-            "rn", F.when(is_touch, F.row_number().over(w_dedup)).otherwise(F.lit(1))
-        )
-        .filter((F.col("rn") == 1) & (is_touch | (F.col("event_type") == "purchase")))
-        .select(
-            "user_id",
-            F.unix_micros("ts").alias("us"),
-            "event_type",
-            "value",
-        )
+    touches = (
+        base.filter(F.col("event_type").isin("view", "click"))
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tagged = touches.unionByName(
+        base.filter(F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        "value",
     )
     lookback = 7 * 24 * 3600 * 1_000_000
     w_range = (

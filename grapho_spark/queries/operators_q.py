@@ -15,7 +15,7 @@ from grapho_spark.tables import load_table
 
 
 @query(
-    "asof_operator_purchases",
+    "operators_asof_purchases",
     oracle="""
 WITH purchases AS (
   SELECT user_id, ts, MAX(event_id) AS purchase_event_id

@@ -243,7 +243,7 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "anti_join_customers_no_orders",
+    "relational_anti_join_customers_no_orders",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
@@ -490,7 +490,7 @@ def date_functions_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "case_when_balance_buckets",
+    "relational_case_when_balance_buckets",
     oracle="""
 SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
             WHEN c_acctbal < 3000 THEN 'low'

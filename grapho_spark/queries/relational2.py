@@ -44,7 +44,7 @@ def percentiles_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "approx_aggregates_rows_only",
+    "stats_approx_aggregates_rows_only",
     oracle="""
 SELECT l_returnflag,
        COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -95,7 +95,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cheapest_supplier_per_part",
+    "relational_cheapest_supplier_per_part",
     oracle="""
 SELECT p_partkey, p_name, s_suppkey, s_acctbal
 FROM (SELECT l_partkey, l_suppkey,

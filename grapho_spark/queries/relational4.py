@@ -793,7 +793,7 @@ def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "approx_percentiles_bounded",
+    "stats_approx_percentiles_bounded",
     oracle="""
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
@@ -1408,7 +1408,7 @@ def rollup_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "brand_hhi_concentration",
+    "relational_brand_hhi_concentration",
     oracle="""
 WITH rev AS (
   SELECT p_brand, l_suppkey,

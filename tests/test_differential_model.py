@@ -86,7 +86,12 @@ def test_differential_random_dml(eng):
         text, conds = _rand_conds(rng)
         got = eng.execute(f"MATCH D WHERE {text} RETURN a, b;")[0].df.collect()
         want = [r for r in model if _model_match(r, conds)]
-        assert len(got) == len(want), (text, len(got), len(want))
+        # compare VALUES, not just counts — a wrong-rows/right-count
+        # MATCH must fail here, not only at the end-state check
+        key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
+        got_vals = sorted(((r.a, r.b) for r in got), key=key)
+        want_vals = sorted(((r["a"], r["b"]) for r in want), key=key)
+        assert got_vals == want_vals, (text, got_vals[:5], want_vals[:5])
 
     for i in range(N_OPS):
         rng.choice([insert, insert, insert, update, update, delete])()

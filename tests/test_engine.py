@@ -943,3 +943,34 @@ def test_where_range_string_and_date(eng):
     # buffer path agrees with the distributed path after flush
     eng.execute("DELETE NODE W WHERE d > '2024-05-01';")
     assert eng.node_df("W").count() == 2
+
+
+def test_sql_views_isolated_between_engines(spark):
+    """Two engines sharing one SparkSession must not cross-read through
+    the session-global node_*/edge_* temp views (ADVICE r6): each sql()
+    call pins the views to the calling engine's catalog, and a query
+    naming the OTHER engine's type fails analysis instead of silently
+    returning foreign rows."""
+    from pyspark.sql.utils import AnalysisException
+
+    a = GraphEngine(spark)
+    b = GraphEngine(spark)
+    a.execute("CREATE NODE IsoA (k: int); INSERT NODE IsoA (k: 1);")
+    b.execute(
+        "CREATE NODE IsoA (k: int); INSERT NODE IsoA (k: 100);"
+        "INSERT NODE IsoA (k: 200);"
+        "CREATE NODE OnlyB (k: int); INSERT NODE OnlyB (k: 9);"
+    )
+    # same-named type: each engine sees its OWN rows, in either order
+    assert b.sql("SELECT count(*) AS n FROM node_IsoA").collect()[0].n == 2
+    assert a.sql("SELECT count(*) AS n FROM node_IsoA").collect()[0].n == 1
+    # an analyzed plan stays bound to its engine even after the other
+    # engine re-registers the view
+    df_a = a.sql("SELECT sum(k) AS s FROM node_IsoA")
+    b.sql("SELECT 1").collect()
+    assert df_a.collect()[0].s == 1
+    # a type that exists only in engine B must NOT leak into engine A
+    import pytest as _pytest
+
+    with _pytest.raises(AnalysisException):
+        a.sql("SELECT * FROM node_OnlyB").collect()
