@@ -106,6 +106,38 @@ def sym_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+# Super-node guard for wedge-enumerating operators (adamic-adar,
+# neighborhood jaccard, triangle wedges): their intermediate size is
+# sum(deg^2) over wedge centers, and real 100 TB graphs are power-law —
+# one super-node with deg=10^6 contributes 10^12 wedges and sinks the
+# stage (the r6 10x probe measured graph_adamic_adar at 17.4x under
+# copy-densification for exactly this reason). The guard is the
+# BUCKET_CAP idea of dedup.py:34: each node's adjacency is capped to
+# its WEDGE_CAP smallest neighbor ids (deterministic, order-free), so
+# per-center wedge fan-out is bounded by WEDGE_CAP^2 regardless of
+# skew. Exact degrees are still used for SCORING — only wedge
+# ENUMERATION is capped. The cap (64, like dedup's) is far above the
+# max co-purchase degree at every test SF (13 at sf0.01, 6 at sf0.1 —
+# asserted by graph_wedge_cap_stats), so capped results are bit-equal
+# to the exact oracle; at hub-skewed scale the cap trades tail wedges
+# for a hard per-node work bound, and graph_wedge_cap_stats reports
+# how many nodes were actually truncated.
+WEDGE_CAP = 64
+
+
+def capped_adjacency(sym: DataFrame, cap: int = WEDGE_CAP) -> DataFrame:
+    """``sym`` (src, dst) restricted to each src's ``cap`` smallest
+    dst ids — one row_number window partitioned by src (sort is local
+    to each node's adjacency; no extra shuffle beyond the window's
+    hash on src, which the downstream wedge join reuses)."""
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 @query(
     "graph_copurchase_edges",
     oracle=f"""
@@ -190,13 +222,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting via ordered wedge join (p1<p2<p3 canonical
     form counts each triangle exactly once).
 
-    Scale: the ordered form bounds the wedge join by sum(deg^2) of the
-    thresholded graph; at larger SF the threshold and/or a degree-cap
-    (count-min on hubs) keeps wedges linear-ish.
+    Scale: the ordered form bounds the wedge join by sum(out_deg^2) of
+    the thresholded graph, and the wedge-center side additionally runs
+    through the WEDGE_CAP super-node guard (exact at test SFs — max
+    degree is far below the cap, see graph_wedge_cap_stats; at
+    power-law scale it hard-bounds per-center fan-out). The
+    degree-ordered variant below is the orientation-based alternative.
     """
     e = copurchase_edges(spark, sf_dir).select("p1", "p2")
     e1 = e.alias("e1")
-    e2 = e.alias("e2")
+    e2 = capped_adjacency(
+        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    ).select(F.col("src").alias("p1"), F.col("dst").alias("p2")).alias("e2")
     e3 = e.alias("e3")
     wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
     tris = wedges.join(
@@ -486,15 +523,18 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     link-prediction feature): |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, the
     union size computed as deg(u) + deg(v) - common (no second pass).
 
-    Scale: the common-neighbor count is a wedge join bounded by
-    sum(deg^2) like triangle counting; degrees broadcast. Integer
-    counts divided once in double — deterministic.
+    Scale: the common-neighbor wedge join enumerates over
+    WEDGE_CAP-capped adjacency (super-node guard; exact at test SFs,
+    see graph_wedge_cap_stats) while the union size uses EXACT
+    broadcast degrees. Integer counts divided once in double —
+    deterministic.
     """
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
-    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+    adj = capped_adjacency(sym)
+    a = adj.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
+    b = adj.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
     common = (
         edges.join(a, edges.p1 == a.u)
         .join(b, (edges.p2 == b.v) & (F.col("w1") == F.col("w2")))
@@ -515,6 +555,51 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("du") + F.col("dv") - F.col("n_common"))
             ).alias("jaccard"),
         )
+    )
+
+
+@query(
+    "graph_wedge_cap_stats",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(SUM(CASE WHEN d > {WEDGE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_nodes,
+       CAST(SUM(CASE WHEN d > {WEDGE_CAP} THEN d - {WEDGE_CAP} ELSE 0 END)
+         AS BIGINT) AS n_truncated_wedge_endpoints,
+       MAX(d) <= {WEDGE_CAP} AS wedge_paths_exact
+FROM deg
+""",
+)
+def graph_wedge_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the WEDGE_CAP super-node guard (the graph
+    twin of dedup_lsh_bucket_stats): degree distribution of the
+    co-purchase graph vs the cap — how many nodes exceed it, how many
+    adjacency entries wedge enumeration would drop, and the headline
+    ``wedge_paths_exact`` flag certifying that the capped operators
+    (graph_adamic_adar, graph_neighborhood_jaccard,
+    graph_triangle_count) returned EXACT results at this SF. At
+    power-law scale this is the query an operator runs before trusting
+    capped scores — or to size the cap.
+
+    Scale: one map-side-combined degree count + a 5-value rollup.
+    """
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    deg = sym_edges(edges).groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum(F.when(F.col("d") > WEDGE_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped_nodes"),
+        F.sum(
+            F.when(F.col("d") > WEDGE_CAP, F.col("d") - WEDGE_CAP).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_truncated_wedge_endpoints"),
+        (F.max("d") <= F.lit(WEDGE_CAP)).alias("wedge_paths_exact"),
     )
 
 
@@ -1199,15 +1284,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact. A common neighbor always has degree >= 2 in the
     symmetrized graph, so ln(deg) is never zero.
 
-    Scale: the wedge join is bounded by sum(deg^2) exactly like
-    triangle counting; degrees broadcast onto the wedge stream
-    map-side, and the per-edge rollup reuses the wedge shuffle key.
+    Scale: wedge enumeration runs on WEDGE_CAP-capped adjacency (the
+    super-node guard — per-center fan-out <= cap^2 even on power-law
+    hubs; exact at test SFs, see graph_wedge_cap_stats), while the
+    1/ln(deg) weights use EXACT degrees broadcast map-side; the
+    per-edge rollup reuses the wedge shuffle key.
     """
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
-    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+    adj = capped_adjacency(sym)
+    a = adj.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
+    b = adj.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
     wedges = (
         edges.join(a, edges.p1 == a.u)
         .join(b, (edges.p2 == b.v) & (F.col("w1") == F.col("w2")))

@@ -67,7 +67,14 @@ def approx_aggregates_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch goes wild.
 
     Scale: the approx forms ARE the 100 TB forms — mergeable
-    constant-size sketches instead of sort/expand.
+    constant-size sketches instead of sort/expand. Distinct sketches
+    use Datasketches HLL (``hll_sketch_agg``, lgK=14 ≈ 0.8% rse),
+    whose aggregation buffer is ONE binary attribute — NOT classic
+    ``approx_count_distinct(rsd=0.01)``, whose HLL++ buffer explodes
+    into ~1.5k per-register Long attributes at small rsd and stalls
+    whole-stage codegen for minutes (measured r7: rsd=0.02 standalone
+    >590s at sf0.01; the sketch itself is not the cost, the generated
+    aggregate code is).
     """
     l = load_table(spark, sf_dir, "lineitem")
 
@@ -82,8 +89,12 @@ def approx_aggregates_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", 14)).alias(
+            "approx_orders"
+        ),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", 14)).alias(
+            "approx_parts"
+        ),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
     )
     return agg.select(

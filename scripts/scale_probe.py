@@ -8,14 +8,16 @@ sf0.1); the MinHash probe doubles as a hot-bucket stress test because
 the inflated corpus is 10 near-copies of every document, exactly the
 adversarial shape BUCKET_CAP exists for.
 
-Usage: PYTHONPATH=/root/repo python scripts/scale_probe.py
-Writes nothing outside /tmp; prints one result line per (query, scale).
+Usage: PYTHONPATH=/root/repo python scripts/scale_probe.py [query ...]
+(no args = the full PROBES list). Writes nothing outside /tmp; prints
+one result line per (query, scale).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import sys
 import time
 
 from pyspark.sql import functions as F
@@ -140,8 +142,9 @@ def main() -> None:
     spark = get_spark("scale_probe")
     build_inflated(spark)
     reg = all_queries()
+    probes = sys.argv[1:] or PROBES
     print(f"{'query':40s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}  rows(x10)")
-    for name in PROBES:
+    for name in probes:
         fn = reg[name].spark_fn
         t1, _ = steady_time(fn, spark, SF_DIR)
         t10, n10 = steady_time(fn, spark, BIG_DIR)

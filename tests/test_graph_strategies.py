@@ -75,3 +75,50 @@ def test_lss_equals_pointer_jumping_string_ids(spark):
     b = _rows(connected_components_lss(e), "node", "component")
     assert a == b
     assert ("zc", "za") in b
+
+
+def test_wedge_cap_bounds_supernode_fanout(spark):
+    """WEDGE_CAP guard (r7): on a synthetic star graph with one
+    super-node of degree 500, capped adjacency keeps at most cap
+    neighbors per node — deterministically the smallest ids — so wedge
+    fan-out through the hub is bounded by cap^2 instead of deg^2; all
+    sub-cap nodes keep their full adjacency (exactness below the cap)."""
+    from pyspark.sql import functions as F
+
+    hub_edges = [(0, i) for i in range(1, 501)] + [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(hub_edges, "p1 long, p2 long")
+    sym = G.sym_edges(edges)
+    capped = G.capped_adjacency(sym, cap=64)
+    per_node = {
+        r.src: (r.n, r.lo, r.hi)
+        for r in capped.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dst").alias("lo"),
+            F.max("dst").alias("hi"),
+        )
+        .collect()
+    }
+    # hub truncated to its 64 SMALLEST neighbor ids (deterministic)
+    assert per_node[0] == (64, 1, 64)
+    # sub-cap nodes keep full adjacency: node 2 has neighbors {0,1,3}
+    assert per_node[2] == (3, 0, 3)
+    # idempotent under re-run (no nondeterministic tie-breaks)
+    again = {
+        r.src: r.n
+        for r in G.capped_adjacency(sym, cap=64)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == {k: v[0] for k, v in per_node.items()}
+
+
+def test_wedge_cap_exact_at_test_sf(spark):
+    """At fixture SFs the max co-purchase degree is far below
+    WEDGE_CAP, so the capped operators are bit-equal to the exact
+    oracle (graph_wedge_cap_stats certifies it)."""
+    row = G.graph_wedge_cap_stats(spark, SF).collect()[0]
+    assert row.wedge_paths_exact is True
+    assert row.n_capped_nodes == 0
+    assert row.max_degree <= G.WEDGE_CAP
