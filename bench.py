@@ -68,6 +68,9 @@ HEADLINE = [
     "events_interval_overlap_join",
     "events_dau_wau",
     "embedding_triplet_mining",
+    # round-7 additions
+    "graph_wedge_cap_stats",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -31,7 +31,7 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "q16_supplier_count_by_part": ["LeftAnti", "BroadcastHashJoin"],
     "timeseries_daily_ohlc": ["Window", "ReadSchema"],
     "window_order_gap_days": ["Window", "ReadSchema"],
-    "graph_neighborhood_jaccard": ["BroadcastHashJoin"],
+    "graph_neighborhood_jaccard": ["BroadcastHashJoin", "Window"],
     "deterministic_stratified_sample": ["PushedFilters", "ReadSchema"],
     "source_partitioned_parquet_pruning": ["PartitionFilters"],
     "core_source_dynamic_partition_pruning": ["dynamicpruning", "BroadcastHashJoin"],
@@ -76,7 +76,7 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # index ends in per-partition top-k; KS and gapfill stay window
     # passes over collapsed inputs
     "graph_personalized_pagerank": ["BroadcastHashJoin", "HashAggregate"],
-    "graph_adamic_adar": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "graph_adamic_adar": ["BroadcastHashJoin", "TakeOrderedAndProject", "Window"],
     "text_inverted_index": [
         "ObjectHashAggregate|HashAggregate|SortAggregate",
         "TakeOrderedAndProject",
@@ -90,6 +90,14 @@ PLAN_CHECKS: dict[str, list[str]] = {
         "lsh_corpus_buckets",
         "SelectedBucketsCount",
     ],
+    # round-7: the wedge operators must carry the WEDGE_CAP guard —
+    # a row_number window (the cap) feeding the wedge join, with the
+    # exact-degree table still broadcast into the scoring join; the
+    # shard manifest must stay a single hash aggregate over a scan
+    # (map-only assignment, no join, no window)
+    "graph_wedge_cap_stats": ["HashAggregate", "ReadSchema"],
+    "corpus_shuffle_shards": ["SortAggregate|HashAggregate", "ReadSchema"],
+    "graph_triangle_count": ["Window", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
 }
 
 

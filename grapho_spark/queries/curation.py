@@ -527,3 +527,67 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs_leaked"),
         F.sum("n_leaked_spans").cast("long").alias("n_spans_leaked"),
     )
+
+
+N_SHARDS = 16  # export shards; at 100 TB this is thousands — same plan
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         md5(CAST(doc_id AS VARCHAR) || ':shard') AS h,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 6))
+              AS BIGINT) % {N_SHARDS} AS shard
+  FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(h) AS head_hash,
+       max(h) AS tail_hash
+FROM keyed GROUP BY shard ORDER BY shard
+""",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard manifest for training-data export:
+    every document gets a salted hash key h = md5(doc_id || ':shard');
+    the first 6 hex digits assign one of N_SHARDS shards and h itself
+    is the within-shard training order — a reproducible global shuffle
+    with NO global sort and no RNG state (re-running on a grown corpus
+    moves only the new docs). The query emits the per-shard manifest a
+    training job validates before reading: doc/char counts (shard
+    balance), language coverage, and the head/tail order keys.
+
+    The export itself is the same plan plus a write:
+    ``keyed.repartition(N_SHARDS, "shard").sortWithinPartitions("h")
+    .write.partitionBy("shard").parquet(...)`` — one hash shuffle,
+    per-shard local sort, no driver state.
+
+    Scale: assignment is map-only (md5 of the key column, no payload
+    movement); the manifest rollup shuffles N_SHARDS * ~langs tiny
+    rows. Salted hashing keeps this shard split independent of the
+    train/val/test split hash (different salt => uncorrelated).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+    keyed = d.select(
+        "lang",
+        "n_chars",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % N_SHARDS).alias(
+            "shard"
+        ),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("h").alias("head_hash"),
+            F.max("h").alias("tail_hash"),
+        )
+        .orderBy("shard")
+    )

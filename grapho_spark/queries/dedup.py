@@ -710,7 +710,14 @@ def _index_name(sf_dir: str, corpus_pred: str) -> str:
     import hashlib
 
     tag = hashlib.md5(f"{sf_dir}|{corpus_pred}".encode()).hexdigest()[:10]
-    return f"lsh_corpus_buckets_{tag}"
+    # pid-scoped: the session catalog (where tableExists memoizes the
+    # build) is per-process, so sharing the backing path across
+    # processes is pure hazard — two concurrent local sessions would
+    # overwrite/read the same files mid-rebuild (observed as a flaky
+    # read in r7 when pytest and a parity sweep overlapped). In
+    # production the index is a metastore table owned by ONE ingest
+    # pipeline; locally each process gets its own copy.
+    return f"lsh_corpus_buckets_{tag}_pid{os.getpid()}"
 
 
 def corpus_band_index(
