@@ -97,6 +97,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # (map-only assignment, no join, no window)
     "graph_wedge_cap_stats": ["HashAggregate", "ReadSchema"],
     "corpus_shuffle_shards": ["SortAggregate|HashAggregate", "ReadSchema"],
+    # the tiny per-source aggregate must broadcast back over the plan,
+    # never trigger a second corpus pass
+    "corpus_epoch_plan": ["HashAggregate|SortAggregate", "Broadcast"],
     "graph_triangle_count": ["Window", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
 }
 

@@ -581,6 +581,83 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_BUDGET = 2_000_000  # target training tokens for the epoch plan
+MAX_EPOCHS = 4  # repeat cap per source (data-quality ceiling)
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT COUNT(*) AS n_sources FROM per_source),
+plan AS (
+  SELECT source, n_tokens,
+         CAST({EPOCH_BUDGET} // n_sources AS BIGINT) AS target_tokens
+  FROM per_source, tot)
+SELECT source, n_tokens, target_tokens,
+       CAST(CASE WHEN target_tokens >= {MAX_EPOCHS} * n_tokens
+                 THEN {MAX_EPOCHS} * n_tokens ELSE target_tokens END
+            AS BIGINT) AS planned_tokens,
+       CAST(CASE WHEN target_tokens >= {MAX_EPOCHS} * n_tokens
+                 THEN target_tokens - {MAX_EPOCHS} * n_tokens ELSE 0 END
+            AS BIGINT) AS shortfall_tokens,
+       CAST(CASE WHEN target_tokens >= {MAX_EPOCHS} * n_tokens
+                 THEN {MAX_EPOCHS} * n_tokens ELSE target_tokens END
+            AS DOUBLE) / n_tokens AS epochs,
+       target_tokens >= {MAX_EPOCHS} * n_tokens AS capped
+FROM plan
+""",
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repeat plan for a fixed training-token budget:
+    each source gets an equal share of EPOCH_BUDGET tokens; a source
+    smaller than its share is REPEATED (epochs > 1) up to MAX_EPOCHS
+    (the data-quality repeat ceiling — the 'how many times may we
+    repeat Wikipedia' knob), and any remaining gap is reported as
+    shortfall for the mixer to redistribute. Complements
+    corpus_mixture_weights (which rebalances shares WITHIN the
+    available data; this plans repeats AGAINST a budget).
+
+    Determinism: the plan is pure int64 arithmetic (min/cap/shortfall
+    on exact token sums); ``epochs`` is the single closing division.
+
+    Scale: one partial-aggregated groupBy on source plus a broadcast
+    of the tiny per-source aggregate — the corpus is read once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
+    plan = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        # integer division on both sides (a double divide + cast would
+        # TRUNCATE in Spark but ROUND in DuckDB)
+        F.expr(f"{EPOCH_BUDGET} div n_sources").cast("long").alias(
+            "target_tokens"
+        ),
+    )
+    cap = F.lit(MAX_EPOCHS) * F.col("n_tokens")
+    is_capped = F.col("target_tokens") >= cap
+    planned = F.when(is_capped, cap).otherwise(F.col("target_tokens"))
+    return plan.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        planned.cast("long").alias("planned_tokens"),
+        F.when(is_capped, F.col("target_tokens") - cap)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("shortfall_tokens"),
+        (planned.cast("double") / F.col("n_tokens")).alias("epochs"),
+        is_capped.alias("capped"),
+    )
+
+
 CHUNK_W = 32  # tokens per context window
 CHUNK_S = 24  # stride (windows overlap by W - S tokens)
 
