@@ -1030,23 +1030,38 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     two co-purchase neighbors are themselves co-purchased. Integer
     counts; one final rounded division.
 
-    Scale: reuses the ordered wedge-join triangle count (bounded by
-    sum(deg^2) on the thresholded graph) and the degree rollup; both
-    are single-shuffle aggregates of the shared edge table.
+    Scale: the transitivity ratio needs EXACT triangle and wedge
+    counts (a capped enumeration would skew the statistic), so the
+    triangle term uses degree-based edge ORIENTATION — every edge
+    points from lower (degree, id) to higher, collapsing hub fan-out
+    from deg^2 to out-deg^2 and bounding the wedge join by O(m^1.5)
+    on ANY degree distribution, super-nodes included, with no
+    approximation (r7; previously the id-ordered form, whose fan-out
+    is unbounded on a low-id hub). The degree rollup is one
+    map-side-combined shuffle of the shared edge table.
     """
-    e = copurchase_edges(spark, sf_dir).select("p1", "p2")
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
-        .join(
-            e3,
-            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    d1 = deg.select(F.col("node").alias("u_key"), F.col("d").alias("du"))
+    d2 = deg.select(F.col("node").alias("v_key"), F.col("d").alias("dv"))
+    oriented = (
+        sym.join(F.broadcast(d1), sym.src == F.col("u_key"))
+        .join(F.broadcast(d2), sym.dst == F.col("v_key"))
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
         )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    o1 = oriented.select(F.col("u").alias("u1"), F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    o3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tris = (
+        o1.join(o2, (F.col("u1") == F.col("u2")) & (F.col("v1") != F.col("v2")))
+        .join(o3, (F.col("u3") == F.col("v1")) & (F.col("v3") == F.col("v2")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    deg = sym_edges(copurchase_edges(spark, sf_dir)).groupBy(
-        F.col("src").alias("node")
-    ).agg(F.count(F.lit(1)).alias("d"))
     wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
     )
