@@ -1368,20 +1368,40 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     node (both orientations), so n_triangles halves the directed
     count; integer counts divide once into a rounded double.
 
-    Scale: the same Sum(deg^2)-bounded wedge join as triangle
-    counting, grouped by the apex node; degrees broadcast into the
-    verdict join and the ranking is per-partition top-k.
+    Scale: per-node counts need exactness (local_cc is a ratio), so
+    triangles are enumerated ONCE through degree-oriented edges
+    (O(m^1.5) on any degree distribution — hub-safe without
+    truncation, r7; previously an all-directions wedge join whose
+    intermediate was Sum(deg^2)) and exploded to their three corners
+    for the per-node rollup; degrees broadcast into the verdict join
+    and the ranking is per-partition top-k.
     """
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    a = sym.select(F.col("src").alias("x"), F.col("dst").alias("y1"))
-    b = sym.select(F.col("src").alias("y2"), F.col("dst").alias("z1"))
-    c = sym.select(F.col("src").alias("z2"), F.col("dst").alias("x2"))
+    d1 = deg.select(F.col("node").alias("u_key"), F.col("d").alias("du"))
+    d2 = deg.select(F.col("node").alias("v_key"), F.col("d").alias("dv"))
+    oriented = (
+        sym.join(F.broadcast(d1), sym.src == F.col("u_key"))
+        .join(F.broadcast(d2), sym.dst == F.col("v_key"))
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    o1 = oriented.select(F.col("u").alias("u1"), F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    o3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
     tri = (
-        a.join(b, a.y1 == b.y2)
-        .join(c, (F.col("z1") == F.col("z2")) & (F.col("x2") == F.col("x")))
-        .groupBy(F.col("x").alias("node"))
+        o1.join(o2, (F.col("u1") == F.col("u2")) & (F.col("v1") != F.col("v2")))
+        .join(o3, (F.col("u3") == F.col("v1")) & (F.col("v3") == F.col("v2")))
+        .select(
+            F.explode(F.array(F.col("u1"), F.col("v1"), F.col("v2"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     return (
@@ -1390,11 +1410,11 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "node",
             F.col("d").cast("long").alias("degree"),
-            (F.coalesce(F.col("n_tri"), F.lit(0)) / 2).cast("long").alias(
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
                 "n_triangles"
             ),
             F.round(
-                F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
                 / (F.col("d") * (F.col("d") - 1)),
                 6,
             ).alias("local_cc"),
