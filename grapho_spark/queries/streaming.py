@@ -652,3 +652,65 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("contrib").cast("double").alias("psi"))
         .orderBy("window_start")
     )
+
+
+@query(
+    "streaming_windowed_distinct_sketch",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_within_2pct
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_windowed_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct users per (day, event_type) via a mergeable
+    Datasketches HLL (``hll_sketch_agg``, lgK=14) — the
+    unbounded-state-safe form of windowed COUNT DISTINCT: sketch state
+    is constant-size per group no matter how many users stream
+    through, and sketches merge across micro-batches and (on a
+    cluster) across partial aggregations. Exact distinct is computed
+    batch-side for the contract column: the sketch estimate must land
+    within 2% of truth (deterministic — HLL is hash-based, no RNG),
+    the same hashable bounded-error contract as
+    stats_approx_aggregates_rows_only.
+
+    Scale: the exact side shuffles (day, type, user) once; the sketch
+    side never shuffles users at all — at 100 TB only the sketch side
+    survives, and this query certifies it against truth at test SF.
+    """
+    stream = (
+        load_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias(
+                "sketch_users"
+            )
+        )
+    )
+    sketched = run_to_memory(stream, "complete").select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "sketch_users",
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return exact.join(sketched, ["window_start", "event_type"]).select(
+        "window_start",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("sketch_users").cast("double") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.02)
+        ).alias("sketch_within_2pct"),
+    )

@@ -65,6 +65,17 @@ PROBES = [
     "events_ks_two_sample",
     "events_concurrent_sessions",
     "dedup_quality_survivor",
+    # round-7 additions: the wedge-cap guard + its certificate, the
+    # Datasketches-HLL aggregate, the export manifests, and the two
+    # orientation-exact clustering rewrites (adamic_adar is above)
+    "graph_neighborhood_jaccard",
+    "graph_triangle_count",
+    "graph_wedge_cap_stats",
+    "graph_clustering_coefficient",
+    "graph_local_clustering_topk",
+    "stats_approx_aggregates_rows_only",
+    "corpus_shuffle_shards",
+    "corpus_epoch_plan",
 ]
 
 
