@@ -96,6 +96,36 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # shard manifest must stay a single hash aggregate over a scan
     # (map-only assignment, no join, no window)
     "graph_wedge_cap_stats": ["HashAggregate", "ReadSchema"],
+    # round-7 coverage widening: pin the load-bearing physical shape
+    # of every core_ family representative with a deterministic batch
+    # plan (markers read off the actual sf0.001 plans; losing any one
+    # of these is a silent scale regression — an unpushed filter, a
+    # lost broadcast, a window that became a join, a Python stage
+    # that fell off Arrow)
+    "core_q1_pricing_summary": ["PushedFilters", "VectorizedScan", "HashAggregate"],
+    "core_q9_product_profit": ["PushedFilters", "BroadcastHashJoin"],
+    "core_q21_suppliers_kept_waiting": ["PushedFilters", "BroadcastHashJoin", "Window"],
+    "core_grouping_sets_revenue": ["Expand", "HashAggregate"],
+    "core_pivot_status_revenue_by_year": ["HashAggregate", "VectorizedScan"],
+    "core_range_join_acctbal_bands": ["BroadcastHashJoin", "Generate"],
+    "core_salted_skew_aggregation": ["HashAggregate", "VectorizedScan"],
+    "core_setop_active_1995_not_1996": ["LeftAnti", "PushedFilters"],
+    "core_events_asof_last_purchase": ["Window", "VectorizedScan"],
+    "core_events_sessionization": ["Window", "HashAggregate"],
+    "core_timeseries_resample_ffill": ["Window", "Generate", "PushedFilters"],
+    "core_stats_moments_by_segment": ["HashAggregate", "VectorizedScan"],
+    "core_text_language_id": ["HashAggregate", "VectorizedScan"],
+    "core_text_fingerprints": ["VectorizedScan"],
+    "core_text_tfidf_top_terms": ["Generate", "BroadcastHashJoin", "Window"],
+    "core_dedup_minhash_lsh_pairs": ["Generate", "InMemoryTableScan"],
+    "core_embedding_ivf_knn": ["BroadcastHashJoin", "Window", "PushedFilters"],
+    "core_embedding_rp_lsh_neardup": ["BroadcastHashJoin", "InMemoryTableScan"],
+    "core_udaf_revenue_cents_by_priority": ["ArrowEvalPython"],
+    "core_udtf_leading_terms": ["BatchEvalPython|ArrowEvalPython"],
+    "core_window_running_order_total": ["Window", "VectorizedScan"],
+    "core_window_top3_parts_per_brand": ["Window", "VectorizedScan"],
+    "core_multimodal_decode_stub": ["MapInPandas"],
+    "core_dedup_simhash": ["Generate", "HashAggregate"],
     "corpus_shuffle_shards": ["SortAggregate|HashAggregate", "ReadSchema"],
     # the tiny per-source aggregate must broadcast back over the plan,
     # never trigger a second corpus pass
