@@ -727,6 +727,8 @@ class GraphEngine:
             return self._delete(stmt)
         if isinstance(stmt, ast.MatchStmt):
             return self._match(stmt)
+        if isinstance(stmt, ast.ExplainStmt):
+            return self._explain(stmt)
         if isinstance(stmt, ast.ShowStmt):
             return self._show(stmt)
         if isinstance(stmt, ast.DescribeStmt):
@@ -1705,6 +1707,28 @@ class GraphEngine:
         return StatementResult("match", "", count=-1, df=out)
 
     # ------------------------------------------------- SHOW / DESCRIBE
+
+    def _explain(self, stmt: ast.ExplainStmt) -> StatementResult:
+        """EXPLAIN MATCH ... : compile the traversal exactly as MATCH
+        would (same code path — the plan shown IS the plan that would
+        run) and return the formatted physical plan, one line per row,
+        instead of executing it. The plan-audit surface
+        (plan_expectations.py) through the GQL wire protocol."""
+        import io
+        from contextlib import redirect_stdout
+
+        res = self._match(stmt.target)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            res.df.explain("formatted")
+        lines = [(ln,) for ln in buf.getvalue().splitlines() if ln.strip()]
+        df = self.spark.createDataFrame(lines, "plan: string")
+        return StatementResult(
+            kind="explain",
+            message=f"Explained MATCH: {len(lines)} plan lines",
+            count=len(lines),
+            df=df,
+        )
 
     def _show(self, stmt: ast.ShowStmt) -> StatementResult:
         if stmt.kind == "VERSIONS":

@@ -303,3 +303,16 @@ class DescribeStmt(Stmt):
     name: str = ""
     line: int = 0
     col: int = 0
+
+
+@dataclass(frozen=True)
+class ExplainStmt(Stmt):
+    """EXPLAIN MATCH ... — engine extension returning the compiled
+    Spark physical plan instead of executing the traversal. EXPLAIN is
+    a SOFT keyword (like ORDER/LIMIT): it is not reserved in the
+    reference grammar (parser/keywords.go:5-54), so ``explain`` stays
+    a legal identifier everywhere else."""
+
+    target: MatchStmt = None  # type: ignore[assignment]
+    line: int = 0
+    col: int = 0

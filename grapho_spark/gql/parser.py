@@ -115,6 +115,19 @@ class Parser:
         }
         fn = dispatch.get(t.type)
         if fn is None:
+            # EXPLAIN is a SOFT keyword (not reserved in the reference
+            # grammar): an IDENT spelled EXPLAIN at statement start,
+            # followed by MATCH, wraps the traversal; anywhere else
+            # ``explain`` remains a plain identifier.
+            if t.type is T.IDENT and t.lit.upper() == "EXPLAIN":
+                self._next()
+                if self._tok.type is not T.MATCH:
+                    self._err(
+                        self._tok,
+                        "EXPLAIN supports MATCH statements only",
+                    )
+                inner = self._parse_match()
+                return ast.ExplainStmt(target=inner, line=t.line, col=t.col)
             self._err(t, f"unexpected token {t.type.value} at start of statement")
             return None
         return fn()

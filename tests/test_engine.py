@@ -974,3 +974,32 @@ def test_sql_views_isolated_between_engines(spark):
 
     with _pytest.raises(AnalysisException):
         a.sql("SELECT * FROM node_OnlyB").collect()
+
+
+def test_explain_match_returns_plan(eng):
+    eng.execute(
+        "CREATE NODE Ex (k: int, v: int);"
+        "INSERT NODE Ex (k: 1, v: 10); INSERT NODE Ex (k: 2, v: 20);"
+    )
+    res = eng.execute("EXPLAIN MATCH Ex WHERE k: 1 RETURN v;")[0]
+    assert res.kind == "explain"
+    plan = "\n".join(r.plan for r in res.df.collect())
+    # pure-buffer MATCH compiles to a local scan; after flush it's a
+    # distributed plan — either way a real physical plan comes back
+    assert "Physical Plan" in plan or "Scan" in plan
+    # the traversal was NOT executed as a result set: EXPLAIN output is
+    # plan text, not Ex rows
+    assert res.df.columns == ["plan"]
+    # soft keyword: ``explain`` stays a legal field name
+    eng.execute("CREATE NODE Soft (explain: int); INSERT NODE Soft (explain: 7);")
+    rows = eng.execute("MATCH Soft WHERE explain: 7 RETURN explain;")[0].df.collect()
+    assert [r.explain for r in rows] == [7]
+
+
+def test_explain_non_match_is_parse_error(eng):
+    from grapho_spark.engine.engine import EngineError
+
+    import pytest as _pytest
+
+    with _pytest.raises(EngineError, match="EXPLAIN supports MATCH"):
+        eng.execute("EXPLAIN INSERT NODE Z (k: 1);")

@@ -202,3 +202,19 @@ def test_statement_fragmented_across_packets(server):
     block = c.read_until_blank()
     assert any("v:5" in ln for ln in block)
     c.close()
+
+
+def test_explain_over_socket(server):
+    c = _Client(server.port)
+    c.read_until_blank()
+    c.send("CREATE NODE Pl (k: int);")
+    c.read_until_blank()
+    c.send("INSERT NODE Pl (k: 1);")
+    c.read_until_blank()
+    c.send("EXPLAIN MATCH Pl WHERE k: 1 RETURN k;")
+    reply = c.read_until_blank()
+    # plan lines render one per row; the OK trailer still closes the reply
+    assert any("Physical Plan" in ln or "Scan" in ln for ln in reply)
+    assert reply[-1].startswith("OK - 1 statement(s)")
+    c.send("quit")
+    c.close()
