@@ -71,6 +71,7 @@ HEADLINE = [
     # round-7 additions
     "graph_wedge_cap_stats",
     "corpus_shuffle_shards",
+    "embedding_ivfpq_indexed_knn",
 ]
 
 

@@ -131,6 +131,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # never trigger a second corpus pass
     "corpus_epoch_plan": ["HashAggregate|SortAggregate", "Broadcast"],
     "graph_triangle_count": ["Window", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    # the ANN probe must scan the PERSISTED cell-bucketed code table
+    # (build-once/probe-many), not re-derive PQ codes from raw vectors
+    "embedding_ivfpq_indexed_knn": ["ann_pq_codes", "BroadcastHashJoin"],
 }
 
 

@@ -76,6 +76,7 @@ PROBES = [
     "stats_approx_aggregates_rows_only",
     "corpus_shuffle_shards",
     "corpus_epoch_plan",
+    "embedding_ivfpq_indexed_knn",
 ]
 
 

@@ -37,3 +37,32 @@ def test_band_index_append_matches_rebuild(spark, sf_dir):
 
     for pred in (base_pred, full_pred):
         spark.sql(f"DROP TABLE IF EXISTS {dedup._index_name(sf_dir, pred)}")
+
+
+def test_ann_index_probe_matches_recompute(spark, sf_dir):
+    """The persisted ANN index (cell-bucketed PQ codes + stored
+    centroids/codebook) must answer identically to the variant that
+    re-derives everything from raw vectors, and the probe must read
+    the STORED table (build-once/probe-many for vector search)."""
+    from grapho_spark.queries import all_queries
+    from grapho_spark.queries.embeddings import ann_index_tables
+
+    reg = all_queries()
+    key = lambda r: (r["q_id"], r["vec_id"])  # noqa: E731
+    indexed = reg["embedding_ivfpq_indexed_knn"].spark_fn(spark, sf_dir)
+    recomputed = reg["embedding_ivfpq_knn"].spark_fn(spark, sf_dir)
+    got = sorted(map(key, indexed.collect()))
+    want = sorted(map(key, recomputed.collect()))
+    assert got == want
+    assert want  # queries must exist at this SF
+
+    # second call returns the memoized tables without a rebuild, and
+    # the codes table is genuinely bucketed
+    _, _, codes = ann_index_tables(spark, sf_dir)
+    [tbl] = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ann_pq_codes_")
+    ]
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    assert any("Num Buckets" in str(r) for r in desc)
