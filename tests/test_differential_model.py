@@ -92,6 +92,13 @@ def test_differential_random_dml(eng):
         got_vals = sorted(((r.a, r.b) for r in got), key=key)
         want_vals = sorted(((r["a"], r["b"]) for r in want), key=key)
         assert got_vals == want_vals, (text, got_vals[:5], want_vals[:5])
+        # aggregate RETURN differential: COUNT(*) and SUM(b) through
+        # the engine vs the model (SUM skips nulls, SQL semantics)
+        n = eng.execute(f"MATCH D WHERE {text} RETURN COUNT(*);")[0].df.collect()
+        assert n[0][0] == len(want), text
+        s = eng.execute(f"MATCH D WHERE {text} RETURN SUM(b);")[0].df.collect()
+        want_sum = [r["b"] for r in want if r["b"] is not None]
+        assert s[0][0] == (sum(want_sum) if want_sum else None), text
 
     for i in range(N_OPS):
         rng.choice([insert, insert, insert, update, update, delete])()
