@@ -604,6 +604,60 @@ def graph_wedge_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_anf_hyperball",
+    oracle=f"""
+WITH {_DUCK_EDGES_CTE}
+SELECT a.src AS node,
+       CAST(COUNT(DISTINCT b.dst) AS BIGINT) AS exact_n2,
+       TRUE AS sketch_within_5pct
+FROM sym a JOIN sym b ON a.dst = b.src
+GROUP BY a.src
+""",
+)
+def graph_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (the HyperBall/ANF pattern,
+    one ball-expansion step): per-node 2-hop reachable-set size from
+    mergeable HLL sketches — each node's 1-hop sketch is built once,
+    then every node UNIONS its neighbors' sketches instead of
+    materializing 2-hop sets. Exact counts are computed alongside and
+    the 5%-bounded-error contract column certifies every node's
+    estimate (deterministic — Datasketches HLL is hash-based).
+
+    Scale: THE algorithm for neighborhood profiles on 100 TB graphs —
+    the exact side's distinct-2-hop materialization is Sum(deg^2)
+    rows, the sketch side moves one constant-size (lgK=14) sketch per
+    edge and merges; further hops are the same union step again,
+    never a growing set. At test SF both run, and the certificate
+    pins them together.
+    """
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = sym_edges(edges)
+    s1 = sym.groupBy(F.col("src").alias("x")).agg(
+        F.hll_sketch_agg("dst", 14).alias("sk")
+    )
+    approx = (
+        sym.join(s1, sym.dst == F.col("x"))
+        .groupBy("src")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_n2"))
+    )
+    exact = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src"))
+        .agg(F.countDistinct("b.dst").cast("long").alias("exact_n2"))
+    )
+    return exact.join(approx, "src").select(
+        F.col("src").alias("node"),
+        "exact_n2",
+        (
+            F.abs(F.col("approx_n2").cast("double") - F.col("exact_n2"))
+            / F.col("exact_n2")
+            <= F.lit(0.05)
+        ).alias("sketch_within_5pct"),
+    )
+
+
+@query(
     "graph_bfs_3hop",
     oracle=f"""
 WITH RECURSIVE {_DUCK_EDGES_CTE},
