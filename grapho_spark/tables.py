@@ -96,9 +96,25 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     digest = hashlib.md5(f"{sf_dir}:{name}".encode()).hexdigest()[:10]
     link_dir = os.path.join(tempfile.gettempdir(), f"grapho_stream_{digest}")
     os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(table_path(sf_dir, name)), link)
+    src = os.path.abspath(table_path(sf_dir, name))
+    if os.path.isdir(src):
+        # Spark-written fixture (a parquet DIRECTORY, e.g. the scale
+        # probe's inflated copies): the file-stream source does not
+        # follow a symlinked subdirectory — it listed zero files and
+        # silently streamed nothing (r7 find). Link the part files
+        # themselves.
+        stale = os.path.join(link_dir, f"{name}.parquet")
+        if os.path.islink(stale) and os.path.isdir(stale):
+            os.unlink(stale)
+        for part in os.listdir(src):
+            if part.endswith(".parquet"):
+                link = os.path.join(link_dir, f"{name}_{part}")
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, part), link)
+    else:
+        link = os.path.join(link_dir, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     stream = spark.readStream.schema(raw_schema).parquet(link_dir)
     return _convert_ns_columns(stream)
 

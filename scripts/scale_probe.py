@@ -77,6 +77,8 @@ PROBES = [
     "corpus_shuffle_shards",
     "corpus_epoch_plan",
     "embedding_ivfpq_indexed_knn",
+    "graph_anf_hyperball",
+    "streaming_windowed_distinct_sketch",
 ]
 
 
