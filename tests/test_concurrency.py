@@ -167,3 +167,35 @@ def test_concurrent_mixed_dml_serializes(spark, tmp_path):
         assert got2 == want
     finally:
         srv.stop()
+
+
+def test_concurrent_sql_view_isolation(spark):
+    """Two engines on one SparkSession issuing sql() from racing
+    threads: the process-wide view lock must pin each analysis to the
+    calling engine's catalog — every result reflects the caller's own
+    rows, never the other engine's (r7 view-pinning under contention,
+    not just sequentially)."""
+    a = GraphEngine(spark)
+    b = GraphEngine(spark)
+    a.execute("CREATE NODE Iso2 (k: int); INSERT NODE Iso2 (k: 1);")
+    b.execute(
+        "CREATE NODE Iso2 (k: int);"
+        "INSERT NODE Iso2 (k: 5); INSERT NODE Iso2 (k: 6); INSERT NODE Iso2 (k: 7);"
+    )
+    errors: list[str] = []
+
+    def hammer(engine: GraphEngine, want: int, label: str) -> None:
+        for _ in range(12):
+            got = engine.sql("SELECT count(*) AS n FROM node_Iso2").collect()[0].n
+            if got != want:
+                errors.append(f"{label}: {got} != {want}")
+
+    threads = [
+        threading.Thread(target=hammer, args=(a, 1, "a")),
+        threading.Thread(target=hammer, args=(b, 3, "b")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
