@@ -1820,3 +1820,100 @@ def embedding_ivfpq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "cell", "vec_id", "adc_dist")
     )
+
+
+@query(
+    "embedding_ivfpq_recall",
+    oracle=f"""
+WITH {_DUCK_IVF_CTE},
+{_DUCK_PQ_CTE.strip().rstrip()},
+cells AS (SELECT vec_id, label FROM embeddings),
+adc_cell AS (
+  SELECT l.q_id, c.vec_id,
+         CAST(SUM(l.dist) AS DOUBLE) AS adc_dist
+  FROM pq_codes c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN assigned a ON a.cell = ce.label
+  JOIN pq_lut l ON l.q_id = a.q_id AND l.sub = c.sub AND l.grp = c.code
+  WHERE c.vec_id <> l.q_id
+  GROUP BY l.q_id, c.vec_id),
+pq_top AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc_dist, vec_id) AS rn
+        FROM adc_cell)
+  WHERE rn <= 3),
+bf_scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_DUCK_COS.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS cosine
+  FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id),
+bf_top AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM bf_scored)
+  WHERE rn <= 3),
+matched AS (
+  SELECT q.q_id, COUNT(i.vec_id) AS m
+  FROM queries q
+  LEFT JOIN (SELECT pt.q_id, pt.vec_id FROM pq_top pt
+             JOIN bf_top bt ON pt.q_id = bt.q_id AND pt.vec_id = bt.vec_id) i
+    ON i.q_id = q.q_id
+  GROUP BY q.q_id)
+SELECT COUNT(*) AS n_queries,
+       round(SUM(m) * 1.0 / (3 * COUNT(*)), 6) AS avg_recall,
+       CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+FROM matched
+""",
+)
+def embedding_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the PERSISTED IVF+PQ index against exact brute
+    force — the accuracy dial for the full production stack: coarse
+    routing loses candidates outside the routed cell AND 8-byte codes
+    quantize distances, so this is the number that says what those
+    two compressions actually cost on this corpus ("no silent caps").
+
+    Measured honestly on THIS fixture it reads ~0 (plain IVF reads
+    0.08): the synthetic labels that serve as coarse cells are not
+    cosine-aligned neighborhoods, and ADC ranks by L2 over quantized
+    codes while ground truth ranks by cosine — exactly the silent
+    failure modes this dial exists to expose before anyone trusts the
+    index (a deployment normalizes vectors so L2 ordering matches
+    cosine, trains cells with k-means instead of labels, and
+    multi-probes; each moves this number, and this query records it).
+
+    Scale: the index side reads stored codes (cheap); brute force is
+    the expensive side and runs on the sampled query set, which is
+    how production recall monitoring works at 100 TB.
+    """
+    pq_top = embedding_ivfpq_indexed_knn(spark, sf_dir).select("q_id", "vec_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    bf_scored = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    bf_top = (
+        bf_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    inter = pq_top.join(bf_top, ["q_id", "vec_id"])
+    matched = (
+        q.select("q_id")
+        .join(inter.groupBy("q_id").agg(F.count(F.lit(1)).alias("m")), "q_id", "left")
+        .select("q_id", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("m") * F.lit(1.0) / (F.lit(3) * F.count(F.lit(1))), 6).alias(
+            "avg_recall"
+        ),
+        F.sum(F.when(F.col("m") == 3, 1).otherwise(0)).cast("long").alias("n_perfect"),
+    )
