@@ -1186,7 +1186,18 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid) after two deterministic Lloyd iterations (k=4,
     first-four seeding, exact-decimal distance folds) — shared by
-    embedding_kmeans_lloyd and the k-means-cell IVF recall probe."""
+    embedding_kmeans_lloyd and the k-means-cell IVF recall probe,
+    memoized per session (a materialized view in cluster terms: the
+    two Lloyd rounds run once, both consumers read the cached
+    assignment table)."""
+    from grapho_spark.sparkutil import memo_table
+
+    return memo_table(
+        spark, f"kmeans_assignments:{sf_dir}", lambda: _kmeans_build(spark, sf_dir)
+    )
+
+
+def _kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import DecimalType
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
