@@ -72,6 +72,8 @@ HEADLINE = [
     "graph_wedge_cap_stats",
     "corpus_shuffle_shards",
     "embedding_ivfpq_indexed_knn",
+    "graph_anf_hyperball",
+    "streaming_windowed_distinct_sketch",
 ]
 
 
