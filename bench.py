@@ -141,13 +141,17 @@ def main() -> None:
     try:
         with open(detail_json) as fh:
             prev = json.load(fh)
+        if not isinstance(prev, dict):
+            prev = {}
         if prev.get("sf") == sf:  # cross-SF ratios are meaningless
             common = sorted(set(prev.get("queries", {})) & set(medians))
             prev_total = sum(prev["queries"][q] for q in common)
             if common and prev_total > 0:
                 prev_ratio = round(sum(medians[q] for q in common) / prev_total, 3)
                 prev_stamp = prev.get("stamp")
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        # a corrupt/foreign-shaped detail file degrades to "no prior
+        # ratio", never to a crashed bench
         pass
 
     detail = {

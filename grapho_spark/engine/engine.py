@@ -76,6 +76,13 @@ from grapho_spark.gql.parser import parse_script
 # views are session-global; see GraphEngine.sql's docstring).
 _SQL_VIEW_LOCK = threading.Lock()
 
+# Lowercased names of node_*/edge_* temp views REGISTERED BY A
+# GraphEngine in this process. sql() only ever drops names recorded
+# here — a user's own node_/edge_-prefixed view on the shared session
+# (e.g. edge_weights) is not engine property and must survive
+# (ADVICE r7). Guarded by _SQL_VIEW_LOCK.
+_ENGINE_OWNED_VIEWS: set[str] = set()
+
 
 def _cmp(col: Column, op: str, lit: Column) -> Column:
     """WHERE comparison: ``=`` is null-safe equality (the reference's
@@ -336,24 +343,23 @@ class GraphEngine:
         — the returned DataFrame stays bound to this engine's snapshot
         even if another engine calls sql() afterwards. A query naming
         another engine's type fails analysis instead of silently
-        reading foreign data.
+        reading foreign data. Only views RECORDED as engine-registered
+        (module registry ``_ENGINE_OWNED_VIEWS``) are ever dropped —
+        a user's own ``node_``/``edge_``-prefixed temp view on the
+        shared session is untouched.
         """
         with _SQL_VIEW_LOCK:
             mine = {f"node_{nt.name}".lower() for nt in self.catalog.nodes} | {
                 f"edge_{et.name}".lower() for et in self.catalog.edges
             }
-            for tbl in self.spark.catalog.listTables():
-                if (
-                    tbl.isTemporary
-                    and not tbl.namespace
-                    and tbl.name.startswith(("node_", "edge_"))
-                    and tbl.name.lower() not in mine
-                ):
-                    self.spark.catalog.dropTempView(tbl.name)
+            for stale in sorted(_ENGINE_OWNED_VIEWS - mine):
+                self.spark.catalog.dropTempView(stale)
+                _ENGINE_OWNED_VIEWS.discard(stale)
             for nt in self.catalog.nodes:
                 self.node_df(nt.name).createOrReplaceTempView(f"node_{nt.name}")
             for et in self.catalog.edges:
                 self.edge_df(et.name).createOrReplaceTempView(f"edge_{et.name}")
+            _ENGINE_OWNED_VIEWS.update(mine)
             return self.spark.sql(query)
 
     def bind_node_type(self, name: str, df: DataFrame, pk: str) -> None:
@@ -1713,15 +1719,15 @@ class GraphEngine:
         would (same code path — the plan shown IS the plan that would
         run) and return the formatted physical plan, one line per row,
         instead of executing it. The plan-audit surface
-        (plan_expectations.py) through the GQL wire protocol."""
-        import io
-        from contextlib import redirect_stdout
+        (plan_expectations.py) through the GQL wire protocol. Plan text
+        comes straight from the JVM (plan_string), not a stdout
+        capture, so concurrent engines can't interleave output."""
+        from grapho_spark.plan_expectations import plan_string
 
         res = self._match(stmt.target)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            res.df.explain("formatted")
-        lines = [(ln,) for ln in buf.getvalue().splitlines() if ln.strip()]
+        lines = [
+            (ln,) for ln in plan_string(res.df, "formatted").splitlines() if ln.strip()
+        ]
         df = self.spark.createDataFrame(lines, "plan: string")
         return StatementResult(
             kind="explain",

@@ -137,18 +137,36 @@ PLAN_CHECKS: dict[str, list[str]] = {
 }
 
 
+def plan_string(df, mode: str = "formatted") -> str:
+    """The string df.explain(mode) would print, WITHOUT printing it.
+    Asks the JVM directly (the same PythonSQLUtils.explainString call
+    explain() wraps) instead of capturing stdout — redirect_stdout
+    swaps process-global sys.stdout, so a concurrent engine/thread
+    could interleave its own output into the captured plan (ADVICE r7).
+    Falls back to a stdout capture only if the JVM handle is absent
+    (e.g. a Connect session)."""
+    try:
+        return str(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), mode
+            )
+        )
+    except AttributeError:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
+
 def formatted_plan(df) -> str:
     """Return df.explain('formatted') output as a string, with a
     synthetic ``VectorizedScan`` marker appended when the parquet scan
     is batched (under AQE the pre-execution plan carries no ``*(n)``
     codegen markers, so ``Batched: true`` is the stable signal)."""
-    import io
-    from contextlib import redirect_stdout
-
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_string(df, "formatted")
     if "Batched: true" in plan:
         plan += "\nVectorizedScan"
     return plan

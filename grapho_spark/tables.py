@@ -97,6 +97,14 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     link_dir = os.path.join(tempfile.gettempdir(), f"grapho_stream_{digest}")
     os.makedirs(link_dir, exist_ok=True)
     src = os.path.abspath(table_path(sf_dir, name))
+    # Prune dangling links first: a rebuilt fixture (mode=overwrite
+    # mints new random part names) leaves links whose targets are gone;
+    # the file-stream source would error on them (and os.path.exists on
+    # a dangling link reads False, so the re-link below would collide).
+    for entry in os.listdir(link_dir):
+        p = os.path.join(link_dir, entry)
+        if os.path.islink(p) and not os.path.exists(p):
+            os.unlink(p)
     if os.path.isdir(src):
         # Spark-written fixture (a parquet DIRECTORY, e.g. the scale
         # probe's inflated copies): the file-stream source does not

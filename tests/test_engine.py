@@ -976,6 +976,29 @@ def test_sql_views_isolated_between_engines(spark):
         a.sql("SELECT * FROM node_OnlyB").collect()
 
 
+def test_sql_preserves_user_views_with_engine_prefix(spark):
+    """A USER-created temp view that merely starts with node_/edge_
+    (e.g. edge_weights) is not engine property: sql()'s straggler
+    cleanup must only drop views a GraphEngine registered (module
+    registry), never unrelated session state (ADVICE r7)."""
+    spark.range(3).selectExpr("id AS w").createOrReplaceTempView("edge_weights")
+    spark.range(2).createOrReplaceTempView("node_user_side")
+    try:
+        a = GraphEngine(spark)
+        b = GraphEngine(spark)
+        a.execute("CREATE NODE KeepA (k: int); INSERT NODE KeepA (k: 1);")
+        b.execute("CREATE NODE KeepB (k: int); INSERT NODE KeepB (k: 2);")
+        # each sql() call drops the OTHER engine's stragglers ...
+        assert a.sql("SELECT count(*) AS n FROM node_KeepA").collect()[0].n == 1
+        assert b.sql("SELECT count(*) AS n FROM node_KeepB").collect()[0].n == 1
+        # ... but the user's own views survive both calls
+        assert spark.table("edge_weights").count() == 3
+        assert spark.table("node_user_side").count() == 2
+    finally:
+        spark.catalog.dropTempView("edge_weights")
+        spark.catalog.dropTempView("node_user_side")
+
+
 def test_explain_match_returns_plan(eng):
     eng.execute(
         "CREATE NODE Ex (k: int, v: int);"
