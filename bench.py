@@ -131,6 +131,39 @@ def main() -> None:
         )
 
     total = round(sum(medians.values()), 3)
+
+    # Quality dials (r8): recall is a recorded regression metric, not an
+    # assumption — a cell-count or normalization change that silently
+    # halves ANN recall must trip this run's ratio the same way a 2x
+    # slowdown trips the time ratio. Each dial query already measures
+    # recall@3 against exact brute force on the sampled query set; here
+    # the numbers are lifted into BENCH_DETAIL.json and compared against
+    # the previously committed run below.
+    QUALITY_DIALS = {
+        "embedding_ivf_recall": lambda rows: {
+            "recall3_ivf_label": rows[0]["avg_recall"]
+        },
+        "embedding_ivfpq_recall": lambda rows: {
+            "recall3_ivfpq_index": rows[0]["avg_recall"]
+        },
+        "embedding_ivf_multiprobe": lambda rows: {
+            f"recall3_ivf_label_np{r['n_probe']}": r["avg_recall"] for r in rows
+        },
+        "embedding_ivf_kmeans_recall": lambda rows: {
+            f"recall3_kmeans_k{r['cells']}r{r['lloyd_rounds']}np{r['n_probe']}": r[
+                "avg_recall"
+            ]
+            for r in rows
+        },
+    }
+    q_t0 = time.perf_counter()
+    quality: dict[str, float] = {}
+    for name, extract in QUALITY_DIALS.items():
+        rows = [r.asDict() for r in registry[name].spark_fn(spark, sf_dir).collect()]
+        quality.update({k: float(v) for k, v in extract(rows).items()})
+    quality_wall = round(time.perf_counter() - q_t0, 3)
+    print(f"# quality dials ({quality_wall}s): {quality}", file=sys.stderr)
+
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_json = os.path.join(repo_dir, "BENCH_DETAIL.json")
 
@@ -138,6 +171,7 @@ def main() -> None:
     # shared query subset (name-intersection so renames don't poison it).
     prev_ratio = None
     prev_stamp = None
+    quality_vs_prev = None
     try:
         with open(detail_json) as fh:
             prev = json.load(fh)
@@ -149,6 +183,17 @@ def main() -> None:
             if common and prev_total > 0:
                 prev_ratio = round(sum(medians[q] for q in common) / prev_total, 3)
                 prev_stamp = prev.get("stamp")
+            # worst per-dial recall ratio vs the committed run: 1.0 is
+            # flat, < 1 is a recall REGRESSION (time ratio reads the
+            # other way — lower is better there)
+            prev_q = prev.get("quality") or {}
+            q_ratios = [
+                quality[k] / prev_q[k]
+                for k in set(prev_q) & set(quality)
+                if isinstance(prev_q[k], (int, float)) and prev_q[k] > 0
+            ]
+            if q_ratios:
+                quality_vs_prev = round(min(q_ratios), 3)
     except (OSError, ValueError, KeyError, TypeError, AttributeError):
         # a corrupt/foreign-shaped detail file degrades to "no prior
         # ratio", never to a crashed bench
@@ -167,6 +212,9 @@ def main() -> None:
         "stamp": f"sf{sf}_n{len(HEADLINE)}",
         "common_subset_vs_prev": prev_ratio,
         "prev_stamp": prev_stamp,
+        "quality": quality,
+        "quality_wall_sec": quality_wall,
+        "quality_vs_prev": quality_vs_prev,
     }
     with open(detail_json, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -182,6 +230,13 @@ def main() -> None:
         )
         for name in HEADLINE:
             fh.write(f"| {name} | {medians[name]} | {colds[name]} |\n")
+        fh.write(
+            f"\n## Quality dials (recall@3, {quality_wall}s; "
+            f"worst ratio vs prev: {quality_vs_prev})\n\n"
+            "| dial | avg_recall |\n|---|---|\n"
+        )
+        for k in sorted(quality):
+            fh.write(f"| {k} | {quality[k]} |\n")
 
     # ONE compact stdout line (<500 bytes) — fits the driver's tail capture.
     print(
@@ -196,6 +251,7 @@ def main() -> None:
                 "wall_sec": detail["wall_sec"],
                 "sf": sf,
                 "common_subset_vs_prev": prev_ratio,
+                "quality_vs_prev": quality_vs_prev,
                 "prev_stamp": prev_stamp,
                 "detail": "BENCH_DETAIL.json",
             }

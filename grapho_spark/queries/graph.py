@@ -138,6 +138,27 @@ def capped_adjacency(sym: DataFrame, cap: int = WEDGE_CAP) -> DataFrame:
     )
 
 
+def _wedge_exact_flag(sym: DataFrame) -> DataFrame:
+    """One-row ``(wedge_paths_exact boolean)``: true iff NO node's
+    adjacency exceeds WEDGE_CAP, i.e. the capped wedge enumeration the
+    caller just ran was exact. Carried IN-BAND by every capped query
+    (ADVICE r7: the certificate used to live only in the separate
+    graph_wedge_cap_stats query, so a consumer of capped scores had no
+    signal in the result itself). Cost: one map-side-combined degree
+    count + a 1-row broadcast cross join."""
+    return (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg((F.max("d") <= F.lit(WEDGE_CAP)).alias("wedge_paths_exact"))
+    )
+
+
+# DuckDB twin of _wedge_exact_flag (assumes the sym CTE is in scope)
+_DUCK_WEDGE_FLAG_CTE = f"""wflag AS (
+  SELECT MAX(d) <= {WEDGE_CAP} AS wedge_paths_exact
+  FROM (SELECT src, COUNT(*) AS d FROM sym GROUP BY src))"""
+
+
 @query(
     "graph_copurchase_edges",
     oracle=f"""
@@ -211,11 +232,14 @@ def graph_2hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle=f"""
-WITH {_DUCK_EDGES_CTE}
-SELECT COUNT(*) AS n_triangles
-FROM edges e1
-JOIN edges e2 ON e1.p2 = e2.p1
-JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+WITH {_DUCK_EDGES_CTE},
+{_DUCK_WEDGE_FLAG_CTE}
+SELECT t.n_triangles, w.wedge_paths_exact
+FROM (SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.p2 = e2.p1
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) t
+CROSS JOIN wflag w
 """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,8 +249,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the ordered form bounds the wedge join by sum(out_deg^2) of
     the thresholded graph, and the wedge-center side additionally runs
     through the WEDGE_CAP super-node guard (exact at test SFs — max
-    degree is far below the cap, see graph_wedge_cap_stats; at
-    power-law scale it hard-bounds per-center fan-out). The
+    degree is far below the cap; at power-law scale it hard-bounds
+    per-center fan-out). The result carries the IN-BAND
+    ``wedge_paths_exact`` certificate (r8): true iff no adjacency was
+    truncated, so a consumer needs no side-lookup of
+    graph_wedge_cap_stats to know the count is exact. The
     degree-ordered variant below is the orientation-based alternative.
     """
     e = copurchase_edges(spark, sf_dir).select("p1", "p2")
@@ -240,7 +267,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3,
         (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
     )
-    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(_wedge_exact_flag(sym_edges(e)))
+    )
 
 
 @query(
@@ -503,6 +532,7 @@ def graph_pagerank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_neighborhood_jaccard",
     oracle=f"""
 WITH {_DUCK_EDGES_CTE},
+{_DUCK_WEDGE_FLAG_CTE},
 deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
 common AS (
   SELECT e.p1 AS u, e.p2 AS v, COUNT(*) AS n_common
@@ -512,10 +542,12 @@ common AS (
   GROUP BY e.p1, e.p2)
 SELECT c.u, c.v, c.n_common,
        CAST(c.n_common AS DOUBLE)
-         / (du.d + dv.d - c.n_common) AS jaccard
+         / (du.d + dv.d - c.n_common) AS jaccard,
+       w.wedge_paths_exact
 FROM common c
 JOIN deg du ON du.node = c.u
 JOIN deg dv ON dv.node = c.v
+CROSS JOIN wflag w
 """,
 )
 def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,10 +556,11 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     union size computed as deg(u) + deg(v) - common (no second pass).
 
     Scale: the common-neighbor wedge join enumerates over
-    WEDGE_CAP-capped adjacency (super-node guard; exact at test SFs,
-    see graph_wedge_cap_stats) while the union size uses EXACT
-    broadcast degrees. Integer counts divided once in double —
-    deterministic.
+    WEDGE_CAP-capped adjacency (super-node guard) while the union size
+    uses EXACT broadcast degrees. Integer counts divided once in
+    double — deterministic. Every row carries the IN-BAND
+    ``wedge_paths_exact`` certificate (r8: true iff no adjacency was
+    truncated; graph_wedge_cap_stats has the full truncation profile).
     """
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
@@ -555,6 +588,7 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("du") + F.col("dv") - F.col("n_common"))
             ).alias("jaccard"),
         )
+        .crossJoin(F.broadcast(_wedge_exact_flag(sym)))
     )
 
 
@@ -603,6 +637,13 @@ def graph_wedge_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic certificate sample for graph_anf_hyperball: the exact
+# Sum(deg^2)-shaped 2-hop count is only computed for nodes with
+# node % ANF_CERT_MOD == 0 (~1/7 of nodes — the recall-dial sampling
+# convention, modulus sized so small SFs still certify several nodes).
+ANF_CERT_MOD = 7
+
+
 @query(
     "graph_anf_hyperball",
     oracle=f"""
@@ -611,6 +652,7 @@ SELECT a.src AS node,
        CAST(COUNT(DISTINCT b.dst) AS BIGINT) AS exact_n2,
        TRUE AS sketch_within_5pct
 FROM sym a JOIN sym b ON a.dst = b.src
+WHERE a.src % {ANF_CERT_MOD} = 0
 GROUP BY a.src
 """,
 )
@@ -619,16 +661,21 @@ def graph_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ball-expansion step): per-node 2-hop reachable-set size from
     mergeable HLL sketches — each node's 1-hop sketch is built once,
     then every node UNIONS its neighbors' sketches instead of
-    materializing 2-hop sets. Exact counts are computed alongside and
-    the 5%-bounded-error contract column certifies every node's
-    estimate (deterministic — Datasketches HLL is hash-based).
+    materializing 2-hop sets. The sketch side runs over EVERY node
+    (that is the production artifact); the exact side and the
+    5%-bounded-error certificate run on the deterministic
+    ``node % {ANF_CERT_MOD} == 0`` sample only (r8) — certifying a
+    sample is how production sketch monitoring works, because the
+    exact side is the Sum(deg^2) computation the sketches exist to
+    avoid (the r7 version certified every node, which re-paid that
+    full cost). Deterministic — Datasketches HLL is hash-based.
 
     Scale: THE algorithm for neighborhood profiles on 100 TB graphs —
-    the exact side's distinct-2-hop materialization is Sum(deg^2)
-    rows, the sketch side moves one constant-size (lgK=14) sketch per
-    edge and merges; further hops are the same union step again,
-    never a growing set. At test SF both run, and the certificate
-    pins them together.
+    the sketch side moves one constant-size (lgK=14) sketch per edge
+    and merges; further hops are the same union step again, never a
+    growing set. The exact certificate side is 1/{ANF_CERT_MOD} of
+    Sum(deg^2), and the sample modulus is the knob that keeps it flat
+    as the graph grows.
     """
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
@@ -641,7 +688,8 @@ def graph_anf_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_n2"))
     )
     exact = (
-        sym.alias("a")
+        sym.filter(F.col("src") % ANF_CERT_MOD == 0)
+        .alias("a")
         .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
         .groupBy(F.col("a.src").alias("src"))
         .agg(F.countDistinct("b.dst").cast("long").alias("exact_n2"))
@@ -1325,6 +1373,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_adamic_adar",
     oracle=f"""
 WITH {_DUCK_EDGES_CTE},
+{_DUCK_WEDGE_FLAG_CTE},
 deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
 wedges AS (
   SELECT e.p1, e.p2, a.dst AS z
@@ -1337,9 +1386,10 @@ contrib AS (
   FROM wedges w JOIN deg d ON w.z = d.node)
 SELECT p1 AS u, p2 AS v,
        CAST(COUNT(*) AS BIGINT) AS n_common,
-       CAST(SUM(c) AS DOUBLE) AS adamic_adar
-FROM contrib
-GROUP BY p1, p2
+       CAST(SUM(c) AS DOUBLE) AS adamic_adar,
+       w.wedge_paths_exact
+FROM contrib CROSS JOIN wflag w
+GROUP BY p1, p2, w.wedge_paths_exact
 ORDER BY adamic_adar DESC, u, v
 LIMIT 20
 """,
@@ -1355,9 +1405,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: wedge enumeration runs on WEDGE_CAP-capped adjacency (the
     super-node guard — per-center fan-out <= cap^2 even on power-law
-    hubs; exact at test SFs, see graph_wedge_cap_stats), while the
-    1/ln(deg) weights use EXACT degrees broadcast map-side; the
-    per-edge rollup reuses the wedge shuffle key.
+    hubs), while the 1/ln(deg) weights use EXACT degrees broadcast
+    map-side; the per-edge rollup reuses the wedge shuffle key. Every
+    row carries the IN-BAND ``wedge_paths_exact`` certificate (r8:
+    true iff no adjacency was truncated; graph_wedge_cap_stats has the
+    full truncation profile).
     """
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
@@ -1388,6 +1440,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p1").alias("u"), F.col("p2").alias("v"), "n_common", "adamic_adar"
         )
+        .crossJoin(F.broadcast(_wedge_exact_flag(sym)))
         .orderBy(F.desc("adamic_adar"), "u", "v")
         .limit(20)
     )

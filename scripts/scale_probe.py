@@ -79,7 +79,39 @@ PROBES = [
     "embedding_ivfpq_indexed_knn",
     "graph_anf_hyperball",
     "streaming_windowed_distinct_sketch",
+    # round-8 addition: the O(data) BUILD side of the persisted ANN
+    # index (normalize + coarse k-means + PQ train + code assignment +
+    # bucketed write) — the ingest-time stage the 1.6x probe row
+    # amortizes over
+    "ann_index_build",
 ]
+
+
+def ann_build_time(spark, sf_dir: str) -> float:
+    """Wall time of a FROM-SCRATCH ann_index_tables build for sf_dir:
+    drops the persisted tables + publish marker and clears the
+    session-level k-means/normalization memos first, so the measured
+    cost is the full ingest-side pipeline, not a cache hit."""
+    import hashlib
+    import tempfile
+
+    from grapho_spark import sparkutil
+    from grapho_spark.queries import embeddings as emb
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    for t in (f"ann_centroids_{tag}", f"ann_codebook_{tag}", f"ann_pq_codes_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    marker = os.path.join(
+        tempfile.gettempdir(), "grapho_spark_index", f"_BUILD_OK_{tag}"
+    )
+    if os.path.exists(marker):
+        os.unlink(marker)
+    emb._KMEANS_PAIR_MEMO.clear()
+    for k in [k for k in sparkutil._MEMO if f"norm_vec_expl:{sf_dir}" in k[1]]:
+        del sparkutil._MEMO[k]
+    t0 = time.perf_counter()
+    emb.ann_index_tables(spark, sf_dir)
+    return time.perf_counter() - t0
 
 
 def build_inflated(spark) -> None:
@@ -159,6 +191,15 @@ def main() -> None:
     probes = sys.argv[1:] or PROBES
     print(f"{'query':40s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}  rows(x10)")
     for name in probes:
+        if name == "ann_index_build":
+            t1 = ann_build_time(spark, SF_DIR)
+            t10 = ann_build_time(spark, BIG_DIR)
+            ratio = t10 / t1 if t1 > 0 else float("inf")
+            print(
+                f"{name:40s} {t1:7.2f}s {t10:7.2f}s {ratio:5.1f}x  (build)",
+                flush=True,
+            )
+            continue
         fn = reg[name].spark_fn
         t1, _ = steady_time(fn, spark, SF_DIR)
         t10, n10 = steady_time(fn, spark, BIG_DIR)
