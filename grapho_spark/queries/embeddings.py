@@ -1183,18 +1183,25 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _normalized_vec_expl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _normalized_vec_expl(
+    spark: SparkSession, sf_dir: str, pred: str | None = None
+) -> DataFrame:
     """(vec_id, pos 1-based, val) — L2-NORMALIZED embedding components,
-    6dp-rounded doubles, memoized per (session, sf_dir). The norm is a
-    sequential double fold over the array (``_SPARK_DOT``) so it equals
-    DuckDB's ``list_dot_product`` bit-for-bit; normalizing before any
-    L2-based routing/quantization makes squared-L2 ordering agree with
-    cosine ordering (L2^2 = 2 - 2cos on unit vectors) — the metric
-    alignment the r7 recall dial showed the un-normalized index lacks."""
+    6dp-rounded doubles, memoized per (session, sf_dir, pred). The
+    norm is a sequential double fold over the array (``_SPARK_DOT``)
+    so it equals DuckDB's ``list_dot_product`` bit-for-bit;
+    normalizing before any L2-based routing/quantization makes
+    squared-L2 ordering agree with cosine ordering (L2^2 = 2 - 2cos on
+    unit vectors) — the metric alignment the r7 recall dial showed the
+    un-normalized index lacks. ``pred`` restricts the corpus (SQL
+    predicate over the raw embeddings columns) — the delta-ingest path
+    normalizes only its batch."""
     from grapho_spark.sparkutil import memo_table
 
     def build() -> DataFrame:
         e = load_table(spark, sf_dir, "embeddings")
+        if pred is not None:
+            e = e.filter(pred)
         ed = "CAST(embedding AS ARRAY<DOUBLE>)"
         dot = _SPARK_DOT.format(a=ed, b=ed)
         nv = e.select(
@@ -1205,14 +1212,19 @@ def _normalized_vec_expl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.posexplode("nvec").alias("pos0", "val")
         ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
 
-    return memo_table(spark, f"norm_vec_expl:{sf_dir}", build)
+    return memo_table(spark, f"norm_vec_expl:{sf_dir}:{pred}", build)
 
 
 _KMEANS_PAIR_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def _kmeans_pair(
-    spark: SparkSession, sf_dir: str, k: int, rounds: int, normalized: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    rounds: int,
+    normalized: bool = False,
+    pred: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd k-means, parameterized (r8): ``k`` centroids
     seeded from the first ``k`` vectors, ``rounds`` recompute rounds,
@@ -1228,20 +1240,24 @@ def _kmeans_pair(
     Scale: one broadcast join of k centroids + map-side partial
     aggregation per assignment; lineage is checkpoint-truncated per
     round (PERF.md's iterative-loop lesson). Memoized per
-    (session, sf_dir, k, rounds, normalized) — both consumers of a
-    configuration read one cached assignment/centroid pair."""
+    (session, sf_dir, k, rounds, normalized, pred) — both consumers of
+    a configuration read one cached assignment/centroid pair. ``pred``
+    restricts the training corpus (delta-ingest test path; the k seed
+    vectors must satisfy it)."""
     from pyspark.sql.types import DecimalType
 
-    key = (spark.sparkContext.applicationId, sf_dir, k, rounds, normalized)
+    key = (spark.sparkContext.applicationId, sf_dir, k, rounds, normalized, pred)
     got = _KMEANS_PAIR_MEMO.get(key)
     if got is not None:
         return got
     from grapho_spark.sparkutil import checkpoint_state, materialize
 
     if normalized:
-        vecs = _normalized_vec_expl(spark, sf_dir)
+        vecs = _normalized_vec_expl(spark, sf_dir, pred)
     else:
         e = load_table(spark, sf_dir, "embeddings")
+        if pred is not None:
+            e = e.filter(pred)
         vecs = materialize(
             e.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
                 "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
@@ -1875,17 +1891,77 @@ ai_top AS (
     FROM ai_rerank) WHERE rn <= 3)"""
 
 
-def _pq16_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(sub, pos, grp, cw) — the trained codebook (Spark twin of
-    _duck_pq_trained_ctes's cw chain), lineage-truncated per round."""
-    from grapho_spark.sparkutil import checkpoint_state
-
-    expl = _normalized_vec_expl(spark, sf_dir).select(
+def _pq_expl(spark: SparkSession, sf_dir: str, pred: str | None = None) -> DataFrame:
+    """(vec_id, pos, sub, dv decimal(12,6)) — normalized components in
+    PQ subspace layout, the input to codebook training and encoding."""
+    return _normalized_vec_expl(spark, sf_dir, pred).select(
         "vec_id",
         "pos",
         F.floor((F.col("pos") - 1) / _PQ_M).cast("int").alias("sub"),
         F.col("val").cast("decimal(12,6)").alias("dv"),
     )
+
+
+def _pq_encode(
+    spark: SparkSession, sf_dir: str, book: DataFrame, pred: str | None = None
+) -> DataFrame:
+    """(vec_id, sub, code) — nearest-codeword assignment of the
+    (optionally pred-restricted) corpus against a FROZEN codebook:
+    shared by the full index build and the delta-ingest append (which
+    must encode new vectors with the stored codebook, never retrain)."""
+    dists = (
+        _pq_expl(spark, sf_dir, pred)
+        .join(F.broadcast(book), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "grp")
+        .agg(
+            F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
+            .cast("decimal(38,12)")
+            .alias("dist")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
+    return (
+        dists.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("grp").alias("code"))
+    )
+
+
+def _assign_to_cents(
+    spark: SparkSession, sf_dir: str, cents: DataFrame, pred: str | None = None
+) -> DataFrame:
+    """(vec_id, cid) — argmin exact-decimal distance of the
+    (pred-restricted) normalized corpus against FROZEN centroids (the
+    delta-ingest cell assignment; same formula as _kmeans_pair's
+    final assignment, so base-build and append agree)."""
+    d = (
+        _normalized_vec_expl(spark, sf_dir, pred)
+        .join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")), 9
+                ).cast("decimal(28,9)")
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _pq16_codebook(
+    spark: SparkSession, sf_dir: str, pred: str | None = None
+) -> DataFrame:
+    """(sub, pos, grp, cw) — the trained codebook (Spark twin of
+    _duck_pq_trained_ctes's cw chain), lineage-truncated per round."""
+    from grapho_spark.sparkutil import checkpoint_state
+
+    expl = _pq_expl(spark, sf_dir, pred)
     cw = expl.groupBy((F.col("vec_id") % _ANN_PQ_K).alias("grp"), "sub", "pos").agg(
         (F.sum("dv").cast("double") / F.count(F.lit(1)))
         .cast("decimal(12,6)")
@@ -1923,7 +1999,7 @@ def _pq16_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cw
 
 
-def ann_index_tables(spark: SparkSession, sf_dir: str):
+def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
     """The STANDING ANN index (build-once/probe-many, the ANN twin of
     dedup's corpus_band_index), v2: PQ codes of the L2-NORMALIZED
     vectors persisted as a parquet table bucketed by K-MEANS cell
@@ -1940,12 +2016,19 @@ def ann_index_tables(spark: SparkSession, sf_dir: str):
     Crash-safe publish (r8): the three tables are only trusted when
     the build marker written AFTER all of them is present; a build
     that died mid-write leaves no marker, so the next call drops the
-    half-registered tables and rebuilds instead of probing garbage."""
+    half-registered tables and rebuilds instead of probing garbage.
+
+    ``pred`` restricts the indexed corpus (its own tag/tables; used by
+    the delta-ingest path, whose appends then target that index)."""
     import hashlib
     import os
     import tempfile
 
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    tag = (
+        f"{hashlib.md5(f'{sf_dir}|{pred}'.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+        if pred is not None
+        else f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    )
     cent_t = f"ann_centroids_{tag}"
     book_t = f"ann_codebook_{tag}"
     codes_t = f"ann_pq_codes_{tag}"
@@ -1960,32 +2043,13 @@ def ann_index_tables(spark: SparkSession, sf_dir: str):
         if os.path.exists(marker):
             os.unlink(marker)
         assign, cents = _kmeans_pair(
-            spark, sf_dir, _ANN_CELLS, _ANN_ROUNDS, normalized=True
+            spark, sf_dir, _ANN_CELLS, _ANN_ROUNDS, normalized=True, pred=pred
         )
-        book = _pq16_codebook(spark, sf_dir)
-        expl = _normalized_vec_expl(spark, sf_dir).select(
-            "vec_id",
-            "pos",
-            F.floor((F.col("pos") - 1) / _PQ_M).cast("int").alias("sub"),
-            F.col("val").cast("decimal(12,6)").alias("dv"),
-        )
-        dists = (
-            expl.join(F.broadcast(book), ["sub", "pos"])
-            .groupBy("vec_id", "sub", "grp")
-            .agg(
-                F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
-                .cast("decimal(38,12)")
-                .alias("dist")
-            )
-        )
-        w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
+        book = _pq16_codebook(spark, sf_dir, pred)
         codes = (
-            dists.withColumn("rn", F.row_number().over(w_code))
-            .filter(F.col("rn") == 1)
+            _pq_encode(spark, sf_dir, book, pred)
             .join(assign, "vec_id")
-            .select(
-                F.col("cid").alias("cell"), "vec_id", "sub", F.col("grp").alias("code")
-            )
+            .select(F.col("cid").alias("cell"), "vec_id", "sub", "code")
         )
         cents.write.option("path", os.path.join(base, cent_t)).mode(
             "overwrite"
@@ -2006,36 +2070,58 @@ def ann_index_tables(spark: SparkSession, sf_dir: str):
     return spark.table(cent_t), spark.table(book_t), spark.table(codes_t)
 
 
-@query(
-    "embedding_ivfpq_indexed_knn",
-    oracle=f"""
-WITH {_DUCK_ANN_INDEX_CTES},
-{_DUCK_ANN_PROBE_CTES}
-SELECT q_id, vec_id, cosine FROM ai_top
-""",
-)
-def embedding_ivfpq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 ANN against the PERSISTED v2 index (ann_index_tables):
-    normalize the query, route to its _ANN_NPROBE nearest k-means
-    cells (stored centroids, exact-decimal distances), ADC-score the
-    stored PQ codes of just those cells against the per-query LUT from
-    the stored trained codebook, then RE-RANK the _ANN_SHORTLIST best
-    ADC candidates by exact cosine on raw vectors. This is the
-    deployment split at 100 TB: the index is built once by the ingest
-    pipeline; a probe touches the codebook (KB), the centroids (KB),
-    the code rows of the routed cells (8 bytes/vector) and raw vectors
-    for only the shortlist.
+def append_to_ann_index(
+    spark: SparkSession, sf_dir: str, batch_pred: str, base_pred: str
+) -> str:
+    """Delta-ingest for the persisted ANN index (the ANN twin of
+    dedup's append_to_band_index): normalize the new batch, assign
+    each vector to its nearest STORED centroid, encode it with the
+    STORED trained codebook, and append the code rows to the codes
+    table in the SAME bucket layout (Spark verifies the bucket spec).
+    Centroids and codebook are FROZEN — the production invariant that
+    keeps every historical code comparable; periodic compaction
+    (a full rebuild) re-trains them when drift accumulates. Returns
+    the codes table name.
 
-    Scale: queries explode map-side; routing and LUT construction join
-    only broadcast-sized tables; scoring joins the tiny routed-query
-    table against the bucketed code scan; the shortlist (constant rows
-    per query) broadcasts back against the corpus for the re-rank."""
-    cents, book, codes = ann_index_tables(spark, sf_dir)
+    Scale: the batch-sized delta is the only thing computed or
+    written — no rebuild, no re-encode of the standing corpus; the
+    append is one bucketed write, so probes keep their bucketed scan."""
+    cents, book, _ = ann_index_tables(spark, sf_dir, base_pred)
+    import hashlib
+    import os
+
+    tag = f"{hashlib.md5(f'{sf_dir}|{base_pred}'.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    codes_t = f"ann_pq_codes_{tag}"
+    delta = (
+        _pq_encode(spark, sf_dir, book, batch_pred)
+        .join(_assign_to_cents(spark, sf_dir, cents, batch_pred), "vec_id")
+        .select(F.col("cid").alias("cell"), "vec_id", "sub", "code")
+    )
+    (
+        delta.write.bucketBy(8, "cell")
+        .sortBy("cell", "vec_id")
+        .mode("append")
+        .saveAsTable(codes_t)
+    )
+    return codes_t
+
+
+def _ann_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: DataFrame,
+    book: DataFrame,
+    codes: DataFrame,
+    query_pred: str = "vec_id % 97 = 0",
+) -> DataFrame:
+    """The full probe plan against an arbitrary set of index tables —
+    shared by the oracle-checked query (standard full-corpus index)
+    and the delta-ingest tests (base index + appended codes)."""
     e = load_table(spark, sf_dir, "embeddings")
     ed = "CAST(embedding AS ARRAY<DOUBLE>)"
     dot = _SPARK_DOT.format(a=ed, b=ed)
     q_expl = (
-        e.filter(F.col("vec_id") % 97 == 0)
+        e.filter(query_pred)
         .select(
             F.col("vec_id").alias("q_id"),
             F.expr(f"transform({ed}, x -> round(x / sqrt({dot}), 6))").alias("nvec"),
@@ -2105,7 +2191,7 @@ def embedding_ivfpq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     # exact-cosine re-rank of the shortlist against raw vectors
-    qv = e.filter(F.col("vec_id") % 97 == 0).select(
+    qv = e.filter(query_pred).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
@@ -2121,6 +2207,35 @@ def embedding_ivfpq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+@query(
+    "embedding_ivfpq_indexed_knn",
+    oracle=f"""
+WITH {_DUCK_ANN_INDEX_CTES},
+{_DUCK_ANN_PROBE_CTES}
+SELECT q_id, vec_id, cosine FROM ai_top
+""",
+)
+def embedding_ivfpq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 ANN against the PERSISTED v2 index (ann_index_tables):
+    normalize the query, route to its _ANN_NPROBE nearest k-means
+    cells (stored centroids, exact-decimal distances), ADC-score the
+    stored PQ codes of just those cells against the per-query LUT from
+    the stored trained codebook, then RE-RANK the _ANN_SHORTLIST best
+    ADC candidates by exact cosine on raw vectors. This is the
+    deployment split at 100 TB: the index is built once by the ingest
+    pipeline (and extended in place by append_to_ann_index deltas); a
+    probe touches the codebook (KB), the centroids (KB), the code rows
+    of the routed cells (8 bytes/vector) and raw vectors for only the
+    shortlist.
+
+    Scale: queries explode map-side; routing and LUT construction join
+    only broadcast-sized tables; scoring joins the tiny routed-query
+    table against the bucketed code scan; the shortlist (constant rows
+    per query) broadcasts back against the corpus for the re-rank."""
+    cents, book, codes = ann_index_tables(spark, sf_dir)
+    return _ann_probe(spark, sf_dir, cents, book, codes)
 
 
 @query(

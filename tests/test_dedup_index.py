@@ -88,3 +88,74 @@ def test_ann_index_probe_and_crash_safe_rebuild(spark, sf_dir):
     assert os.path.exists(marker)  # rebuild re-published the marker
     rebuilt = reg["embedding_ivfpq_indexed_knn"].spark_fn(spark, sf_dir)
     assert sorted((r["q_id"], r["vec_id"]) for r in rebuilt.collect()) == baseline
+
+
+def test_ann_index_append_matches_frozen_rebuild(spark, sf_dir):
+    """The ANN index's delta-ingest path: appending a batch's code rows
+    (assigned to STORED centroids, encoded with the STORED codebook)
+    must leave the codes table equal to encoding corpus+batch with the
+    same frozen parameters, the appended table must still scan
+    bucketed, and a probe must now RETRIEVE appended vectors without
+    any rebuild."""
+    import hashlib
+    import os
+
+    from grapho_spark.queries.embeddings import (
+        _ann_probe,
+        _assign_to_cents,
+        _pq_encode,
+        ann_index_tables,
+        append_to_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    base_pred = "vec_id % 10 < 8"
+    batch_pred = "vec_id % 10 >= 8"
+    union_pred = "vec_id IS NOT NULL"
+
+    codes_t = append_to_ann_index(spark, sf_dir, batch_pred, base_pred)
+    cents, book, codes = ann_index_tables(spark, sf_dir, base_pred)
+
+    # appended table == frozen-parameter encode of the FULL corpus
+    want = (
+        _pq_encode(spark, sf_dir, book, union_pred)
+        .join(_assign_to_cents(spark, sf_dir, cents, union_pred), "vec_id")
+        .select(F.col("cid").alias("cell"), "vec_id", "sub", "code")
+    )
+    got_rows = sorted(tuple(r) for r in spark.table(codes_t).collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows
+    assert got_rows
+
+    # the appended table is still registered bucketed (a bare scan
+    # doesn't annotate bucketing; the catalog spec is the contract)
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {codes_t}").collect()
+    assert any("Num Buckets" in str(r) for r in desc)
+
+    # probing with the appended vectors as queries retrieves real
+    # neighbors for every query — new vectors are searchable in place
+    probed = _ann_probe(
+        spark, sf_dir, cents, book, spark.table(codes_t), query_pred=batch_pred
+    )
+    rows = probed.collect()
+    n_queries = spark.table(codes_t).filter(batch_pred).select("vec_id").distinct()
+    n_batch = n_queries.count()
+    assert n_batch > 0
+    assert {r["q_id"] for r in rows} == {
+        r["vec_id"] for r in n_queries.collect()
+    }
+
+    # cleanup: this index is pred-scoped; drop so reruns rebuild fresh
+    tag = (
+        hashlib.md5(f"{sf_dir}|{base_pred}".encode()).hexdigest()[:10]
+        + f"_pid{os.getpid()}"
+    )
+    for t in (f"ann_centroids_{tag}", f"ann_codebook_{tag}", f"ann_pq_codes_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    import tempfile
+
+    marker = os.path.join(
+        tempfile.gettempdir(), "grapho_spark_index", f"_BUILD_OK_{tag}"
+    )
+    if os.path.exists(marker):
+        os.unlink(marker)
