@@ -74,6 +74,8 @@ HEADLINE = [
     "embedding_ivfpq_indexed_knn",
     "graph_anf_hyperball",
     "streaming_windowed_distinct_sketch",
+    # round-8 addition
+    "streaming_ann_index_probe",
 ]
 
 

@@ -1805,7 +1805,12 @@ def _duck_pq_trained_ctes() -> str:
   FROM ai_norm)""",
         f"""p16_cw0 AS (
   SELECT vec_id % {K} AS grp, sub, pos,
-         CAST(CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS cw
+         CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
+                THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                     // (2 * COUNT(*))
+                ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                     // (2 * COUNT(*)))
+                END AS DOUBLE) / 1000000 AS DECIMAL(12,6)) AS cw
   FROM p16_expl GROUP BY vec_id % {K}, sub, pos)""",
     ]
     dist = """{out} AS (
@@ -1825,7 +1830,12 @@ def _duck_pq_trained_ctes() -> str:
         parts.append(
             f"""p16_cw{t} AS (
   SELECT a.grp, e.sub, e.pos,
-         CAST(CAST(SUM(e.dv) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS cw
+         CAST(CAST(CASE WHEN CAST(SUM(e.dv) * 1000000 AS BIGINT) >= 0
+                THEN (2 * CAST(SUM(e.dv) * 1000000 AS BIGINT) + COUNT(*))
+                     // (2 * COUNT(*))
+                ELSE -((2 * -CAST(SUM(e.dv) * 1000000 AS BIGINT) + COUNT(*))
+                     // (2 * COUNT(*)))
+                END AS DOUBLE) / 1000000 AS DECIMAL(12,6)) AS cw
   FROM p16_expl e JOIN p16_a{t} a ON a.vec_id = e.vec_id AND a.sub = e.sub
   GROUP BY a.grp, e.sub, e.pos)"""
         )
@@ -1962,10 +1972,22 @@ def _pq16_codebook(
     from grapho_spark.sparkutil import checkpoint_state
 
     expl = _pq_expl(spark, sf_dir, pred)
+    # Codeword means round to 6dp in EXACT INTEGER MICRO-UNITS with an
+    # explicit half-up division: a mean of 6dp decimals can land
+    # exactly on a 7th-digit tie (observed: 1.811278/28 = 0.0646885),
+    # where double->decimal casts and double round() disagree across
+    # engines (Java BigDecimal rounds the shortest decimal repr, C
+    # libraries round the binary value). Integer arithmetic has no
+    # such boundary — both engines compute the identical codeword.
     cw = expl.groupBy((F.col("vec_id") % _ANN_PQ_K).alias("grp"), "sub", "pos").agg(
-        (F.sum("dv").cast("double") / F.count(F.lit(1)))
-        .cast("decimal(12,6)")
-        .alias("cw")
+        F.expr(
+            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
+                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*))
+                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*)))
+                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
+        ).alias("cw")
     )
 
     def code_dists(book: DataFrame) -> DataFrame:
@@ -1991,9 +2013,14 @@ def _pq16_codebook(
             expl.join(am.withColumnRenamed("grp", "code_grp"), ["vec_id", "sub"])
             .groupBy(F.col("code_grp").alias("grp"), "sub", "pos")
             .agg(
-                (F.sum("dv").cast("double") / F.count(F.lit(1)))
-                .cast("decimal(12,6)")
-                .alias("cw")
+                F.expr(
+            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
+                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*))
+                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*)))
+                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
+        ).alias("cw")
             )
         )
     return cw
@@ -2518,3 +2545,161 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --------------------------------------------------------------------------
+# Stream-facing view of the persisted ANN index (r8): the probe as a
+# pure MAP-SIDE expression chain over stream-static joins, so a query
+# STREAM can search the standing index with zero stateful operators.
+# --------------------------------------------------------------------------
+
+
+def ann_index_stream_tables(spark: SparkSession, sf_dir: str):
+    """The persisted index reshaped for stream-static probing:
+
+    - a ONE-ROW broadcast frame (join key ``jk``) carrying the 8 cell
+      centroids and the 128-entry trained codebook as nested arrays —
+      genuinely KB-sized routing state, the thing a production stream
+      keeps broadcast on every executor;
+    - a PER-CELL table ``(cell, members)`` where members is the cell's
+      (vec_id, 8 PQ codes ordered by subspace) list — the streaming
+      probe left-joins it once per routed cell (the LSH probe's
+      per-band-join pattern), so per-query state is bounded by cell
+      size exactly like a batch probe's bucketed scan.
+
+    Built from the stored tables; memoized per session."""
+    from grapho_spark.sparkutil import memo_table
+
+    def build_cb() -> DataFrame:
+        cents, book, _ = ann_index_tables(spark, sf_dir)
+        cents_arr = (
+            cents.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.getField("cval"),
+                ).alias("cvec")
+            )
+            .agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents"))
+        )
+        book_arr = (
+            book.groupBy("sub", "grp")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cw"))),
+                    lambda s: s.getField("cw"),
+                ).alias("cwv")
+            )
+            .agg(
+                F.sort_array(F.collect_list(F.struct("sub", "grp", "cwv"))).alias(
+                    "books"
+                )
+            )
+        )
+        return cents_arr.crossJoin(book_arr).withColumn("jk", F.lit(1))
+
+    def build_cells() -> DataFrame:
+        _, _, codes = ann_index_tables(spark, sf_dir)
+        return (
+            codes.groupBy("cell", "vec_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s.getField("code"),
+                ).alias("codes")
+            )
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("vec_id", "codes"))).alias("members"))
+        )
+
+    return (
+        memo_table(spark, f"ann_stream_cb:{sf_dir}", build_cb),
+        memo_table(spark, f"ann_stream_cells:{sf_dir}", build_cells),
+    )
+
+
+def ann_probe_mapside(
+    q_df: DataFrame, static_cb: DataFrame, cell_tbl: DataFrame
+) -> DataFrame:
+    """ADC top-3 against the persisted index as a STATELESS plan:
+    normalize, route, LUT, score and rank entirely inside array
+    expressions on each query row, with the index arriving through
+    stream-static joins (the one-row centroid/codebook frame plus one
+    left join per routed cell). Works identically for a batch or a
+    STREAMING ``q_df`` (vec_id, embedding) — no aggregation, no
+    window, no state store; output is append-safe.
+
+    Every distance uses the index's exact-decimal protocol (9dp-round
+    DECIMAL(28,9) routing folds, DECIMAL(38,12) LUT folds), and exact
+    decimal sums are order-free, so the map-side folds equal the batch
+    groupBy sums bit-for-bit — the oracle is the same generated SQL
+    the batch probe family uses, checked by value hash."""
+    ed = "CAST(embedding AS ARRAY<DOUBLE>)"
+    dot = _SPARK_DOT.format(a=ed, b=ed)
+    q = (
+        q_df.select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(f"transform({ed}, x -> round(x / sqrt({dot}), 6))").alias("nq"),
+        )
+        .withColumn("jk", F.lit(1))
+        .join(F.broadcast(static_cb), "jk")
+    )
+    q = q.withColumn(
+        "dvq", F.expr("transform(nq, x -> CAST(x AS DECIMAL(12,6)))")
+    ).withColumn(
+        "routed",
+        F.expr(
+            f"""slice(array_sort(transform(cents, c -> struct(
+                 aggregate(zip_with(nq, c.cvec,
+                           (x, y) -> CAST(round((x - y) * (x - y), 9) AS DECIMAL(28,9))),
+                           CAST(0 AS DECIMAL(28,9)),
+                           (a, t) -> CAST(a + t AS DECIMAL(28,9))) AS d,
+                 c.cid AS cid))), 1, {_ANN_NPROBE})"""
+        ),
+    ).withColumn(
+        # keyed sub*K+grp: a TRAINED codebook may have dropped empty
+        # codewords, so positions aren't dense — a map lookup is
+        # position-free (and O(1), the production LUT shape)
+        # accumulator stays DECIMAL(30,12): a (38,12)+(27,12) add would
+        # exceed precision 38 and silently drop to scale 11 under
+        # Spark's precision-loss rule — (30,12)+(27,12) -> (32,12) is
+        # exact, so the fold equals the batch groupBy SUM bit-for-bit
+        "lut",
+        F.expr(
+            f"""map_from_entries(transform(books, b -> struct(
+                 CAST(b.sub * {_ANN_PQ_K} + b.grp AS BIGINT) AS k,
+                 aggregate(zip_with(slice(dvq, b.sub * 8 + 1, 8), b.cwv,
+                           (x, y) -> (x - y) * (x - y)),
+                           CAST(0 AS DECIMAL(30,12)),
+                           (a, t) -> CAST(a + t AS DECIMAL(30,12))) AS v)))"""
+        ),
+    )
+    for k in range(1, _ANN_NPROBE + 1):
+        ct = cell_tbl.select(
+            F.col("cell").alias(f"cell_{k}"), F.col("members").alias(f"members_{k}")
+        )
+        q = q.withColumn(f"cell_{k}q", F.expr(f"element_at(routed, {k}).cid")).join(
+            ct, F.col(f"cell_{k}q") == F.col(f"cell_{k}"), "left"
+        )
+    members = ", ".join(
+        f"coalesce(members_{k}, CAST(array() AS ARRAY<STRUCT<vec_id: BIGINT, codes: ARRAY<BIGINT>>>))"
+        for k in range(1, _ANN_NPROBE + 1)
+    )
+    scored = q.withColumn(
+        "top3",
+        F.expr(
+            f"""slice(array_sort(transform(
+                 filter(concat({members}), m -> m.vec_id != q_id),
+                 m -> struct(
+                   CAST(aggregate(sequence(0, {_PQ_M - 1}),
+                        CAST(0 AS DECIMAL(31,12)),
+                        (a, s) -> CAST(a + element_at(lut,
+                          CAST(s * {_ANN_PQ_K} + element_at(m.codes, s + 1) AS BIGINT))
+                          AS DECIMAL(31,12)))
+                     AS DOUBLE) AS adc_dist,
+                   m.vec_id AS vec_id))), 1, 3)"""
+        ),
+    )
+    return scored.select(
+        "q_id", F.explode("top3").alias("hit")
+    ).select("q_id", F.col("hit.vec_id").alias("vec_id"), F.col("hit.adc_dist").alias("adc_dist"))

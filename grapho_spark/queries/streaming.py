@@ -714,3 +714,56 @@ def streaming_windowed_distinct_sketch(spark: SparkSession, sf_dir: str) -> Data
             <= F.lit(0.02)
         ).alias("sketch_within_2pct"),
     )
+
+
+def _ann_stream_oracle() -> str:
+    from grapho_spark.queries.embeddings import (
+        _DUCK_ANN_INDEX_CTES,
+        _DUCK_ANN_PROBE_CTES,
+    )
+
+    return f"""
+WITH {_DUCK_ANN_INDEX_CTES},
+{_DUCK_ANN_PROBE_CTES}
+SELECT q_id, vec_id, adc_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, vec_id) AS rn
+  FROM ai_adc) WHERE rn <= 3
+"""
+
+
+@query("streaming_ann_index_probe", oracle=_ann_stream_oracle())
+def streaming_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC vector search: query embeddings arrive as a
+    stream and are answered from the standing persisted ANN index in
+    real time — the ANN twin of streaming_lsh_index_probe, with the
+    same zero-state architecture: the KB-sized routing state (cell
+    centroids + trained PQ codebook) rides a one-row broadcast join;
+    each routed cell is one stateless stream-static left join against
+    the per-cell member table; normalization, exact-decimal routing,
+    the per-query ADC LUT, candidate scoring and the per-query top-3
+    all happen INSIDE array expressions on the query row. Append
+    mode, no watermark, no state store, no aggregation.
+
+    The result (ADC top-3 per streamed query) shares the batch index
+    pipeline's generated-SQL oracle — a full value-hash check on a
+    streaming plan (exact decimal folds are order-free, so map-side
+    folds equal batch groupBy sums bit-for-bit).
+
+    Scale: per-query cost is bounded by n_probe x cell size exactly
+    like the batch probe's bucketed scan; the member tables are the
+    same rows the batch index stores, keyed by cell. No micro-batch
+    ever holds more state than its own rows.
+    """
+    from grapho_spark.queries.embeddings import (
+        ann_index_stream_tables,
+        ann_probe_mapside,
+    )
+
+    static_cb, cell_tbl = ann_index_stream_tables(spark, sf_dir)
+    q_stream = (
+        load_stream(spark, sf_dir, "embeddings")
+        .filter("vec_id % 97 = 0")
+        .select("vec_id", "embedding")
+    )
+    return run_to_memory(ann_probe_mapside(q_stream, static_cb, cell_tbl), "append")

@@ -79,10 +79,11 @@ PROBES = [
     "embedding_ivfpq_indexed_knn",
     "graph_anf_hyperball",
     "streaming_windowed_distinct_sketch",
-    # round-8 addition: the O(data) BUILD side of the persisted ANN
+    # round-8 additions: the O(data) BUILD side of the persisted ANN
     # index (normalize + coarse k-means + PQ train + code assignment +
-    # bucketed write) — the ingest-time stage the 1.6x probe row
-    # amortizes over
+    # bucketed write) — the ingest-time stage the probe rows amortize
+    # over — and the stream-static ANN probe
+    "streaming_ann_index_probe",
     "ann_index_build",
 ]
 
