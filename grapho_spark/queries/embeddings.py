@@ -729,7 +729,12 @@ pq_expl AS (
   FROM embeddings, range(1, 65) t(i)),
 pq_cw AS (
   SELECT vec_id % {_PQ_K} AS grp, sub, pos,
-         CAST(CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS cw
+         CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
+              THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                   // (2 * COUNT(*))
+              ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                   // (2 * COUNT(*)))
+              END AS DOUBLE) / 1000000 AS DECIMAL(12,6)) AS cw
   FROM pq_expl GROUP BY vec_id % {_PQ_K}, sub, pos),
 pq_dists AS (
   SELECT e.vec_id, e.sub, c.grp,
@@ -793,14 +798,22 @@ def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("pos0") / _PQ_M).cast("int").alias("sub"),
         F.col("v").cast("double").cast("decimal(12,6)").alias("dv"),
     )
+    # exact integer micro-unit half-up mean (see _pq16_codebook: a
+    # bare double->DECIMAL(12,6) cast of a mean can land on a true
+    # 7th-digit tie where the engines' rounding disagrees)
     cw = (
         expl.groupBy(
             (F.col("vec_id") % _PQ_K).alias("grp"), "sub", "pos"
         )
         .agg(
-            (F.sum("dv").cast("double") / F.count(F.lit(1)))
-            .cast("decimal(12,6)")
-            .alias("cw")
+            F.expr(
+            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
+                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*))
+                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*)))
+                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
+        ).alias("cw")
         )
     )
     dists = (
@@ -976,9 +989,14 @@ def embedding_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").cast("decimal(12,6)").alias("dv"),
     )
     cw = expl.groupBy((F.col("vec_id") % _PQ_K).alias("grp"), "sub", "pos").agg(
-        (F.sum("dv").cast("double") / F.count(F.lit(1)))
-        .cast("decimal(12,6)")
-        .alias("cw")
+        F.expr(
+            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
+                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*))
+                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
+                      DIV (2 * COUNT(*)))
+                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
+        ).alias("cw")
     )
     dists = (
         expl.join(F.broadcast(cw), ["sub", "pos"])
@@ -1791,7 +1809,7 @@ def _duck_kmeans_chain(prefix: str, src: str, k: int, rounds: int) -> str:
     return ",\n".join(parts)
 
 
-def _duck_pq_trained_ctes() -> str:
+def _duck_pq_trained_ctes(lut_pred: str = "vec_id % 97 = 0") -> str:
     """CTE chain for the index's TRAINED product-quantizer: codebook
     seeded from the deterministic ``vec_id % K`` partition means (the
     embedding_pq_adc_knn protocol) then refined by _ANN_PQ_TRAIN Lloyd
@@ -1848,26 +1866,31 @@ def _duck_pq_trained_ctes() -> str:
     FROM p16_df) WHERE rn = 1)"""
     )
     parts.append(
-        """p16_lut AS (
-  SELECT vec_id AS q_id, sub, grp, dist FROM p16_df WHERE vec_id % 97 = 0)"""
+        f"""p16_lut AS (
+  SELECT vec_id AS q_id, sub, grp, dist FROM p16_df WHERE {lut_pred})"""
     )
     return ",\n".join(parts)
 
 
-_DUCK_ANN_INDEX_CTES = (
-    _DUCK_NORM_CTE
-    + ",\n"
-    + _duck_kmeans_chain("ai_", "ai_norm", _ANN_CELLS, _ANN_ROUNDS)
-    + ",\n"
-    + _duck_pq_trained_ctes()
-)
+def _duck_ann_index_ctes(lut_pred: str = "vec_id % 97 = 0") -> str:
+    return (
+        _DUCK_NORM_CTE
+        + ",\n"
+        + _duck_kmeans_chain("ai_", "ai_norm", _ANN_CELLS, _ANN_ROUNDS)
+        + ",\n"
+        + _duck_pq_trained_ctes(lut_pred)
+    )
 
-_DUCK_ANN_PROBE_CTES = f"""ai_qd AS (
+
+_DUCK_ANN_INDEX_CTES = _duck_ann_index_ctes()
+
+def _duck_ann_probe_ctes(q_pred: str = "v.vec_id % 97 = 0") -> str:
+    return f"""ai_qd AS (
   SELECT v.vec_id AS q_id, c.cid,
          SUM(CAST(round((v.val - c.cval) * (v.val - c.cval), 9)
                   AS DECIMAL(28,9))) AS dist
   FROM ai_norm v JOIN ai_c{_ANN_ROUNDS} c USING (pos)
-  WHERE v.vec_id % 97 = 0
+  WHERE {q_pred}
   GROUP BY v.vec_id, c.cid),
 ai_route AS (
   SELECT q_id, cid FROM (
@@ -1899,6 +1922,9 @@ ai_top AS (
     SELECT q_id, vec_id, cosine,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
     FROM ai_rerank) WHERE rn <= 3)"""
+
+
+_DUCK_ANN_PROBE_CTES = _duck_ann_probe_ctes()
 
 
 def _pq_expl(spark: SparkSession, sf_dir: str, pred: str | None = None) -> DataFrame:
@@ -2140,10 +2166,15 @@ def _ann_probe(
     book: DataFrame,
     codes: DataFrame,
     query_pred: str = "vec_id % 97 = 0",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """The full probe plan against an arbitrary set of index tables —
-    shared by the oracle-checked query (standard full-corpus index)
-    and the delta-ingest tests (base index + appended codes)."""
+    shared by the oracle-checked query (standard full-corpus index),
+    the delta-ingest tests (base index + appended codes) and the
+    all-corpus near-dup scan. ``hint_broadcast=False`` drops the
+    broadcast hints on the routed-query/LUT/shortlist sides: when the
+    QUERY SET is the whole corpus (near-dup), those tables are
+    corpus-sized and must shuffle on their join keys instead."""
     e = load_table(spark, sf_dir, "embeddings")
     ed = "CAST(embedding AS ARRAY<DOUBLE>)"
     dot = _SPARK_DOT.format(a=ed, b=ed)
@@ -2199,10 +2230,11 @@ def _ann_probe(
             "dist",
         )
     )
+    maybe_bc = F.broadcast if hint_broadcast else (lambda df: df)
     adc = (
-        codes.join(F.broadcast(route), "cell")
+        codes.join(maybe_bc(route), "cell")
         .join(
-            F.broadcast(lut),
+            maybe_bc(lut),
             (F.col("a_qid") == F.col("l_qid"))
             & (F.col("sub") == F.col("l_sub"))
             & (F.col("code") == F.col("l_grp")),
@@ -2224,8 +2256,8 @@ def _ann_probe(
     )
     ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
     rer = (
-        ev.join(F.broadcast(short), "vec_id")
-        .join(F.broadcast(qv), "q_id")
+        ev.join(maybe_bc(short), "vec_id")
+        .join(maybe_bc(qv), "q_id")
         .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
     )
     w_top = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
@@ -2703,3 +2735,60 @@ def ann_probe_mapside(
     return scored.select(
         "q_id", F.explode("top3").alias("hit")
     ).select("q_id", F.col("hit.vec_id").alias("vec_id"), F.col("hit.adc_dist").alias("adc_dist"))
+
+
+_NEARDUP_TAU = 0.45
+
+
+@query(
+    "embedding_indexed_neardup_pairs",
+    oracle=f"""
+WITH {_duck_ann_index_ctes("TRUE")},
+{_duck_ann_probe_ctes("TRUE")}
+SELECT DISTINCT least(q_id, vec_id) AS u,
+                greatest(q_id, vec_id) AS v,
+                cosine
+FROM ai_top
+WHERE cosine >= {_NEARDUP_TAU}
+""",
+)
+def embedding_indexed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection THROUGH the persisted ANN
+    index: every corpus vector probes the standing index (routed
+    cells, stored codes, exact re-rank of the shortlist) and pairs
+    whose re-ranked cosine clears {_NEARDUP_TAU} are emitted as
+    deduped (u < v) candidates. This is how embedding-based dedup
+    actually runs at 100 TB — the brute-force scan
+    (embedding_neardup_pairs) is O(n^2) in the corpus; probing the
+    index is O(n x cell) with the same standing tables every search
+    query uses, at the cost of index recall (pairs the router misses
+    are the recall gap the dials measure — by design this is the
+    ANN-candidate stage; an exactness-critical dedup re-verifies
+    survivors, the MinHash pipeline's verify-then-act pattern).
+
+    Scale: with the whole corpus as the query set, the routed-query
+    and LUT tables are corpus-sized, so the probe runs WITHOUT
+    broadcast hints — the ADC join shuffles on cell (matching the
+    codes table's bucketing) and the re-rank joins shuffle on their
+    keys; per-vector work stays n_probe x cell-sized. The pair-dedup
+    is one distinct on (u, v).
+    """
+    cents, book, codes = ann_index_tables(spark, sf_dir)
+    top = _ann_probe(
+        spark,
+        sf_dir,
+        cents,
+        book,
+        codes,
+        query_pred="vec_id IS NOT NULL",
+        hint_broadcast=False,
+    )
+    return (
+        top.filter(F.col("cosine") >= _NEARDUP_TAU)
+        .select(
+            F.least("q_id", "vec_id").alias("u"),
+            F.greatest("q_id", "vec_id").alias("v"),
+            "cosine",
+        )
+        .distinct()
+    )
