@@ -181,3 +181,38 @@ def test_tws_user_stats_protobuf_gated(spark, sf_dir):
     got = {r.user_id: r.n_events for r in final.collect()}
     want = {r.user_id: r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_ann_probe_runs_stateless(spark, sf_dir):
+    """The stream-static ANN probe's core claim: ZERO stateful
+    operators — no state store, no watermark, append-safe. Pinned by
+    inspecting the streaming query's progress (stateOperators must be
+    empty) rather than trusting the docstring."""
+    import uuid
+
+    from grapho_spark.queries.embeddings import (
+        ann_index_stream_tables,
+        ann_probe_mapside,
+    )
+    from grapho_spark.tables import load_stream
+
+    static_cb, cell_tbl = ann_index_stream_tables(spark, sf_dir)
+    q_stream = (
+        load_stream(spark, sf_dir, "embeddings")
+        .filter("vec_id % 97 = 0")
+        .select("vec_id", "embedding")
+    )
+    out = ann_probe_mapside(q_stream, static_cb, cell_tbl)
+    name = "ann_stateless_" + uuid.uuid4().hex[:8]
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+        assert progress is not None
+        assert progress["stateOperators"] == []  # genuinely stateless
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert rows  # queries exist at this SF and produced neighbors
+    for r in rows:
+        assert r["vec_id"] != r["q_id"]
