@@ -134,6 +134,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # the ANN probe must scan the PERSISTED cell-bucketed code table
     # (build-once/probe-many), not re-derive PQ codes from raw vectors
     "embedding_ivfpq_indexed_knn": ["ann_pq_codes", "BroadcastHashJoin"],
+    # all-corpus near-dup must ALSO read the stored code table (the
+    # whole point is avoiding the O(n^2) raw-vector scan)
+    "embedding_indexed_neardup_pairs": ["ann_pq_codes"],
 }
 
 
