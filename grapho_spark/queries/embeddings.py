@@ -1754,13 +1754,13 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each individually measured: normalize (L2 ordering == cosine ordering
 # on unit vectors), train cells on vector geometry (k-means), probe
 # more than one cell, and re-rank the survivors exactly. Measured
-# recall@3 at sf0.1 moves ~0 -> ~0.65 (embedding_ivfpq_recall).
+# recall@3 at sf0.1 moves ~0 -> 0.79 (embedding_ivfpq_recall).
 # --------------------------------------------------------------------------
 
 _ANN_CELLS = 8  # coarse k-means cells in the persisted index
 _ANN_ROUNDS = 3  # Lloyd recompute rounds for the coarse cells
-_ANN_NPROBE = 3  # cells probed per query (of _ANN_CELLS)
-_ANN_SHORTLIST = 100  # ADC candidates re-ranked by exact cosine
+_ANN_NPROBE = 4  # cells probed per query (of _ANN_CELLS)
+_ANN_SHORTLIST = 200  # ADC candidates re-ranked by exact cosine
 _ANN_PQ_K = 16  # codewords per subspace (vs 4 in the exhaustive demo)
 _ANN_PQ_TRAIN = 2  # Lloyd rounds for the PQ codebook
 
@@ -2335,7 +2335,7 @@ def embedding_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, so the index was fast retrieval of the wrong neighbors. The
     v2 composition (k-means cells on normalized vectors, trained
     codebook, {_ANN_NPROBE}-cell multi-probe, exact re-rank of the top
-    {_ANN_SHORTLIST}) measures ~0.65 at sf0.1 — every remedy the r7
+    {_ANN_SHORTLIST}) measures 0.79 at sf0.1 — every remedy the r7
     dial named, now composed and re-measured. bench.py records this
     number per run and flags drops like time regressions.
 
@@ -2473,7 +2473,7 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     while (16 cells, 3 rounds, probe 4) reads ~0.70 — finer
     well-trained cells + multi-probe beat coarse cells at the same
     cost. Together with embedding_ivf_recall (label cells 0.08) and
-    embedding_ivfpq_recall (full v2 stack ~0.65) the dials quantify
+    embedding_ivfpq_recall (full v2 stack 0.79) the dials quantify
     exactly where accuracy goes: partitioning, quantization, or
     metric mismatch.
 
