@@ -591,3 +591,157 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance reweighting
+# --------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., arXiv
+# 2302.03169, public): estimate target-domain and raw-corpus
+# distributions over HASHED n-gram buckets, then score every raw
+# document by its importance log-weight
+#     log w(doc) = sum over features f of [ln p_target(b(f)) - ln p_raw(b(f))]
+# and keep the highest-weighted docs. The hashed-bucket trick is what
+# makes this 100 TB-able: the "model" is two B-sized count vectors, not
+# a vocabulary — B is fixed (here 1024) no matter how big the corpus.
+#
+# Here the target distribution is the corpus's own English slice (in
+# production it is an out-of-band high-quality sample); features are
+# lowercased whitespace unigrams + adjacent bigrams, hashed with the
+# engine-portable md5-prefix trick (same construction as
+# corpus_shuffle_shards / the MinHash family).
+#
+# Determinism (the text_unigram_logprob protocol): each bucket's
+# log-ratio is ONE double expression + ln rounded at 6dp (libm-stable
+# policy), folded per document as EXACT decimals so the two engines'
+# different accumulation orders cannot diverge; both engines compute
+# the identical expression tree.
+
+DSIR_BUCKETS = 1024  # hashed feature buckets; fixed regardless of corpus size
+DSIR_TARGET_LANG = "en"  # stand-in target domain (the corpus's own en slice)
+
+_DSIR_BIGRAMS_DUCK = (
+    "[array_to_string(words[i:i+1], ' ') "
+    "for i in range(1, greatest(len(words) - 1, 1) + 1)]"
+)
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, source,
+         unnest(list_concat(words, {_DSIR_BIGRAMS_DUCK})) AS feat
+  FROM w),
+b AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(feat), 1, 6)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM feats),
+raw_b AS (SELECT bucket, COUNT(*) AS c_raw FROM b GROUP BY bucket),
+tgt_b AS (SELECT bucket, COUNT(*) AS c_tgt FROM b
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM b) AS t_raw,
+         (SELECT COUNT(*) FROM b WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt),
+lam AS (
+  SELECT r.bucket,
+         CAST(round(ln(
+             ((COALESCE(g.c_tgt, 0) + 1.0) / (t_tgt + {DSIR_BUCKETS}))
+             / ((r.c_raw + 1.0) / (t_raw + {DSIR_BUCKETS}))
+           ), 6) AS DECIMAL(18,6)) AS lam
+  FROM raw_b r LEFT JOIN tgt_b g USING (bucket), tot)
+SELECT doc_id, lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(lam) AS DOUBLE) AS log_importance
+FROM b JOIN lam USING (bucket)
+GROUP BY doc_id, lang, source
+""",
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weight per document: hashed-ngram (unigram +
+    bigram, md5 -> 1024 buckets) target-vs-raw log-likelihood ratio,
+    summed over the document's features. log_importance > 0 means the
+    doc looks more like the target (en) distribution than the raw mix
+    — the selection signal importance resampling ranks on.
+
+    Scale: the feature stream is a map-only explode (never collected);
+    the two distribution estimates are B-sized (1024-row) hash
+    aggregates with map-side partial combine; the per-bucket log-ratio
+    table is broadcast (16 KB) to the scoring join, so scoring is scan
+    + broadcast-join + one groupBy(doc_id). At 100 TB the two count
+    vectors are computed once and persisted; re-scoring a grown corpus
+    reuses them unchanged (same frozen-stats shape as the ANN index's
+    stored centroids).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    w = d.select("doc_id", "lang", "source", words.alias("words"))
+    feats = w.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr(
+                "concat(words, transform(sequence(1, greatest(size(words) - 1, 1)), "
+                "i -> concat_ws(' ', slice(words, i, 2))))"
+            )
+        ).alias("feat"),
+    )
+    from grapho_spark.sparkutil import materialize
+
+    b = materialize(
+        feats.select(
+            "doc_id",
+            "lang",
+            "source",
+            (
+                F.conv(F.substring(F.md5("feat"), 1, 6), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    is_tgt = F.col("lang") == DSIR_TARGET_LANG
+    raw_b = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_b = (
+        b.filter(is_tgt).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(is_tgt.cast("long")).alias("t_tgt"),
+    )
+    lam = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("t_tgt") + F.lit(DSIR_BUCKETS))
+                    )
+                    / (
+                        (F.col("c_raw") + F.lit(1.0))
+                        / (F.col("t_raw") + F.lit(DSIR_BUCKETS))
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lam"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lam").cast("double").alias("log_importance"),
+        )
+    )
