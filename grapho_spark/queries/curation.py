@@ -627,10 +627,8 @@ _DSIR_BIGRAMS_DUCK = (
 )
 
 
-@query(
-    "corpus_dsir_importance",
-    oracle=f"""
-WITH w AS (
+# DuckDB CTE chain shared with the streaming ingest scorer's oracle.
+DUCK_DSIR_CTE = f"""w AS (
   SELECT doc_id, lang, source,
          string_split_regex(trim(lower(text)), '\\s+') AS words
   FROM documents),
@@ -655,7 +653,13 @@ lam AS (
              ((COALESCE(g.c_tgt, 0) + 1.0) / (t_tgt + {DSIR_BUCKETS}))
              / ((r.c_raw + 1.0) / (t_raw + {DSIR_BUCKETS}))
            ), 6) AS DECIMAL(18,6)) AS lam
-  FROM raw_b r LEFT JOIN tgt_b g USING (bucket), tot)
+  FROM raw_b r LEFT JOIN tgt_b g USING (bucket), tot)"""
+
+
+@query(
+    "corpus_dsir_importance",
+    oracle=f"""
+WITH {DUCK_DSIR_CTE}
 SELECT doc_id, lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_feats,
        CAST(SUM(lam) AS DOUBLE) AS log_importance
@@ -679,64 +683,8 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses them unchanged (same frozen-stats shape as the ANN index's
     stored centroids).
     """
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.lower("text")), r"\s+")
-    w = d.select("doc_id", "lang", "source", words.alias("words"))
-    feats = w.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(
-            F.expr(
-                "concat(words, transform(sequence(1, greatest(size(words) - 1, 1)), "
-                "i -> concat_ws(' ', slice(words, i, 2))))"
-            )
-        ).alias("feat"),
-    )
-    from grapho_spark.sparkutil import materialize
-
-    b = materialize(
-        feats.select(
-            "doc_id",
-            "lang",
-            "source",
-            (
-                F.conv(F.substring(F.md5("feat"), 1, 6), 16, 10).cast("long")
-                % DSIR_BUCKETS
-            ).alias("bucket"),
-        )
-    )
-    is_tgt = F.col("lang") == DSIR_TARGET_LANG
-    raw_b = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt_b = (
-        b.filter(is_tgt).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    )
-    tot = b.agg(
-        F.count(F.lit(1)).alias("t_raw"),
-        F.sum(is_tgt.cast("long")).alias("t_tgt"),
-    )
-    lam = (
-        raw_b.join(tgt_b, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("t_tgt") + F.lit(DSIR_BUCKETS))
-                    )
-                    / (
-                        (F.col("c_raw") + F.lit(1.0))
-                        / (F.col("t_raw") + F.lit(DSIR_BUCKETS))
-                    )
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lam"),
-        )
-    )
+    b = _dsir_buckets(spark, sf_dir)
+    lam = dsir_lambda(spark, sf_dir)
     return (
         b.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id", "lang", "source")
@@ -745,3 +693,84 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lam").cast("double").alias("log_importance"),
         )
     )
+
+
+# Spark-side feature expression shared by the batch pipeline and the
+# streaming ingest scorer (per-row, codegen): unigrams ++ bigrams.
+SPARK_DSIR_FEATS = (
+    "concat(words, transform(sequence(1, greatest(size(words) - 1, 1)), "
+    "i -> concat_ws(' ', slice(words, i, 2))))"
+)
+
+
+def _dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, bucket) hashed-feature stream, memoized —
+    consumed by the distribution estimates AND the batch scorer."""
+    from grapho_spark.sparkutil import memo_table
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        words = F.split(F.trim(F.lower("text")), r"\s+")
+        w = d.select("doc_id", "lang", "source", words.alias("words"))
+        feats = w.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.expr(SPARK_DSIR_FEATS)).alias("feat"),
+        )
+        return feats.select(
+            "doc_id",
+            "lang",
+            "source",
+            (
+                F.conv(F.substring(F.md5("feat"), 1, 6), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+
+    return memo_table(spark, f"dsir_buckets:{sf_dir}", build)
+
+
+def dsir_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, lam DECIMAL(18,6)) per-bucket log-likelihood ratio —
+    the DSIR 'model': two add-one-smoothed hashed-ngram distributions
+    folded into one broadcastable B-row table. Memoized; the streaming
+    scorer freezes exactly this table (same frozen-stats contract as
+    the ANN index's stored centroids/codebook)."""
+    from grapho_spark.sparkutil import memo_table
+
+    def build() -> DataFrame:
+        b = _dsir_buckets(spark, sf_dir)
+        is_tgt = F.col("lang") == DSIR_TARGET_LANG
+        raw_b = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+        tgt_b = (
+            b.filter(is_tgt).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+        )
+        tot = b.agg(
+            F.count(F.lit(1)).alias("t_raw"),
+            F.sum(is_tgt.cast("long")).alias("t_tgt"),
+        )
+        return (
+            raw_b.join(tgt_b, "bucket", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bucket",
+                F.round(
+                    F.log(
+                        (
+                            (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
+                            / (F.col("t_tgt") + F.lit(DSIR_BUCKETS))
+                        )
+                        / (
+                            (F.col("c_raw") + F.lit(1.0))
+                            / (F.col("t_raw") + F.lit(DSIR_BUCKETS))
+                        )
+                    ),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("lam"),
+            )
+        )
+
+    return memo_table(spark, f"dsir_lambda:{sf_dir}", build)

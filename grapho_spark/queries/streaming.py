@@ -767,3 +767,85 @@ def streaming_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return run_to_memory(ann_probe_mapside(q_stream, static_cb, cell_tbl), "append")
+
+
+def _dsir_stream_oracle() -> str:
+    from grapho_spark.queries.curation import DUCK_DSIR_CTE
+
+    return f"""
+WITH {DUCK_DSIR_CTE}
+SELECT doc_id, lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(CAST(SUM(lam) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+         AS log_importance
+FROM b JOIN lam USING (bucket)
+WHERE doc_id % 7 = 0
+GROUP BY doc_id, lang, source
+"""
+
+
+@query("streaming_dsir_score", oracle=_dsir_stream_oracle())
+def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC DSIR scoring at ingest: documents arrive as a
+    stream (deterministic doc_id % 7 sample, the dial convention) and
+    each is scored against the FROZEN per-bucket log-ratio table the
+    batch pipeline trained (curation.dsir_lambda) — the production
+    shape where the importance model is fit once on a reference
+    snapshot and every newly crawled document is scored on arrival.
+
+    Zero streaming state: the 1024-bucket model rides a ONE-ROW
+    broadcast map (same architecture as streaming_ann_index_probe's
+    centroid/codebook frame), and the per-document fold runs inside an
+    array expression on the row — append mode, no watermark, no state
+    store, no aggregation. The fold uses integer MICRO-UNITS (lam *
+    1e6 as BIGINT) so the map-side sum is exact integer math, equal to
+    the batch pipeline's decimal fold bit-for-bit; the oracle forces
+    the identical int/1e6 division shape.
+
+    Scale: per-document cost is O(features in that doc) against a
+    16 KB broadcast map — linear ingest throughput, no shuffle at all
+    on the stream side.
+    """
+    from grapho_spark.queries.curation import (
+        DSIR_BUCKETS,
+        SPARK_DSIR_FEATS,
+        dsir_lambda,
+    )
+
+    lam_map = F.broadcast(
+        dsir_lambda(spark, sf_dir)
+        .select("bucket", (F.col("lam") * 1_000_000).cast("long").alias("lm"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bucket", "lm")))
+            ).alias("lam_map")
+        )
+        .withColumn("jk", F.lit(1))
+    )
+    stream = (
+        load_stream(spark, sf_dir, "documents")
+        .filter("doc_id % 7 = 0")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("words"),
+        )
+        .withColumn("feats", F.expr(SPARK_DSIR_FEATS))
+        .withColumn("jk", F.lit(1))
+    )
+    scored = stream.join(lam_map, "jk").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("feats").cast("long").alias("n_feats"),
+        (
+            F.expr(
+                "aggregate(feats, CAST(0 AS BIGINT), (acc, f) -> acc + "
+                "element_at(lam_map, CAST(conv(substring(md5(f), 1, 6), 16, 10) "
+                f"AS BIGINT) % {DSIR_BUCKETS}))"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("log_importance"),
+    )
+    return run_to_memory(scored, "append")

@@ -216,3 +216,66 @@ def test_streaming_ann_probe_runs_stateless(spark, sf_dir):
     assert rows  # queries exist at this SF and produced neighbors
     for r in rows:
         assert r["vec_id"] != r["q_id"]
+
+
+def test_streaming_dsir_score_runs_stateless(spark, sf_dir):
+    """The stream-static DSIR ingest scorer's core claim: the frozen
+    1024-bucket model rides a broadcast map and the per-doc fold is an
+    on-row array expression — ZERO stateful operators. Pinned via the
+    streaming query's progress, and the scored sample must agree with
+    the batch importance pipeline on the same docs."""
+    import uuid
+
+    from grapho_spark.queries import all_queries
+    from grapho_spark.queries.curation import DSIR_BUCKETS, SPARK_DSIR_FEATS, dsir_lambda
+    from grapho_spark.tables import load_stream
+    from pyspark.sql import functions as F
+
+    lam_map = F.broadcast(
+        dsir_lambda(spark, sf_dir)
+        .select("bucket", (F.col("lam") * 1_000_000).cast("long").alias("lm"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bucket", "lm")))
+            ).alias("lam_map")
+        )
+        .withColumn("jk", F.lit(1))
+    )
+    stream = (
+        load_stream(spark, sf_dir, "documents")
+        .filter("doc_id % 7 = 0")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("words"),
+        )
+        .withColumn("feats", F.expr(SPARK_DSIR_FEATS))
+        .withColumn("jk", F.lit(1))
+    )
+    scored = stream.join(lam_map, "jk").select(
+        "doc_id",
+        (
+            F.expr(
+                "aggregate(feats, CAST(0 AS BIGINT), (acc, f) -> acc + "
+                "element_at(lam_map, CAST(conv(substring(md5(f), 1, 6), 16, 10) "
+                f"AS BIGINT) % {DSIR_BUCKETS}))"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("log_importance"),
+    )
+    name = "dsir_stateless_" + uuid.uuid4().hex[:8]
+    q = scored.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+        assert progress is not None
+        assert progress["stateOperators"] == []  # genuinely stateless
+    finally:
+        q.stop()
+    got = {r.doc_id: r.log_importance for r in spark.table(name).collect()}
+    assert got  # the % 7 sample is non-empty at every test SF
+    batch = all_queries()["corpus_dsir_importance"].spark_fn(spark, sf_dir)
+    want = {
+        r.doc_id: r.log_importance
+        for r in batch.filter("doc_id % 7 = 0").collect()
+    }
+    assert got == want
