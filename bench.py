@@ -74,8 +74,11 @@ HEADLINE = [
     "embedding_ivfpq_indexed_knn",
     "graph_anf_hyperball",
     "streaming_windowed_distinct_sketch",
-    # round-8 addition
+    # round-8 additions
     "streaming_ann_index_probe",
+    "corpus_dsir_importance",
+    "dedup_prefix_ssjoin_pairs",
+    "streaming_dsir_score",
 ]
 
 

@@ -137,6 +137,13 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # all-corpus near-dup must ALSO read the stored code table (the
     # whole point is avoiding the O(n^2) raw-vector scan)
     "embedding_indexed_neardup_pairs": ["ann_pq_codes"],
+    # r8b: DSIR scoring must be one feature scan + a broadcast of the
+    # B-row log-ratio table (a shuffle join there would re-shuffle the
+    # corpus-sized feature stream); the within-doc rarity ordering of
+    # the prefix ssjoin must stay a doc-partitioned Window, and its
+    # candidate generation an equi-join on the prefix token
+    "corpus_dsir_importance": ["BroadcastHashJoin", "HashAggregate", "InMemoryTableScan"],
+    "dedup_prefix_ssjoin_pairs": ["Window", "HashAggregate"],
 }
 
 

@@ -85,6 +85,15 @@ PROBES = [
     # over — and the stream-static ANN probe
     "streaming_ann_index_probe",
     "ann_index_build",
+    # round-8b additions: DSIR importance reweighting (batch scorer +
+    # stream-static ingest scorer over the frozen bucket model) and
+    # the exact prefix-filtered set-similarity join (the inflated
+    # corpus is 10 near-copies of every doc — the candidate blow-up
+    # shape the prefix+length filters must absorb)
+    "corpus_dsir_importance",
+    "streaming_dsir_score",
+    "dedup_prefix_ssjoin_pairs",
+    "dedup_prefix_ssjoin_stats",
 ]
 
 

@@ -39,6 +39,9 @@ NEGATIVE_CHECKS = {
     # the bucketed interval join exists precisely to avoid the
     # quadratic nested-loop plan the raw inequality join would pick
     "events_interval_overlap_join": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    # the prefix ssjoin's candidate stage is an equi-join on the
+    # prefix token — never an all-pairs nested loop
+    "dedup_prefix_ssjoin_pairs": ["CartesianProduct"],
 }
 
 
