@@ -79,6 +79,7 @@ HEADLINE = [
     "corpus_dsir_importance",
     "dedup_prefix_ssjoin_pairs",
     "streaming_dsir_score",
+    "corpus_training_export_manifest",
 ]
 
 

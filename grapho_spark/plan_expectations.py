@@ -144,6 +144,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # candidate generation an equi-join on the prefix token
     "corpus_dsir_importance": ["BroadcastHashJoin", "HashAggregate", "InMemoryTableScan"],
     "dedup_prefix_ssjoin_pairs": ["Window", "HashAggregate"],
+    # the composed export funnel: dedup election stays a Window (no
+    # self-join), the DSIR model joins as a broadcast
+    "corpus_training_export_manifest": ["Window", "BroadcastHashJoin", "HashAggregate"],
 }
 
 

