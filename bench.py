@@ -80,6 +80,10 @@ HEADLINE = [
     "dedup_prefix_ssjoin_pairs",
     "streaming_dsir_score",
     "corpus_training_export_manifest",
+    "text_bpe_merges",
+    "text_bpe_tokenize",
+    "embedding_semantic_dedup",
+    "streaming_bpe_tokenize",
 ]
 
 
@@ -160,6 +164,11 @@ def main() -> None:
                 "avg_recall"
             ]
             for r in rows
+        },
+        # r8c: SemDeDup window coverage — the fraction of full-pairwise
+        # drops the rank-window election also catches (its recall)
+        "embedding_semdedup_coverage": lambda rows: {
+            "semdedup_window_coverage": rows[0]["window_coverage"]
         },
     }
     q_t0 = time.perf_counter()

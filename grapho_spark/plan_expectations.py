@@ -147,6 +147,12 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # the composed export funnel: dedup election stays a Window (no
     # self-join), the DSIR model joins as a broadcast
     "corpus_training_export_manifest": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    # r8c: BPE tokenizer application must be a broadcast of the vocab
+    # lookup over the corpus token stream with map-side partial aggs;
+    # SemDeDup must broadcast centroids, rank via a Window, and read
+    # the ranked table from its materialization (both pair-join sides)
+    "text_bpe_tokenize": ["BroadcastHashJoin", "HashAggregate"],
+    "embedding_semantic_dedup": ["BroadcastHashJoin", "Window", "InMemoryTableScan"],
 }
 
 

@@ -2792,3 +2792,298 @@ def embedding_indexed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+# clustering + within-cluster near-duplicate election. The published
+# recipe computes all pairwise similarities inside each cluster; the
+# scalable variant here orders cluster members by distance-to-centroid
+# (near-identical vectors have near-identical centroid distances, so
+# semantic duplicates are adjacent in that order) and compares each
+# member only against the SEMDEDUP_WINDOW predecessors — fan-out is
+# hard-bounded per vector instead of quadratic per cell.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_WINDOW = 32  # predecessors compared per member (bounded fan-out)
+SEMDEDUP_TAU = 0.35  # cosine threshold, fit to the fixture geometry
+# (max pairwise cosine is ~0.48/0.51/0.60 at sf0.001/0.01/0.1 — the
+# near-dup battery's 0.6 would make every stage of this query vacuous)
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(range(1, {DIM + 1})) AS pos),
+vecs AS (
+  SELECT vec_id, embedding[d.pos] AS val, d.pos
+  FROM embeddings CROSS JOIN dims d),
+{_duck_kmeans_chain("sd", "vecs", 4, 1)},
+own AS (
+  SELECT f.vec_id, f.cid, f.dist
+  FROM sddf f JOIN sdassign a USING (vec_id, cid)),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn
+  FROM own),
+pairs AS (
+  SELECT a.cid, a.vec_id AS vi, b.vec_id AS vj
+  FROM ranked a JOIN ranked b
+    ON a.cid = b.cid AND b.rn < a.rn AND a.rn - b.rn <= {SEMDEDUP_WINDOW}),
+scored AS (
+  SELECT p.cid, p.vi,
+         {_DUCK_COS.format(a="x1.embedding::DOUBLE[]", b="x2.embedding::DOUBLE[]")}
+           AS cosine
+  FROM pairs p
+  JOIN embeddings x1 ON x1.vec_id = p.vi
+  JOIN embeddings x2 ON x2.vec_id = p.vj),
+dropped AS (
+  SELECT DISTINCT cid, vi FROM scored WHERE cosine >= {SEMDEDUP_TAU}),
+m AS (SELECT cid, COUNT(*) AS n_members FROM sdassign GROUP BY cid),
+dd AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
+SELECT m.cid AS cluster_id,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(dd.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(m.n_members - COALESCE(dd.n_dropped, 0) AS BIGINT) AS n_kept,
+       round(CAST(m.n_members - COALESCE(dd.n_dropped, 0) AS DOUBLE)
+             / m.n_members, 6) AS keep_rate
+FROM m LEFT JOIN dd USING (cid)
+ORDER BY cluster_id
+""",
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells (the shared memoized deterministic
+    Lloyd assignment) + within-cell near-duplicate election. Members
+    are ranked by exact-decimal distance to their own centroid; each
+    member is compared against its {SEMDEDUP_WINDOW} rank-predecessors
+    and dropped if any predecessor's cosine >= {SEMDEDUP_TAU} — the
+    earliest (closest-to-centroid, then lowest id) copy of a semantic
+    duplicate group survives. Returns the per-cluster keep/drop
+    manifest.
+
+    Scale: candidate fan-out is <= 2x{SEMDEDUP_WINDOW} per vector via
+    rank-block bucketing (each member joins only its own and the
+    previous rank block) — linear in corpus size, never the published
+    per-cell quadratic; the centroid-distance rank reuses the k-means
+    shuffle key. At 100 TB, k scales with N to hold cells at ~10^4
+    members and this plan is unchanged. Ordering by centroid distance
+    is the standard locality trick: true near-duplicates differ by
+    epsilon, so their centroid distances differ by at most epsilon and
+    they land inside the same comparison window.
+    """
+    from pyspark.sql.types import DecimalType
+
+    assign, cents = _kmeans_pair(spark, sf_dir, 4, 1)
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    own = (
+        vecs.join(assign, "vec_id")
+        .join(F.broadcast(cents), ["cid", "pos"])
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")), 9
+                ).cast(DecimalType(28, 9))
+            ).alias("dist")
+        )
+    )
+    from grapho_spark.sparkutil import memo_table
+
+    rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+    # materialized: both sides of the pair join consume the ranked
+    # table — without the barrier Catalyst recomputes the decimal
+    # distance agg + window once per side (the project-collapse trap)
+    ranked = memo_table(
+        spark,
+        f"semdedup_ranked:{sf_dir}",
+        lambda: own.withColumn("rn", F.row_number().over(rank_w)).select(
+            "vec_id",
+            "cid",
+            "rn",
+            ((F.col("rn") - 1) / SEMDEDUP_WINDOW).cast("long").alias("blk"),
+        ),
+    )
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    later = (
+        ranked.join(ev, "vec_id")
+        .select(
+            F.col("vec_id").alias("vi"),
+            "cid",
+            F.col("rn").alias("ri"),
+            F.col("ev").alias("av"),
+            F.explode(F.array(F.col("blk"), F.col("blk") - 1)).alias("pblk"),
+        )
+    )
+    earlier = ranked.join(ev, "vec_id").select(
+        F.col("vec_id").alias("vj"),
+        F.col("cid").alias("cj"),
+        F.col("rn").alias("rj"),
+        F.col("blk").alias("bj"),
+        F.col("ev").alias("bv"),
+    )
+    pairs = later.join(
+        earlier,
+        (F.col("cid") == F.col("cj"))
+        & (F.col("pblk") == F.col("bj"))
+        & (F.col("rj") < F.col("ri"))
+        & (F.col("ri") - F.col("rj") <= SEMDEDUP_WINDOW),
+    ).select("cid", "vi", _spark_cosine("av", "bv").alias("cosine"))
+    dropped = (
+        pairs.filter(F.col("cosine") >= SEMDEDUP_TAU).select("cid", "vi").distinct()
+    )
+    m = assign.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    dd = dropped.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    return (
+        m.join(dd, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).cast("double")
+                / F.col("n_members"),
+                6,
+            ).alias("keep_rate"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "embedding_semdedup_coverage",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(range(1, {DIM + 1})) AS pos),
+vecs AS (
+  SELECT vec_id, embedding[d.pos] AS val, d.pos
+  FROM embeddings CROSS JOIN dims d),
+{_duck_kmeans_chain("sc", "vecs", 4, 1)},
+own AS (
+  SELECT f.vec_id, f.cid, f.dist
+  FROM scdf f JOIN scassign a USING (vec_id, cid)),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn
+  FROM own),
+full_pairs AS (
+  SELECT a.vec_id AS vi, a.rn - b.rn AS gap,
+         {_DUCK_COS.format(a="x1.embedding::DOUBLE[]", b="x2.embedding::DOUBLE[]")}
+           AS cosine
+  FROM ranked a JOIN ranked b
+    ON a.cid = b.cid AND b.rn < a.rn AND a.vec_id % 7 = 0
+  JOIN embeddings x1 ON x1.vec_id = a.vec_id
+  JOIN embeddings x2 ON x2.vec_id = b.vec_id),
+full_dropped AS (
+  SELECT DISTINCT vi FROM full_pairs WHERE cosine >= {SEMDEDUP_TAU}),
+win_dropped AS (
+  SELECT DISTINCT vi FROM full_pairs
+  WHERE cosine >= {SEMDEDUP_TAU} AND gap <= {SEMDEDUP_WINDOW}),
+n AS (SELECT COUNT(*) AS n_sampled FROM ranked WHERE vec_id % 7 = 0),
+f AS (SELECT COUNT(*) AS n_full_dropped FROM full_dropped),
+w AS (SELECT COUNT(*) AS n_window_dropped FROM win_dropped)
+SELECT CAST(n.n_sampled AS BIGINT) AS n_sampled,
+       CAST(f.n_full_dropped AS BIGINT) AS n_full_dropped,
+       CAST(w.n_window_dropped AS BIGINT) AS n_window_dropped,
+       round(CAST(w.n_window_dropped AS DOUBLE) / f.n_full_dropped, 6)
+         AS window_coverage
+FROM n CROSS JOIN f CROSS JOIN w
+""",
+)
+def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage dial for the windowed SemDeDup election: on the
+    deterministic vec_id % 7 sample, how many members that the FULL
+    per-cell pairwise scan would drop are also dropped by the
+    {SEMDEDUP_WINDOW}-predecessor window? The accuracy/cost trade of
+    embedding_semantic_dedup as a recorded number instead of an
+    assumption — the exact analogue of the ANN recall dials (a
+    near-dup missed because its partner sits outside the rank window
+    is this operator's recall loss).
+
+    Scale: the full-pairwise truth side runs only on the ~14% member
+    sample (each sampled member against its whole cell) — the recall
+    dials' production monitoring shape; the windowed side is read off
+    the same sampled pair stream. At 100 TB the sample modulus is the
+    knob, exactly as in graph_anf_hyperball's certificate.
+    """
+    from grapho_spark.sparkutil import memo_table
+
+    assign, cents = _kmeans_pair(spark, sf_dir, 4, 1)
+    from pyspark.sql.types import DecimalType
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    own = (
+        vecs.join(assign, "vec_id")
+        .join(F.broadcast(cents), ["cid", "pos"])
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")), 9
+                ).cast(DecimalType(28, 9))
+            ).alias("dist")
+        )
+    )
+    rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+    ranked = memo_table(
+        spark,
+        f"semdedup_cov_ranked:{sf_dir}",
+        lambda: own.withColumn("rn", F.row_number().over(rank_w)).select(
+            "vec_id", "cid", "rn"
+        ),
+    )
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    a = (
+        ranked.filter(F.col("vec_id") % 7 == 0)
+        .join(ev, "vec_id")
+        .select(
+            F.col("vec_id").alias("vi"),
+            F.col("cid").alias("ca"),
+            F.col("rn").alias("ra"),
+            F.col("ev").alias("av"),
+        )
+    )
+    b = ranked.join(ev, "vec_id").select(
+        F.col("vec_id").alias("vj"),
+        F.col("cid").alias("cb"),
+        F.col("rn").alias("rb"),
+        F.col("ev").alias("bv"),
+    )
+    pairs = a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("rb") < F.col("ra"))
+    ).select(
+        "vi",
+        (F.col("ra") - F.col("rb")).alias("gap"),
+        _spark_cosine("av", "bv").alias("cosine"),
+    )
+    stats = pairs.agg(
+        F.countDistinct(
+            F.when(F.col("cosine") >= SEMDEDUP_TAU, F.col("vi"))
+        ).alias("n_full_dropped"),
+        F.countDistinct(
+            F.when(
+                (F.col("cosine") >= SEMDEDUP_TAU)
+                & (F.col("gap") <= SEMDEDUP_WINDOW),
+                F.col("vi"),
+            )
+        ).alias("n_window_dropped"),
+    )
+    ns = (
+        ranked.filter(F.col("vec_id") % 7 == 0)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return ns.crossJoin(F.broadcast(stats)).select(
+        "n_sampled",
+        F.col("n_full_dropped").cast("long").alias("n_full_dropped"),
+        F.col("n_window_dropped").cast("long").alias("n_window_dropped"),
+        F.round(
+            F.col("n_window_dropped").cast("double") / F.col("n_full_dropped"), 6
+        ).alias("window_coverage"),
+    )

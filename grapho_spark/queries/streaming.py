@@ -849,3 +849,77 @@ def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("log_importance"),
     )
     return run_to_memory(scored, "append")
+
+
+def _bpe_stream_oracle() -> str:
+    from grapho_spark.queries.text import BPE_ROUNDS, BPE_WORD_RE, _duck_bpe_ctes
+
+    return f"""
+WITH {_duck_bpe_ctes()},
+vocab AS (
+  SELECT w, len(string_split(seg, ' ')) AS n_pieces FROM seg{BPE_ROUNDS}),
+tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS w
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(v.n_pieces, length(t.w))) AS BIGINT) AS n_bpe_tokens
+FROM tok t LEFT JOIN vocab v USING (w)
+GROUP BY t.doc_id
+"""
+
+
+@query("streaming_bpe_tokenize", oracle=_bpe_stream_oracle())
+def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC tokenizer application at ingest: documents arrive
+    as a stream (deterministic doc_id % 7 sample, the dial convention)
+    and are token-counted against the FROZEN BPE vocabulary the batch
+    trainer learned (text._bpe_train) — the production shape where the
+    tokenizer is trained once on a reference snapshot and every newly
+    crawled document gets its token count (the unit of training-budget
+    accounting) on arrival.
+
+    Zero streaming state: the trained (word -> piece count) vocabulary
+    rides a ONE-ROW broadcast map (the streaming_dsir_score
+    architecture) and the per-document fold is an integer array
+    aggregate on the row — append mode, no watermark, no state store.
+    Out-of-vocabulary words fall back to their character count (the
+    byte-level BPE guarantee that nothing is untokenizable).
+
+    Scale: per-document cost is O(words in that doc) against a
+    vocab-sized broadcast map — linear ingest throughput, no shuffle
+    on the stream side; the vocabulary itself is trained by the batch
+    pipeline's one corpus shuffle (text_bpe_merges).
+    """
+    from grapho_spark.queries.text import BPE_WORD_RE, _bpe_train
+
+    _, vocab = _bpe_train(spark, sf_dir)
+    vmap = F.broadcast(
+        vocab.select("w", F.col("n_pieces").cast("long").alias("np"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("w", "np")))
+            ).alias("vmap")
+        )
+        .withColumn("jk", F.lit(1))
+    )
+    stream = (
+        load_stream(spark, sf_dir, "documents")
+        .filter("doc_id % 7 = 0")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_WORD_RE), F.lit(0)).alias(
+                "words"
+            ),
+        )
+        .withColumn("jk", F.lit(1))
+    )
+    counted = stream.join(vmap, "jk").select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc + "
+            "coalesce(element_at(vmap, w), CAST(length(w) AS BIGINT)))"
+        ).alias("n_bpe_tokens"),
+    )
+    return run_to_memory(counted, "append")

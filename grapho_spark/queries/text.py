@@ -1738,3 +1738,242 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE vocabulary induction (Sennrich et al. 2016, the
+# standard subword tokenizer-training algorithm). The corpus-scale
+# work is exactly ONE stage: the word-frequency count. Every merge
+# round after that runs on the distinct-word table (vocab-sized, not
+# corpus-sized) — the classic map-reduce BPE shape, which is why BPE
+# trainers scale to 100 TB corpora: 100 TB of text collapses to a few
+# million (word, count) rows before the first merge is considered.
+#
+# Segmentations are carried as delimited strings ("|s| |p| |a| |r| |k|")
+# so that applying a merge is ONE built-in leftmost-nonoverlapping
+# replace() per word — each piece carries its own boundary markers, so
+# consecutive merge sites don't share separator characters and the
+# string-level replace is exactly the left-to-right greedy BPE apply
+# (verified identical on Spark and DuckDB, incl. the "b b b b" and
+# "a a a" overlap cases). All integer counts; no floats anywhere in
+# training, so the argmax merge choice is engine-exact.
+# --------------------------------------------------------------------------
+
+BPE_ROUNDS = 8
+BPE_WORD_RE = "[a-z]+"
+
+_BPE_MEMO: dict = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """(merges, vocab) after BPE_ROUNDS greedy merge rounds.
+
+    merges: (merge_round, left_piece, right_piece, merged, pair_count)
+    vocab:  (w, cnt, n_pieces) — the trained segmentation lookup.
+
+    Scale: the word count shuffles once on word (map-side combine);
+    each round is a vocab-sized pair count + a 1-row argmax broadcast
+    back onto the vocab table. checkpoint_state pins per-round state
+    so round N does not replay rounds 1..N-1 (the iterative-loop
+    lineage lesson, PERF.md)."""
+    from functools import reduce
+
+    from grapho_spark.sparkutil import checkpoint_state, materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BPE_MEMO.get(key)
+    if got is not None:
+        return got
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(BPE_WORD_RE), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    seg = materialize(
+        wc.select(
+            "w", "cnt", F.expr(r"rtrim(regexp_replace(w, '(.)', '|$1| '))").alias("seg")
+        )
+    )
+
+    winners = []
+    for r in range(1, BPE_ROUNDS + 1):
+        arr = "split(seg, ' ')"
+        pairs = seg.select(
+            "cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.expr(f"slice({arr}, 1, size({arr}) - 1)"),
+                    F.expr(f"slice({arr}, 2, size({arr}) - 1)"),
+                )
+            ).alias("z"),
+        ).select("cnt", F.col("z.0").alias("p1"), F.col("z.1").alias("p2"))
+        win = materialize(
+            pairs.groupBy("p1", "p2")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .select(
+                "p1",
+                "p2",
+                "pair_count",
+                F.expr("replace(p1, '|', '')").alias("left_piece"),
+                F.expr("replace(p2, '|', '')").alias("right_piece"),
+            )
+            .orderBy(F.desc("pair_count"), "left_piece", "right_piece")
+            .limit(1)
+        )
+        winners.append(
+            win.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                "left_piece",
+                "right_piece",
+                F.concat("left_piece", "right_piece").alias("merged"),
+                "pair_count",
+            )
+        )
+        seg = checkpoint_state(
+            seg.crossJoin(F.broadcast(win)).select(
+                "w",
+                "cnt",
+                F.expr(
+                    "replace(seg, p1 || ' ' || p2,"
+                    " '|' || left_piece || right_piece || '|')"
+                ).alias("seg"),
+            )
+        )
+
+    merges = materialize(reduce(lambda a, b: a.unionAll(b), winners))
+    vocab = materialize(
+        seg.select("w", "cnt", F.size(F.split("seg", " ")).alias("n_pieces"))
+    )
+    _BPE_MEMO[key] = (merges, vocab)
+    return merges, vocab
+
+
+def _duck_bpe_ctes() -> str:
+    """The same training unrolled as a DuckDB CTE chain: wc -> seg0 ->
+    (pr{r}, win{r}, seg{r}) per round. Emits seg{BPE_ROUNDS} and
+    win1..win{BPE_ROUNDS}."""
+    parts = [
+        f"""wc AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS w
+    FROM documents)
+  GROUP BY w)""",
+        r"""seg0 AS (
+  SELECT w, cnt, rtrim(regexp_replace(w, '(.)', '|\1| ', 'g')) AS seg
+  FROM wc)""",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""pr{r} AS (
+  SELECT s.arr[t.i] AS p1, s.arr[t.i + 1] AS p2,
+         CAST(SUM(s.cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, string_split(seg, ' ') AS arr FROM seg{r - 1}) s,
+       UNNEST(range(1, len(s.arr))) AS t(i)
+  GROUP BY p1, p2)"""
+        )
+        parts.append(
+            f"""win{r} AS (
+  SELECT p1, p2, pair_count,
+         replace(p1, '|', '') AS left_piece,
+         replace(p2, '|', '') AS right_piece
+  FROM pr{r}
+  ORDER BY pair_count DESC, left_piece, right_piece LIMIT 1)"""
+        )
+        parts.append(
+            f"""seg{r} AS (
+  SELECT s.w, s.cnt,
+         replace(s.seg, n.p1 || ' ' || n.p2,
+                 '|' || n.left_piece || n.right_piece || '|') AS seg
+  FROM seg{r - 1} s CROSS JOIN win{r} n)"""
+        )
+    return ",\n".join(parts)
+
+
+_DUCK_BPE_MERGES = " UNION ALL ".join(
+    f"""SELECT CAST({r} AS INTEGER) AS merge_round, left_piece, right_piece,
+       left_piece || right_piece AS merged, pair_count
+FROM win{r}"""
+    for r in range(1, BPE_ROUNDS + 1)
+)
+
+
+@query(
+    "text_bpe_merges",
+    oracle=f"""
+WITH {_duck_bpe_ctes()}
+SELECT * FROM ({_DUCK_BPE_MERGES}) ORDER BY merge_round
+""",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: {BPE_ROUNDS} greedy merge rounds over
+    the corpus word-frequency table — each round counts adjacent piece
+    pairs weighted by word frequency, picks the argmax pair
+    (deterministic tie-break: count DESC, then piece strings), and
+    rewrites every affected segmentation with one built-in replace().
+    Returns the learned merge table, i.e. the tokenizer itself.
+
+    Scale: ONE corpus shuffle total (the word count, map-side
+    combine); all {BPE_ROUNDS} merge rounds run on the distinct-word
+    table, which is ~10^6-10^7 rows for a 100 TB corpus — the pair
+    count is vocab-sized, the argmax is a 1-row broadcast, and the
+    merge apply is map-only. The oracle unrolls all rounds as CTEs.
+    """
+    merges, _ = _bpe_train(spark, sf_dir)
+    return merges.orderBy("merge_round")
+
+
+@query(
+    "text_bpe_tokenize",
+    oracle=f"""
+WITH {_duck_bpe_ctes()},
+vocab AS (
+  SELECT w, len(string_split(seg, ' ')) AS n_pieces FROM seg{BPE_ROUNDS}),
+tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS w
+  FROM documents)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(t.w)) AS BIGINT) AS n_letters,
+       CAST(SUM(v.n_pieces) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(v.n_pieces) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+FROM tok t JOIN vocab v USING (w)
+GROUP BY t.doc_id
+""",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE vocabulary to every document: per-doc
+    post-merge token counts. The tokenizer application is a broadcast
+    join of the (word -> piece count) lookup against the corpus token
+    stream — no per-document string processing at all, which is how a
+    production tokenizer-aware pipeline counts tokens at ingest
+    (the vocab table IS the tokenizer; OOV words would fall back to
+    char count — the fixture vocab is closed so the join is inner).
+
+    Scale: map-only over the corpus after the vocab broadcast; the
+    groupBy(doc_id) rollup reuses the scan partitioning (doc rows are
+    contiguous), and all counts are integers until the final ratio.
+    """
+    _, vocab = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_WORD_RE), F.lit(0))
+        ).alias("w"),
+    )
+    return tok.join(F.broadcast(vocab.select("w", "n_pieces")), "w").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_letters"),
+        F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pieces_per_word"),
+    )

@@ -94,6 +94,19 @@ PROBES = [
     "streaming_dsir_score",
     "dedup_prefix_ssjoin_pairs",
     "dedup_prefix_ssjoin_stats",
+    # round-8c additions: BPE vocabulary induction (the word count is
+    # the only corpus-scale stage; merge rounds are vocab-sized),
+    # tokenizer application (broadcast vocab over the token stream),
+    # and windowed SemDeDup (bounded per-vector comparison fan-out),
+    # plus the composed curation-funnel export plan
+    "text_bpe_merges",
+    "text_bpe_tokenize",
+    "embedding_semantic_dedup",
+    # (embedding_semdedup_coverage is excluded like the ANN recall
+    # dials: its truth side is deliberately quadratic-in-sample —
+    # the sample modulus, not the probe, is its scale knob)
+    "streaming_bpe_tokenize",
+    "corpus_training_export_manifest",
 ]
 
 

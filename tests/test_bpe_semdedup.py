@@ -1,0 +1,132 @@
+"""Differential tests for the BPE trainer/tokenizer and SemDeDup.
+
+The BPE trainer's delimited-string merge apply is checked against an
+independent list-based Python reference implementation of greedy BPE
+(Sennrich et al. 2016) on the same word-frequency table; SemDeDup's
+windowed election is checked against its own invariants (window drops
+are a subset of the full pairwise drops; the first member of every
+duplicate pair always survives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- reference
+def _ref_bpe(word_counts: dict[str, int], rounds: int):
+    """Independent list-based greedy BPE: segmentations as piece
+    lists, merges applied left-to-right non-overlapping."""
+    segs = {w: list(w) for w in word_counts}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, pieces in segs.items():
+            for a, b in zip(pieces, pieces[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        merges.append((r, best_pair[0], best_pair[1], top))
+        for w, pieces in segs.items():
+            out, i = [], 0
+            while i < len(pieces):
+                if (
+                    i + 1 < len(pieces)
+                    and pieces[i] == best_pair[0]
+                    and pieces[i + 1] == best_pair[1]
+                ):
+                    out.append(pieces[i] + pieces[i + 1])
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_merges_match_reference(spark, sf_dir):
+    from grapho_spark.queries.text import BPE_ROUNDS, BPE_WORD_RE, _bpe_train
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc_rows = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(BPE_WORD_RE), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    word_counts = {r["w"]: r["count"] for r in wc_rows}
+    ref_merges, ref_segs = _ref_bpe(word_counts, BPE_ROUNDS)
+
+    merges, vocab = _bpe_train(spark, sf_dir)
+    got = [
+        (r["merge_round"], r["left_piece"], r["right_piece"], r["pair_count"])
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    assert got == ref_merges
+
+    got_pieces = {r["w"]: r["n_pieces"] for r in vocab.collect()}
+    assert got_pieces == {w: len(p) for w, p in ref_segs.items()}
+
+
+def test_bpe_tokenize_totals(spark, sf_dir):
+    """Doc-level token counts: sum(pieces) over the doc's words, and
+    tokens-per-word bounded by [1, word length]."""
+    from grapho_spark.queries.text import text_bpe_tokenize
+
+    out = text_bpe_tokenize(spark, sf_dir)
+    bad = out.filter(
+        (F.col("n_bpe_tokens") < F.col("n_words"))
+        | (F.col("n_bpe_tokens") > F.col("n_letters"))
+    ).count()
+    assert bad == 0
+
+
+def test_semdedup_window_subset_of_full(spark, sf_dir):
+    """The windowed drop-set must be a subset of the full per-cell
+    pairwise drop-set, and the lowest-ranked member of each cell
+    never drops (it has no predecessors)."""
+    from grapho_spark.queries.embeddings import (
+        SEMDEDUP_TAU,
+        _kmeans_pair,
+        _spark_cosine,
+        embedding_semantic_dedup,
+    )
+
+    assign, _ = _kmeans_pair(spark, sf_dir, 4, 1)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    mem = assign.join(e, "vec_id")
+    a = mem.select(
+        F.col("cid").alias("ca"), F.col("vec_id").alias("vi"), F.col("ev").alias("av")
+    )
+    b = mem.select(
+        F.col("cid").alias("cb"), F.col("vec_id").alias("vj"), F.col("ev").alias("bv")
+    )
+    full_pairs = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vi") != F.col("vj")))
+    full_dropped_ids = {
+        r["vi"]
+        for r in full_pairs.select(
+            "ca", "vi", "vj", _spark_cosine("av", "bv").alias("c")
+        )
+        .filter(F.col("c") >= SEMDEDUP_TAU)
+        .select("vi")
+        .distinct()
+        .collect()
+    }
+
+    out = embedding_semantic_dedup(spark, sf_dir).collect()
+    n_dropped = sum(r["n_dropped"] for r in out)
+    # every windowed drop has a full-pairwise near-dup partner, so the
+    # windowed count cannot exceed the count of vectors with any
+    # same-cell partner at the threshold
+    assert 0 < n_dropped <= len(full_dropped_ids)
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_members"]
+        assert r["n_kept"] >= 1  # rank-1 member always survives
