@@ -84,6 +84,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "embedding_semantic_dedup",
     "streaming_bpe_tokenize",
+    "corpus_semantic_leakage",
 ]
 
 
@@ -246,7 +247,7 @@ def main() -> None:
         for name in HEADLINE:
             fh.write(f"| {name} | {medians[name]} | {colds[name]} |\n")
         fh.write(
-            f"\n## Quality dials (recall@3, {quality_wall}s; "
+            f"\n## Quality dials (recall@3 + coverage, {quality_wall}s; "
             f"worst ratio vs prev: {quality_vs_prev})\n\n"
             "| dial | avg_recall |\n|---|---|\n"
         )

@@ -153,6 +153,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # the ranked table from its materialization (both pair-join sides)
     "text_bpe_tokenize": ["BroadcastHashJoin", "HashAggregate"],
     "embedding_semantic_dedup": ["BroadcastHashJoin", "Window", "InMemoryTableScan"],
+    # the leakage audit reads the memoized k-means assignment and
+    # joins holdout x train on the cell id
+    "corpus_semantic_leakage": ["InMemoryTableScan", "HashAggregate"],
 }
 
 

@@ -3087,3 +3087,102 @@ def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_window_dropped").cast("double") / F.col("n_full_dropped"), 6
         ).alias("window_coverage"),
     )
+
+
+@query(
+    "corpus_semantic_leakage",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(range(1, {DIM + 1})) AS pos),
+vecs AS (
+  SELECT vec_id, embedding[d.pos] AS val, d.pos
+  FROM embeddings CROSS JOIN dims d),
+{_duck_kmeans_chain("sl", "vecs", 4, 1)},
+splits AS (
+  SELECT vec_id, cid,
+         CASE WHEN (CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100) < 80 THEN 'train'
+              WHEN (CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100) < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM slassign),
+holdout AS (SELECT vec_id, cid, split FROM splits WHERE split <> 'train'),
+train AS (SELECT vec_id, cid FROM splits WHERE split = 'train'),
+hits AS (
+  SELECT h.split, h.vec_id
+  FROM holdout h JOIN train t ON h.cid = t.cid
+  JOIN embeddings x1 ON x1.vec_id = h.vec_id
+  JOIN embeddings x2 ON x2.vec_id = t.vec_id
+  WHERE {_DUCK_COS.format(a="x1.embedding::DOUBLE[]", b="x2.embedding::DOUBLE[]")}
+        >= {SEMDEDUP_TAU}),
+leaked AS (SELECT split, COUNT(DISTINCT vec_id) AS n_leaked FROM hits GROUP BY split)
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(ANY_VALUE(l.n_leaked), 0) AS BIGINT) AS n_leaked,
+       round(CAST(COALESCE(ANY_VALUE(l.n_leaked), 0) AS DOUBLE) / COUNT(*), 6)
+         AS leak_rate
+FROM holdout s LEFT JOIN leaked l ON l.split = s.split
+GROUP BY s.split
+ORDER BY s.split
+""",
+)
+def corpus_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/holdout contamination audit: a val/test document
+    whose embedding has a cosine >= {SEMDEDUP_TAU} neighbour in the
+    TRAIN split is leaked — the eval set is measuring memorization of
+    a semantic duplicate, not generalization. Text-level split-leakage
+    (corpus_split_leakage) misses paraphrases; this is the
+    embedding-level sibling, run per holdout split over the shared
+    k-means cells (vec_id is 1:1 with doc_id in the fixtures, and the
+    split hash is corpus_train_val_test_split's md5 protocol — so
+    this composes with the text-side split exactly).
+
+    Scale: the scan is (holdout x train) WITHIN each k-means cell —
+    the holdout side is ~20% of the corpus and cells are bounded by
+    choosing k ~ N/10^4, so the pair stream is (0.2 N) x cell, never
+    N^2; the broadcast side of nothing — both sides shuffle once on
+    cell id, and the per-cell product is the audit's explicit cost
+    knob (same shape as the coverage dial's truth side, which is why
+    an audit like this runs scheduled, not per-ingest).
+    """
+    assign, _ = _kmeans_pair(spark, sf_dir, 4, 1)
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    split_bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+    )
+    splits = assign.join(ev, "vec_id").select(
+        "vec_id", "cid", "ev", split.alias("split")
+    )
+    holdout = splits.filter(F.col("split") != "train").select(
+        F.col("vec_id").alias("hid"), "cid", F.col("ev").alias("hv"), "split"
+    )
+    train = splits.filter(F.col("split") == "train").select(
+        F.col("cid").alias("ct"), F.col("ev").alias("tv")
+    )
+    hits = (
+        holdout.join(train, F.col("cid") == F.col("ct"))
+        .filter(_spark_cosine("hv", "tv") >= SEMDEDUP_TAU)
+        .select("split", "hid")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+    )
+    return (
+        holdout.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(hits, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            F.round(
+                F.coalesce("n_leaked", F.lit(0)).cast("double") / F.col("n_docs"), 6
+            ).alias("leak_rate"),
+        )
+        .orderBy("split")
+    )

@@ -1977,3 +1977,57 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
         ).alias("pieces_per_word"),
     )
+
+
+@query(
+    "text_bpe_fertility_by_lang",
+    oracle=f"""
+WITH {_duck_bpe_ctes()},
+vocab AS (
+  SELECT w, len(string_split(seg, ' ')) AS n_pieces FROM seg{BPE_ROUNDS}),
+tok AS (
+  SELECT lang, UNNEST(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS w
+  FROM documents)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_pieces) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(v.n_pieces) AS DOUBLE) / COUNT(*), 6) AS fertility
+FROM tok t JOIN vocab v USING (w)
+GROUP BY t.lang
+ORDER BY t.lang
+""",
+)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE pieces per word) per language — the
+    standard tokenizer-fairness dial: a language whose words fragment
+    into more pieces pays proportionally more of the training budget
+    and of every context window, so multilingual pipelines track
+    fertility per language against the shared vocabulary (the metric
+    behind 'vocabulary allocation' debates in multilingual tokenizer
+    design).
+
+    Scale: identical shape to text_bpe_tokenize — broadcast vocab
+    join over the corpus token stream, map-side integer partials,
+    then a languages-sized rollup; the fertility division happens
+    once per language.
+    """
+    _, vocab = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_WORD_RE), F.lit(0))
+        ).alias("w"),
+    )
+    return (
+        tok.join(F.broadcast(vocab.select("w", "n_pieces")), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

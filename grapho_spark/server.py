@@ -182,6 +182,18 @@ class GQLServer:
 
     def stop(self) -> None:
         if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._loop.stop)
+            # Cancel in-flight connection handlers BEFORE stopping the
+            # loop: a handler parked on readline() that is merely
+            # abandoned gets garbage-collected mid-await later (the
+            # PytestUnraisableExceptionWarning teardown race), whereas
+            # a cancelled one unwinds through its finally and closes
+            # the writer. The stop is scheduled one iteration later so
+            # the cancellations are actually delivered first.
+            def _shutdown(loop: asyncio.AbstractEventLoop) -> None:
+                for task in asyncio.all_tasks(loop):
+                    task.cancel()
+                loop.call_soon(loop.stop)
+
+            self._loop.call_soon_threadsafe(_shutdown, self._loop)
         if self._thread is not None:
             self._thread.join(timeout=10)

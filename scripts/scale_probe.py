@@ -107,6 +107,11 @@ PROBES = [
     # the sample modulus, not the probe, is its scale knob)
     "streaming_bpe_tokenize",
     "corpus_training_export_manifest",
+    # r8d: fertility is tokenize-shaped (broadcast vocab, map-side
+    # partials); the leakage audit is excluded like the dials — its
+    # truth side is deliberately (holdout x cell)-quadratic and the
+    # cell count k is its scale knob
+    "text_bpe_fertility_by_lang",
 ]
 
 
