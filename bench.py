@@ -166,10 +166,18 @@ def main() -> None:
             ]
             for r in rows
         },
-        # r8c: SemDeDup window coverage — the fraction of full-pairwise
-        # drops the rank-window election also catches (its recall)
+        # r8c/d: SemDeDup window-coverage curve — the fraction of
+        # full-pairwise drops each rank-window step catches (its
+        # recall); the bare key stays the shipped WINDOW=32 operating
+        # point so the ratio history is continuous
         "embedding_semdedup_coverage": lambda rows: {
-            "semdedup_window_coverage": rows[0]["window_coverage"]
+            "semdedup_window_coverage": next(
+                r["window_coverage"] for r in rows if r["window_size"] == 32
+            ),
+            **{
+                f"semdedup_coverage_w{r['window_size']}": r["window_coverage"]
+                for r in rows
+            },
         },
     }
     q_t0 = time.perf_counter()

@@ -2806,6 +2806,9 @@ def embedding_indexed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 # --------------------------------------------------------------------------
 
 SEMDEDUP_WINDOW = 32  # predecessors compared per member (bounded fan-out)
+# coverage-curve window steps measured by embedding_semdedup_coverage
+_SEMDEDUP_COV_WINDOWS = (32, 64, 128)
+_SEMDEDUP_COV_WINDOWS_SQL = ", ".join(str(w) for w in _SEMDEDUP_COV_WINDOWS)
 SEMDEDUP_TAU = 0.35  # cosine threshold, fit to the fixture geometry
 # (max pairwise cosine is ~0.48/0.51/0.60 at sf0.001/0.01/0.1 — the
 # near-dup battery's 0.6 would make every stage of this query vacuous)
@@ -2855,13 +2858,13 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells (the shared memoized deterministic
     Lloyd assignment) + within-cell near-duplicate election. Members
     are ranked by exact-decimal distance to their own centroid; each
-    member is compared against its {SEMDEDUP_WINDOW} rank-predecessors
-    and dropped if any predecessor's cosine >= {SEMDEDUP_TAU} — the
+    member is compared against its SEMDEDUP_WINDOW=32 rank-predecessors
+    and dropped if any predecessor's cosine >= SEMDEDUP_TAU=0.35 — the
     earliest (closest-to-centroid, then lowest id) copy of a semantic
     duplicate group survives. Returns the per-cluster keep/drop
     manifest.
 
-    Scale: candidate fan-out is <= 2x{SEMDEDUP_WINDOW} per vector via
+    Scale: candidate fan-out is <= 2xSEMDEDUP_WINDOW per vector via
     rank-block bucketing (each member joins only its own and the
     previous rank block) — linear in corpus size, never the published
     per-cell quadratic; the centroid-distance rank reuses the k-means
@@ -2978,31 +2981,36 @@ full_pairs AS (
     ON a.cid = b.cid AND b.rn < a.rn AND a.vec_id % 7 = 0
   JOIN embeddings x1 ON x1.vec_id = a.vec_id
   JOIN embeddings x2 ON x2.vec_id = b.vec_id),
-full_dropped AS (
-  SELECT DISTINCT vi FROM full_pairs WHERE cosine >= {SEMDEDUP_TAU}),
-win_dropped AS (
-  SELECT DISTINCT vi FROM full_pairs
-  WHERE cosine >= {SEMDEDUP_TAU} AND gap <= {SEMDEDUP_WINDOW}),
+wins AS (SELECT UNNEST([{_SEMDEDUP_COV_WINDOWS_SQL}]) AS window_size),
 n AS (SELECT COUNT(*) AS n_sampled FROM ranked WHERE vec_id % 7 = 0),
-f AS (SELECT COUNT(*) AS n_full_dropped FROM full_dropped),
-w AS (SELECT COUNT(*) AS n_window_dropped FROM win_dropped)
-SELECT CAST(n.n_sampled AS BIGINT) AS n_sampled,
+f AS (
+  SELECT COUNT(DISTINCT vi) AS n_full_dropped
+  FROM full_pairs WHERE cosine >= {SEMDEDUP_TAU}),
+w AS (
+  SELECT ws.window_size, COUNT(DISTINCT p.vi) AS n_window_dropped
+  FROM wins ws LEFT JOIN full_pairs p
+    ON p.cosine >= {SEMDEDUP_TAU} AND p.gap <= ws.window_size
+  GROUP BY ws.window_size)
+SELECT CAST(w.window_size AS INTEGER) AS window_size,
+       CAST(n.n_sampled AS BIGINT) AS n_sampled,
        CAST(f.n_full_dropped AS BIGINT) AS n_full_dropped,
        CAST(w.n_window_dropped AS BIGINT) AS n_window_dropped,
        round(CAST(w.n_window_dropped AS DOUBLE) / f.n_full_dropped, 6)
          AS window_coverage
-FROM n CROSS JOIN f CROSS JOIN w
+FROM w CROSS JOIN n CROSS JOIN f
+ORDER BY window_size
 """,
 )
 def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coverage dial for the windowed SemDeDup election: on the
-    deterministic vec_id % 7 sample, how many members that the FULL
-    per-cell pairwise scan would drop are also dropped by the
-    {SEMDEDUP_WINDOW}-predecessor window? The accuracy/cost trade of
-    embedding_semantic_dedup as a recorded number instead of an
-    assumption — the exact analogue of the ANN recall dials (a
-    near-dup missed because its partner sits outside the rank window
-    is this operator's recall loss).
+    """Coverage CURVE for the windowed SemDeDup election: on the
+    deterministic vec_id % 7 sample, the fraction of members the FULL
+    per-cell pairwise scan would drop that a W-predecessor window also
+    drops, for W in (32, 64, 128) — the accuracy/cost trade
+    of embedding_semantic_dedup as a recorded curve instead of an
+    assumption, the exact analogue of the ANN multiprobe recall dial
+    (a near-dup missed because its partner sits outside the rank
+    window is this operator's recall loss; each extra window step is
+    a linear cost increase).
 
     Scale: the full-pairwise truth side runs only on the ~14% member
     sample (each sampled member against its whole cell) — the recall
@@ -3063,29 +3071,44 @@ def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ra") - F.col("rb")).alias("gap"),
         _spark_cosine("av", "bv").alias("cosine"),
     )
-    stats = pairs.agg(
-        F.countDistinct(
-            F.when(F.col("cosine") >= SEMDEDUP_TAU, F.col("vi"))
-        ).alias("n_full_dropped"),
-        F.countDistinct(
-            F.when(
-                (F.col("cosine") >= SEMDEDUP_TAU)
-                & (F.col("gap") <= SEMDEDUP_WINDOW),
-                F.col("vi"),
-            )
-        ).alias("n_window_dropped"),
+    # ONE pass over the sampled pair stream: a conditional distinct
+    # count per window step plus the full-scan count, then a stack()
+    # unpivot — never a join against the pair stream
+    hit = F.col("cosine") >= SEMDEDUP_TAU
+    agg = pairs.agg(
+        F.countDistinct(F.when(hit, F.col("vi"))).cast("long").alias("full_d"),
+        *[
+            F.countDistinct(F.when(hit & (F.col("gap") <= w), F.col("vi")))
+            .cast("long")
+            .alias(f"w{w}")
+            for w in _SEMDEDUP_COV_WINDOWS
+        ],
     )
+    stack_args = ", ".join(f"{w}, w{w}" for w in _SEMDEDUP_COV_WINDOWS)
     ns = (
         ranked.filter(F.col("vec_id") % 7 == 0)
         .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
     )
-    return ns.crossJoin(F.broadcast(stats)).select(
-        "n_sampled",
-        F.col("n_full_dropped").cast("long").alias("n_full_dropped"),
-        F.col("n_window_dropped").cast("long").alias("n_window_dropped"),
-        F.round(
-            F.col("n_window_dropped").cast("double") / F.col("n_full_dropped"), 6
-        ).alias("window_coverage"),
+    return (
+        agg.crossJoin(F.broadcast(ns))
+        .select(
+            F.expr(
+                f"stack({len(_SEMDEDUP_COV_WINDOWS)}, {stack_args}) "
+                "AS (window_size, n_window_dropped)"
+            ),
+            "n_sampled",
+            F.col("full_d").alias("n_full_dropped"),
+        )
+        .select(
+            F.col("window_size").cast("int").alias("window_size"),
+            "n_sampled",
+            "n_full_dropped",
+            "n_window_dropped",
+            F.round(
+                F.col("n_window_dropped").cast("double") / F.col("n_full_dropped"), 6
+            ).alias("window_coverage"),
+        )
+        .orderBy("window_size")
     )
 
 
@@ -3127,7 +3150,7 @@ ORDER BY s.split
 )
 def corpus_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic train/holdout contamination audit: a val/test document
-    whose embedding has a cosine >= {SEMDEDUP_TAU} neighbour in the
+    whose embedding has a cosine >= SEMDEDUP_TAU=0.35 neighbour in the
     TRAIN split is leaked — the eval set is measuring memorization of
     a semantic duplicate, not generalization. Text-level split-leakage
     (corpus_split_leakage) misses paraphrases; this is the

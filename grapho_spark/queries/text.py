@@ -1911,7 +1911,7 @@ SELECT * FROM ({_DUCK_BPE_MERGES}) ORDER BY merge_round
 """,
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training: {BPE_ROUNDS} greedy merge rounds over
+    """BPE tokenizer training: BPE_ROUNDS=8 greedy merge rounds over
     the corpus word-frequency table — each round counts adjacent piece
     pairs weighted by word frequency, picks the argmax pair
     (deterministic tie-break: count DESC, then piece strings), and
@@ -1919,7 +1919,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the learned merge table, i.e. the tokenizer itself.
 
     Scale: ONE corpus shuffle total (the word count, map-side
-    combine); all {BPE_ROUNDS} merge rounds run on the distinct-word
+    combine); all 8 merge rounds run on the distinct-word
     table, which is ~10^6-10^7 rows for a 100 TB corpus — the pair
     count is vocab-sized, the argmax is a 1-row broadcast, and the
     merge apply is map-only. The oracle unrolls all rounds as CTEs.

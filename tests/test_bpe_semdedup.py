@@ -130,3 +130,71 @@ def test_semdedup_window_subset_of_full(spark, sf_dir):
     for r in out:
         assert r["n_kept"] + r["n_dropped"] == r["n_members"]
         assert r["n_kept"] >= 1  # rank-1 member always survives
+
+
+def test_fertility_bounds(spark, sf_dir):
+    """Fertility per language is within [1, max word length] and the
+    language rollup totals match the doc-level tokenize totals."""
+    from grapho_spark.queries.text import (
+        text_bpe_fertility_by_lang,
+        text_bpe_tokenize,
+    )
+
+    by_lang = text_bpe_fertility_by_lang(spark, sf_dir).collect()
+    assert by_lang, "no languages"
+    for r in by_lang:
+        assert 1.0 <= r["fertility"] <= 64.0
+        assert r["n_bpe_tokens"] >= r["n_words"]
+    by_doc = text_bpe_tokenize(spark, sf_dir).agg(
+        F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]
+    assert sum(r["n_words"] for r in by_lang) == by_doc["w"]
+    assert sum(r["n_bpe_tokens"] for r in by_lang) == by_doc["t"]
+
+
+def test_semdedup_coverage_curve_monotone(spark, sf_dir):
+    """Bigger windows can only catch MORE of the full drop-set, and
+    every step is bounded by the full pairwise count."""
+    from grapho_spark.queries.embeddings import embedding_semdedup_coverage
+
+    rows = sorted(
+        embedding_semdedup_coverage(spark, sf_dir).collect(),
+        key=lambda r: r["window_size"],
+    )
+    assert [r["window_size"] for r in rows] == [32, 64, 128]
+    prev = 0
+    for r in rows:
+        assert prev <= r["n_window_dropped"] <= r["n_full_dropped"]
+        prev = r["n_window_dropped"]
+
+
+def test_semantic_leakage_consistent_with_splits(spark, sf_dir):
+    """Leakage rows cover exactly the non-train splits and counts are
+    bounded by the split sizes from the text-side split query."""
+    from grapho_spark.queries.embeddings import corpus_semantic_leakage
+
+    leak = {r["split"]: r for r in corpus_semantic_leakage(spark, sf_dir).collect()}
+    assert set(leak) == {"val", "test"}
+    for r in leak.values():
+        assert 0 <= r["n_leaked"] <= r["n_docs"]
+        assert abs(r["leak_rate"] - r["n_leaked"] / r["n_docs"]) < 1e-6
+    # the holdout sizes equal the md5-hash split assignment computed
+    # directly over the vector ids (the same protocol the text-side
+    # corpus_train_val_test_split uses on its quality-gated subset)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    direct = {
+        r["split"]: r["n"]
+        for r in e.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s in ("val", "test"):
+        assert leak[s]["n_docs"] == direct[s]
