@@ -184,7 +184,12 @@ def main() -> None:
     quality: dict[str, float] = {}
     for name, extract in QUALITY_DIALS.items():
         rows = [r.asDict() for r in registry[name].spark_fn(spark, sf_dir).collect()]
-        quality.update({k: float(v) for k, v in extract(rows).items()})
+        # a dial can report NULL (e.g. a coverage ratio with an empty
+        # denominator at a tiny SF) — record it as absent rather than
+        # dying on float(None) after all headline timings were paid
+        quality.update(
+            {k: float(v) for k, v in extract(rows).items() if v is not None}
+        )
     quality_wall = round(time.perf_counter() - q_t0, 3)
     print(f"# quality dials ({quality_wall}s): {quality}", file=sys.stderr)
 

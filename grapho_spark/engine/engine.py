@@ -39,6 +39,7 @@ import json
 import os
 import shutil
 import threading
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -77,11 +78,15 @@ from grapho_spark.gql.parser import parse_script
 _SQL_VIEW_LOCK = threading.Lock()
 
 # Lowercased names of node_*/edge_* temp views REGISTERED BY A
-# GraphEngine in this process. sql() only ever drops names recorded
-# here — a user's own node_/edge_-prefixed view on the shared session
-# (e.g. edge_weights) is not engine property and must survive
-# (ADVICE r7). Guarded by _SQL_VIEW_LOCK.
-_ENGINE_OWNED_VIEWS: set[str] = set()
+# GraphEngine, keyed PER SparkSession (temp views are session-scoped:
+# a process-global set would let an engine on session B discard the
+# record of a view that lives on session A without dropping it, and
+# A's next sql() would silently read the stale snapshot). sql() only
+# ever drops names recorded for ITS OWN session — a user's own
+# node_/edge_-prefixed view on the shared session (e.g. edge_weights)
+# is not engine property and must survive (ADVICE r7). Guarded by
+# _SQL_VIEW_LOCK; weak keys let dead sessions drop their record.
+_ENGINE_OWNED_VIEWS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _cmp(col: Column, op: str, lit: Column) -> Column:
@@ -349,17 +354,18 @@ class GraphEngine:
         shared session is untouched.
         """
         with _SQL_VIEW_LOCK:
+            owned = _ENGINE_OWNED_VIEWS.setdefault(self.spark, set())
             mine = {f"node_{nt.name}".lower() for nt in self.catalog.nodes} | {
                 f"edge_{et.name}".lower() for et in self.catalog.edges
             }
-            for stale in sorted(_ENGINE_OWNED_VIEWS - mine):
+            for stale in sorted(owned - mine):
                 self.spark.catalog.dropTempView(stale)
-                _ENGINE_OWNED_VIEWS.discard(stale)
+                owned.discard(stale)
             for nt in self.catalog.nodes:
                 self.node_df(nt.name).createOrReplaceTempView(f"node_{nt.name}")
             for et in self.catalog.edges:
                 self.edge_df(et.name).createOrReplaceTempView(f"edge_{et.name}")
-            _ENGINE_OWNED_VIEWS.update(mine)
+            owned.update(mine)
             return self.spark.sql(query)
 
     def bind_node_type(self, name: str, df: DataFrame, pk: str) -> None:

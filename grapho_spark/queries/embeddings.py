@@ -42,6 +42,24 @@ _DUCK_COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+# Exact HALF-UP mean of 6dp-decimal components in integer MICRO-UNITS:
+# round-half-away-from-zero of SUM(dv)*1e6 / n, computed entirely in
+# BIGINT so both engines produce bit-identical codewords (a plain 6dp
+# double mean can land on a true 7th-digit tie where Spark BigDecimal
+# and DuckDB double->decimal rounding disagree — the PARITY.md r8
+# codebook finding). ONE template for every codebook/centroid mean:
+# {div} is '//' on DuckDB and 'DIV' on Spark.
+_MICRO_MEAN_CW_TEMPLATE = (
+    "CAST(CAST(CASE WHEN CAST(SUM({col}) * 1000000 AS BIGINT) >= 0 "
+    "THEN (2 * CAST(SUM({col}) * 1000000 AS BIGINT) + COUNT(*)) "
+    "{div} (2 * COUNT(*)) "
+    "ELSE -((2 * -CAST(SUM({col}) * 1000000 AS BIGINT) + COUNT(*)) "
+    "{div} (2 * COUNT(*))) "
+    "END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"
+)
+_MICRO_MEAN_CW_DUCK = _MICRO_MEAN_CW_TEMPLATE.format(div="//", col="dv")
+_MICRO_MEAN_CW_SPARK = _MICRO_MEAN_CW_TEMPLATE.format(div="DIV", col="dv")
+
 
 @query(
     "embedding_knn_bruteforce",
@@ -729,12 +747,7 @@ pq_expl AS (
   FROM embeddings, range(1, 65) t(i)),
 pq_cw AS (
   SELECT vec_id % {_PQ_K} AS grp, sub, pos,
-         CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
-              THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                   // (2 * COUNT(*))
-              ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                   // (2 * COUNT(*)))
-              END AS DOUBLE) / 1000000 AS DECIMAL(12,6)) AS cw
+         {_MICRO_MEAN_CW_DUCK} AS cw
   FROM pq_expl GROUP BY vec_id % {_PQ_K}, sub, pos),
 pq_dists AS (
   SELECT e.vec_id, e.sub, c.grp,
@@ -806,14 +819,7 @@ def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") % _PQ_K).alias("grp"), "sub", "pos"
         )
         .agg(
-            F.expr(
-            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
-                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*))
-                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*)))
-                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
-        ).alias("cw")
+            F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
         )
     )
     dists = (
@@ -989,14 +995,7 @@ def embedding_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").cast("decimal(12,6)").alias("dv"),
     )
     cw = expl.groupBy((F.col("vec_id") % _PQ_K).alias("grp"), "sub", "pos").agg(
-        F.expr(
-            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
-                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*))
-                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*)))
-                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
-        ).alias("cw")
+        F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
     )
     dists = (
         expl.join(F.broadcast(cw), ["sub", "pos"])
@@ -1823,12 +1822,7 @@ def _duck_pq_trained_ctes(lut_pred: str = "vec_id % 97 = 0") -> str:
   FROM ai_norm)""",
         f"""p16_cw0 AS (
   SELECT vec_id % {K} AS grp, sub, pos,
-         CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
-                THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                     // (2 * COUNT(*))
-                ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                     // (2 * COUNT(*)))
-                END AS DOUBLE) / 1000000 AS DECIMAL(12,6)) AS cw
+         {_MICRO_MEAN_CW_DUCK} AS cw
   FROM p16_expl GROUP BY vec_id % {K}, sub, pos)""",
     ]
     dist = """{out} AS (
@@ -1848,12 +1842,7 @@ def _duck_pq_trained_ctes(lut_pred: str = "vec_id % 97 = 0") -> str:
         parts.append(
             f"""p16_cw{t} AS (
   SELECT a.grp, e.sub, e.pos,
-         CAST(CAST(CASE WHEN CAST(SUM(e.dv) * 1000000 AS BIGINT) >= 0
-                THEN (2 * CAST(SUM(e.dv) * 1000000 AS BIGINT) + COUNT(*))
-                     // (2 * COUNT(*))
-                ELSE -((2 * -CAST(SUM(e.dv) * 1000000 AS BIGINT) + COUNT(*))
-                     // (2 * COUNT(*)))
-                END AS DOUBLE) / 1000000 AS DECIMAL(12,6)) AS cw
+         {_MICRO_MEAN_CW_TEMPLATE.format(div='//', col='e.dv')} AS cw
   FROM p16_expl e JOIN p16_a{t} a ON a.vec_id = e.vec_id AND a.sub = e.sub
   GROUP BY a.grp, e.sub, e.pos)"""
         )
@@ -2006,14 +1995,7 @@ def _pq16_codebook(
     # libraries round the binary value). Integer arithmetic has no
     # such boundary — both engines compute the identical codeword.
     cw = expl.groupBy((F.col("vec_id") % _ANN_PQ_K).alias("grp"), "sub", "pos").agg(
-        F.expr(
-            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
-                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*))
-                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*)))
-                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
-        ).alias("cw")
+        F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
     )
 
     def code_dists(book: DataFrame) -> DataFrame:
@@ -2039,17 +2021,23 @@ def _pq16_codebook(
             expl.join(am.withColumnRenamed("grp", "code_grp"), ["vec_id", "sub"])
             .groupBy(F.col("code_grp").alias("grp"), "sub", "pos")
             .agg(
-                F.expr(
-            """CAST(CAST(CASE WHEN CAST(SUM(dv) * 1000000 AS BIGINT) >= 0
-                 THEN (2 * CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*))
-                 ELSE -((2 * -CAST(SUM(dv) * 1000000 AS BIGINT) + COUNT(*))
-                      DIV (2 * COUNT(*)))
-                 END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"""
-        ).alias("cw")
+                F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
             )
         )
     return cw
+
+
+def _ann_index_tag(sf_dir: str, pred: str | None = None) -> str:
+    """THE tag for the persisted index tables of (sf_dir, pred) — the
+    single source of truth shared by ann_index_tables, the delta-
+    ingest append and the probe-side build timer. Duplicated formulas
+    diverged once (append with pred=None hashed the string 'None' and
+    silently created an orphan codes table), hence the helper."""
+    import hashlib
+    import os
+
+    key = sf_dir if pred is None else f"{sf_dir}|{pred}"
+    return f"{hashlib.md5(key.encode()).hexdigest()[:10]}_pid{os.getpid()}"
 
 
 def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
@@ -2073,15 +2061,10 @@ def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
 
     ``pred`` restricts the indexed corpus (its own tag/tables; used by
     the delta-ingest path, whose appends then target that index)."""
-    import hashlib
     import os
     import tempfile
 
-    tag = (
-        f"{hashlib.md5(f'{sf_dir}|{pred}'.encode()).hexdigest()[:10]}_pid{os.getpid()}"
-        if pred is not None
-        else f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
-    )
+    tag = _ann_index_tag(sf_dir, pred)
     cent_t = f"ann_centroids_{tag}"
     book_t = f"ann_codebook_{tag}"
     codes_t = f"ann_pq_codes_{tag}"
@@ -2140,11 +2123,7 @@ def append_to_ann_index(
     written — no rebuild, no re-encode of the standing corpus; the
     append is one bucketed write, so probes keep their bucketed scan."""
     cents, book, _ = ann_index_tables(spark, sf_dir, base_pred)
-    import hashlib
-    import os
-
-    tag = f"{hashlib.md5(f'{sf_dir}|{base_pred}'.encode()).hexdigest()[:10]}_pid{os.getpid()}"
-    codes_t = f"ann_pq_codes_{tag}"
+    codes_t = f"ann_pq_codes_{_ann_index_tag(sf_dir, base_pred)}"
     delta = (
         _pq_encode(spark, sf_dir, book, batch_pred)
         .join(_assign_to_cents(spark, sf_dir, cents, batch_pred), "vec_id")
@@ -2814,6 +2793,46 @@ SEMDEDUP_TAU = 0.35  # cosine threshold, fit to the fixture geometry
 # near-dup battery's 0.6 would make every stage of this query vacuous)
 
 
+def _semdedup_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, rn): members of each shared k-means cell ranked
+    by exact-decimal distance to their OWN centroid (ties broken by
+    vec_id) — the ordering both the SemDeDup election and its
+    coverage dial consume. Memoized: both sides of the election's
+    pair join AND the dial read one materialized copy (the
+    project-collapse trap would otherwise recompute the decimal
+    distance agg + window once per consumer)."""
+    from pyspark.sql.types import DecimalType
+
+    from grapho_spark.sparkutil import memo_table
+
+    def build() -> DataFrame:
+        assign, cents = _kmeans_pair(spark, sf_dir, 4, 1)
+        e = load_table(spark, sf_dir, "embeddings")
+        vecs = e.select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "val")
+        ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+        own = (
+            vecs.join(assign, "vec_id")
+            .join(F.broadcast(cents), ["cid", "pos"])
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval")),
+                        9,
+                    ).cast(DecimalType(28, 9))
+                ).alias("dist")
+            )
+        )
+        rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+        return own.withColumn("rn", F.row_number().over(rank_w)).select(
+            "vec_id", "cid", "rn"
+        )
+
+    return memo_table(spark, f"semdedup_ranked:{sf_dir}", build)
+
+
 @query(
     "embedding_semantic_dedup",
     oracle=f"""
@@ -2874,40 +2893,12 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     epsilon, so their centroid distances differ by at most epsilon and
     they land inside the same comparison window.
     """
-    from pyspark.sql.types import DecimalType
-
-    assign, cents = _kmeans_pair(spark, sf_dir, 4, 1)
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    own = (
-        vecs.join(assign, "vec_id")
-        .join(F.broadcast(cents), ["cid", "pos"])
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")), 9
-                ).cast(DecimalType(28, 9))
-            ).alias("dist")
-        )
-    )
-    from grapho_spark.sparkutil import memo_table
-
-    rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
-    # materialized: both sides of the pair join consume the ranked
-    # table — without the barrier Catalyst recomputes the decimal
-    # distance agg + window once per side (the project-collapse trap)
-    ranked = memo_table(
-        spark,
-        f"semdedup_ranked:{sf_dir}",
-        lambda: own.withColumn("rn", F.row_number().over(rank_w)).select(
-            "vec_id",
-            "cid",
-            "rn",
-            ((F.col("rn") - 1) / SEMDEDUP_WINDOW).cast("long").alias("blk"),
-        ),
+    ranked = _semdedup_ranked(spark, sf_dir).select(
+        "vec_id",
+        "cid",
+        "rn",
+        ((F.col("rn") - 1) / SEMDEDUP_WINDOW).cast("long").alias("blk"),
     )
     ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
     later = (
@@ -2937,7 +2928,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         pairs.filter(F.col("cosine") >= SEMDEDUP_TAU).select("cid", "vi").distinct()
     )
-    m = assign.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    m = ranked.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
     dd = dropped.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
     return (
         m.join(dd, "cid", "left")
@@ -3018,35 +3009,8 @@ def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sampled pair stream. At 100 TB the sample modulus is the
     knob, exactly as in graph_anf_hyperball's certificate.
     """
-    from grapho_spark.sparkutil import memo_table
-
-    assign, cents = _kmeans_pair(spark, sf_dir, 4, 1)
-    from pyspark.sql.types import DecimalType
-
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    own = (
-        vecs.join(assign, "vec_id")
-        .join(F.broadcast(cents), ["cid", "pos"])
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")), 9
-                ).cast(DecimalType(28, 9))
-            ).alias("dist")
-        )
-    )
-    rank_w = Window.partitionBy("cid").orderBy("dist", "vec_id")
-    ranked = memo_table(
-        spark,
-        f"semdedup_cov_ranked:{sf_dir}",
-        lambda: own.withColumn("rn", F.row_number().over(rank_w)).select(
-            "vec_id", "cid", "rn"
-        ),
-    )
+    ranked = _semdedup_ranked(spark, sf_dir)
     ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
     a = (
         ranked.filter(F.col("vec_id") % 7 == 0)

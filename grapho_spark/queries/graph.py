@@ -233,7 +233,9 @@ def graph_2hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle=f"""
 WITH {_DUCK_EDGES_CTE},
-{_DUCK_WEDGE_FLAG_CTE}
+wflag AS (
+  SELECT MAX(d) <= {WEDGE_CAP} AS wedge_paths_exact
+  FROM (SELECT p1, COUNT(*) AS d FROM edges GROUP BY p1))
 SELECT t.n_triangles, w.wedge_paths_exact
 FROM (SELECT COUNT(*) AS n_triangles
       FROM edges e1
@@ -267,8 +269,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3,
         (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
     )
+    # the certificate's basis matches the adjacency the cap was
+    # APPLIED to — the directed p1->p2 out-lists — so the 'iff'
+    # contract holds: a node with symmetric degree > cap but directed
+    # out-degree <= cap truncated nothing and still reads exact
     return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
-        F.broadcast(_wedge_exact_flag(sym_edges(e)))
+        F.broadcast(
+            _wedge_exact_flag(
+                e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+            )
+        )
     )
 
 

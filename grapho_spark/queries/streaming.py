@@ -912,6 +912,11 @@ def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "words"
             ),
         )
+        # a document with no tokenizable word emits no row — the same
+        # contract as the oracle's UNNEST (which produces zero rows
+        # for such a doc and GROUP BY omits it); without this filter a
+        # digits/punctuation-only doc would appear stream-side only
+        .filter(F.size("words") > 0)
         .withColumn("jk", F.lit(1))
     )
     counted = stream.join(vmap, "jk").select(

@@ -1813,6 +1813,17 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 )
             ).alias("z"),
         ).select("cnt", F.col("z.0").alias("p1"), F.col("z.1").alias("p2"))
+        # The zero-count sentinel keeps the round a NO-OP when the
+        # pair stream is exhausted before BPE_ROUNDS (all-single-piece
+        # words): without it the 0-row winner crossJoin would silently
+        # EMPTY the vocab. Its pattern ('\x01 \x01') can never match a
+        # delimited segmentation, and the merges output filters
+        # pair_count > 0 so sentinel rounds don't surface.
+        sentinel = spark.createDataFrame(
+            [("\x01", "\x01", 0, "", "")],
+            "p1 string, p2 string, pair_count long, "
+            "left_piece string, right_piece string",
+        )
         win = materialize(
             pairs.groupBy("p1", "p2")
             .agg(F.sum("cnt").cast("long").alias("pair_count"))
@@ -1823,6 +1834,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 F.expr("replace(p1, '|', '')").alias("left_piece"),
                 F.expr("replace(p2, '|', '')").alias("right_piece"),
             )
+            .unionByName(sentinel)
             .orderBy(F.desc("pair_count"), "left_piece", "right_piece")
             .limit(1)
         )
@@ -1846,7 +1858,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
         )
 
-    merges = materialize(reduce(lambda a, b: a.unionAll(b), winners))
+    merges = materialize(
+        reduce(lambda a, b: a.unionAll(b), winners).filter(F.col("pair_count") > 0)
+    )
     vocab = materialize(
         seg.select("w", "cnt", F.size(F.split("seg", " ")).alias("n_pieces"))
     )
@@ -1879,10 +1893,13 @@ def _duck_bpe_ctes() -> str:
         )
         parts.append(
             f"""win{r} AS (
-  SELECT p1, p2, pair_count,
-         replace(p1, '|', '') AS left_piece,
-         replace(p2, '|', '') AS right_piece
-  FROM pr{r}
+  SELECT p1, p2, pair_count, left_piece, right_piece FROM (
+    SELECT p1, p2, pair_count,
+           replace(p1, '|', '') AS left_piece,
+           replace(p2, '|', '') AS right_piece
+    FROM pr{r}
+    UNION ALL
+    SELECT chr(1), chr(1), CAST(0 AS BIGINT), '', '')
   ORDER BY pair_count DESC, left_piece, right_piece LIMIT 1)"""
         )
         parts.append(
@@ -1898,7 +1915,7 @@ def _duck_bpe_ctes() -> str:
 _DUCK_BPE_MERGES = " UNION ALL ".join(
     f"""SELECT CAST({r} AS INTEGER) AS merge_round, left_piece, right_piece,
        left_piece || right_piece AS merged, pair_count
-FROM win{r}"""
+FROM win{r} WHERE pair_count > 0"""
     for r in range(1, BPE_ROUNDS + 1)
 )
 

@@ -104,7 +104,11 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for entry in os.listdir(link_dir):
         p = os.path.join(link_dir, entry)
         if os.path.islink(p) and not os.path.exists(p):
-            os.unlink(p)
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass  # the link dir is cross-process shared: a
+                # concurrent pruner may have unlinked it first
     if os.path.isdir(src):
         # Spark-written fixture (a parquet DIRECTORY, e.g. the scale
         # probe's inflated copies): the file-stream source does not

@@ -120,13 +120,12 @@ def ann_build_time(spark, sf_dir: str) -> float:
     drops the persisted tables + publish marker and clears the
     session-level k-means/normalization memos first, so the measured
     cost is the full ingest-side pipeline, not a cache hit."""
-    import hashlib
     import tempfile
 
     from grapho_spark import sparkutil
     from grapho_spark.queries import embeddings as emb
 
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    tag = emb._ann_index_tag(sf_dir)
     for t in (f"ann_centroids_{tag}", f"ann_codebook_{tag}", f"ann_pq_codes_{tag}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     marker = os.path.join(
