@@ -198,3 +198,29 @@ def test_semantic_leakage_consistent_with_splits(spark, sf_dir):
     }
     for s in ("val", "test"):
         assert leak[s]["n_docs"] == direct[s]
+
+
+def test_bpe_exhaustion_is_noop(spark, tmp_path):
+    """A corpus whose words are all single letters produces NO merge
+    pairs in round 1: every round must then be a no-op (zero-count
+    sentinel winner), yielding an EMPTY merge table and an intact
+    single-piece vocab — regression for the empty-winner crossJoin
+    that silently emptied the whole vocab (r8 self-review)."""
+    import pandas as pd
+
+    from grapho_spark.queries.text import _bpe_train
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [5, 5],
+            "text": ["a b c", "b c d"],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    merges, vocab = _bpe_train(spark, str(tmp_path))
+    assert merges.count() == 0
+    got = {r["w"]: r["n_pieces"] for r in vocab.collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1}

@@ -999,6 +999,32 @@ def test_sql_preserves_user_views_with_engine_prefix(spark):
         spark.catalog.dropTempView("node_user_side")
 
 
+def test_sql_view_registry_is_per_session(spark):
+    """The engine-owned-view registry is keyed per SparkSession: an
+    engine on a SECOND session (spark.newSession()) must not discard
+    the record of a view living on the FIRST session without dropping
+    it — the stale view would otherwise survive the owning engine's
+    own cleanup and silently serve an old snapshot (r8 self-review)."""
+    from pyspark.sql.utils import AnalysisException
+
+    s2 = spark.newSession()
+    a = GraphEngine(spark)
+    b = GraphEngine(s2)
+    a.execute("CREATE NODE XSess (k: int); INSERT NODE XSess (k: 1);")
+    b.execute("CREATE NODE OtherT (k: int); INSERT NODE OtherT (k: 5);")
+    assert a.sql("SELECT count(*) AS n FROM node_XSess").collect()[0].n == 1
+    # engine B's sql() on session 2 must not disturb session 1's record
+    assert b.sql("SELECT count(*) AS n FROM node_OtherT").collect()[0].n == 1
+    # A's view is still recorded for session 1: after A drops the type,
+    # A's next sql() removes the stale view instead of leaving it
+    # readable (the process-global-registry failure mode)
+    a.execute("DROP NODE XSess;")
+    import pytest as _pytest
+
+    with _pytest.raises(AnalysisException):
+        a.sql("SELECT * FROM node_XSess").collect()
+
+
 def test_explain_match_returns_plan(eng):
     eng.execute(
         "CREATE NODE Ex (k: int, v: int);"
