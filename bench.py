@@ -85,6 +85,9 @@ HEADLINE = [
     "embedding_semantic_dedup",
     "streaming_bpe_tokenize",
     "corpus_semantic_leakage",
+    "source_binaryfile_blobs",
+    "streaming_binaryfile_ingest",
+    "source_schema_merge_evolution",
 ]
 
 

@@ -156,6 +156,11 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # the leakage audit reads the memoized k-means assignment and
     # joins holdout x train on the cell id
     "corpus_semantic_leakage": ["InMemoryTableScan", "HashAggregate"],
+    # blob ingestion must be the built-in binaryFile file scan
+    "source_binaryfile_blobs": ["binaryFile"],
+    # the merged-schema read must surface the evolved column in the
+    # scan's ReadSchema (NULL-filled per legacy file, no rewrite)
+    "source_schema_merge_evolution": ["HashAggregate", "o_orderpriority"],
 }
 
 

@@ -205,3 +205,205 @@ def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             dsum(dec("c_acctbal", 14, 2), "total_acctbal"),
         )
     )
+
+
+_BINFILE_N = 16  # documents exported as standalone blob files
+
+
+def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One blob FILE per document (doc_id < _BINFILE_N) under a
+    pid-scoped temp dir — the on-disk shape Spark's built-in
+    ``binaryFile`` source ingests (one row per file: path,
+    modificationTime, length, content). Published crash-safe: the
+    marker is written AFTER all files, so a half-written fixture is
+    rebuilt, never read."""
+    import hashlib
+
+    import pandas as pd
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    path = os.path.join(tempfile.gettempdir(), f"grapho_binfix_{tag}")
+    marker = os.path.join(path, "_FIXTURE_OK")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        docs = pd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        docs = docs[docs["doc_id"] < _BINFILE_N]
+        for _, row in docs.iterrows():
+            with open(
+                os.path.join(path, f"blob_{int(row['doc_id']):04d}.bin"), "wb"
+            ) as fh:
+                fh.write(row["text"].encode("utf-8"))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return path
+
+
+@query(
+    "source_binaryfile_blobs",
+    oracle=f"""
+SELECT 'blob_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.bin' AS fname,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(hex(encode(text))) AS digest
+FROM documents
+WHERE doc_id < {_BINFILE_N}
+ORDER BY fname
+""",
+)
+def source_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion through Spark's built-in ``binaryFile``
+    source — the standard way a multimodal pipeline reads image/audio
+    files at scale (one row per file with the raw bytes as a
+    ``binary`` column, driven by directory listing; filters on
+    path/length push into the listing). The fixture exports the first
+    {_BINFILE_N} documents as standalone .bin files; the oracle
+    recomputes byte length and content digest straight from the
+    documents view, so the round trip (table -> files -> binaryFile
+    scan) must be byte-lossless. The digest protocol is
+    md5(hex(bytes)) because DuckDB's md5 only accepts VARCHAR — hex
+    is identical (uppercase) on both engines.
+
+    Scale: binaryFile is splittable per FILE and prunes on the
+    pushed path glob; content bytes stay opaque binary exactly as in
+    the multimodal battery (signatures shuffle, payloads don't —
+    multimodal_blob_metadata's contract, here from real files).
+    """
+    d = _binaryfile_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")  # pushed into the listing
+        .load(d)
+    )
+    return (
+        files.select(
+            F.regexp_extract("path", r"[^/]+$", 0).alias("fname"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.md5(F.hex("content")).alias("digest"),
+        )
+        .orderBy("fname")
+    )
+
+
+@query(
+    "streaming_binaryfile_ingest",
+    oracle=f"""
+SELECT 'blob_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.bin' AS fname,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(hex(encode(text))) AS digest
+FROM documents
+WHERE doc_id < {_BINFILE_N}
+ORDER BY fname
+""",
+)
+def streaming_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous multimodal ingest: the SAME blob directory read as a
+    STREAM (``readStream.format("binaryFile")``) — the at-ingest shape
+    of a production media pipeline, where new image/audio files land
+    in object storage and each micro-batch picks up only unseen files
+    (tracked in the checkpoint's file log, so reprocessing is
+    exactly-once per file). Per-file metadata + digest are computed
+    map-side in the micro-batch and appended; the finite fixture makes
+    the final sink state equal the batch scan, giving this streaming
+    source a full value-hash oracle (the ``streaming_windowed_counts``
+    contract, applied to file ingest).
+
+    Scale: the file-listing source shards micro-batches by file
+    (``maxFilesPerTrigger``/``maxBytesPerTrigger`` bound batch size);
+    blob bytes never shuffle — digest/length are computed in the scan
+    stage and only the tiny metadata rows reach the sink.
+    """
+    from grapho_spark.streaming import run_to_memory
+
+    d = _binaryfile_fixture_dir(spark, sf_dir)
+    # file streams require an explicit schema (no inference per batch);
+    # this is binaryFile's fixed schema, stated rather than inferred
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    meta = files.select(
+        F.regexp_extract("path", r"[^/]+$", 0).alias("fname"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5(F.hex("content")).alias("digest"),
+    )
+    return run_to_memory(meta, "append").orderBy("fname")
+
+
+def _schema_evolution_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two parquet generations of the orders feed under a pid-scoped
+    dir: v1 (even orderkeys) was written before the upstream producer
+    added ``o_orderpriority``; v2 (odd orderkeys) carries it. The
+    marker is written AFTER both generations (crash-safe publish)."""
+    import hashlib
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), f"grapho_schevo_{tag}")
+    v1, v2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    marker = os.path.join(base, "_FIXTURE_OK")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(v1)
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(v2)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return v1, v2
+
+
+@query(
+    "source_schema_merge_evolution",
+    oracle="""
+WITH evolved AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+  FROM orders)
+SELECT CASE WHEN o_orderpriority IS NULL THEN 'pre-evolution' ELSE o_orderpriority END
+         AS priority_cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM evolved GROUP BY 1
+""",
+)
+def source_schema_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations — the
+    unavoidable 100 TB lake reality that a long-lived feed's early
+    files lack columns added later. ``mergeSchema=true`` unions the
+    per-file footers into one evolved schema; rows from pre-evolution
+    files surface the new column as NULL, and the query buckets
+    revenue by priority with an explicit ``'pre-evolution'`` cohort
+    for legacy rows. The oracle simulates the same evolution from the
+    orders view, so the merged read must be value-exact.
+
+    Scale: footer merging happens once at planning (driver-side,
+    bounded by file count, not data); each file is then scanned with
+    its OWN physical schema and NULL-filled per-batch — no rewrite of
+    old data, no shuffle beyond the final aggregate. The alternative
+    (backfill-rewriting TBs of old files on every column add) is
+    exactly what this avoids.
+    """
+    v1, v2 = _schema_evolution_fixture(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("pre-evolution")).alias(
+            "priority_cohort"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        dsum(dec("o_totalprice", 14, 2), "total_price"),
+    )

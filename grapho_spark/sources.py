@@ -4,8 +4,10 @@ logs). Parquet is the native format; CSV, JSON, ORC, and text are supported
 with explicit schemas (no runtime inference in pipelines — inference costs
 an extra scan and can drift).
 
-JDBC/Delta/Iceberg/Hudi need jars not present in this environment;
-``read_table`` raises a clear error for them (import-try gate).
+JDBC/Delta/Iceberg/Hudi/Avro need jars not present in this
+environment; ``read_table`` raises a clear error for them (import-try
+gate — Avro's core jars ship with Spark but the ``spark-avro``
+datasource module does not, verified by a probe read in this sandbox).
 """
 
 from __future__ import annotations
@@ -13,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as ST
 
-SUPPORTED = ("parquet", "csv", "json", "orc", "text")
-NEEDS_JARS = ("jdbc", "delta", "iceberg", "hudi")
+SUPPORTED = ("parquet", "csv", "json", "orc", "text", "binaryfile")
+NEEDS_JARS = ("jdbc", "delta", "iceberg", "hudi", "avro")
 
 
 def read_table(
@@ -52,6 +54,8 @@ def write_table(
     **options: str,
 ) -> None:
     fmt = fmt.lower()
+    if fmt == "binaryfile":
+        raise ValueError("binaryFile is a read-only source (no writer in Spark)")
     if fmt not in SUPPORTED:
         raise ValueError(f"unsupported format {fmt!r}; supported: {SUPPORTED}")
     writer = df.write.mode(mode).options(**options)

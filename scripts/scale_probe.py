@@ -112,6 +112,14 @@ PROBES = [
     # truth side is deliberately (holdout x cell)-quadratic and the
     # cell count k is its scale knob
     "text_bpe_fertility_by_lang",
+    # r8e: sources battery — the binaryFile blob scans are
+    # file-count-bounded fixtures (constant across SF inflation; the
+    # probe verifies the fixed cost), and the merged-schema read's
+    # footer merge is file-count-, not data-, sized while the scan
+    # itself is linear
+    "source_binaryfile_blobs",
+    "streaming_binaryfile_ingest",
+    "source_schema_merge_evolution",
 ]
 
 
