@@ -88,6 +88,9 @@ HEADLINE = [
     "source_binaryfile_blobs",
     "streaming_binaryfile_ingest",
     "source_schema_merge_evolution",
+    "text_cms_heavy_hitters",
+    "corpus_quality_classifier_gd",
+    "streaming_quality_score",
 ]
 
 

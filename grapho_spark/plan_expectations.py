@@ -161,6 +161,19 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # the merged-schema read must surface the evolved column in the
     # scan's ReadSchema (NULL-filled per legacy file, no rewrite)
     "source_schema_merge_evolution": ["HashAggregate", "o_orderpriority"],
+    # r8e: the CMS candidate pass must be a top-k (never a global
+    # sort), the 2048-cell sketch must join as a broadcast, and the
+    # token stream must come from its materialization (sketch build +
+    # exact counts share one token explode)
+    "text_cms_heavy_hitters": [
+        "TakeOrderedAndProject",
+        "BroadcastHashJoin",
+        "InMemoryTableScan",
+    ],
+    # GD training result: the final scoring pass is one aggregate over
+    # the materialized feature table — weights are plan literals, so
+    # no join of any kind may appear
+    "corpus_quality_classifier_gd": ["HashAggregate", "InMemoryTableScan"],
 }
 
 

@@ -899,3 +899,353 @@ def corpus_training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("h").alias("head_hash"),
         F.max("h").alias("tail_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed quality-classifier training (logistic regression, GD)
+# --------------------------------------------------------------------------
+
+GD_ITERS = 3  # full-batch gradient-descent rounds (LR = 1/2)
+_M = 1_000_000  # micro-unit scale: all model math in 1e-6 integers
+
+
+def _shu(expr: str, den: str, div: str) -> str:
+    """Signed half-up integer division ``round(expr / den)`` — the
+    repo's micro-unit protocol (timeseries.py): inner operands are
+    made non-negative so Spark's ``div`` (truncate) and DuckDB's
+    ``//`` (floor) agree."""
+    return (
+        f"(CASE WHEN ({expr}) >= 0 "
+        f"THEN ((2 * ({expr}) + ({den})) {div} (2 * ({den}))) "
+        f"ELSE -(((2 * (-({expr})) + ({den}))) {div} (2 * ({den}))) END)"
+    )
+
+
+def _gd_sigmoid(z_micro: str) -> str:
+    """Sigmoid on a micro-unit integer logit, back to micro units.
+    ONE libm exp() per row on a micro-ROUNDED input, result rounded
+    half-up at 1e-6 — the same float-containment policy as the
+    surprisal/TF-IDF rounds (both engines round positive halves up)."""
+    return (
+        f"CAST(round({_M}.0 / (1.0 + exp(-(CAST({z_micro} AS DOUBLE) "
+        f"/ {_M}.0)))) AS BIGINT)"
+    )
+
+
+def _gd_feat_sql(
+    div: str, words: str, chars: str, extra_cols: str = "", where: str = ""
+) -> str:
+    """Feature CTE body, engine-parameterized: x1 = stopword ratio,
+    x2 = mean word length / 10 (both micro-unit half-up), y = 1 iff
+    lang = 'en' (the weak label English stopword density predicts)."""
+    flt = (
+        f"len(list_filter(w.words, t -> t IN ({_STOP_SQL})))"
+        if div == "//"
+        else f"size(filter(w.words, t -> t IN ({_STOP_SQL})))"
+    )
+    n_tok = "len(w.words)" if div == "//" else "size(w.words)"
+    # every operand explicitly BIGINT: 1e6 * count overflows INT32, and
+    # Spark would WRAP silently (non-ANSI) where DuckDB errors
+    return f"""
+  SELECT {extra_cols}{_shu(f'{_M} * CAST({flt} AS BIGINT)', f'CAST({n_tok} AS BIGINT)', div)} AS x1,
+         {_shu(f'100000 * CAST({chars} AS BIGINT)', f'CAST({n_tok} AS BIGINT)', div)} AS x2,
+         CAST(CASE WHEN lang = 'en' THEN {_M} ELSE 0 END AS BIGINT) AS y
+  FROM (SELECT doc_id, lang, {words} AS words, text FROM documents{where}) w
+"""
+
+
+# DuckDB-side feature-expression pieces (the Spark twins are inline in
+# _gd_feats).
+_DUCK_GD_WORDS = r"string_split_regex(trim(lower(text)), '\s+')"
+_DUCK_GD_CHARS = r"length(regexp_replace(trim(lower(w.text)), '\s+', '', 'g'))"
+
+
+def _gd_cte_prefix() -> str:
+    """The training CTE chain (feat .. wt{GD_ITERS}) shared by every
+    oracle that needs the trained weights — weights are scalar CTEs
+    threaded through, bit-identical to the Spark loop."""
+    div = "//"
+    den = f"2 * n * {_M}"
+    parts = [
+        "WITH feat AS (",
+        _gd_feat_sql(div, _DUCK_GD_WORDS, _DUCK_GD_CHARS),
+        "),",
+        "nn AS (SELECT COUNT(*) AS n FROM feat),",
+        # iteration 1: w = 0 => z = 0 => s = M/2 exactly
+        f"""g1 AS (SELECT SUM((CAST(500000 AS BIGINT) - y) * {_M}) AS ga,
+             SUM((CAST(500000 AS BIGINT) - y) * x1) AS gb,
+             SUM((CAST(500000 AS BIGINT) - y) * x2) AS gc FROM feat),""",
+        f"""wt1 AS (SELECT -{_shu('ga', den, div)} AS w0,
+              -{_shu('gb', den, div)} AS w1,
+              -{_shu('gc', den, div)} AS w2 FROM g1, nn),""",
+    ]
+    for t in range(2, GD_ITERS + 1):
+        p = t - 1
+        z = f"w0 + {_shu('w1 * x1 + w2 * x2', str(_M), div)}"
+        parts += [
+            f"""s{t} AS (SELECT x1, x2, y, {_gd_sigmoid(z)} AS s
+      FROM feat, wt{p}),""",
+            f"""g{t} AS (SELECT SUM((s - y) * {_M}) AS ga,
+             SUM((s - y) * x1) AS gb,
+             SUM((s - y) * x2) AS gc FROM s{t}),""",
+            f"""wt{t} AS (SELECT w0 - {_shu('ga', den, div)} AS w0,
+              w1 - {_shu('gb', den, div)} AS w1,
+              w2 - {_shu('gc', den, div)} AS w2 FROM g{t}, wt{p}, nn),""",
+        ]
+    return "\n".join(parts)
+
+
+def _gd_oracle() -> str:
+    """Batch training oracle: the shared CTE chain + accuracy pass +
+    the 4-row (metric, value) report."""
+    div = "//"
+    zf = f"w0 + {_shu('w1 * x1 + w2 * x2', str(_M), div)}"
+    parts = [
+        _gd_cte_prefix(),
+        f"""sf AS (SELECT {_gd_sigmoid(zf)} AS s, y FROM feat, wt{GD_ITERS}),""",
+        f"""acc AS (SELECT {_shu(
+            f"{_M} * SUM(CASE WHEN (s >= 500000) = (y = {_M}) THEN 1 ELSE 0 END)",
+            "n", div)} AS a
+     FROM sf, nn GROUP BY n)""",
+        f"""SELECT 'train_accuracy' AS metric, CAST(a AS DOUBLE) / {_M}.0 AS value FROM acc
+UNION ALL SELECT 'w_bias', CAST(w0 AS DOUBLE) / {_M}.0 FROM wt{GD_ITERS}
+UNION ALL SELECT 'w_mean_word_len', CAST(w2 AS DOUBLE) / {_M}.0 FROM wt{GD_ITERS}
+UNION ALL SELECT 'w_stopword_ratio', CAST(w1 AS DOUBLE) / {_M}.0 FROM wt{GD_ITERS}""",
+    ]
+    return "\n".join(parts)
+
+
+# Spark twins of the feature expressions (doc_id carried so the
+# stream-static scorer can reuse them per document).
+_SPARK_GD_X1 = _shu(
+    f"{_M} * CAST(size(filter(words, t -> t IN ({_STOP_SQL}))) AS BIGINT)",
+    "CAST(size(words) AS BIGINT)",
+    "div",
+)
+_SPARK_GD_X2 = _shu(
+    "100000 * CAST(chars AS BIGINT)", "CAST(size(words) AS BIGINT)", "div"
+)
+
+
+def _gd_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x1, x2, y) feature table, memoized per session —
+    shared by the {GD_ITERS} gradient passes, the accuracy pass and
+    any consumer of the trained weights."""
+    from grapho_spark.sparkutil import memo_table
+
+    def build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                F.split(F.trim(F.lower("text")), r"\s+").alias("words"),
+                F.length(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", "")
+                ).alias("chars"),
+            )
+            .select(
+                "doc_id",
+                F.expr(_SPARK_GD_X1).alias("x1"),
+                F.expr(_SPARK_GD_X2).alias("x2"),
+                F.when(F.col("lang") == "en", F.lit(_M))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("y"),
+            )
+        )
+
+    return memo_table(spark, f"gd_feats:{sf_dir}", build)
+
+
+_GD_WEIGHTS: dict[str, tuple[int, int, int]] = {}
+
+
+def _gd_train(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """Run the {GD_ITERS}-round GD loop; weights are micro-unit ints,
+    memoized per sf_dir (deterministic, so process-wide is safe)."""
+    got = _GD_WEIGHTS.get(sf_dir)
+    if got is not None:
+        return got
+    div = "div"
+    feats = _gd_feats(spark, sf_dir)
+
+    def grad(w: tuple[int, int, int]) -> tuple[int, int, int, int]:
+        w0, w1, w2 = w
+        if w0 == 0 and w1 == 0 and w2 == 0:
+            s = "CAST(500000 AS BIGINT)"  # sigmoid(0) exactly
+        else:
+            s = _gd_sigmoid(f"{w0} + {_shu(f'{w1} * x1 + {w2} * x2', str(_M), div)}")
+        row = feats.selectExpr(f"{s} AS s", "x1", "x2", "y").agg(
+            F.expr(f"SUM((s - y) * {_M})").alias("ga"),
+            F.expr("SUM((s - y) * x1)").alias("gb"),
+            F.expr("SUM((s - y) * x2)").alias("gc"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return int(row.ga), int(row.gb), int(row.gc), int(row.n)
+
+    def half_up(a: int, d: int) -> int:
+        return (2 * a + d) // (2 * d) if a >= 0 else -((2 * -a + d) // (2 * d))
+
+    w = (0, 0, 0)
+    for _ in range(GD_ITERS):
+        ga, gb, gc, n = grad(w)
+        den = 2 * n * _M
+        w = (w[0] - half_up(ga, den), w[1] - half_up(gb, den), w[2] - half_up(gc, den))
+    _GD_WEIGHTS[sf_dir] = w
+    return w
+
+
+@query("corpus_quality_classifier_gd", oracle=_gd_oracle())
+def corpus_quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a quality classifier distributively: full-batch logistic
+    regression ({GD_ITERS} GD rounds, LR 1/2) on per-document features
+    (stopword ratio, mean word length / 10, bias) against the weak
+    label lang='en' — the fastText-style linear probe every
+    production curation stack trains to score web documents, here
+    expressed in Spark's native execution model instead of a separate
+    training system.
+
+    Determinism: features, logits, gradients and weight updates are
+    integer micro-units end-to-end (signed half-up division protocol);
+    the ONLY float op is one exp() per row on a micro-rounded logit,
+    rounded straight back to micro units. The oracle unrolls all
+    {GD_ITERS} iterations as CTEs and matches bit-for-bit.
+
+    Scale: each GD round is ONE map-side-combined aggregate over the
+    corpus producing a 3-number gradient; weights go back as plan
+    LITERALS (nothing is broadcast, nothing shuffles but the 3-cell
+    partial-agg tree). At 100 TB that is {GD_ITERS} linear scans —
+    the minimum any full-batch trainer pays — and the same shape
+    extends to minibatch SGD by sampling the scan. The scored-corpus
+    application of the trained weights is map-only (see
+    streaming_curation_filter for the at-ingest shape).
+    """
+    w = _gd_train(spark, sf_dir)
+    feats = _gd_feats(spark, sf_dir)
+    div = "div"
+    sf = _gd_sigmoid(f"{w[0]} + {_shu(f'{w[1]} * x1 + {w[2]} * x2', str(_M), div)}")
+    acc = feats.selectExpr(f"{sf} AS s", "y").agg(
+        F.expr(
+            _shu(
+                f"{_M} * SUM(CASE WHEN (s >= 500000) = (y = {_M}) THEN 1 ELSE 0 END)",
+                "COUNT(*)",
+                div,
+            )
+        ).alias("a")
+    )
+    return acc.selectExpr(
+        f"""stack(4,
+          'train_accuracy', CAST(a AS DOUBLE) / {_M}.0,
+          'w_bias', CAST({w[0]} AS DOUBLE) / {_M}.0,
+          'w_mean_word_len', CAST({w[2]} AS DOUBLE) / {_M}.0,
+          'w_stopword_ratio', CAST({w[1]} AS DOUBLE) / {_M}.0
+        ) AS (metric, value)"""
+    )
+
+
+# Keep fractions for the calibration dial: "keep the top f of the
+# corpus by classifier score".
+_CAL_KEEP = (0.9, 0.75, 0.5, 0.25, 0.1)
+
+
+def _gd_calibration_oracle() -> str:
+    div = "//"
+    z = f"w0 + {_shu('w1 * x1 + w2 * x2', str(_M), div)}"
+    rows = ", ".join(f"({f})" for f in _CAL_KEEP)
+    feat_d = _gd_feat_sql(div, _DUCK_GD_WORDS, _DUCK_GD_CHARS, extra_cols="doc_id, ")
+    return f"""{_gd_cte_prefix()}
+feat_d AS (
+{feat_d}
+),
+scored AS (
+  SELECT doc_id, y, {_gd_sigmoid(z)} AS s
+  FROM feat_d, wt{GD_ITERS}),
+ranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rn FROM scored),
+nn2 AS (SELECT COUNT(*) AS n FROM scored),
+targets AS (SELECT f FROM (VALUES {rows}) t(f)),
+thr AS (
+  SELECT t.f, r.s AS thr_s
+  FROM targets t, nn2, ranked r
+  WHERE r.rn = n - CAST(ceil(t.f * n) AS BIGINT) + 1),
+agg AS (
+  SELECT thr.f, thr.thr_s,
+         CAST(SUM(CASE WHEN sc.s >= thr.thr_s THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(SUM(CASE WHEN sc.s >= thr.thr_s AND sc.y = {_M} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_en,
+         CAST(SUM(CASE WHEN sc.y = {_M} THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored sc, thr GROUP BY thr.f, thr.thr_s)
+SELECT CAST(f AS DOUBLE) AS target_keep,
+       CAST(thr_s AS DOUBLE) / {_M}.0 AS threshold_score,
+       n_keep,
+       CAST({_shu(f'{_M} * n_keep', 'n', div)} AS DOUBLE) / {_M}.0 AS keep_rate,
+       CAST({_shu(f'{_M} * n_keep_en', 'n_keep', div)} AS DOUBLE) / {_M}.0 AS precision_en,
+       CAST({_shu(f'{_M} * n_keep_en', 'n_en', div)} AS DOUBLE) / {_M}.0 AS recall_en
+FROM agg
+"""
+
+
+@query("corpus_quality_calibration", oracle=_gd_calibration_oracle())
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the trained quality classifier: for
+    each target keep-fraction ("keep the top 90/75/50/25/10% of the
+    corpus by score") find the EXACT score threshold (the rank-based
+    order statistic, ties resolved by doc_id so the cut is
+    reproducible) and report the realized keep rate plus
+    precision/recall against the weak label — the calibration table a
+    curation pipeline publishes next to a trained filter so downstream
+    consumers pick thresholds from measured trade-offs, not guesses.
+
+    Scale: scoring is map-only (weights are plan literals); the order
+    statistic here is an exact global rank — a one-window dial, the
+    same deliberate test-SF luxury as the recall dials. At 100 TB the
+    threshold comes from approx_percentile (or a sampled exact rank)
+    and everything downstream of `thr` is unchanged: one broadcast of
+    5 thresholds and one aggregate pass.
+    """
+    from pyspark.sql import Window
+
+    w0, w1, w2 = _gd_train(spark, sf_dir)
+    div = "div"
+    s = _gd_sigmoid(f"{w0} + {_shu(f'{w1} * x1 + {w2} * x2', str(_M), div)}")
+    scored = _gd_feats(spark, sf_dir).selectExpr("doc_id", "y", f"{s} AS s")
+    n = scored.count()
+    ranked = scored.select(
+        "s", F.row_number().over(Window.orderBy("s", "doc_id")).alias("rn")
+    )
+    import math
+
+    ks = {f: n - math.ceil(f * n) + 1 for f in _CAL_KEEP}
+    kmap = spark.createDataFrame(
+        [(float(f), int(k)) for f, k in ks.items()], "f double, rn int"
+    )
+    thr = ranked.join(F.broadcast(kmap), "rn").select("f", F.col("s").alias("thr_s"))
+    agg = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("f", "thr_s")
+        .agg(
+            F.sum(F.when(F.col("s") >= F.col("thr_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.sum(
+                F.when((F.col("s") >= F.col("thr_s")) & (F.col("y") == _M), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_keep_en"),
+            F.sum(F.when(F.col("y") == _M, 1).otherwise(0)).cast("long").alias("n_en"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return agg.select(
+        F.col("f").cast("double").alias("target_keep"),
+        (F.col("thr_s").cast("double") / _M).alias("threshold_score"),
+        "n_keep",
+        (F.expr(_shu(f"{_M} * n_keep", "n", div)).cast("double") / _M).alias("keep_rate"),
+        (F.expr(_shu(f"{_M} * n_keep_en", "n_keep", div)).cast("double") / _M).alias(
+            "precision_en"
+        ),
+        (F.expr(_shu(f"{_M} * n_keep_en", "n_en", div)).cast("double") / _M).alias(
+            "recall_en"
+        ),
+    )

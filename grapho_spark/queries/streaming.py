@@ -928,3 +928,82 @@ def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bpe_tokens"),
     )
     return run_to_memory(counted, "append")
+
+
+def _quality_stream_oracle() -> str:
+    from grapho_spark.queries.curation import (
+        _DUCK_GD_CHARS,
+        _DUCK_GD_WORDS,
+        _M,
+        GD_ITERS,
+        _gd_cte_prefix,
+        _gd_feat_sql,
+        _gd_sigmoid,
+        _shu,
+    )
+
+    z = f"w0 + {_shu('w1 * x1 + w2 * x2', str(_M), '//')}"
+    return f"""{_gd_cte_prefix()}
+feat_s AS (
+{_gd_feat_sql('//', _DUCK_GD_WORDS, _DUCK_GD_CHARS,
+              extra_cols='doc_id, ', where=' WHERE doc_id % 3 = 0')}
+),
+scored AS (
+  SELECT doc_id, {_gd_sigmoid(z)} AS s
+  FROM feat_s, wt{GD_ITERS})
+SELECT doc_id,
+       CAST(s AS DOUBLE) / {_M}.0 AS quality_score,
+       s >= 500000 AS keep
+FROM scored
+"""
+
+
+@query("streaming_quality_score", oracle=_quality_stream_oracle())
+def streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static quality scoring at ingest: the logistic-regression
+    weights TRAINED by the batch pipeline (corpus_quality_classifier_gd
+    — the frozen-model convention of streaming_dsir_score /
+    streaming_bpe_tokenize) score each arriving document map-side.
+    Features, logit and sigmoid use the exact integer micro-unit
+    protocol of training, so a document gets the SAME score at ingest
+    as it would in the batch scorer; the oracle re-derives the weights
+    through the full unrolled training CTEs and scores the same
+    doc_id % 3 = 0 sample.
+
+    Scale: the model rides the PLAN as three integer literals — no
+    broadcast, no join, no state store, append mode; per-document cost
+    is one pass over its token array. This is the cheapest possible
+    at-ingest filter shape: a 1000-executor stream scores documents
+    with zero cross-executor traffic.
+    """
+    from grapho_spark.queries.curation import (
+        _M,
+        _SPARK_GD_X1,
+        _SPARK_GD_X2,
+        _gd_sigmoid,
+        _gd_train,
+        _shu,
+    )
+
+    w0, w1, w2 = _gd_train(spark, sf_dir)
+    s = _gd_sigmoid(f"{w0} + {_shu(f'{w1} * x1 + {w2} * x2', str(_M), 'div')}")
+    stream = (
+        load_stream(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 0")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("words"),
+            F.length(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", "")
+            ).alias("chars"),
+        )
+        .selectExpr(
+            "doc_id", f"{_SPARK_GD_X1} AS x1", f"{_SPARK_GD_X2} AS x2"
+        )
+        .selectExpr(
+            "doc_id",
+            f"CAST({s} AS DOUBLE) / {_M}.0 AS quality_score",
+            f"{s} >= 500000 AS keep",
+        )
+    )
+    return run_to_memory(stream, "append")

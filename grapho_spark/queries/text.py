@@ -2048,3 +2048,122 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------- count-min sketch
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+
+
+def _cms_bucket_spark(col: str, j: int) -> str:
+    """Bucket of ``col`` under hash row ``j`` — md5 is the
+    engine-portable hash family (dedup.py's protocol), seed mixed in
+    as a string prefix, 32-bit hex window -> integer -> mod W."""
+    return (
+        f"cast(conv(substring(md5(concat('cms{j}:', {col})), 1, 8), 16, 10) "
+        f"as bigint) % {CMS_W}"
+    )
+
+
+def _cms_bucket_duck(col: str) -> str:
+    """DuckDB twin of _cms_bucket_spark with ``j`` as a column."""
+    return (
+        f"CAST('0x' || substring(md5('cms' || j || ':' || {col}), 1, 8) "
+        f"AS UBIGINT)::BIGINT % {CMS_W}"
+    )
+
+
+CMS_TOPK = 20
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+cms AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT j, {_cms_bucket_duck('w')} AS bucket
+        FROM toks, (SELECT unnest([0, 1, 2, 3]) AS j))
+  GROUP BY j, bucket),
+exact AS (SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS total FROM exact),
+cand AS (SELECT term, exact_count FROM exact
+         ORDER BY exact_count DESC, term LIMIT {CMS_TOPK}),
+est AS (
+  SELECT c2.term, MIN(cms.c) AS cms_estimate
+  FROM (SELECT term, j, {_cms_bucket_duck('term')} AS bucket
+        FROM cand, (SELECT unnest([0, 1, 2, 3]) AS j)) c2
+  JOIN cms ON cms.j = c2.j AND cms.bucket = c2.bucket
+  GROUP BY c2.term)
+SELECT cand.term, cand.exact_count, est.cms_estimate,
+       est.cms_estimate - cand.exact_count AS overestimate,
+       (2 * total + {CMS_W - 1}) // {CMS_W} AS eps_bound,
+       (est.cms_estimate - cand.exact_count)
+         <= ((2 * total + {CMS_W - 1}) // {CMS_W}) AS within_bound
+FROM cand JOIN est USING (term), tot
+""",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, validated
+    against exact counts for the top-{CMS_TOPK} terms — the mergeable
+    frequency sketch a streaming/multi-shard pipeline uses where exact
+    per-term counts are too wide to keep (vocab-sized state vs a fixed
+    {CMS_D}x{CMS_W} integer grid). Every candidate's estimate must
+    dominate its exact count (CMS never underestimates) and the query
+    carries the Markov tail bound ceil(2N/W) in-band (`eps_bound`,
+    `within_bound`) — the wedge-cap convention: the certificate ships
+    WITH the scores, not in a side query.
+
+    Scale: the sketch build is ONE map-side-combined aggregate whose
+    result is {CMS_D}*{CMS_W} cells regardless of corpus size, and
+    cell-wise addition merges sketches across shards/streams (same
+    mergeability contract as the HLL/ANF sketches). Candidates come
+    from the exact top-k pass here (test-SF luxury); at 100 TB the
+    candidate set comes from a sampled pre-pass, and only the tiny
+    candidate list joins the 2048-row sketch (both broadcast-sized).
+    """
+    from grapho_spark.sparkutil import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = materialize(
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    )
+    stack_tok = ", ".join(f"{j}, {_cms_bucket_spark('w', j)}" for j in range(CMS_D))
+    cms = (
+        toks.selectExpr(f"stack({CMS_D}, {stack_tok}) AS (j, bucket)")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = toks.groupBy(F.col("w").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    tot = exact.agg(F.sum("exact_count").cast("long").alias("total"))
+    cand = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(CMS_TOPK)
+    stack_cand = ", ".join(
+        f"{j}, {_cms_bucket_spark('term', j)}" for j in range(CMS_D)
+    )
+    est = (
+        cand.selectExpr("term", f"stack({CMS_D}, {stack_cand}) AS (j, bucket)")
+        .join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    bound = F.expr(f"(2 * total + {CMS_W - 1}) div {CMS_W}")
+    return (
+        cand.join(F.broadcast(est), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+            bound.alias("eps_bound"),
+            ((F.col("cms_estimate") - F.col("exact_count")) <= bound).alias(
+                "within_bound"
+            ),
+        )
+    )

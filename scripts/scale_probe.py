@@ -120,6 +120,13 @@ PROBES = [
     "source_binaryfile_blobs",
     "streaming_binaryfile_ingest",
     "source_schema_merge_evolution",
+    # r8e: the CMS build is one map-side-combined aggregate into a
+    # fixed 2048-cell grid (sketch size is scale-invariant); GD
+    # training is 3 linear scans each reduced to a 3-cell gradient
+    "text_cms_heavy_hitters",
+    "corpus_quality_classifier_gd",
+    # the at-ingest scorer: weights are plan literals, map-only stream
+    "streaming_quality_score",
 ]
 
 

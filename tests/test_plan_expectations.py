@@ -42,6 +42,10 @@ NEGATIVE_CHECKS = {
     # the prefix ssjoin's candidate stage is an equi-join on the
     # prefix token — never an all-pairs nested loop
     "dedup_prefix_ssjoin_pairs": ["CartesianProduct"],
+    # GD weights re-enter the plan as LITERALS; a join/broadcast of a
+    # weights table would mean the trainer regressed to a weights-as-
+    # data design (one extra corpus-wide exchange per iteration)
+    "corpus_quality_classifier_gd": ["Join", "CartesianProduct"],
 }
 
 
