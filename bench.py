@@ -91,6 +91,7 @@ HEADLINE = [
     "text_cms_heavy_hitters",
     "corpus_quality_classifier_gd",
     "streaming_quality_score",
+    "streaming_cms_sketch",
 ]
 
 

@@ -407,3 +407,140 @@ def source_schema_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("o_custkey").alias("n_custkeys"),
         dsum(dec("o_totalprice", 14, 2), "total_price"),
     )
+
+
+# ------------------------------------------------------ z-order layout
+
+_Z_FILES = 16  # target file count for the layout comparison
+_Z_BITS = 8  # bits per dimension (dims live in [0, 256))
+
+
+def _z_interleave(d1: str, d2: str, div: str) -> str:
+    """Bit-interleaved z-value of two {_Z_BITS}-bit dims, in pure
+    integer arithmetic (div/mod) so the same formula works on Spark
+    (``div``) and DuckDB (``//``)."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({d1}) {div} {2**b}) % 2) * {2**(2 * b + 1)}")
+        terms.append(f"((({d2}) {div} {2**b}) % 2) * {2**(2 * b)}")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    from grapho_spark.queries.curation import _shu
+
+    div = "//"
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey % 256 AS d1,
+         (month(o_orderdate) * 31 + day(o_orderdate)) % 256 AS d2
+  FROM orders),
+z AS (SELECT o_orderkey, d1, d2, {_z_interleave('d1', 'd2', div)} AS zval FROM base),
+tagged AS (
+  SELECT 'linear' AS layout,
+         row_number() OVER (ORDER BY d1, d2, o_orderkey) AS rn, d1, d2 FROM z
+  UNION ALL
+  SELECT 'zorder',
+         row_number() OVER (ORDER BY zval, o_orderkey), d1, d2 FROM z),
+nn AS (SELECT COUNT(*) AS n FROM base),
+files AS (
+  SELECT layout, ((rn - 1) * {_Z_FILES}) {div} n AS file_id,
+         MIN(d1) AS min1, MAX(d1) AS max1,
+         MIN(d2) AS min2, MAX(d2) AS max2
+  FROM tagged, nn GROUP BY 1, 2)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST({_shu('1000000 * SUM((max1 - min1 + 1) * (max2 - min2 + 1))',
+                  'COUNT(*)', div)} AS DOUBLE) / 1000000.0 AS avg_extent_area,
+       CAST(SUM(CASE WHEN max1 >= 96 AND min1 <= 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_hit_d1_range,
+       CAST(SUM(CASE WHEN max2 >= 96 AND min2 <= 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_hit_d2_range
+FROM files GROUP BY layout
+"""
+
+
+@query("source_zorder_clustering", oracle=_zorder_oracle())
+def source_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data clustering vs a linear sort — the
+    layout decision behind file skipping at 100 TB, quantified: assign
+    each orders row to one of {_Z_FILES} files under (a) a linear sort
+    on (d1, d2) and (b) a bit-interleaved z-value sort, then report
+    each layout's average per-file bounding-box area and how many
+    files a range predicate on EACH dimension would have to read
+    (min/max footer pruning). The linear layout prunes its leading
+    dimension well and the trailing one not at all; z-order prunes
+    both at ~sqrt cost — the measured argument for OPTIMIZE ZORDER BY
+    on any multi-dim-filtered table, computed by the engine itself
+    instead of asserted from folklore.
+
+    Determinism: dims, z-values, ranks (ties broken by o_orderkey) and
+    file ids are exact integers; the only division is the micro-unit
+    half-up mean of integer box areas.
+
+    Scale: this is a layout PLANNER dial — the exact global sort here
+    is the test-SF stand-in for the sampled repartitionByRange the
+    actual rewrite would use; the per-file min/max aggregation and the
+    pruning arithmetic are file-count-, not data-, sized.
+    """
+    from pyspark.sql import Window
+
+    from grapho_spark.queries.curation import _shu
+
+    div = "div"
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("d1"),
+        ((F.month("o_orderdate") * 31 + F.dayofmonth("o_orderdate")) % 256).alias(
+            "d2"
+        ),
+    )
+    z = base.withColumn("zval", F.expr(_z_interleave("d1", "d2", div)))
+    lin = z.select(
+        F.lit("linear").alias("layout"),
+        F.row_number().over(Window.orderBy("d1", "d2", "o_orderkey")).alias("rn"),
+        "d1",
+        "d2",
+    )
+    zo = z.select(
+        F.lit("zorder").alias("layout"),
+        F.row_number().over(Window.orderBy("zval", "o_orderkey")).alias("rn"),
+        "d1",
+        "d2",
+    )
+    nn = base.agg(F.count(F.lit(1)).alias("n"))
+    files = (
+        lin.unionAll(zo)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "layout",
+            F.expr(f"((rn - 1) * {_Z_FILES}) div n").alias("file_id"),
+            "d1",
+            "d2",
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("d1").alias("min1"),
+            F.max("d1").alias("max1"),
+            F.min("d2").alias("min2"),
+            F.max("d2").alias("max2"),
+        )
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        (
+            F.expr(
+                _shu(
+                    "1000000 * SUM((max1 - min1 + 1) * (max2 - min2 + 1))",
+                    "COUNT(*)",
+                    div,
+                )
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("avg_extent_area"),
+        F.sum(F.when((F.col("max1") >= 96) & (F.col("min1") <= 127), 1).otherwise(0))
+        .cast("long")
+        .alias("files_hit_d1_range"),
+        F.sum(F.when((F.col("max2") >= 96) & (F.col("min2") <= 127), 1).otherwise(0))
+        .cast("long")
+        .alias("files_hit_d2_range"),
+    )

@@ -1007,3 +1007,48 @@ def streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(stream, "append")
+
+
+def _cms_stream_oracle() -> str:
+    from grapho_spark.queries.text import _cms_bucket_duck
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents)
+SELECT CAST(j AS BIGINT) AS j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+FROM (SELECT j, {_cms_bucket_duck('w')} AS bucket
+      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS j))
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_cms_sketch", oracle=_cms_stream_oracle())
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained OVER A STREAM: each micro-batch
+    folds its tokens into the same fixed 4x512 integer grid
+    (text_cms_heavy_hitters' sketch), and because CMS cells merge by
+    addition the final streaming state equals the batch sketch exactly
+    — the oracle IS the batch construction. This is the
+    heavy-hitters-at-ingest shape: the grid is queryable at any point
+    mid-stream, and a fleet of ingest streams can union their grids
+    cell-wise.
+
+    Scale: streaming state is hard-bounded at 2048 cells no matter the
+    corpus (contrast a per-term counter, whose state is vocab-sized and
+    grows unboundedly on open-vocabulary streams); the per-batch fold
+    is the same map-side-combined aggregate as batch.
+    """
+    from grapho_spark.queries.text import CMS_D, _cms_bucket_spark
+
+    stack_tok = ", ".join(
+        f"CAST({j} AS BIGINT), {_cms_bucket_spark('w', j)}" for j in range(CMS_D)
+    )
+    stream = (
+        load_stream(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .selectExpr(f"stack({CMS_D}, {stack_tok}) AS (j, bucket)")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return run_to_memory(stream, "complete")

@@ -127,6 +127,11 @@ PROBES = [
     "corpus_quality_classifier_gd",
     # the at-ingest scorer: weights are plan literals, map-only stream
     "streaming_quality_score",
+    # streaming CMS: state hard-bounded at 2048 cells at any corpus
+    "streaming_cms_sketch",
+    # (corpus_quality_calibration and source_zorder_clustering are
+    # excluded like the recall dials: their exact global rank/sort is
+    # the deliberate test-SF truth side of a planner/calibration dial)
 ]
 
 
