@@ -92,6 +92,9 @@ HEADLINE = [
     "corpus_quality_classifier_gd",
     "streaming_quality_score",
     "streaming_cms_sketch",
+    "source_aggregate_pushdown",
+    "source_commitlog_datasource",
+    "streaming_commitlog_tail",
 ]
 
 

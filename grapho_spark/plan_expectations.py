@@ -174,6 +174,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # the materialized feature table — weights are plan literals, so
     # no join of any kind may appear
     "corpus_quality_classifier_gd": ["HashAggregate", "InMemoryTableScan"],
+    # the WAL must be read through the registered Python data source
+    # (a BatchScan of it), once per encoding
+    "source_commitlog_datasource": ["BatchScan commitlog"],
 }
 
 

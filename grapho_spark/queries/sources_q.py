@@ -544,3 +544,211 @@ def source_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("files_hit_d2_range"),
     )
+
+
+# ------------------------------------------------- aggregate pushdown
+
+
+@query(
+    "source_aggregate_pushdown",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_keys,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       true AS agg_pushed
+FROM orders
+""",
+)
+def source_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTERS alone — Spark's
+    DSv2 aggregate pushdown (``spark.sql.parquet.aggregatePushdown``):
+    the scan reads row-group statistics, never data pages, so a
+    100 TB table's global count/min/max costs one footer read per
+    file instead of a full scan. The plan property is certified
+    IN-BAND (the wedge-cap convention): the query inspects its own
+    physical plan while the pushdown confs are active and emits
+    ``agg_pushed`` — the oracle pins it ``true``, so a Spark upgrade
+    that silently stops pushing fails value parity, not just a plan
+    test.
+
+    The DSv2 flip (parquet off ``useV1SourceList``) and the pushdown
+    flag are set only while this plan is built and MATERIALIZED, then
+    restored — other queries keep the session's V1 behavior (the
+    statement surface runs queries sequentially, like the driver).
+    """
+    from grapho_spark.plan_expectations import plan_string
+    from grapho_spark.sparkutil import materialize
+
+    conf = spark.conf
+    old_push = conf.get("spark.sql.parquet.aggregatePushdown")
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set(
+            "spark.sql.sources.useV1SourceList",
+            ",".join(s for s in old_v1.split(",") if s and s != "parquet"),
+        )
+        scan = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        agg = scan.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_keys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+        pushed = "PushedAggregation" in plan_string(agg)
+        return materialize(agg.select("*", F.lit(pushed).alias("agg_pushed")))
+    finally:
+        conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+        conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+# ---------------------------------------------- commitlog datasource
+
+_WAL_N = 32  # documents journaled into the WAL fixture
+
+
+def _commitlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A deterministic WAL pair (text + binary encodings, identical
+    records) journaling the first {_WAL_N} documents as compact JSON
+    envelopes — written with the engine's REAL CommitLog writer so the
+    on-disk bytes are the production framing. Marker-after-files
+    publish (crash-safe, same contract as the blob fixture)."""
+    import hashlib
+
+    import pandas as pd
+
+    from grapho_spark.engine.commitlog import CommitLog
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
+    path = os.path.join(tempfile.gettempdir(), f"grapho_walfix_{tag}")
+    marker = os.path.join(path, "_FIXTURE_OK")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        for name in ("commitlog.jsonl", "commitlog.bin"):
+            try:
+                os.remove(os.path.join(path, name))
+            except OSError:
+                pass
+        docs = pd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        docs = docs[docs["doc_id"] < _WAL_N].sort_values("doc_id")
+        records = [
+            f'{{"seq":{int(r.doc_id)},"text_md5":"'
+            f'{hashlib.md5(r.text.encode("utf-8")).hexdigest()}"}}'
+            for r in docs.itertuples()
+        ]
+        for fmt in ("text", "binary"):
+            log = CommitLog(path, fmt=fmt)
+            for rec in records:
+                log.append(rec)
+            log.close()
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return path
+
+
+_WAL_ORACLE_ROWS = f"""
+SELECT CAST(doc_id AS BIGINT) AS rec_offset,
+       CAST(doc_id AS BIGINT) AS seq,
+       '{{"seq":' || doc_id || ',"text_md5":"' || md5(text) || '"}}' AS record,
+       CAST(octet_length(encode('{{"seq":' || doc_id || ',"text_md5":"'
+                                || md5(text) || '"}}')) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < {_WAL_N}
+"""
+
+
+@query(
+    "source_commitlog_datasource",
+    oracle=f"""
+WITH rows_t AS ({_WAL_ORACLE_ROWS})
+SELECT fmt, rec_offset, seq, record, n_bytes
+FROM rows_t, (SELECT unnest(['binary', 'text']) AS fmt)
+ORDER BY fmt, rec_offset
+""",
+)
+def source_commitlog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's commit log (WAL) read back through a custom
+    PYTHON DATA SOURCE (``spark.read.format("commitlog")``,
+    grapho_spark/datasource.py) — Spark 4's DataSource API turned on
+    the engine's own durability artifact, so audit/replication tooling
+    queries the journal with plain DataFrame ops instead of a bespoke
+    export. Both on-disk encodings (text JSONL and 4-byte-BE binary,
+    reference server/commitlog.go framing) are read and must agree
+    record-for-record; the oracle reconstructs the exact envelope
+    bytes from the documents view, so framing, UTF-8 handling and the
+    corruption-stop parse are all value-checked.
+
+    Scale: one WAL segment = one InputPartition (sequential replay is
+    the log's contract); a segmented production log fans out one
+    partition per segment. Only (offset, record) rows leave the
+    reader.
+    """
+    from grapho_spark.datasource import register_commitlog
+
+    register_commitlog(spark)
+    d = _commitlog_fixture_dir(spark, sf_dir)
+    parts = []
+    for fmt in ("text", "binary"):
+        df = (
+            spark.read.format("commitlog")
+            .option("path", d)
+            .option("logformat", fmt)
+            .load()
+        )
+        parts.append(
+            df.select(
+                F.lit(fmt).alias("fmt"),
+                F.col("offset").alias("rec_offset"),
+                "record",
+                "n_bytes",
+            )
+        )
+    both = parts[0].unionAll(parts[1])
+    return both.select(
+        "fmt",
+        "rec_offset",
+        F.get_json_object("record", "$.seq").cast("long").alias("seq"),
+        "record",
+        "n_bytes",
+    ).orderBy("fmt", "rec_offset")
+
+
+@query(
+    "streaming_commitlog_tail",
+    oracle=f"""
+WITH rows_t AS ({_WAL_ORACLE_ROWS})
+SELECT rec_offset, seq, record, n_bytes FROM rows_t ORDER BY rec_offset
+""",
+)
+def streaming_commitlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same WAL TAILED as a structured stream: the Python data
+    source's stream reader checkpoints a single integer offset (the
+    record index) and each micro-batch reads only records appended
+    since — the engine's journal becomes a live CDC feed with
+    exactly-once delivery riding Spark's offset log. The finite
+    fixture drains to the batch result, giving the custom streaming
+    source a full value-hash oracle.
+
+    Scale: per-batch work is (new records) only; reader state is ONE
+    integer regardless of log size.
+    """
+    from grapho_spark.datasource import register_commitlog
+    from grapho_spark.streaming import run_to_memory
+
+    register_commitlog(spark)
+    d = _commitlog_fixture_dir(spark, sf_dir)
+    s = spark.readStream.format("commitlog").option("path", d).load()
+    out = run_to_memory(
+        s.select(
+            F.col("offset").alias("rec_offset"),
+            F.get_json_object("record", "$.seq").cast("long").alias("seq"),
+            "record",
+            "n_bytes",
+        ),
+        "append",
+    )
+    return out.orderBy("rec_offset")

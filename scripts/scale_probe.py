@@ -129,6 +129,12 @@ PROBES = [
     "streaming_quality_score",
     # streaming CMS: state hard-bounded at 2048 cells at any corpus
     "streaming_cms_sketch",
+    # footer-only aggregates: cost is file-count-, not row-, sized
+    "source_aggregate_pushdown",
+    # the WAL datasource: fixed 32-record fixture, reader cost is
+    # log-, not SF-, sized (the probe verifies the fixed cost)
+    "source_commitlog_datasource",
+    "streaming_commitlog_tail",
     # (corpus_quality_calibration and source_zorder_clustering are
     # excluded like the recall dials: their exact global rank/sort is
     # the deliberate test-SF truth side of a planner/calibration dial)
