@@ -95,6 +95,7 @@ HEADLINE = [
     "source_aggregate_pushdown",
     "source_commitlog_datasource",
     "streaming_commitlog_tail",
+    "text_cdc_chunking",
 ]
 
 

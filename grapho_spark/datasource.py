@@ -11,11 +11,14 @@ the record index; each micro-batch reads only records appended since
 the last committed offset (the at-most-once/at-least-once story is
 Spark's checkpointed offset log, exactly like the file source).
 
-Scale: a single WAL file is inherently one partition (replay is
-sequential by contract — reference server/commitlog.go); a production
-deployment segments the log, and ``partitions()`` maps one segment to
-one InputPartition. The reader ships only (offset, record) — byte
-payloads of any size stay out of the driver.
+Scale: the writer ROLLS the log into numbered sealed segments at
+``max_segment_bytes`` (commitlog.py) and appends (name, count) to a
+manifest at each roll; the batch reader maps ONE SEGMENT to ONE
+InputPartition with global offsets computed from that manifest — so a
+long-lived log is read with real parallelism, and the driver reads a
+tiny manifest, never the data. An unsegmented log degrades to one
+partition (replay is sequential by contract — reference
+server/commitlog.go).
 """
 
 from __future__ import annotations
@@ -62,12 +65,55 @@ class CommitLogBatchReader(DataSourceReader):
             raise ValueError("commitlog source requires a path (the data_dir)")
 
     def partitions(self):
-        # one WAL file = one partition (sequential replay contract);
-        # segmented logs map segment -> InputPartition here
-        return [InputPartition(0)]
+        """One SEGMENT = one InputPartition, carrying (segment path,
+        global start offset). Start offsets for sealed segments come
+        from the manifest the writer appends at roll time (a tiny
+        driver-side read — never the data); unlisted segments (crash
+        between rename and manifest append) and the active file are
+        parsed driver-side as the documented fallback."""
+        import os
+
+        from grapho_spark.engine.commitlog import (
+            MANIFEST_NAME,
+            CommitLog,
+            scan_segment,
+        )
+
+        log = CommitLog(self.path, fmt=self.fmt)
+        manifest: dict[str, int] = {}
+        try:
+            with open(os.path.join(self.path, MANIFEST_NAME)) as mf:
+                for line in mf:
+                    name, n = line.rstrip("\n").split("\t")
+                    manifest[name] = int(n)
+        except OSError:
+            pass
+        parts, start = [], 0
+        for p in log.segment_paths():
+            n = manifest.get(os.path.basename(p))
+            if n is None:
+                n = len(scan_segment(p, self.fmt)[0])
+            if n:
+                parts.append(InputPartition((p, start)))
+            start += n
+        return parts or [InputPartition((None, 0))]
 
     def read(self, partition):
-        for i, rec in enumerate(_read_all(self.path, self.fmt)):
+        import os
+
+        from grapho_spark.engine.commitlog import scan_segment
+
+        path, start = partition.value
+        if path is None:
+            return
+        recs, end = scan_segment(path, self.fmt)
+        # a torn SEALED segment would silently misalign every later
+        # partition's offsets — fail loudly instead (the active file,
+        # always the last segment, may legitimately have a torn tail)
+        sealed = os.path.basename(path).split(".")[1].isdigit()
+        if sealed and end < os.path.getsize(path):
+            raise IOError(f"sealed commit-log segment is corrupt: {path}")
+        for i, rec in enumerate(recs, start=start):
             yield (i, rec, len(rec.encode("utf-8")))
 
 

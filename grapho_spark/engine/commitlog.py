@@ -39,6 +39,7 @@ MAX_RECORD_BYTES = 10 << 20  # replay guard, commitlog.go:180-182
 
 TEXT_NAME = "commitlog.jsonl"
 BINARY_NAME = "commitlog.bin"
+MANIFEST_NAME = "commitlog.manifest"  # sealed-segment index (see roll)
 
 
 def detect_format(data_dir: str) -> str:
@@ -59,10 +60,13 @@ class CommitLog:
         fmt: str = "text",
         fsync_every: int = 64,
         fsync_interval: float = 1.0,
+        max_segment_bytes: int | None = None,
     ):
         if fmt not in ("text", "binary"):
             raise ValueError(f"unknown commit-log format: {fmt!r}")
         self.fmt = fmt
+        self.data_dir = data_dir
+        self.max_segment_bytes = max_segment_bytes
         self.path = os.path.join(
             data_dir, BINARY_NAME if fmt == "binary" else TEXT_NAME
         )
@@ -84,19 +88,66 @@ class CommitLog:
         return self._file
 
     def _truncate_torn_tail(self) -> None:
-        """WAL recovery: cut the file back to the end of the last
-        complete record before appending, so a torn tail from a crash
-        can't absorb or misframe post-crash records."""
+        """WAL recovery: cut the ACTIVE file back to the end of the
+        last complete record before appending, so a torn tail from a
+        crash can't absorb or misframe post-crash records. Sealed
+        segments are immutable and never truncated."""
         try:
             size = os.path.getsize(self.path)
         except OSError:
             return
-        _, valid_end = self._scan()
+        _, valid_end = self._scan_file(self.path)
         if valid_end < size:
             with open(self.path, "r+b") as f:
                 f.truncate(valid_end)
                 f.flush()
                 os.fsync(f.fileno())
+
+    # ------------------------------------------------------- segments
+
+    def _stem_ext(self) -> tuple[str, str]:
+        stem, ext = os.path.splitext(self.path)
+        return stem, ext
+
+    def sealed_paths(self) -> list[str]:
+        """Sealed (immutable) segment files, oldest first. Zero-padded
+        numbering makes lexicographic order the append order."""
+        import glob
+
+        stem, ext = self._stem_ext()
+        return sorted(glob.glob(f"{stem}.[0-9]*{ext}"))
+
+    def segment_paths(self) -> list[str]:
+        """All segments in replay order: sealed, then the active file
+        (if it exists)."""
+        out = self.sealed_paths()
+        if os.path.exists(self.path):
+            out.append(self.path)
+        return out
+
+    def _roll_locked(self) -> None:
+        """Seal the active file: fsync, atomically rename to the next
+        numbered segment, and append (name, record count) to the
+        manifest AFTER the rename — a crash between rename and
+        manifest write leaves an unlisted sealed segment, which
+        readers fall back to parsing (never a lost or double record)."""
+        f = self._file
+        if f is None or f.closed:
+            return
+        f.flush()
+        os.fsync(f.fileno())
+        self.n_fsyncs += 1
+        self._unsynced = 0
+        n_records = len(self._scan_file(self.path)[0])
+        f.close()
+        self._file = None
+        stem, ext = self._stem_ext()
+        sealed = f"{stem}.{len(self.sealed_paths()) + 1:08d}{ext}"
+        os.rename(self.path, sealed)
+        with open(os.path.join(self.data_dir, MANIFEST_NAME), "a") as mf:
+            mf.write(f"{os.path.basename(sealed)}\t{n_records}\n")
+            mf.flush()
+            os.fsync(mf.fileno())
 
     def append(self, record: str) -> None:
         """Write one record; visible to readers immediately, durable at
@@ -115,6 +166,11 @@ class CommitLog:
             self._unsynced += 1
             if self._unsynced >= self.fsync_every:
                 self._sync_locked()
+            if (
+                self.max_segment_bytes is not None
+                and f.tell() >= self.max_segment_bytes
+            ):
+                self._roll_locked()
         self._ensure_ticker()
 
     def _sync_locked(self) -> None:
@@ -159,42 +215,69 @@ class CommitLog:
     # ----------------------------------------------------------- read
 
     def _scan(self) -> tuple[list[str], int]:
-        """Parse the file; returns (complete records, byte offset of
-        the end of the last complete record). Corruption-stop: the
-        first torn/oversized/undecodable record ends the scan."""
-        try:
-            with open(self.path, "rb") as f:
-                blob = f.read()
-        except FileNotFoundError:
-            return [], 0
+        """Parse ALL segments in replay order; returns (complete
+        records, byte offset of the end of the last complete record in
+        the ACTIVE file). Corruption-stop is GLOBAL: a corrupt sealed
+        segment ends the scan — the prefix survives, nothing after a
+        tear is trusted (catalog/store.go:80-127 contract)."""
         out: list[str] = []
-        if self.fmt == "binary":
-            pos, n_bytes = 0, len(blob)
-            while pos + 4 <= n_bytes:
-                (n,) = struct.unpack_from(">I", blob, pos)
-                if n > MAX_RECORD_BYTES:  # guard: treat as corruption, stop
-                    break
-                if pos + 4 + n > n_bytes:  # torn body
-                    break
-                try:
-                    out.append(blob[pos + 4 : pos + 4 + n].decode("utf-8"))
-                except UnicodeDecodeError:
-                    break
-                pos += 4 + n
-            return out, pos
-        pos = 0
-        for line in blob.split(b"\n")[:-1]:  # last element: after final \n
+        for p in self.sealed_paths():
+            recs, end = self._scan_file(p)
+            out.extend(recs)
             try:
-                out.append(line.decode("utf-8"))
-            except UnicodeDecodeError:
-                break
-            pos += len(line) + 1
-        return out, pos
+                size = os.path.getsize(p)
+            except OSError:
+                size = end
+            if end < size:  # a sealed segment should never be torn
+                return out, 0
+        recs, end = self._scan_file(self.path)
+        out.extend(recs)
+        return out, end
+
+    def _scan_file(self, path: str) -> tuple[list[str], int]:
+        return scan_segment(path, self.fmt)
 
     def records(self) -> list[str]:
-        """All COMPLETE records, stopping at the first torn/corrupt
-        one (corruption-stop best effort; the tail is simply absent)."""
+        """All COMPLETE records across all segments, stopping at the
+        first torn/corrupt one (corruption-stop best effort; the tail
+        is simply absent)."""
         return self._scan()[0]
 
     def count(self) -> int:
         return len(self.records())
+
+
+def scan_segment(path: str, fmt: str) -> tuple[list[str], int]:
+    """Parse ONE segment file; returns (complete records, byte offset
+    of the end of the last complete record). Corruption-stop: the
+    first torn/oversized/undecodable record ends the scan. Module-
+    level so readers (the Spark data source) can parse a single
+    segment on an executor without a CommitLog handle."""
+    try:
+        with open(path, "rb") as f:
+            blob = f.read()
+    except FileNotFoundError:
+        return [], 0
+    out: list[str] = []
+    if fmt == "binary":
+        pos, n_bytes = 0, len(blob)
+        while pos + 4 <= n_bytes:
+            (n,) = struct.unpack_from(">I", blob, pos)
+            if n > MAX_RECORD_BYTES:  # guard: treat as corruption, stop
+                break
+            if pos + 4 + n > n_bytes:  # torn body
+                break
+            try:
+                out.append(blob[pos + 4 : pos + 4 + n].decode("utf-8"))
+            except UnicodeDecodeError:
+                break
+            pos += 4 + n
+        return out, pos
+    pos = 0
+    for line in blob.split(b"\n")[:-1]:  # last element: after final \n
+        try:
+            out.append(line.decode("utf-8"))
+        except UnicodeDecodeError:
+            break
+        pos += len(line) + 1
+    return out, pos

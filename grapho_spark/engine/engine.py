@@ -202,11 +202,15 @@ class GraphEngine:
         log_format: str | None = None,
         snapshot_every: int = 64,
         keep_versions: int | None = None,
+        log_segment_bytes: int | None = None,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
         the reference's alternative format, commitlog.go:121-133).
         ``None`` auto-detects from an existing log in ``data_dir``.
+        ``log_segment_bytes``: roll the commit log into numbered sealed
+        segments at this size (None = classic single file); replay and
+        CDC offsets span segments transparently.
 
         ``snapshot_every``: auto-compaction cadence — once this many
         DDL events accumulate past the last snapshot, the engine runs a
@@ -249,7 +253,9 @@ class GraphEngine:
                         f"log_format={log_format!r}"
                     )
             self._commitlog = CommitLog(
-                data_dir, fmt=log_format or detect_format(data_dir)
+                data_dir,
+                fmt=log_format or detect_format(data_dir),
+                max_segment_bytes=log_segment_bytes,
             )
             self.catalog_store: CatalogStore | None = CatalogStore(
                 os.path.join(data_dir, "catalog"), snapshot_every=snapshot_every

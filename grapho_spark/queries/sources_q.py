@@ -641,8 +641,11 @@ def _commitlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             f'{hashlib.md5(r.text.encode("utf-8")).hexdigest()}"}}'
             for r in docs.itertuples()
         ]
+        # a small segment cap forces several ROLLS, so the datasource
+        # read below exercises real multi-partition segment fan-out
+        # (one InputPartition per sealed segment + the active tail)
         for fmt in ("text", "binary"):
-            log = CommitLog(path, fmt=fmt)
+            log = CommitLog(path, fmt=fmt, max_segment_bytes=512)
             for rec in records:
                 log.append(rec)
             log.close()

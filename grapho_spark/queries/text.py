@@ -2167,3 +2167,128 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- content-defined chunking
+
+CDC_MOD = 16  # boundary when H(prev,cur) % CDC_MOD == 0 (~16-token chunks)
+
+
+def _cdc_flag(div_engine: str) -> str:
+    """Boundary flag for a (prev, cur) token pair — md5 of the joined
+    pair reduced mod CDC_MOD (the gear-hash shape at token granularity;
+    identical text on both engines)."""
+    h = (
+        f"CAST(conv(substring(md5(concat('cdc:', prev, '|', w)), 1, 8), 16, 10) AS BIGINT)"
+        if div_engine == "spark"
+        else "CAST('0x' || substring(md5('cdc:' || prev || '|' || w), 1, 8) AS UBIGINT)::BIGINT"
+    )
+    return (
+        f"CASE WHEN prev IS NULL THEN 1 "
+        f"WHEN ({h}) % {CDC_MOD} = 0 THEN 1 ELSE 0 END"
+    )
+
+
+@query(
+    "text_cdc_chunking",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, words[i] AS w
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS words
+        FROM documents),
+       UNNEST(range(1, len(words) + 1)) AS t(i)),
+flagged AS (
+  SELECT doc_id, pos, w,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok),
+cid AS (
+  SELECT doc_id, pos, w,
+         SUM({_cdc_flag('duck')})
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         string_agg(w, ' ' ORDER BY pos) AS chunk,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM cid GROUP BY doc_id, chunk_id),
+rep AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens,
+       CAST((2 * 1000000 * SUM(c.n_tokens) + COUNT(*)) // (2 * COUNT(*))
+            AS DOUBLE) / 1000000.0 AS avg_chunk_tokens,
+       CAST(COUNT(r.chunk) AS BIGINT) AS n_repeated_chunks
+FROM chunks c LEFT JOIN rep r ON c.chunk = r.chunk
+GROUP BY c.doc_id
+""",
+)
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/dedup-storage
+    technique at token granularity): a chunk boundary falls where the
+    hash of the local token pair ≡ 0 mod {CDC_MOD}, so boundaries are
+    determined by CONTENT, not position — inserting one word near the
+    top of a document shifts every fixed-size chunk after it (breaking
+    fixed-chunk dedup, text_chunk_dedup_rewrite's known weakness) but
+    moves only the ONE content-defined chunk containing the edit.
+    Reports per-document chunk stats and how many of its chunks recur
+    verbatim in other documents — the storage-dedup signal.
+
+    Scale: boundary flags and chunk ids are doc-partitioned window
+    sums (shard-parallel, no global sort); the only corpus-wide
+    shuffle keys on the chunk text for the recurrence count (at
+    100 TB, on its 16-byte hash). Expected chunk length is the single
+    knob ({CDC_MOD}); the hash is the portable md5 family.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = tok.withColumn("prev", F.lag("w").over(wdoc))
+    cid = flagged.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(F.expr(_cdc_flag("spark")))
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("chunk_id"),
+    )
+    chunks = cid.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s.w
+            ),
+        ).alias("chunk"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    rep = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk", F.lit(1).alias("_rep"))
+    )
+    return (
+        chunks.join(rep, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.expr(
+                    "(2 * 1000000 * SUM(n_tokens) + COUNT(*)) div (2 * COUNT(*))"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("avg_chunk_tokens"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0)))
+            .cast("long")
+            .alias("n_repeated_chunks"),
+        )
+    )

@@ -135,6 +135,9 @@ PROBES = [
     # log-, not SF-, sized (the probe verifies the fixed cost)
     "source_commitlog_datasource",
     "streaming_commitlog_tail",
+    # content-defined chunking: doc-partitioned window sums; the one
+    # corpus shuffle keys on chunk text for the recurrence count
+    "text_cdc_chunking",
     # (corpus_quality_calibration and source_zorder_clustering are
     # excluded like the recall dials: their exact global rank/sort is
     # the deliberate test-SF truth side of a planner/calibration dial)

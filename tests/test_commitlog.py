@@ -172,3 +172,45 @@ def test_engine_rejects_conflicting_log_format(spark, tmp_path):
         GraphEngine(spark, data_dir=d, log_format="text")
     # matching explicit format and auto-detect both still work
     assert GraphEngine(spark, data_dir=d, log_format="binary")._commitlog.fmt == "binary"
+
+
+def test_segment_rotation_preserves_order_and_manifest(tmp_path):
+    import os
+
+    from grapho_spark.engine.commitlog import MANIFEST_NAME, CommitLog
+
+    d = str(tmp_path)
+    recs = [f"rec-{i:03d}-" + "z" * 25 for i in range(14)]
+    log = CommitLog(d, fmt="text", max_segment_bytes=100)
+    for r in recs:
+        log.append(r)
+    log.close()
+    assert log.records() == recs  # global replay order across segments
+    sealed = log.sealed_paths()
+    assert len(sealed) >= 3
+    manifest = dict(
+        line.rstrip("\n").split("\t")
+        for line in open(os.path.join(d, MANIFEST_NAME))
+    )
+    # every sealed segment is listed with its exact record count
+    from grapho_spark.engine.commitlog import scan_segment
+
+    for p in sealed:
+        assert int(manifest[os.path.basename(p)]) == len(scan_segment(p, "text")[0])
+    # reopen + append continues the numbering, replay still complete
+    log2 = CommitLog(d, fmt="text", max_segment_bytes=100)
+    log2.append("tail-record")
+    log2.close()
+    assert CommitLog(d, fmt="text").records() == recs + ["tail-record"]
+
+
+def test_rotation_off_by_default_single_file(tmp_path):
+    from grapho_spark.engine.commitlog import CommitLog
+
+    d = str(tmp_path)
+    log = CommitLog(d, fmt="text")
+    for i in range(50):
+        log.append(f"r{i}" + "w" * 100)
+    log.close()
+    assert log.sealed_paths() == []  # no cap -> classic single file
+    assert len(log.records()) == 50

@@ -69,3 +69,44 @@ def test_stream_tail_picks_up_appends(spark, tmp_path):
 def test_register_is_idempotent(spark):
     register_commitlog(spark)
     register_commitlog(spark)  # second call must be a no-op
+
+
+def test_segmented_log_reads_in_parallel_with_global_offsets(spark, tmp_path):
+    d = str(tmp_path)
+    recs = [f'{{"seq":{i},"pad":"{"x" * 40}"}}' for i in range(20)]
+    log = CommitLog(d, fmt="text", max_segment_bytes=150)
+    for r in recs:
+        log.append(r)
+    log.close()
+    assert len(log.sealed_paths()) >= 3  # the cap actually rolled
+    register_commitlog(spark)
+    df = spark.read.format("commitlog").option("path", d).load()
+    from pyspark.sql import functions as F
+
+    rows = df.select("offset", "record", F.spark_partition_id().alias("pid")).collect()
+    by_off = {r.offset: r.record for r in rows}
+    assert [by_off[i] for i in range(20)] == recs  # global order preserved
+    assert len({r.pid for r in rows}) > 1  # real multi-partition fan-out
+
+
+def test_corrupt_sealed_segment_fails_loudly(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path)
+    log = CommitLog(d, fmt="binary", max_segment_bytes=80)
+    for i in range(9):
+        log.append(f'{{"seq":{i},"pad":"{"y" * 20}"}}')
+    log.close()
+    sealed = log.sealed_paths()
+    assert sealed
+    with open(sealed[0], "r+b") as fh:  # truncate mid-record
+        fh.truncate(10)
+    register_commitlog(spark)
+    df = (
+        spark.read.format("commitlog")
+        .option("path", d)
+        .option("logformat", "binary")
+        .load()
+    )
+    with pytest.raises(Exception):  # torn SEALED segment must not
+        df.collect()  # silently misalign offsets

@@ -1052,3 +1052,21 @@ def test_explain_non_match_is_parse_error(eng):
 
     with _pytest.raises(EngineError, match="EXPLAIN supports MATCH"):
         eng.execute("EXPLAIN INSERT NODE Z (k: 1);")
+
+
+def test_durability_replay_over_rotated_log(spark, tmp_path):
+    """r8e: a tiny segment cap forces several commit-log rolls
+    mid-workload; replay must span segments transparently and sealed
+    files must be untouched by reopen's torn-tail recovery."""
+    d = str(tmp_path / "dbrot")
+    eng = GraphEngine(spark, data_dir=d, log_segment_bytes=200)
+    eng.execute("CREATE NODE P (name: string, age: int);")
+    for i in range(12):
+        eng.execute(f"INSERT NODE P (name: 'n{i}', age: {i});")
+    eng.execute("UPDATE NODE P SET age: 99 WHERE name: 'n3';")
+    assert len(eng._commitlog.sealed_paths()) >= 2  # the cap rolled
+    eng2 = GraphEngine(spark, data_dir=d, log_segment_bytes=200)
+    rows = {r.name: r.age for r in eng2.node_df("P").collect()}
+    assert rows == {f"n{i}": (99 if i == 3 else i) for i in range(12)}
+    eng2.execute("INSERT NODE P (name: 'tail', age: 1);")
+    assert eng2.node_df("P").count() == 13

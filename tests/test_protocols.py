@@ -86,3 +86,42 @@ def test_gd_sigmoid_cross_engine(spark):
     assert got[0] == 500_000  # sigmoid(0) is exact
     for z in zs:  # symmetry of the rounded sigmoid
         assert got[z] + got[-z] == pytest.approx(_M, abs=1)
+
+
+def test_cdc_chunking_is_insertion_robust():
+    """The property text_cdc_chunking exists for: one inserted token
+    shifts every fixed-size chunk after the edit point, but changes
+    only O(1) content-defined chunks."""
+    import hashlib
+
+    from grapho_spark.queries.text import CDC_MOD
+
+    def h(prev: str, w: str) -> int:
+        return int(hashlib.md5(f"cdc:{prev}|{w}".encode()).hexdigest()[:8], 16)
+
+    def cdc_chunks(words: list[str]) -> list[str]:
+        out, cur, prev = [], [], None
+        for w in words:
+            if prev is None or h(prev, w) % CDC_MOD == 0:
+                if cur:
+                    out.append(" ".join(cur))
+                cur = []
+            cur.append(w)
+            prev = w
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    def fixed_chunks(words: list[str], k: int = CDC_MOD) -> list[str]:
+        return [" ".join(words[i : i + k]) for i in range(0, len(words), k)]
+
+    rng_words = [f"w{(i * 2654435761) % 997}" for i in range(600)]
+    edited = rng_words[:5] + ["INSERTED"] + rng_words[5:]
+
+    base_cdc, edit_cdc = set(cdc_chunks(rng_words)), set(cdc_chunks(edited))
+    base_fix, edit_fix = set(fixed_chunks(rng_words)), set(fixed_chunks(edited))
+
+    cdc_survive = len(base_cdc & edit_cdc) / len(base_cdc)
+    fix_survive = len(base_fix & edit_fix) / len(base_fix)
+    assert cdc_survive > 0.9  # only the edited chunk (and a neighbor) move
+    assert fix_survive < 0.2  # everything after token 5 shifted
