@@ -120,7 +120,10 @@ class CommitLogBatchReader(DataSourceReader):
 class CommitLogStreamReader(SimpleDataSourceStreamReader):
     """Tailing reader: offset = number of complete records consumed.
     ``read`` returns only the records appended since the start offset,
-    so state is the single integer Spark checkpoints for us."""
+    so state is the single integer Spark checkpoints for us. Sealed
+    segments wholly below the offset are SKIPPED via the roll
+    manifest — per-trigger cost is O(new records + active tail), not
+    O(log age)."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -131,22 +134,55 @@ class CommitLogStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"index": 0}
 
+    def _tail_from(self, i0: int) -> list[tuple[int, str, int]]:
+        """(global index, record, n_bytes) for every complete record
+        at global index >= i0, parsing only the segments that can
+        contain them."""
+        import os
+
+        from grapho_spark.engine.commitlog import (
+            MANIFEST_NAME,
+            CommitLog,
+            scan_segment,
+        )
+
+        log = CommitLog(self.path, fmt=self.fmt)
+        manifest: dict[str, int] = {}
+        try:
+            with open(os.path.join(self.path, MANIFEST_NAME)) as mf:
+                for line in mf:
+                    name, n = line.rstrip("\n").split("\t")
+                    manifest[name] = int(n)
+        except OSError:
+            pass
+        active = log.path
+        rows, start = [], 0
+        for p in log.segment_paths():
+            n = manifest.get(os.path.basename(p))
+            if n is not None and start + n <= i0:
+                start += n  # wholly consumed sealed segment: skip
+                continue
+            recs, end = scan_segment(p, self.fmt)
+            # a torn SEALED segment would shift every later record's
+            # global index — fail loudly, same contract as the batch
+            # reader (the active tail may legitimately be torn)
+            if p != active and end < os.path.getsize(p):
+                raise IOError(f"sealed commit-log segment is corrupt: {p}")
+            for i, rec in enumerate(recs, start=start):
+                if i >= i0:
+                    rows.append((i, rec, len(rec.encode("utf-8"))))
+            start += len(recs)
+        return rows
+
     def read(self, start: dict):
-        recs = _read_all(self.path, self.fmt)
         i0 = int(start["index"])
-        rows = [
-            (i, rec, len(rec.encode("utf-8")))
-            for i, rec in enumerate(recs[i0:], start=i0)
-        ]
-        return iter(rows), {"index": len(recs)}
+        rows = self._tail_from(i0)
+        end = rows[-1][0] + 1 if rows else i0
+        return iter(rows), {"index": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        recs = _read_all(self.path, self.fmt)
         i0, i1 = int(start["index"]), int(end["index"])
-        return iter(
-            (i, rec, len(rec.encode("utf-8")))
-            for i, rec in enumerate(recs[i0:i1], start=i0)
-        )
+        return iter(r for r in self._tail_from(i0) if r[0] < i1)
 
 
 _REGISTERED: set[int] = set()

@@ -43,10 +43,34 @@ MANIFEST_NAME = "commitlog.manifest"  # sealed-segment index (see roll)
 
 
 def detect_format(data_dir: str) -> str:
-    """Existing binary log wins; otherwise text (the default)."""
-    if os.path.exists(os.path.join(data_dir, BINARY_NAME)):
+    """Existing binary log wins; otherwise text (the default). A
+    ROTATED binary log may have no active file at the moment of
+    detection (the last append sealed it), so sealed segments count
+    as an existing log too."""
+    if os.path.exists(os.path.join(data_dir, BINARY_NAME)) or _sealed_glob(
+        data_dir, "binary"
+    ):
         return "binary"
     return "text"
+
+
+def _sealed_glob(data_dir: str, fmt: str) -> list[str]:
+    """Sealed segment files of ``fmt`` in ``data_dir``, oldest first."""
+    import glob
+
+    name = BINARY_NAME if fmt == "binary" else TEXT_NAME
+    stem, ext = os.path.splitext(os.path.join(data_dir, name))
+    return sorted(glob.glob(f"{stem}.[0-9]*{ext}"))
+
+
+def log_exists(data_dir: str, fmt: str) -> bool:
+    """True if a non-empty log of ``fmt`` exists — active file OR any
+    sealed segment (a rotated log is still a log)."""
+    name = BINARY_NAME if fmt == "binary" else TEXT_NAME
+    p = os.path.join(data_dir, name)
+    if os.path.exists(p) and os.path.getsize(p) > 0:
+        return True
+    return bool(_sealed_glob(data_dir, fmt))
 
 
 class CommitLog:
@@ -112,10 +136,7 @@ class CommitLog:
     def sealed_paths(self) -> list[str]:
         """Sealed (immutable) segment files, oldest first. Zero-padded
         numbering makes lexicographic order the append order."""
-        import glob
-
-        stem, ext = self._stem_ext()
-        return sorted(glob.glob(f"{stem}.[0-9]*{ext}"))
+        return _sealed_glob(self.data_dir, self.fmt)
 
     def segment_paths(self) -> list[str]:
         """All segments in replay order: sealed, then the active file

@@ -243,9 +243,13 @@ class GraphEngine:
                 # unflushed records (replay reads only the requested
                 # file) and misapply the manifest's commit_offset to the
                 # wrong file's records. Refuse instead.
+                from grapho_spark.engine.commitlog import log_exists
+
+                other_fmt = "text" if log_format == "binary" else "binary"
                 other_name = TEXT_NAME if log_format == "binary" else BINARY_NAME
-                other_path = os.path.join(data_dir, other_name)
-                if os.path.exists(other_path) and os.path.getsize(other_path) > 0:
+                # log_exists also sees ROTATED logs whose active file
+                # was just sealed (r8e segment rotation)
+                if log_exists(data_dir, other_fmt):
                     raise EngineError(
                         f"data_dir already has a non-empty "
                         f"{'text' if log_format == 'binary' else 'binary'} "

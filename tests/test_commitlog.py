@@ -214,3 +214,24 @@ def test_rotation_off_by_default_single_file(tmp_path):
     log.close()
     assert log.sealed_paths() == []  # no cap -> classic single file
     assert len(log.records()) == 50
+
+
+def test_detect_format_sees_fully_rotated_binary_log(tmp_path):
+    """r8e latent-bug pin: if the last append sealed the active binary
+    file, the log is ONLY sealed segments — auto-detection (and the
+    engine's wrong-format guard) must still see it."""
+    import os
+
+    from grapho_spark.engine.commitlog import CommitLog, detect_format, log_exists
+
+    d = str(tmp_path)
+    log = CommitLog(d, fmt="binary", max_segment_bytes=40)
+    for i in range(4):
+        log.append(f"record-{i}-xxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")
+    log.close()
+    assert not os.path.exists(log.path)  # every record sealed away
+    assert log.sealed_paths()
+    assert detect_format(d) == "binary"
+    assert log_exists(d, "binary") and not log_exists(d, "text")
+    # replay still sees everything
+    assert len(CommitLog(d, fmt="binary").records()) == 4

@@ -110,3 +110,41 @@ def test_corrupt_sealed_segment_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception):  # torn SEALED segment must not
         df.collect()  # silently misalign offsets
+
+
+def test_stream_tail_across_rolls(spark, tmp_path):
+    """The tailing reader must follow the log ACROSS segment rolls
+    (skipping wholly-consumed sealed segments via the manifest) and
+    never re-emit or drop a record."""
+    import uuid
+
+    d = str(tmp_path)
+    log = CommitLog(d, fmt="text", max_segment_bytes=120)
+    for i in range(6):
+        log.append(f'{{"seq":{i},"pad":"{"a" * 30}"}}')
+    log.close()
+    register_commitlog(spark)
+    name = "cl_roll_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("commitlog")
+        .option("path", d)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 6
+        # keep appending THROUGH more rolls while the stream is live
+        log2 = CommitLog(d, fmt="text", max_segment_bytes=120)
+        for i in range(6, 14):
+            log2.append(f'{{"seq":{i},"pad":"{"a" * 30}"}}')
+        log2.close()
+        assert len(log2.sealed_paths()) >= 3
+        q.processAllAvailable()
+        got = sorted(r.offset for r in spark.table(name).collect())
+        assert got == list(range(14))  # exactly-once across rolls
+    finally:
+        q.stop()
