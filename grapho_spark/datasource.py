@@ -88,7 +88,7 @@ class CommitLogBatchReader(DataSourceReader):
                     manifest[name] = int(n)
         except OSError:
             pass
-        parts, start = [], 0
+        parts, start = [], log.base_offset()  # retention-aware
         for p in log.segment_paths():
             n = manifest.get(os.path.basename(p))
             if n is None:
@@ -156,7 +156,13 @@ class CommitLogStreamReader(SimpleDataSourceStreamReader):
         except OSError:
             pass
         active = log.path
-        rows, start = [], 0
+        base = log.base_offset()
+        if i0 < base:
+            raise RuntimeError(
+                f"commit-log retention outran this stream's checkpoint: "
+                f"offset {i0} < retained base {base}"
+            )
+        rows, start = [], base
         for p in log.segment_paths():
             n = manifest.get(os.path.basename(p))
             if n is not None and start + n <= i0:

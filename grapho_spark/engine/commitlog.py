@@ -138,6 +138,23 @@ class CommitLog:
         numbering makes lexicographic order the append order."""
         return _sealed_glob(self.data_dir, self.fmt)
 
+    def _next_seg_no(self) -> int:
+        """Next segment number: one past the max EVER USED — manifest
+        entries count even when their files were dropped by retention,
+        so numbers are never reused (a reused name would duplicate a
+        manifest key and corrupt base_offset's dropped-prefix walk)."""
+        _, ext = self._stem_ext()
+
+        def num(name: str) -> int:
+            try:
+                return int(os.path.basename(name).split(".")[1])
+            except (IndexError, ValueError):
+                return 0
+
+        used = [num(name) for name, _ in self._manifest_entries()]
+        used += [num(p) for p in self.sealed_paths()]
+        return max(used, default=0) + 1
+
     def segment_paths(self) -> list[str]:
         """All segments in replay order: sealed, then the active file
         (if it exists)."""
@@ -163,7 +180,7 @@ class CommitLog:
         f.close()
         self._file = None
         stem, ext = self._stem_ext()
-        sealed = f"{stem}.{len(self.sealed_paths()) + 1:08d}{ext}"
+        sealed = f"{stem}.{self._next_seg_no():08d}{ext}"
         os.rename(self.path, sealed)
         with open(os.path.join(self.data_dir, MANIFEST_NAME), "a") as mf:
             mf.write(f"{os.path.basename(sealed)}\t{n_records}\n")
@@ -259,13 +276,70 @@ class CommitLog:
         return scan_segment(path, self.fmt)
 
     def records(self) -> list[str]:
-        """All COMPLETE records across all segments, stopping at the
-        first torn/corrupt one (corruption-stop best effort; the tail
-        is simply absent)."""
+        """All RETAINED complete records across all segments, stopping
+        at the first torn/corrupt one (corruption-stop best effort; the
+        tail is simply absent). The record at position ``i`` has GLOBAL
+        index ``base_offset() + i`` — retention (retain_below) drops
+        whole sealed segments from the head without renumbering."""
         return self._scan()[0]
 
     def count(self) -> int:
         return len(self.records())
+
+    # ------------------------------------------------------ retention
+
+    def _manifest_entries(self) -> list[tuple[str, int]]:
+        """(segment basename, record count) in roll order, this
+        format's extension only (text and binary logs share a dir)."""
+        _, ext = self._stem_ext()
+        out: list[tuple[str, int]] = []
+        try:
+            with open(os.path.join(self.data_dir, MANIFEST_NAME)) as mf:
+                for line in mf:
+                    name, n = line.rstrip("\n").split("\t")
+                    if name.endswith(ext):
+                        out.append((name, int(n)))
+        except OSError:
+            pass
+        return out
+
+    def base_offset(self) -> int:
+        """Global index of the first RETAINED record: the summed
+        manifest counts of the leading run of dropped (missing)
+        sealed segments. Derived, not stored — deleting a segment is
+        the atomic retention step, so a crash mid-retention just
+        leaves retention part-done, never miscounted."""
+        base = 0
+        for name, n in self._manifest_entries():
+            if os.path.exists(os.path.join(self.data_dir, name)):
+                break
+            base += n
+        return base
+
+    def retain_below(self, global_index: int) -> int:
+        """Drop manifest-listed sealed segments whose records all have
+        global index < ``global_index`` (e.g. the engine's durable
+        manifest commit_offset). Oldest-first; an UNLISTED sealed
+        segment (crash between rename and manifest append) stops
+        retention — its count is unknown, so nothing past it may be
+        renumbered. Returns the number of segments dropped. The
+        caller owns coordination with log consumers (CDC exporters):
+        records below ``global_index`` become unreadable."""
+        dropped = 0
+        with self._lock:
+            base = self.base_offset()
+            counts = dict(self._manifest_entries())
+            for p in self.sealed_paths():  # existing, oldest first
+                n = counts.get(os.path.basename(p))
+                if n is None:  # unlisted (roll-crash window): stop
+                    break
+                if base + n <= global_index:
+                    os.remove(p)
+                    base += n
+                    dropped += 1
+                else:
+                    break
+        return dropped
 
 
 def scan_segment(path: str, fmt: str) -> tuple[list[str], int]:

@@ -527,9 +527,16 @@ class GraphEngine:
             return []
         return self.catalog_store.history()
 
-    def flush(self) -> None:
+    def flush(self, retain_log: bool = False) -> None:
         """Persist buffered rows / materialized tables as new parquet
-        versions and advance the manifest (copy-on-write compaction)."""
+        versions and advance the manifest (copy-on-write compaction).
+
+        ``retain_log=True`` additionally drops sealed commit-log
+        segments wholly below the now-durable manifest offset (needs
+        ``log_segment_bytes``; a no-op on single-file logs). EXPLICIT
+        opt-in: dropped records become unreadable, so coordinate with
+        CDC/export consumers first — Kafka-retention semantics, and
+        the CDC exporter fails loudly if retention outran it."""
         if not self.data_dir:
             return
         with self._lock:
@@ -584,6 +591,12 @@ class GraphEngine:
             # manifest references.
             if self.keep_versions is not None:
                 self._prune_versions()
+            if retain_log and self._commitlog is not None:
+                # same publish-then-GC discipline for the LOG: only
+                # sealed segments wholly below the now-durable
+                # commit_offset are dropped, so a crash mid-retention
+                # leaves extra old segments, never a replay gap
+                self._commitlog.retain_below(self._commit_offset)
 
     def _prune_versions(self) -> None:
         """Delete flushed parquet version dirs older than the retention
@@ -610,14 +623,20 @@ class GraphEngine:
         return os.path.join(self.data_dir, "ENGINE-MANIFEST.json")
 
     def commit_records(self) -> list[str]:
-        """Complete commit-log records (format-agnostic; torn/corrupt
-        tails excluded) — the read surface for replay and CDC export."""
+        """RETAINED complete commit-log records (format-agnostic;
+        torn/corrupt tails excluded) — the read surface for replay and
+        CDC export. Record i has GLOBAL index commit_base() + i (log
+        retention drops whole sealed segments from the head)."""
         if self._commitlog is None:
             return []
         return self._commitlog.records()
 
+    def commit_base(self) -> int:
+        """Global index of the first retained commit-log record."""
+        return 0 if self._commitlog is None else self._commitlog.base_offset()
+
     def _count_commit_lines(self) -> int:
-        return len(self.commit_records())
+        return self.commit_base() + len(self.commit_records())
 
     def _max_logged_seq(self) -> int:
         """Max sequence number present in the commit log (0 if none) —
@@ -676,7 +695,7 @@ class GraphEngine:
         (seq, stmt), stopping at the first corrupt line. Accepts both
         the seq-wrapped format and bare statement dicts (pre-seq logs)."""
         out: list[tuple[int | None, ast.Stmt]] = []
-        for line in self.commit_records()[self._commit_offset :]:
+        for line in self.commit_records()[max(0, self._commit_offset - self.commit_base()) :]:
             try:
                 obj = json.loads(line)
                 if isinstance(obj, dict) and "stmt" in obj and "__type__" not in obj:

@@ -98,7 +98,17 @@ def export_cdc_segments(engine) -> int:
     # binary); only COMPLETE records come back, so a torn tail (a
     # writer racing this export) is naturally left for the next call.
     lines = engine.commit_records()
-    fresh = lines[offset:]
+    base = engine.commit_base()
+    if offset < base:
+        # log retention (flush(retain_log=True)) dropped records this
+        # consumer never exported — silent data loss is worse than an
+        # error, so fail loudly (the operator resets the offset file
+        # or replays from an upstream CDC segment archive)
+        raise RuntimeError(
+            f"commit-log retention outran this CDC consumer: "
+            f"export offset {offset} < retained base {base}"
+        )
+    fresh = lines[offset - base:]
     if not fresh:
         return 0
 

@@ -235,3 +235,57 @@ def test_detect_format_sees_fully_rotated_binary_log(tmp_path):
     assert log_exists(d, "binary") and not log_exists(d, "text")
     # replay still sees everything
     assert len(CommitLog(d, fmt="binary").records()) == 4
+
+
+def test_retention_drops_only_fully_flushed_segments(tmp_path):
+    import os
+
+    from grapho_spark.engine.commitlog import CommitLog
+
+    d = str(tmp_path)
+    recs = [f"r{i:02d}" + "p" * 30 for i in range(12)]
+    log = CommitLog(d, fmt="text", max_segment_bytes=80)
+    for r in recs:
+        log.append(r)
+    log.close()
+    n_seg = len(log.sealed_paths())
+    assert n_seg >= 4
+    # retain below global index 5: only segments whose records ALL
+    # have index < 5 may go
+    dropped = log.retain_below(5)
+    assert dropped >= 1
+    base = log.base_offset()
+    assert 0 < base <= 5
+    tail = log.records()
+    assert tail == recs[base:]  # global index of tail[i] is base+i
+    # idempotent / monotone
+    assert log.retain_below(5) == 0
+    # retain everything durable
+    log.retain_below(len(recs))
+    assert log.records() == recs[log.base_offset():]
+    # count() + base == global count
+    assert log.base_offset() + len(log.records()) == len(recs)
+
+
+def test_retention_never_touches_unlisted_segments(tmp_path):
+    import os
+
+    from grapho_spark.engine.commitlog import MANIFEST_NAME, CommitLog
+
+    d = str(tmp_path)
+    log = CommitLog(d, fmt="text", max_segment_bytes=60)
+    for i in range(9):
+        log.append(f"rec{i}" + "q" * 20)
+    log.close()
+    # simulate the roll-crash window: strip the manifest entry of the
+    # FIRST sealed segment (rename happened, manifest append did not)
+    mf = os.path.join(d, MANIFEST_NAME)
+    lines = open(mf).read().splitlines(True)
+    first = log.sealed_paths()[0]
+    open(mf, "w").writelines(
+        l for l in lines if not l.startswith(os.path.basename(first))
+    )
+    assert log.retain_below(100) == 0  # unknown count blocks ALL retention
+    assert os.path.exists(first)
+    assert log.base_offset() == 0
+    assert len(log.records()) == 9  # nothing lost

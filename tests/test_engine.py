@@ -1070,3 +1070,42 @@ def test_durability_replay_over_rotated_log(spark, tmp_path):
     assert rows == {f"n{i}": (99 if i == 3 else i) for i in range(12)}
     eng2.execute("INSERT NODE P (name: 'tail', age: 1);")
     assert eng2.node_df("P").count() == 13
+
+
+def test_flush_retain_log_drops_segments_and_replays(spark, tmp_path):
+    """r8e log retention: flush(retain_log=True) drops sealed segments
+    wholly below the durable manifest offset; reopen replays the
+    retained tail against the flushed tables and loses nothing."""
+    d = str(tmp_path / "dbret")
+    eng = GraphEngine(spark, data_dir=d, log_segment_bytes=150)
+    eng.execute("CREATE NODE R (name: string, v: int);")
+    for i in range(10):
+        eng.execute(f"INSERT NODE R (name: 'a{i}', v: {i});")
+    n_sealed_before = len(eng._commitlog.sealed_paths())
+    assert n_sealed_before >= 2
+    eng.flush(retain_log=True)
+    assert len(eng._commitlog.sealed_paths()) < n_sealed_before
+    assert eng.commit_base() > 0
+    # unflushed DML lands after the retained base
+    eng.execute("INSERT NODE R (name: 'tail', v: 99);")
+    eng2 = GraphEngine(spark, data_dir=d, log_segment_bytes=150)
+    rows = {r.name: r.v for r in eng2.node_df("R").collect()}
+    want = {f"a{i}": i for i in range(10)}
+    want["tail"] = 99
+    assert rows == want
+
+
+def test_cdc_export_fails_loudly_when_retention_outran_it(spark, tmp_path):
+    import pytest
+
+    from grapho_spark.streaming.cdc import export_cdc_segments
+
+    d = str(tmp_path / "dbcdc")
+    eng = GraphEngine(spark, data_dir=d, log_segment_bytes=120)
+    eng.execute("CREATE NODE C (name: string);")
+    for i in range(8):
+        eng.execute(f"INSERT NODE C (name: 'c{i}');")
+    eng.flush(retain_log=True)  # CDC never exported: offset 0 < base
+    assert eng.commit_base() > 0
+    with pytest.raises(RuntimeError, match="retention outran"):
+        export_cdc_segments(eng)
