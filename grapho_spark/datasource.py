@@ -132,7 +132,12 @@ class CommitLogStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("commitlog source requires a path (the data_dir)")
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        # a FRESH consumer of a retained log starts at the earliest
+        # retained record (Kafka auto.offset.reset=earliest); only an
+        # EXISTING checkpoint below the base fails loudly
+        from grapho_spark.engine.commitlog import CommitLog
+
+        return {"index": CommitLog(self.path, fmt=self.fmt).base_offset()}
 
     def _tail_from(self, i0: int) -> list[tuple[int, str, int]]:
         """(global index, record, n_bytes) for every complete record

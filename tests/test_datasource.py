@@ -148,3 +148,36 @@ def test_stream_tail_across_rolls(spark, tmp_path):
         assert got == list(range(14))  # exactly-once across rolls
     finally:
         q.stop()
+
+
+def test_fresh_stream_on_retained_log_starts_at_base(spark, tmp_path):
+    """A NEW consumer of a retained log begins at the earliest
+    retained record (Kafka earliest semantics); only a pre-existing
+    checkpoint below the base fails."""
+    import uuid
+
+    d = str(tmp_path)
+    log = CommitLog(d, fmt="text", max_segment_bytes=100)
+    for i in range(10):
+        log.append(f'{{"seq":{i},"pad":"{"b" * 30}"}}')
+    log.close()
+    log.retain_below(6)
+    base = log.base_offset()
+    assert 0 < base <= 6
+    register_commitlog(spark)
+    name = "cl_fresh_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("commitlog")
+        .option("path", d)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.offset for r in spark.table(name).collect())
+        assert got == list(range(base, 10))  # global indices preserved
+    finally:
+        q.stop()
