@@ -96,6 +96,8 @@ HEADLINE = [
     "source_commitlog_datasource",
     "streaming_commitlog_tail",
     "text_cdc_chunking",
+    "corpus_temperature_mixture",
+    "text_distinct_ngram_diversity",
 ]
 
 

@@ -1249,3 +1249,90 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_en"
         ),
     )
+
+
+# ------------------------------------------------ temperature mixture
+
+_MIX_TAUS = (0.3, 0.7, 1.0)  # sampling temperatures (mT5-style)
+
+
+def _temp_pow(share_micro: str, tau: float) -> str:
+    """share^(1/tau) -> integer micro units. ONE libm pow() per source
+    on a micro-ROUNDED share, rounded straight back to micro — the
+    same float-containment policy as the GD sigmoid."""
+    return (
+        f"CAST(round(pow(CAST({share_micro} AS DOUBLE) / {_M}.0, "
+        f"{1.0 / tau!r}) * {_M}) AS BIGINT)"
+    )
+
+
+def _temp_mixture_oracle() -> str:
+    div = "//"
+    taus = ", ".join(f"({t})" for t in _MIX_TAUS)
+    return f"""
+WITH by_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_toks
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total FROM by_src),
+shares AS (
+  SELECT source, n_toks,
+         {_shu(f'{_M} * n_toks', 'total', div)} AS share_micro
+  FROM by_src, tot),
+powed AS (
+  SELECT t.tau, s.source, s.n_toks, s.share_micro,
+         CASE {' '.join(f'WHEN t.tau = {t} THEN ' + _temp_pow('s.share_micro', t) for t in _MIX_TAUS)} END AS v
+  FROM shares s, (SELECT CAST(f AS DOUBLE) AS tau FROM (VALUES {taus}) x(f)) t),
+sums AS (SELECT tau, CAST(SUM(v) AS BIGINT) AS sv FROM powed GROUP BY tau)
+SELECT p.tau, p.source, p.n_toks,
+       CAST(p.share_micro AS DOUBLE) / {_M}.0 AS raw_share,
+       CAST({_shu(f'{_M} * p.v', 'sv', div)} AS DOUBLE) / {_M}.0 AS temp_weight
+FROM powed p JOIN sums USING (tau)
+"""
+
+
+@query("corpus_temperature_mixture", oracle=_temp_mixture_oracle())
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the mT5/multilingual
+    recipe): w_i ∝ share_i^(1/τ) for τ in {_MIX_TAUS} — τ=1 reproduces
+    natural proportions, τ<1 flattens the mixture toward rare sources.
+    Published per (τ, source) with the raw share alongside, so the
+    training loader reads its epoch weights straight off this table.
+
+    Determinism: shares and normalized weights are integer micro-unit
+    half-up divisions; the ONLY float op is one pow() per (τ, source)
+    on a micro-rounded share, rounded straight back to micro before
+    the integer normalization sum (so Spark's and DuckDB's float
+    accumulation orders can't touch the result).
+
+    Scale: everything after the sources-sized groupBy is arithmetic
+    on a ~20-row table; the corpus is touched exactly once.
+    """
+    taus = spark.createDataFrame([(t,) for t in _MIX_TAUS], "tau double")
+    by_src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("n_toks"))
+    )
+    tot = by_src.agg(F.sum("n_toks").cast("long").alias("total"))
+    div = "div"
+    shares = by_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        F.expr(_shu(f"{_M} * n_toks", "total", div)).alias("share_micro"),
+    )
+    v = "CASE " + " ".join(
+        f"WHEN tau = {t} THEN " + _temp_pow("share_micro", t) for t in _MIX_TAUS
+    ) + " END"
+    powed = shares.crossJoin(F.broadcast(taus)).selectExpr(
+        "tau", "source", "n_toks", "share_micro", f"{v} AS v"
+    )
+    sums = powed.groupBy("tau").agg(F.sum("v").cast("long").alias("sv"))
+    return powed.join(F.broadcast(sums), "tau").select(
+        "tau",
+        "source",
+        "n_toks",
+        (F.col("share_micro").cast("double") / _M).alias("raw_share"),
+        (F.expr(_shu(f"{_M} * v", "sv", div)).cast("double") / _M).alias(
+            "temp_weight"
+        ),
+    )

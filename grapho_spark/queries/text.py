@@ -2292,3 +2292,84 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_repeated_chunks"),
         )
     )
+
+
+@query(
+    "text_distinct_ngram_diversity",
+    oracle="""
+WITH w AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents),
+uni AS (
+  SELECT source, unnest(words) AS g FROM w),
+bi AS (
+  SELECT source, words[i] || ' ' || words[i + 1] AS g
+  FROM w, UNNEST(range(1, len(words))) t(i)),
+stats AS (
+  SELECT u.source,
+         CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+         CAST(COUNT(DISTINCT u.g) AS BIGINT) AS n_distinct_unigrams
+  FROM uni u GROUP BY u.source),
+bstats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_bigrams
+  FROM bi GROUP BY source)
+SELECT s.source, s.n_unigrams, s.n_distinct_unigrams,
+       CAST((2 * 1000000 * s.n_distinct_unigrams + s.n_unigrams)
+            // (2 * s.n_unigrams) AS DOUBLE) / 1000000.0 AS distinct1,
+       b.n_bigrams, b.n_distinct_bigrams,
+       CAST((2 * 1000000 * b.n_distinct_bigrams + b.n_bigrams)
+            // (2 * b.n_bigrams) AS DOUBLE) / 1000000.0 AS distinct2
+FROM stats s JOIN bstats b USING (source)
+""",
+)
+def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (the anti-mode-collapse /
+    template-detection metric): distinct unigrams and bigrams over
+    their totals — a source whose distinct-2 ratio craters is
+    boilerplate or machine-generated and gets down-weighted or
+    deduplicated harder upstream.
+
+    Scale: two map-side-combined aggregates keyed on (source, gram);
+    the distinct counts are the only shuffle, and the gram can ride
+    as a 16-byte hash at 100 TB. The ratios are integer micro-unit
+    half-up divisions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("source", F.split(F.trim(F.lower("text")), r"\s+").alias("words"))
+    uni = w.select("source", F.explode("words").alias("g"))
+    bi = w.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1), "
+                "i -> concat(words[i - 1], ' ', words[i]))"
+            )
+        ).alias("g"),
+    )
+
+    def stats(df, total_name, distinct_name, ratio_name):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias(total_name),
+            F.countDistinct("g").alias(distinct_name),
+            (
+                F.expr(
+                    f"(2 * 1000000 * COUNT(DISTINCT g) + COUNT(*)) "
+                    f"div (2 * COUNT(*))"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias(ratio_name),
+        )
+
+    s1 = stats(uni, "n_unigrams", "n_distinct_unigrams", "distinct1")
+    s2 = stats(bi, "n_bigrams", "n_distinct_bigrams", "distinct2")
+    return s1.join(s2, "source").select(
+        "source",
+        "n_unigrams",
+        "n_distinct_unigrams",
+        "distinct1",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "distinct2",
+    )

@@ -138,6 +138,10 @@ PROBES = [
     # content-defined chunking: doc-partitioned window sums; the one
     # corpus shuffle keys on chunk text for the recurrence count
     "text_cdc_chunking",
+    # temperature mixture: one corpus groupBy then sources-sized math
+    "corpus_temperature_mixture",
+    # diversity: two (source, gram)-keyed map-side-combined aggregates
+    "text_distinct_ngram_diversity",
     # (corpus_quality_calibration and source_zorder_clustering are
     # excluded like the recall dials: their exact global rank/sort is
     # the deliberate test-SF truth side of a planner/calibration dial)
