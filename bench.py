@@ -98,6 +98,13 @@ HEADLINE = [
     "text_cdc_chunking",
     "corpus_temperature_mixture",
     "text_distinct_ngram_diversity",
+    # round-8 late additions
+    "graph_modularity_score",
+    "graph_harmonic_centrality",
+    "scalar_variant_extract",
+    "source_xml_roundtrip",
+    "streaming_state_store_read",
+    "corpus_curriculum_phases",
 ]
 
 

@@ -10,6 +10,7 @@ from grapho_spark.analytics.algorithms import (
     degrees,
     kcore_peel,
     label_propagation,
+    multi_source_bfs,
     pagerank,
     sssp,
     triangle_count,
@@ -18,6 +19,7 @@ from grapho_spark.analytics.motif import find_motif
 
 __all__ = [
     "bfs",
+    "multi_source_bfs",
     "connected_components",
     "connected_components_lss",
     "degrees",

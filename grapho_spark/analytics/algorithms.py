@@ -93,6 +93,49 @@ def _bfs_loop(e, visited, frontier, max_hops):
     return visited
 
 
+def multi_source_bfs(
+    edges: DataFrame, sources: DataFrame, max_hops: int, directed: bool = True
+) -> DataFrame:
+    """Per-source hop distances: (source, node, hops) with the MINIMUM
+    hop count from every node in ``sources`` (column ``node``) up to
+    ``max_hops`` — the layered frontier expansion of :func:`bfs` with
+    the source id carried through, so one pass answers |S| BFS runs.
+
+    Scale: per-round state is Σ_s |reachable_s| pairs — proportional to
+    the SAMPLE size, not the graph; this is exactly the Eppstein-Wang
+    shape for sampled centrality estimation, where |S| (not |V|) is the
+    knob. Each round is one frontier-sized join + min-dedup shuffle;
+    the anti-join against visited (source, node) pairs keeps walks from
+    re-expanding (without it the frontier grows as walk counts, Π deg,
+    instead of reachable-set sizes).
+    """
+    e = materialize(
+        (edges.select("src", "dst") if directed else _symmetrize(edges)).repartition("src")
+    )
+    visited = (
+        sources.select("node")
+        .distinct()
+        .select(F.col("node").alias("source"), F.col("node"), F.lit(0).alias("hops"))
+    )
+    frontier = visited.select("source", "node")
+    spark = edges.sparkSession
+    with no_aqe(spark), shuffle_partitions(spark, _loop_partitions(e.count(), spark)):
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                e.join(frontier, e.src == frontier.node)
+                .select("source", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+                .withColumn("hops", F.lit(hop))
+                .transform(checkpoint_state)
+            )
+            if nxt.isEmpty():
+                break
+            visited = checkpoint_state(visited.unionByName(nxt))
+            frontier = nxt.select("source", "node")
+    return visited
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(node, component) by iterative min-label propagation on the
     undirected graph; converges in O(diameter) rounds."""

@@ -177,6 +177,18 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # the WAL must be read through the registered Python data source
     # (a BatchScan of it), once per encoding
     "source_commitlog_datasource": ["BatchScan commitlog"],
+    # round-8 late additions: variant extraction must stay a vectorized
+    # scan + hash aggregate (no per-row JSON text reparse path); the
+    # XML round-trip must actually read through the xml datasource; the
+    # state introspection must be a StateScan of the checkpoint (not a
+    # recomputation); curriculum bucketing folds 3 broadcast scalars
+    # into a map-only pass (never a global NTILE sort); modularity's
+    # scoring joins run over the memoized (cached) edge table
+    "scalar_variant_extract": ["HashAggregate", "VectorizedScan"],
+    "source_xml_roundtrip": ["Scan xml", "HashAggregate"],
+    "streaming_state_store_read": ["StateScan"],
+    "corpus_curriculum_phases": ["BroadcastNestedLoopJoin", "Aggregate"],
+    "graph_modularity_score": ["BroadcastHashJoin", "InMemoryTableScan"],
 }
 
 

@@ -106,3 +106,51 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "scalar_variant_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(*) AS n_missing_null
+FROM events
+GROUP BY event_type
+""",
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` turns the events' JSON props (and a constructed
+    row-document) into variants, ``variant_get`` does typed path
+    extraction (long / double), and ``try_variant_get`` on an absent
+    path pins the null-on-missing contract (n_missing_null == count).
+    The oracle reads the same values relationally / via DuckDB's JSON
+    path functions — variant decode must be lossless for both the
+    integer and the shortest-round-trip double.
+
+    Scale: VARIANT is the open-format answer to schema-drifting
+    ingest — binary-encoded, shreddable, and path extraction is a
+    columnar JVM expression, not a per-row JSON reparse of text.
+    """
+    e = load_table(spark, sf_dir, "events")
+    doc = e.select(
+        "event_type",
+        F.parse_json("props").alias("vp"),
+        F.parse_json(
+            F.to_json(F.struct(F.col("user_id").alias("u"), F.col("value").alias("x")))
+        ).alias("vr"),
+    )
+    return doc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.variant_get("vp", "$.k", "long")).alias("sum_k"),
+        F.sum(F.variant_get("vr", "$.u", "long")).alias("sum_user"),
+        F.min(F.variant_get("vr", "$.x", "double")).alias("min_value"),
+        F.max(F.variant_get("vr", "$.x", "double")).alias("max_value"),
+        F.sum(
+            F.when(F.try_variant_get("vp", "$.absent", "long").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_missing_null"),
+    )

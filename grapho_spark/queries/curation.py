@@ -1336,3 +1336,74 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temp_weight"
         ),
     )
+
+
+@query(
+    "corpus_curriculum_phases",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.50) AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang, n_chars,
+         md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS h,
+         1 + CAST(n_chars > (SELECT q1 FROM b) AS INT)
+           + CAST(n_chars > (SELECT q2 FROM b) AS INT)
+           + CAST(n_chars > (SELECT q3 FROM b) AS INT) AS phase
+  FROM documents)
+SELECT phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       min(h) AS head_hash,
+       max(h) AS tail_hash
+FROM keyed GROUP BY phase
+""",
+)
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase manifest: documents are bucketed into 4
+    training phases by VALUE-based n_chars quartiles (shortest-first
+    curriculum), with a salted-hash within-phase order key — the same
+    no-global-sort reproducible-order trick as corpus_shuffle_shards,
+    so phase N's docs stream in a deterministic shuffled order. The
+    quartile boundaries come from one percentile aggregate (quarter
+    fractions interpolate exactly in binary64, so Spark's and DuckDB's
+    interpolation cannot diverge) and broadcast to the bucketing pass.
+
+    Scale: boundary estimation is one aggregate; phase assignment is
+    map-only against 3 broadcast scalars (no global NTILE sort, which
+    would single-partition the corpus); the manifest rollup moves 4
+    rows. The export is the manifest plan + repartition(phase)/sort(h)
+    write, same as the shard exporter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = d.agg(
+        F.percentile("n_chars", 0.25).alias("q1"),
+        F.percentile("n_chars", 0.50).alias("q2"),
+        F.percentile("n_chars", 0.75).alias("q3"),
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum")))
+    keyed = d.crossJoin(F.broadcast(b)).select(
+        "lang",
+        "n_chars",
+        h.alias("h"),
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).alias("phase"),
+    )
+    return keyed.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.min("h").alias("head_hash"),
+        F.max("h").alias("tail_hash"),
+    )

@@ -846,7 +846,9 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 2
 
 
-def _duck_lpa_sql() -> str:
+def _duck_lpa_chain() -> str:
+    """The unrolled synchronous-LPA CTE chain (shared by the LPA query's
+    oracle and the modularity oracle, which scores the same partition)."""
     chains = ["l0 AS (SELECT node, node AS label FROM nodes)"]
     for i in range(LPA_ROUNDS):
         chains.append(
@@ -861,9 +863,13 @@ l{i + 1} AS (
     FROM f{i + 1})
   WHERE rn = 1)"""
         )
+    return ",\n".join(chains)
+
+
+def _duck_lpa_sql() -> str:
     return (
         f"WITH {_DUCK_EDGES_CTE},\n"
-        + ",\n".join(chains)
+        + _duck_lpa_chain()
         + f"\nSELECT node, label FROM l{LPA_ROUNDS}"
     )
 
@@ -1538,4 +1544,185 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("local_cc"), F.desc("degree"), "node")
         .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA partition & sampled harmonic centrality
+# --------------------------------------------------------------------------
+
+def _duck_modularity_sql() -> str:
+    return f"""
+WITH {_DUCK_EDGES_CTE},
+{_duck_lpa_chain()},
+labels AS (SELECT node, label FROM l{LPA_ROUNDS}),
+mm AS (SELECT COUNT(*) AS m FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+comm AS (
+  SELECT l.label AS community, COUNT(*) AS n_nodes, SUM(d.d) AS degree_sum
+  FROM labels l JOIN deg d ON l.node = d.node GROUP BY l.label),
+internal AS (
+  SELECT la.label AS community, COUNT(*) AS internal_edges
+  FROM edges e JOIN labels la ON e.p1 = la.node JOIN labels lb ON e.p2 = lb.node
+  WHERE la.label = lb.label GROUP BY la.label),
+per AS (
+  SELECT c.community,
+         CAST(c.n_nodes AS BIGINT) AS n_nodes,
+         CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+         CAST(c.degree_sum AS BIGINT) AS degree_sum,
+         CAST(4 * (SELECT m FROM mm) * COALESCE(i.internal_edges, 0)
+              - c.degree_sum * c.degree_sum AS BIGINT) AS contribution_num
+  FROM comm c LEFT JOIN internal i USING (community))
+SELECT community, n_nodes, internal_edges, degree_sum, contribution_num,
+       round(CAST((SELECT SUM(contribution_num) FROM per) AS DOUBLE)
+             / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6) AS modularity_q
+FROM per
+"""
+
+
+@query("graph_modularity_score", oracle=_duck_modularity_sql())
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 2-round synchronous-LPA partition
+    (the quality score community detection is optimizing): per
+    community, Q_c = e_c/m - (d_c/2m)^2, reported as the exact integer
+    numerator ``contribution_num = 4*m*e_c - d_c^2`` over the common
+    denominator 4m^2, plus the global Q (one double division at the
+    end — exact integers until then, so Spark and DuckDB cannot
+    diverge on accumulation order).
+
+    Scale: labels are one LPA run (join + window per round); e_c is an
+    edge-sized join against the broadcastable label table; d_c is a
+    degree agg. Nothing exceeds edge-sized shuffles, and the scalar
+    m / Q fold is a broadcast of one row.
+    """
+    from grapho_spark.analytics import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    labels = label_propagation(
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+        rounds=LPA_ROUNDS,
+    )
+    sym = sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    mm = edges.agg(F.count(F.lit(1)).alias("m"))
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("p1"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("p2"), F.col("label").alias("lb"))
+    internal = (
+        edges.join(la, "p1")
+        .join(lb, "p2")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    per = (
+        comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias("internal_edges"),
+            "degree_sum",
+            (
+                F.lit(4) * F.col("m") * F.coalesce("internal_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long").alias("contribution_num"),
+            F.col("m"),
+        )
+    )
+    total = per.agg(F.sum("contribution_num").alias("num_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "community",
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            "contribution_num",
+            F.round(
+                F.col("num_total").cast("double")
+                / (F.lit(4.0) * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity_q"),
+        )
+    )
+
+
+# Harmonic-centrality estimation: BFS from a deterministic ~1/17 node
+# sample (the Eppstein-Wang estimator shape — sample size, not graph
+# size, is the cost knob), hop-bounded at HC_HOPS. Contributions are
+# 1/d summed as the exact integer 6/d (6 = lcm(1..3)), so accumulation
+# order cannot change the result; the single normalizing division to
+# double happens once at the end.
+HC_MOD = 17
+HC_HOPS = 3
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+srcs AS (SELECT node FROM nodes WHERE node % {HC_MOD} = 0),
+walk(source, node, hops) AS (
+  SELECT node, node, 0 FROM srcs
+  UNION ALL
+  SELECT w.source, e.dst, w.hops + 1
+  FROM walk w JOIN sym e ON e.src = w.node
+  WHERE w.hops < {HC_HOPS}),
+dist AS (SELECT source, node, MIN(hops) AS d FROM walk GROUP BY source, node),
+ns AS (SELECT COUNT(*) AS n FROM srcs)
+SELECT node,
+       COUNT(*) AS n_sources,
+       CAST(SUM(6 / d) AS BIGINT) AS harmonic_num6,
+       round(CAST(SUM(6 / d) AS DOUBLE) / (6.0 * (SELECT n FROM ns)), 6) AS harmonic
+FROM dist WHERE d > 0
+GROUP BY node
+""",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality: hop-bounded multi-source BFS from
+    the deterministic node sample (node % {HC_MOD} == 0), harmonic(v) =
+    sum over reaching sources of 1/d(s,v), normalized by sample size.
+    The per-source BFS is the layered frontier loop in
+    ``analytics.multi_source_bfs`` (anti-join against visited keeps
+    state reachable-set-sized, never walk-count-sized); the oracle
+    enumerates the same walks with a bounded recursive CTE.
+
+    Scale: work is |S| * reachable, linear in the SAMPLE — the
+    estimator's accuracy/cost dial — with one frontier join + min-dedup
+    shuffle per hop; the graph-sized edge table is pre-partitioned on
+    the join key once.
+    """
+    from grapho_spark.analytics import multi_source_bfs
+
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = sym_edges(edges)
+    srcs = sym.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % HC_MOD == 0
+    )
+    dists = multi_source_bfs(sym, srcs, max_hops=HC_HOPS, directed=True)
+    ns = srcs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        dists.filter(F.col("hops") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.lit(6) / F.col("hops")).cast("long").alias("harmonic_num6"),
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            "n_sources",
+            "harmonic_num6",
+            F.round(
+                F.col("harmonic_num6").cast("double") / (F.lit(6.0) * F.col("n")), 6
+            ).alias("harmonic"),
+        )
     )

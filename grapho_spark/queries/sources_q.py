@@ -755,3 +755,47 @@ def streaming_commitlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out.orderBy("rec_offset")
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_acctbal,
+       MIN(c_custkey) AS min_key,
+       MAX(c_custkey) AS max_key,
+       CAST(SUM(length(c_name)) AS BIGINT) AS name_chars
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> XML (native Spark 4 datasource, one <customer>
+    element per row) -> read back with explicit schema -> aggregate;
+    must equal aggregating the original parquet. The name-length sum
+    pins lossless text round-tripping through XML escaping, and the
+    decimal balance sum pins numeric formatting (shortest-round-trip
+    doubles both ways).
+
+    Scale: XML is a line-unsplittable format — files, not blocks, are
+    the parallelism unit — so the writer's task count (here: the
+    upstream partitioning) decides read parallelism; fine for feeds,
+    wrong for a 100 TB fact table (use parquet). That trade-off is the
+    point of carrying both in the connector matrix.
+    """
+    from grapho_spark.sources import read_table, write_table
+
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(
+        tempfile.gettempdir(), f"grapho_src_xml_{os.path.basename(sf_dir)}"
+    )
+    write_table(c, path, fmt="xml", rowTag="customer")
+    back = read_table(spark, path, fmt="xml", schema=c.schema, rowTag="customer")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(dec("c_acctbal", 14, 2), "total_acctbal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        F.sum(F.length("c_name")).cast("long").alias("name_chars"),
+    )

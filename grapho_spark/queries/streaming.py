@@ -1052,3 +1052,48 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     return run_to_memory(stream, "complete")
+
+
+@query(
+    "streaming_state_store_read",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4's ``statestore`` batch data
+    source): a streaming per-user count/sum aggregation runs to
+    completion against an explicit checkpoint, then the OPERATOR STATE
+    itself is read back from the checkpoint as a batch DataFrame —
+    per-user running totals straight out of RocksDB/HDFS state files,
+    no sink required. Since the fixture is finite, the final state
+    equals the batch aggregate — an exact oracle over the state files,
+    pinning that checkpointed state is complete and readable (the
+    debugging/ops surface a production streaming deployment lives by).
+
+    Scale: state reads parallelize by state-store partition (one
+    InputPartition per shuffle partition of the checkpoint), so
+    inspection cost tracks state size, not input history.
+    """
+    import tempfile as _tempfile
+
+    from grapho_spark.streaming import run_with_checkpoint
+
+    ckpt = _tempfile.mkdtemp(prefix="grapho_statestore_")
+    stream = load_stream(spark, sf_dir, "events").select(
+        "user_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k")
+    )
+    run_with_checkpoint(agg, "update", ckpt)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+        F.col("value.sum").cast("long").alias("sum_k"),
+    )

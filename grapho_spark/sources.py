@@ -1,8 +1,9 @@
 """Source/sink connectors (SURVEY.md §2.3 — the reference has no file
 formats at all; its only I/O is the TCP statement stream + JSONL
-logs). Parquet is the native format; CSV, JSON, ORC, and text are supported
-with explicit schemas (no runtime inference in pipelines — inference costs
-an extra scan and can drift).
+logs). Parquet is the native format; CSV, JSON, ORC, XML (native in
+Spark 4 — requires ``rowTag``), and text are supported with explicit
+schemas (no runtime inference in pipelines — inference costs an extra
+scan and can drift).
 
 JDBC/Delta/Iceberg/Hudi/Avro need jars not present in this
 environment; ``read_table`` raises a clear error for them (import-try
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as ST
 
-SUPPORTED = ("parquet", "csv", "json", "orc", "text", "binaryfile")
+SUPPORTED = ("parquet", "csv", "json", "orc", "xml", "text", "binaryfile")
 NEEDS_JARS = ("jdbc", "delta", "iceberg", "hudi", "avro")
 
 
@@ -42,6 +43,8 @@ def read_table(
         raise ValueError(f"{fmt} reads require an explicit schema (no inference in pipelines)")
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt == "xml" and "rowTag" not in options:
+        raise ValueError("xml reads require an explicit rowTag option")
     return reader.format(fmt).options(**options).load(path)
 
 
@@ -61,6 +64,8 @@ def write_table(
     writer = df.write.mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml" and "rowTag" not in options:
+        raise ValueError("xml writes require an explicit rowTag option")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)

@@ -9,6 +9,7 @@ from grapho_spark.streaming.cdc import (
 )
 from grapho_spark.streaming.ops import (
     run_to_memory,
+    run_with_checkpoint,
     sessionized_counts,
     stateful_user_totals,
     tws_user_stats,
@@ -21,6 +22,7 @@ __all__ = [
     "export_cdc_segments",
     "maintain_row_deltas",
     "run_to_memory",
+    "run_with_checkpoint",
     "sessionized_counts",
     "stateful_user_totals",
     "tws_user_stats",

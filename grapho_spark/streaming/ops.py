@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def run_with_checkpoint(stream_df: DataFrame, out_mode: str, checkpoint_dir: str) -> None:
+    """Drive a (finite) streaming DataFrame to completion against an
+    EXPLICIT checkpoint location (noop sink): afterwards the checkpoint
+    holds the query's final state-store snapshot and offset log — the
+    thing the ``statestore`` reader introspects, and what a production
+    restart resumes from."""
+    q = (
+        stream_df.writeStream.outputMode(out_mode)
+        .format("noop")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(stream_df: DataFrame, out_mode: str) -> DataFrame:
     """Drive a (finite) streaming DataFrame to completion into an
     in-memory table; returns the table as a DataFrame."""

@@ -122,3 +122,23 @@ def test_wedge_cap_exact_at_test_sf(spark):
     assert row.wedge_paths_exact is True
     assert row.n_capped_nodes == 0
     assert row.max_degree <= G.WEDGE_CAP
+
+
+def test_multi_source_bfs_equals_per_source_bfs(spark):
+    from grapho_spark.analytics import bfs, multi_source_bfs
+
+    # path 1-2-3-4-5 plus a branch 2-6; directed symmetric closure
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)], "src long, dst long"
+    )
+    sym = edges.unionAll(edges.selectExpr("dst as src", "src as dst"))
+    sources = spark.createDataFrame([(1,), (4,)], "node long")
+    multi = {
+        (r.source, r.node): r.hops
+        for r in multi_source_bfs(sym, sources, max_hops=3).collect()
+    }
+    for s in (1, 4):
+        start = spark.createDataFrame([(s,)], "node long")
+        single = {r.node: r.hops for r in bfs(sym, start, max_hops=3).collect()}
+        got = {n: h for (src, n), h in multi.items() if src == s}
+        assert got == single, (s, got, single)

@@ -93,3 +93,21 @@ def test_load_stream_normalizes_ntz_for_watermark(spark, tmp_path):
         assert n >= 1
     finally:
         q.stop()
+
+
+def test_xml_requires_rowtag_and_roundtrips(spark, tmp_path):
+    from grapho_spark.sources import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a<b&c"), (2, "plain")], "id long, txt string"
+    )
+    with pytest.raises(ValueError, match="rowTag"):
+        write_table(df, str(tmp_path / "x"), fmt="xml")
+    write_table(df, str(tmp_path / "x"), fmt="xml", rowTag="row")
+    with pytest.raises(ValueError, match="rowTag"):
+        read_table(spark, str(tmp_path / "x"), fmt="xml", schema=df.schema)
+    back = read_table(
+        spark, str(tmp_path / "x"), fmt="xml", schema=df.schema, rowTag="row"
+    )
+    # XML escaping must round-trip special characters losslessly.
+    assert sorted(r.txt for r in back.collect()) == ["a<b&c", "plain"]
