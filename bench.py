@@ -105,6 +105,7 @@ HEADLINE = [
     "source_xml_roundtrip",
     "streaming_state_store_read",
     "corpus_curriculum_phases",
+    "streaming_windowed_quantile_sketch",
 ]
 
 

@@ -98,42 +98,73 @@ def multi_source_bfs(
 ) -> DataFrame:
     """Per-source hop distances: (source, node, hops) with the MINIMUM
     hop count from every node in ``sources`` (column ``node``) up to
-    ``max_hops`` — the layered frontier expansion of :func:`bfs` with
-    the source id carried through, so one pass answers |S| BFS runs.
+    ``max_hops`` — one pass answers |S| BFS runs.
 
-    Scale: per-round state is Σ_s |reachable_s| pairs — proportional to
-    the SAMPLE size, not the graph; this is exactly the Eppstein-Wang
-    shape for sampled centrality estimation, where |S| (not |V|) is the
-    knob. Each round is one frontier-sized join + min-dedup shuffle;
-    the anti-join against visited (source, node) pairs keeps walks from
-    re-expanding (without it the frontier grows as walk counts, Π deg,
-    instead of reachable-set sizes).
+    Shape: the "bitset BFS" formulation. State is ONE ROW PER NODE
+    carrying the SET of sources that have reached it (array ≤ |S|), so
+    the per-hop join moves edge-sized traffic with a set payload —
+    never the |S| x E row fan-out of a per-(source, node) frontier
+    (which this replaced after the 10x copy-densified probe OOM'd it:
+    a dense graph multiplies Σdeg, and pair-rows multiply it again by
+    |S|). New arrivals per node are ``array_except`` against the
+    visited set — per-node array math instead of a pair-level
+    anti-join — and only newly-reached (source, node) pairs ever
+    explode to rows, so output work is Σ_s |reachable_s|, the
+    Eppstein-Wang sampled-centrality budget where |S| is the knob.
     """
     e = materialize(
         (edges.select("src", "dst") if directed else _symmetrize(edges)).repartition("src")
     )
-    visited = (
-        sources.select("node")
-        .distinct()
-        .select(F.col("node").alias("source"), F.col("node"), F.lit(0).alias("hops"))
+    src0 = sources.select("node").distinct()
+    # per-node visited source-set; seeded with {self} for each source
+    visited = src0.select("node", F.array(F.col("node")).alias("srcs"))
+    out = src0.select(
+        F.col("node").alias("source"), F.col("node"), F.lit(0).alias("hops")
     )
-    frontier = visited.select("source", "node")
+    frontier = visited  # newly-arrived source-sets per node
     spark = edges.sparkSession
     with no_aqe(spark), shuffle_partitions(spark, _loop_partitions(e.count(), spark)):
         for hop in range(1, max_hops + 1):
-            nxt = (
+            arrivals = (
                 e.join(frontier, e.src == frontier.node)
-                .select("source", F.col("dst").alias("node"))
-                .distinct()
-                .join(visited.select("source", "node"), ["source", "node"], "left_anti")
-                .withColumn("hops", F.lit(hop))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.array_distinct(F.flatten(F.collect_list("srcs"))).alias("arr"))
+            )
+            nxt = (
+                arrivals.join(visited, "node", "left")
+                .select(
+                    "node",
+                    F.array_sort(
+                        F.when(F.col("srcs").isNull(), F.col("arr")).otherwise(
+                            F.array_except("arr", "srcs")
+                        )
+                    ).alias("new_srcs"),
+                )
+                .filter(F.size("new_srcs") > 0)
                 .transform(checkpoint_state)
             )
             if nxt.isEmpty():
                 break
-            visited = checkpoint_state(visited.unionByName(nxt))
-            frontier = nxt.select("source", "node")
-    return visited
+            out = out.unionByName(
+                nxt.select(
+                    F.explode("new_srcs").alias("source"),
+                    "node",
+                    F.lit(hop).alias("hops"),
+                )
+            )
+            visited = (
+                visited.join(nxt, "node", "full")
+                .select(
+                    "node",
+                    F.when(F.col("srcs").isNull(), F.col("new_srcs"))
+                    .when(F.col("new_srcs").isNull(), F.col("srcs"))
+                    .otherwise(F.concat("srcs", "new_srcs"))
+                    .alias("srcs"),
+                )
+                .transform(checkpoint_state)
+            )
+            frontier = nxt.select("node", F.col("new_srcs").alias("srcs"))
+    return checkpoint_state(out)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:

@@ -91,16 +91,25 @@ _ENGINE_OWNED_VIEWS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def _cmp(col: Column, op: str, lit: Column) -> Column:
     """WHERE comparison: ``=`` is null-safe equality (the reference's
-    observed semantics, server/server.go:793-797); ``<``/``>`` are the
-    range extension — null never matches. The range branches COALESCE
-    the three-valued comparison to False so the predicate is total:
-    DELETE keeps rows via ``filter(~pred)``, and ``~NULL`` is NULL,
-    which would silently DELETE null-valued rows a range predicate
-    never matched (caught by tests/test_differential_model.py)."""
+    observed semantics, server/server.go:793-797); ``<``/``>``/``<>``
+    are the comparison extension — null never matches (three-valued
+    SQL semantics on both sides of ``<>``). The extension branches must
+    be TOTAL (never NULL): DELETE keeps rows via ``filter(~pred)``, and
+    ``~NULL`` is NULL, which would silently DELETE null-valued rows a
+    range predicate never matched (caught by
+    tests/test_differential_model.py). Totality comes from explicit
+    ``isNotNull`` guards rather than ``coalesce(cmp, false)``: a
+    coalesce around the comparison is opaque to Catalyst's filter
+    pushdown (the scan read every row group), while IsNotNull + the
+    raw comparison push to the parquet scan — asserted by the
+    ``gql_match_distinct_neq`` plan expectation. (false AND NULL is
+    false, so the conjunction is total even when one side is null.)"""
     if op == "<":
-        return F.coalesce(col < lit, F.lit(False))
+        return col.isNotNull() & lit.isNotNull() & (col < lit)
     if op == ">":
-        return F.coalesce(col > lit, F.lit(False))
+        return col.isNotNull() & lit.isNotNull() & (col > lit)
+    if op == "<>":
+        return col.isNotNull() & lit.isNotNull() & (col != lit)
     return col.eqNullSafe(lit)
 
 
@@ -154,7 +163,10 @@ def _resolve_result_col(out: DataFrame, name: str, clause: str) -> str:
 
 
 def _apply_order_limit(
-    out: DataFrame, stmt: "ast.MatchStmt", tiebreak: list[Column]
+    out: DataFrame,
+    stmt: "ast.MatchStmt",
+    tiebreak: list[Column],
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """ORDER BY / LIMIT extension for MATCH results.
 
@@ -177,6 +189,14 @@ def _apply_order_limit(
         resolved = _resolve_result_col(out, fname, "aggregate")
         agg_fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
         return out.agg(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
+    if distinct_cols is not None:
+        # RETURN DISTINCT: dedupe the PROJECTED return fields (entity
+        # ids are dropped — keeping them would make distinct a no-op).
+        # The deterministic tiebreak becomes the full projected tuple,
+        # which is a total order post-distinct. Partial-agg + shuffle
+        # on the return-field key — never a global sort.
+        out = out.select(*distinct_cols).distinct()
+        tiebreak = [F.col(c) for c in distinct_cols]
     user_cols: list[Column] = []
     for name, desc in stmt.order_by:
         resolved = _resolve_result_col(out, name, "ORDER BY")
@@ -966,10 +986,13 @@ class GraphEngine:
             for name, op, val in tests:
                 got = r.get(name)
                 if op != "=":
-                    # range extension: null never matches (SQL semantics)
+                    # range/<> extension: null never matches (SQL semantics)
                     if got is None or val is None:
                         return False
-                    if not (got < val if op == "<" else got > val):
+                    if op == "<>":
+                        if not (got != val):
+                            return False
+                    elif not (got < val if op == "<" else got > val):
                         return False
                 elif got is None or val is None:
                     if got is not val:
@@ -1475,8 +1498,26 @@ class GraphEngine:
         for f2 in frames[1:]:
             out = out.unionByName(f2, allowMissingColumns=True)
         tiebreak = [F.col("_label")] if multi else []
-        out = _apply_order_limit(out, stmt, [*tiebreak, *_id_sort_key()])
+        out = _apply_order_limit(
+            out,
+            stmt,
+            [*tiebreak, *_id_sort_key()],
+            distinct_cols=self._distinct_cols(
+                stmt, (["_label"] if multi else []) + list(stmt.return_fields)
+            ),
+        )
         return StatementResult("match", "", count=-1, df=out)
+
+    @staticmethod
+    def _distinct_cols(stmt: "ast.MatchStmt", cols: list[str]) -> list[str] | None:
+        """Projection for RETURN DISTINCT (None when not requested).
+        The parser only sets the flag with explicit return fields; the
+        guard covers programmatic ASTs."""
+        if not stmt.return_distinct:
+            return None
+        if not stmt.return_fields:
+            raise EngineError("RETURN DISTINCT requires explicit return fields")
+        return cols
 
     def _match_chain(self, stmt: ast.MatchStmt) -> StatementResult:
         """MATCH with edge elements: ``MATCH A a, E e, B b [WHERE ...]
@@ -1565,6 +1606,7 @@ class GraphEngine:
                 )
 
         id_cols = [f"{a}_{ID_COLUMN}" for a in aliases]
+        ret_cols: list[str] = []
         if stmt.return_fields:
             cols = list(id_cols)
             for rf in stmt.return_fields:
@@ -1574,11 +1616,14 @@ class GraphEngine:
                 if owner is None:
                     raise EngineError(f"RETURN field {rf!r} not found in pattern")
                 cols.append(f"{owner}_{rf}")
+                ret_cols.append(f"{owner}_{rf}")
             out = out.select(*cols)
         sort_cols: list[Column] = []
         for c in id_cols:
             sort_cols.extend([F.length(c), F.col(c)])
-        out = _apply_order_limit(out, stmt, sort_cols)
+        out = _apply_order_limit(
+            out, stmt, sort_cols, distinct_cols=self._distinct_cols(stmt, ret_cols)
+        )
         return StatementResult("match", "", count=-1, df=out)
 
     def _match_var_length(self, stmt: ast.MatchStmt) -> StatementResult:
@@ -1722,10 +1767,12 @@ class GraphEngine:
                 )
 
         id_cols = [f"{a}_{ID_COLUMN}", f"{b}_{ID_COLUMN}"]
+        ret_cols: list[str] = []
         if stmt.return_fields:
             cols = list(id_cols) + [f"{e_alias}_hops"]
             for rf in stmt.return_fields:
                 if rf == "hops":
+                    ret_cols.append(f"{e_alias}_hops")
                     continue  # always projected as <alias>_hops
                 owner = next(
                     (
@@ -1740,11 +1787,14 @@ class GraphEngine:
                         f"RETURN field {rf!r} not found on the endpoint types"
                     )
                 cols.append(f"{owner}_{rf}")
+                ret_cols.append(f"{owner}_{rf}")
             out = out.select(*cols)
         sort_cols: list[Column] = []
         for c in id_cols:
             sort_cols.extend([F.length(c), F.col(c)])
-        out = _apply_order_limit(out, stmt, sort_cols)
+        out = _apply_order_limit(
+            out, stmt, sort_cols, distinct_cols=self._distinct_cols(stmt, ret_cols)
+        )
         return StatementResult("match", "", count=-1, df=out)
 
     # ------------------------------------------------- SHOW / DESCRIBE

@@ -279,6 +279,12 @@ class MatchStmt(Stmt):
     # RETURN SUM/MIN/MAX/AVG(field) extension: (func, field), same
     # parenthesized-form rule as COUNT(*).
     return_agg: tuple[str, str] | None = None
+    # RETURN DISTINCT extension (soft keyword, LL(2): a marker only
+    # when the next token is another IDENT that cannot start an
+    # ORDER BY / LIMIT clause — so a field literally named
+    # ``distinct`` stays legal). Deduplicates the PROJECTED return
+    # fields (ids are dropped; plain RETURN keeps per-entity rows).
+    return_distinct: bool = False
 
 
 @dataclass(frozen=True)

@@ -29,6 +29,7 @@ class TokenType(enum.Enum):
     RPAREN = "RPAREN"
     LT = "LT"
     GT = "GT"
+    NEQ = "NEQ"  # extension: '<>' / '!=' not-equal in WHERE
     COMMA = "COMMA"
     SEMI = "SEMI"
     COLON = "COLON"
@@ -210,7 +211,20 @@ class Lexer:
         }
         if ch in punct:
             self._advance()
+            # two-char not-equal: '<>' (the '<' was just consumed)
+            if ch == "<" and self.pos < len(self.text) and self._peek() == ">":
+                self._advance()
+                return self._token(TokenType.NEQ, "<>", line, col)
             return self._token(punct[ch], ch, line, col)
+
+        if ch == "!":
+            self._advance()
+            if self.pos < len(self.text) and self._peek() == "=":
+                self._advance()
+                return self._token(TokenType.NEQ, "!=", line, col)
+            return self._token(
+                TokenType.ILLEGAL, "unexpected character: '!' (did you mean '!=')", line, col
+            )
 
         if ch == "`":
             return self._lex_quoted_ident(line, col)

@@ -391,8 +391,8 @@ class Parser:
             if qualified and self._match(T.DOT):
                 full = f"{full}.{self._expect(T.IDENT).lit}"
             op = "="
-            if allow_cmp and self._tok.type in (T.LT, T.GT):
-                op = "<" if self._tok.type is T.LT else ">"
+            if allow_cmp and self._tok.type in (T.LT, T.GT, T.NEQ):
+                op = {T.LT: "<", T.GT: ">", T.NEQ: "<>"}[self._tok.type]
                 self._next()
             else:
                 self._expect(T.COLON)
@@ -554,7 +554,20 @@ class Parser:
         returns: list[str] = []
         return_count = False
         return_agg: tuple[str, str] | None = None
+        return_distinct = False
         if self._match(T.RETURN):
+            # RETURN DISTINCT extension (soft keyword): a marker only
+            # when followed by another IDENT that can't start an
+            # ORDER BY / LIMIT clause, so ``RETURN distinct`` still
+            # returns a field literally named distinct.
+            if (
+                self._tok.type is T.IDENT
+                and self._tok.lit.upper() == "DISTINCT"
+                and self._peek().type is T.IDENT
+                and self._peek().lit.upper() not in ("ORDER", "LIMIT")
+            ):
+                return_distinct = True
+                self._next()
             first = self._expect(T.IDENT)
             up = first.lit.upper()
             if up in ("COUNT", "SUM", "MIN", "MAX", "AVG") and self._tok.type is T.LPAREN:
@@ -567,6 +580,10 @@ class Parser:
                 else:
                     return_agg = (up, self._expect(T.IDENT).lit)
                 self._expect(T.RPAREN)
+                if return_distinct:
+                    self._err(
+                        first, "DISTINCT cannot be combined with an aggregate RETURN"
+                    )
                 if self._tok.type is T.COMMA:
                     self._err(
                         self._tok, "an aggregate cannot be combined with return fields"
@@ -588,6 +605,7 @@ class Parser:
             limit=limit,
             return_count=return_count,
             return_agg=return_agg,
+            return_distinct=return_distinct,
         )
 
     def _at_soft_clause(self) -> bool:

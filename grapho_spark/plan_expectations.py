@@ -185,6 +185,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # into a map-only pass (never a global NTILE sort); modularity's
     # scoring joins run over the memoized (cached) edge table
     "scalar_variant_extract": ["HashAggregate", "VectorizedScan"],
+    # RETURN DISTINCT must compile to partial-agg distinct over the
+    # pushed-filter scan — never a global sort
+    "gql_match_distinct_neq": ["HashAggregate", "PushedFilters"],
     "source_xml_roundtrip": ["Scan xml", "HashAggregate"],
     "streaming_state_store_read": ["StateScan"],
     "corpus_curriculum_phases": ["BroadcastNestedLoopJoin", "Aggregate"],

@@ -545,3 +545,33 @@ def gql_sql_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM node_Customer WHERE c_nationkey < 10 "
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+@query(
+    "gql_match_distinct_neq",
+    oracle="""
+SELECT DISTINCT c_mktsegment, c_nationkey
+FROM customer
+WHERE c_mktsegment <> 'BUILDING' AND c_acctbal > 0.0
+""",
+)
+def gql_match_distinct_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN DISTINCT + ``<>`` extensions through the full GQL stack:
+    the distinct (segment, nation) pairs among positive-balance
+    customers outside BUILDING. DISTINCT is a soft keyword (a field
+    literally named ``distinct`` stays legal — LL(2) like ORDER/LIMIT);
+    ``<>``/``!=`` follow the range extension's null-never-matches
+    three-valued semantics in both the distributed predicate and the
+    pure-buffer Python twin. The projection drops entity ids before
+    dedup (keeping them would make DISTINCT a no-op), and the engine's
+    deterministic order becomes the full projected tuple.
+
+    Plan: pushed-filter scan -> partial-agg distinct + one shuffle on
+    the return-field key — never a global sort.
+    """
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_mktsegment <> 'BUILDING', c_acctbal > 0.0 "
+        "RETURN DISTINCT c_mktsegment, c_nationkey;"
+    )[0]
+    return res.df

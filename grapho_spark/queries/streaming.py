@@ -1097,3 +1097,69 @@ def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("long").alias("n_events"),
         F.col("value.sum").cast("long").alias("sum_k"),
     )
+
+
+@query(
+    "streaming_windowed_quantile_sketch",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       TRUE AS p50_rank_certified,
+       TRUE AS p95_rank_certified
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_windowed_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-(day, event_type) value quantiles via the
+    Greenwald-Khanna summary (``percentile_approx`` — a mergeable
+    bounded-state sketch, the streaming answer to windowed percentiles
+    the way HLL answers windowed COUNT DISTINCT). The certificate is
+    the GK guarantee itself, checked batch-side against truth: the
+    returned p50/p95 must be an element whose EXACT rank (# of group
+    values <= it) lies within max(1, 5% of n) of the target rank p*n —
+    rank error, not value error, is what GK bounds, so the contract
+    holds regardless of the value distribution's shape.
+
+    Scale: sketch state is O(1/eps log eps*n) per group however many
+    events stream through; the exact rank side shuffles the window's
+    values once and exists only to certify at test SF — at 100 TB only
+    the sketch side survives.
+    """
+    stream = (
+        load_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 1000).alias("p50"),
+            F.percentile_approx("value", 0.95, 1000).alias("p95"),
+        )
+    )
+    sketched = run_to_memory(stream, "complete").select(
+        F.col("window.start").alias("window_start"), "event_type", "p50", "p95"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("window_start"), "event_type", "value"
+    )
+    ranks = (
+        ev.join(F.broadcast(sketched), ["window_start", "event_type"])
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("rank_p50"),
+            F.sum((F.col("value") <= F.col("p95")).cast("long")).alias("rank_p95"),
+        )
+    )
+    tol = F.greatest(F.lit(1.0), F.col("n_events") * 0.05)
+    return ranks.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("rank_p50") - F.col("n_events") * 0.5) <= tol
+        ).alias("p50_rank_certified"),
+        (
+            F.abs(F.col("rank_p95") - F.col("n_events") * 0.95) <= tol
+        ).alias("p95_rank_certified"),
+    )

@@ -54,6 +54,16 @@ def render_match(stmt: ast.MatchStmt, res: StatementResult) -> str:
     out = ["MATCH Results:"]
     rows = [r.asDict() for r in res.df.collect()]
     cols = res.df.columns
+    if stmt.return_distinct:
+        # RETURN DISTINCT: deduplicated projection — there are no
+        # entity ids by construction, one line per distinct tuple.
+        out.append("")
+        out.append("Distinct rows:")
+        for row in rows:
+            props = {k: v for k, v in row.items() if k != "_label"}
+            label = f" [{row['_label']}]" if "_label" in row else ""
+            out.append(f"  Properties: {_go_map(props)}{label}")
+        return "\n".join(out) + "\n"
     if "_id" not in cols and "_label" not in cols:
         # Edge-pattern chain result: prefixed <alias>_<col> columns,
         # one row per matched path. Render one line per path with the

@@ -145,6 +145,21 @@ PROBES = [
     # (corpus_quality_calibration and source_zorder_clustering are
     # excluded like the recall dials: their exact global rank/sort is
     # the deliberate test-SF truth side of a planner/calibration dial)
+    # r8f: modularity is edge-sized joins over the LPA labels; harmonic
+    # centrality is |sample| x reachable per hop (the copy-densified
+    # x10 graph is its adversarial shape — anti-join dedup must keep
+    # state reachable-set-, not walk-count-, sized); variant extract,
+    # the XML round-trip and curriculum bucketing are linear map+agg;
+    # the state-store read re-runs the stream then scans state files;
+    # the GK quantile sketch is one watermarked windowed agg plus a
+    # certify-side rank join
+    "graph_modularity_score",
+    "graph_harmonic_centrality",
+    "scalar_variant_extract",
+    "source_xml_roundtrip",
+    "streaming_state_store_read",
+    "corpus_curriculum_phases",
+    "streaming_windowed_quantile_sketch",
 ]
 
 

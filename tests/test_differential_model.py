@@ -33,6 +33,8 @@ def _model_match(row: dict, conds: list[tuple[str, str, object]]) -> bool:
                 return False
             if op == ">" and not got > val:
                 return False
+            if op == "<>" and not got != val:
+                return False
     return True
 
 
@@ -40,7 +42,7 @@ def _rand_conds(rng: random.Random) -> tuple[str, list[tuple[str, str, object]]]
     conds = []
     for _ in range(rng.randint(1, 2)):
         field = rng.choice(["a", "b"])
-        op = rng.choice(["=", "<", ">"])
+        op = rng.choice(["=", "<", ">", "<>"])
         val = rng.choice(DOMAIN)
         conds.append((field, op, val))
     text = ", ".join(

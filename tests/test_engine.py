@@ -1109,3 +1109,119 @@ def test_cdc_export_fails_loudly_when_retention_outran_it(spark, tmp_path):
     assert eng.commit_base() > 0
     with pytest.raises(RuntimeError, match="retention outran"):
         export_cdc_segments(eng)
+
+
+def test_where_not_equal_dml_and_match(eng):
+    eng.execute(
+        "CREATE NODE NE (id: int PRIMARY KEY, name: string, age: int);"
+        "INSERT NODE NE (id: 1, name: 'a', age: 10);"
+        "INSERT NODE NE (id: 2, name: 'b', age: 20);"
+        "INSERT NODE NE (id: 3, name: 'c');"  # null age never matches <>
+    )
+    rows = eng.execute("MATCH NE WHERE age <> 10 RETURN name;")[0].df.collect()
+    assert sorted(r.name for r in rows) == ["b"]
+    rows = eng.execute("MATCH NE WHERE name != 'a' RETURN name;")[0].df.collect()
+    assert sorted(r.name for r in rows) == ["b", "c"]
+    eng.execute("UPDATE NODE NE SET name: 'x' WHERE age <> 20;")
+    rows = eng.execute("MATCH NE WHERE name: 'x' RETURN age;")[0].df.collect()
+    assert [r.age for r in rows] == [10]
+    # DELETE with <>: the null-age row must be KEPT (three-valued logic
+    # coalesced to no-match on both the distributed and buffer paths)
+    eng.execute("DELETE NODE NE WHERE age <> 10;")
+    ages = sorted(
+        (r.age is None, r.age)
+        for r in eng.execute("MATCH NE RETURN age;")[0].df.collect()
+    )
+    assert [a for _, a in ages] == [10, None]
+
+
+def test_where_not_equal_distributed_path(eng):
+    # same semantics after flush (distributed predicate, not the
+    # pure-buffer Python twin)
+    eng.execute(
+        "CREATE NODE NF (id: int PRIMARY KEY, age: int);"
+        "INSERT NODE NF (id: 1, age: 10);"
+        "INSERT NODE NF (id: 2, age: 20);"
+        "INSERT NODE NF (id: 3);"
+    )
+    eng.flush()
+    rows = eng.execute("MATCH NF WHERE age <> 10 RETURN id;")[0].df.collect()
+    assert sorted(r.id for r in rows) == [2]
+    eng.execute("DELETE NODE NF WHERE age <> 10;")
+    assert eng.node_df("NF").count() == 2  # null-age row kept
+
+
+def test_return_distinct_basic(eng):
+    eng.execute(
+        "CREATE NODE DD (id: int PRIMARY KEY, city: string, age: int);"
+        "INSERT NODE DD (id: 1, city: 'rome', age: 10);"
+        "INSERT NODE DD (id: 2, city: 'rome', age: 10);"
+        "INSERT NODE DD (id: 3, city: 'oslo', age: 10);"
+        "INSERT NODE DD (id: 4, city: 'oslo');"
+    )
+    res = eng.execute("MATCH DD RETURN DISTINCT city;")[0].df
+    assert res.columns == ["city"]
+    assert [r.city for r in res.collect()] == ["oslo", "rome"]
+    res = eng.execute("MATCH DD RETURN DISTINCT city, age;")[0].df.collect()
+    assert sorted((r.city, r.age or -1) for r in res) == [
+        ("oslo", -1),
+        ("oslo", 10),
+        ("rome", 10),
+    ]
+    # ORDER BY + LIMIT compose with DISTINCT (order applies post-dedup)
+    res = eng.execute(
+        "MATCH DD RETURN DISTINCT city ORDER BY city DESC LIMIT 1;"
+    )[0].df.collect()
+    assert [r.city for r in res] == ["rome"]
+    # plain RETURN still yields one row per entity
+    assert eng.execute("MATCH DD RETURN city;")[0].df.count() == 4
+
+
+def test_return_distinct_multi_and_chain(eng):
+    eng.execute(
+        "CREATE NODE P1 (id: int PRIMARY KEY, tag: string);"
+        "CREATE NODE P2 (id: int PRIMARY KEY, tag: string);"
+        "INSERT NODE P1 (id: 1, tag: 't');"
+        "INSERT NODE P1 (id: 2, tag: 't');"
+        "INSERT NODE P2 (id: 1, tag: 't');"
+    )
+    # multi-pattern union: dedupe is per (_label, fields)
+    res = eng.execute("MATCH P1, P2 RETURN DISTINCT tag;")[0].df.collect()
+    assert sorted((r._label, r.tag) for r in res) == [("P1", "t"), ("P2", "t")]
+    eng.execute(
+        "CREATE EDGE L (FROM P1 MANY, TO P2 MANY);"
+        "INSERT EDGE L FROM P1 (id: 1) TO P2 (id: 1);"
+        "INSERT EDGE L FROM P1 (id: 2) TO P2 (id: 1);"
+    )
+    res = eng.execute("MATCH P1 a, L e, P2 b RETURN DISTINCT tag;")[0].df
+    rows = res.collect()
+    # both paths project a.tag='t' -> one distinct row
+    assert len(rows) == 1 and rows[0][0] == "t"
+
+
+def test_return_distinct_var_length(spark):
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE VD (id: int PRIMARY KEY, name: string);"
+        "CREATE EDGE VDE (FROM VD MANY, TO VD MANY);"
+    )
+    for i in range(1, 5):
+        eng.execute(f"INSERT NODE VD (id: {i}, name: 'n{min(i, 2)}');")
+    for s, d in [(1, 2), (1, 3), (2, 4), (3, 4)]:
+        eng.execute(f"INSERT EDGE VDE FROM VD(id: {s}) TO VD(id: {d});")
+    # nodes 2,3,4 share name 'n2'; many (a,b) pairs project the same
+    # endpoint name -> DISTINCT collapses them
+    res = eng.execute("MATCH VD a, VDE*1..2 e, VD b RETURN DISTINCT name;")[0].df
+    rows = res.collect()
+    names = sorted(r[0] for r in rows)
+    assert names == ["n1", "n2"], rows
+    # hops participates in dedup only when requested
+    res2 = eng.execute(
+        "MATCH VD a, VDE*1..2 e, VD b RETURN DISTINCT hops, name;"
+    )[0].df
+    assert res2.columns == ["e_hops", "a_name"] or sorted(res2.columns) == [
+        "a_name",
+        "e_hops",
+    ]

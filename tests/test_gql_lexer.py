@@ -101,3 +101,13 @@ def test_positions_tracked():
     t2 = lx.next_token()
     assert (t1.line, t1.col) == (1, 1)
     assert (t2.line, t2.col) == (2, 3)
+
+
+def test_not_equal_tokens():
+    assert toks("a <> 5")[:3] == [(T.IDENT, "a"), (T.NEQ, "<>"), (T.NUMBER, "5")]
+    assert toks("a != 5")[1] == (T.NEQ, "!=")
+    # '<' not followed by '>' stays LT (generics unchanged)
+    assert types("array<int>") == [T.ARRAY, T.LT, T.INT, T.GT, T.EOF]
+    # bare '!' is ILLEGAL with a hint, not a crash
+    ts = toks("a ! b")
+    assert ts[1][0] is T.ILLEGAL and "!=" in ts[1][1]

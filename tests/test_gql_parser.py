@@ -353,3 +353,39 @@ def test_limit_out_of_jvm_int_range_rejected():
     assert errors and "LIMIT" in errors[0].msg
     stmts, errors = parse_script("MATCH P LIMIT 2147483647;")
     assert not errors and stmts[0].limit == 2**31 - 1
+
+
+def test_where_not_equal_parses():
+    stmts, errors = parse_script(
+        "MATCH Person WHERE age <> 30, name != 'x' RETURN name;"
+    )
+    assert not errors
+    assert [(p.name, p.op) for p in stmts[0].where] == [
+        ("age", "<>"),
+        ("name", "<>"),
+    ]
+    _, errors = parse_script("DELETE NODE Person WHERE age <> 90;")
+    assert not errors
+    # reference grammar positions (INSERT/SET lists) reject it
+    _, errors = parse_script("INSERT NODE Person (age <> 30);")
+    assert errors
+
+
+def test_return_distinct_parses():
+    stmts, errors = parse_script("MATCH Person RETURN DISTINCT name, city;")
+    assert not errors
+    assert stmts[0].return_distinct and stmts[0].return_fields == ("name", "city")
+    # soft keyword: a single field literally named distinct still works
+    stmts, errors = parse_script("MATCH Person RETURN distinct;")
+    assert not errors
+    assert not stmts[0].return_distinct
+    assert stmts[0].return_fields == ("distinct",)
+    # DISTINCT then ORDER BY clause: ORDER is not treated as a field
+    stmts, errors = parse_script(
+        "MATCH Person RETURN DISTINCT name ORDER BY name LIMIT 3;"
+    )
+    assert not errors
+    assert stmts[0].return_distinct and stmts[0].limit == 3
+    # aggregates cannot combine with DISTINCT
+    _, errors = parse_script("MATCH Person RETURN DISTINCT COUNT(*);")
+    assert errors

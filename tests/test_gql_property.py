@@ -108,20 +108,23 @@ def test_error_recovery_resumes_at_semicolon(junk):
 
 @given(
     st.lists(
-        st.tuples(idents, st.sampled_from([":", "<", ">"]),
+        st.tuples(idents, st.sampled_from([":", "<", ">", "<>", "!="]),
                   st.integers(min_value=0, max_value=10**6)),
         min_size=1, max_size=4,
     )
 )
 @settings(max_examples=100, deadline=None)
 def test_where_op_roundtrip(conds):
-    # range-WHERE extension: ':' / '<' / '>' all parse, op preserved
+    # comparison extension: ':' / '<' / '>' / '<>' / '!=' all parse,
+    # op preserved ('!=' normalizes to '<>')
     body = ", ".join(f"{f} {op if op != ':' else ':'} {n}" if op != ":"
                      else f"{f}: {n}" for f, op, n in conds)
     stmts, errors = parse_script(f"MATCH T WHERE {body} RETURN a;")
     assert not errors, (body, errors)
     got = [(p.name, p.op, p.value.text) for p in stmts[0].where]
-    want = [(f, "=" if op == ":" else op, str(n)) for f, op, n in conds]
+    want = [
+        (f, {":": "=", "!=": "<>"}.get(op, op), str(n)) for f, op, n in conds
+    ]
     assert got == want
 
 
