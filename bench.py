@@ -106,6 +106,7 @@ HEADLINE = [
     "streaming_state_store_read",
     "corpus_curriculum_phases",
     "streaming_windowed_quantile_sketch",
+    "graph_stress_centrality",
 ]
 
 

@@ -162,6 +162,17 @@ def _resolve_result_col(out: DataFrame, name: str, clause: str) -> str:
     return suffix[0]
 
 
+def _projection_fields(stmt: "ast.MatchStmt") -> list[str]:
+    """RETURN fields to project: the named fields plus the source
+    fields of grouped aggregates (``RETURN city, SUM(age)`` must carry
+    ``age`` through the projection for the aggregation step)."""
+    fields = list(stmt.return_fields)
+    for _, fname in stmt.return_aggs:
+        if fname != "*" and fname not in fields:
+            fields.append(fname)
+    return fields
+
+
 def _apply_order_limit(
     out: DataFrame,
     stmt: "ast.MatchStmt",
@@ -189,6 +200,35 @@ def _apply_order_limit(
         resolved = _resolve_result_col(out, fname, "aggregate")
         agg_fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
         return out.agg(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
+    if stmt.return_aggs:
+        # Grouped-aggregate RETURN: the return fields are the group
+        # keys (none = one global row); each aggregate projects with a
+        # deterministic alias. Map-side partial agg + one shuffle on
+        # the key — the same shape as the single-aggregate forms.
+        keys = [
+            _resolve_result_col(out, f, "RETURN group key")
+            for f in stmt.return_fields
+        ]
+        agg_cols: list[Column] = []
+        for func, fname in stmt.return_aggs:
+            if func == "COUNT":
+                agg_cols.append(F.count(F.lit(1)).alias("n_rows"))
+            else:
+                resolved = _resolve_result_col(out, fname, "aggregate")
+                agg_fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
+                agg_cols.append(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
+        out = out.groupBy(*keys).agg(*agg_cols) if keys else out.agg(*agg_cols)
+        user_cols = []
+        for name, desc in stmt.order_by:
+            resolved = _resolve_result_col(out, name, "ORDER BY")
+            user_cols.append(F.col(resolved).desc() if desc else F.col(resolved).asc())
+        # deterministic group order: user keys, then the group keys
+        # (a global aggregate has one row — nothing to order)
+        if user_cols or keys:
+            out = out.orderBy(*user_cols, *[F.col(k) for k in keys])
+        if stmt.limit is not None:
+            out = out.limit(stmt.limit)
+        return out
     if distinct_cols is not None:
         # RETURN DISTINCT: dedupe the PROJECTED return fields (entity
         # ids are dropped — keeping them would make distinct a no-op).
@@ -1458,6 +1498,14 @@ class GraphEngine:
             )
         frames: list[DataFrame] = []
         multi = len(stmt.pattern) > 1
+        if multi and any(func != "COUNT" for func, _ in stmt.return_aggs):
+            # the union path stringifies heterogenous prop columns for
+            # schema alignment; SUM/AVG over those strings would be an
+            # ANSI runtime cast error (or silent nonsense) — refuse.
+            raise EngineError(
+                "grouped SUM/MIN/MAX/AVG over a multi-type pattern is not "
+                "supported (COUNT(*) is)"
+            )
         for el in stmt.pattern:
             nt = self.catalog.node(el.type)
             if nt is None:
@@ -1470,9 +1518,9 @@ class GraphEngine:
                 else F.lit(True)
             )
             df = df.filter(pred)
-            if stmt.return_fields:
+            if stmt.return_fields or stmt.return_aggs:
                 cols: list[Column] = [F.col(ID_COLUMN)]
-                for rf in stmt.return_fields:
+                for rf in _projection_fields(stmt):
                     if rf in df.columns:
                         cols.append(F.col(rf))
                     elif multi:
@@ -1607,9 +1655,9 @@ class GraphEngine:
 
         id_cols = [f"{a}_{ID_COLUMN}" for a in aliases]
         ret_cols: list[str] = []
-        if stmt.return_fields:
+        if stmt.return_fields or stmt.return_aggs:
             cols = list(id_cols)
-            for rf in stmt.return_fields:
+            for rf in _projection_fields(stmt):
                 owner = next(
                     (aliases[i] for i, sp in enumerate(specs) if rf in sp), None
                 )
@@ -1768,9 +1816,9 @@ class GraphEngine:
 
         id_cols = [f"{a}_{ID_COLUMN}", f"{b}_{ID_COLUMN}"]
         ret_cols: list[str] = []
-        if stmt.return_fields:
+        if stmt.return_fields or stmt.return_aggs:
             cols = list(id_cols) + [f"{e_alias}_hops"]
-            for rf in stmt.return_fields:
+            for rf in _projection_fields(stmt):
                 if rf == "hops":
                     ret_cols.append(f"{e_alias}_hops")
                     continue  # always projected as <alias>_hops

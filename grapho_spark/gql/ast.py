@@ -279,6 +279,13 @@ class MatchStmt(Stmt):
     # RETURN SUM/MIN/MAX/AVG(field) extension: (func, field), same
     # parenthesized-form rule as COUNT(*).
     return_agg: tuple[str, str] | None = None
+    # Grouped-aggregate RETURN extension: ``RETURN city, COUNT(*)``
+    # (and/or several aggregates) — return_fields become the group
+    # keys (empty = one global row) and each (func, field) aggregate
+    # projects with a deterministic ``<func>_<field>`` / ``n_rows``
+    # alias. A single bare aggregate still maps to the legacy
+    # return_count/return_agg fields.
+    return_aggs: tuple[tuple[str, str], ...] = ()
     # RETURN DISTINCT extension (soft keyword, LL(2): a marker only
     # when the next token is another IDENT that cannot start an
     # ORDER BY / LIMIT clause — so a field literally named

@@ -568,30 +568,53 @@ class Parser:
             ):
                 return_distinct = True
                 self._next()
-            first = self._expect(T.IDENT)
-            up = first.lit.upper()
-            if up in ("COUNT", "SUM", "MIN", "MAX", "AVG") and self._tok.type is T.LPAREN:
-                # RETURN <agg>(...) — aggregate extension; the
-                # parenthesized form keeps these legal field names.
-                self._next()
-                if up == "COUNT":
-                    self._expect(T.STAR)
+            # RETURN item list: each item is a field name or an
+            # <agg>(...) aggregate (the parenthesized form keeps
+            # count/sum/... legal field names — a field reference is
+            # never followed by LPAREN). Mixing fields and aggregates
+            # is the grouped-aggregate extension: fields become group
+            # keys. A single bare aggregate keeps the legacy
+            # return_count/return_agg encoding.
+            aggs: list[tuple[str, str]] = []
+            while True:
+                item = self._expect(T.IDENT)
+                up = item.lit.upper()
+                if (
+                    up in ("COUNT", "SUM", "MIN", "MAX", "AVG")
+                    and self._tok.type is T.LPAREN
+                ):
+                    self._next()
+                    if up == "COUNT":
+                        self._expect(T.STAR)
+                        aggs.append(("COUNT", "*"))
+                    else:
+                        aggs.append((up, self._expect(T.IDENT).lit))
+                    self._expect(T.RPAREN)
+                    if return_distinct:
+                        self._err(
+                            item,
+                            "DISTINCT cannot be combined with an aggregate RETURN",
+                        )
+                else:
+                    returns.append(item.lit)
+                if not self._match(T.COMMA):
+                    break
+            if len(aggs) == 1 and not returns:
+                func, fname = aggs[0]
+                if func == "COUNT":
                     return_count = True
                 else:
-                    return_agg = (up, self._expect(T.IDENT).lit)
-                self._expect(T.RPAREN)
-                if return_distinct:
-                    self._err(
-                        first, "DISTINCT cannot be combined with an aggregate RETURN"
-                    )
-                if self._tok.type is T.COMMA:
-                    self._err(
-                        self._tok, "an aggregate cannot be combined with return fields"
-                    )
-            else:
-                returns.append(first.lit)
-                while self._match(T.COMMA):
-                    returns.append(self._expect(T.IDENT).lit)
+                    return_agg = (func, fname)
+                aggs = []
+            seen_aliases = set()
+            for func, fname in aggs:
+                alias = "n_rows" if func == "COUNT" else f"{func.lower()}_{fname}"
+                if alias in seen_aliases:
+                    self._err(t, f"duplicate aggregate {func}({fname}) in RETURN")
+                seen_aliases.add(alias)
+            return_aggs = tuple(aggs)
+        else:
+            return_aggs = ()
         order_by, limit = self._parse_order_limit()
         if (return_count or return_agg) and order_by:
             self._err(t, "ORDER BY is meaningless with an aggregate RETURN")
@@ -605,6 +628,7 @@ class Parser:
             limit=limit,
             return_count=return_count,
             return_agg=return_agg,
+            return_aggs=return_aggs,
             return_distinct=return_distinct,
         )
 

@@ -188,10 +188,16 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # RETURN DISTINCT must compile to partial-agg distinct over the
     # pushed-filter scan — never a global sort
     "gql_match_distinct_neq": ["HashAggregate", "PushedFilters"],
+    # grouped-aggregate RETURN: map-side partial agg over the
+    # pushed-filter scan (the range predicate must reach parquet)
+    "gql_match_group_agg": ["HashAggregate", "PushedFilters"],
     "source_xml_roundtrip": ["Scan xml", "HashAggregate"],
     "streaming_state_store_read": ["StateScan"],
     "corpus_curriculum_phases": ["BroadcastNestedLoopJoin", "Aggregate"],
     "graph_modularity_score": ["BroadcastHashJoin", "InMemoryTableScan"],
+    # stress centrality: distances and the SP-DAG are materialized once
+    # and re-read by the unrolled sigma/g layer joins
+    "graph_stress_centrality": ["InMemoryTableScan", "HashAggregate"],
 }
 
 

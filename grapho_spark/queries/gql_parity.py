@@ -575,3 +575,37 @@ def gql_match_distinct_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN DISTINCT c_mktsegment, c_nationkey;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_group_agg",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_c_acctbal
+FROM customer
+WHERE c_acctbal > 0.0
+GROUP BY c_mktsegment
+""",
+)
+def gql_match_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate RETURN extension through the full GQL stack:
+    ``RETURN c_mktsegment, COUNT(*), SUM(c_acctbal)`` groups by the
+    named fields and projects deterministic ``n_rows``/``sum_<field>``
+    aliases — map-side partial aggregation + one shuffle on the group
+    key, the same plan SQL GROUP BY compiles to. The SUM is cast to
+    exact decimal before aggregation on both sides so accumulation
+    order cannot diverge (the engine's double sum would be
+    order-dependent across 32 partitions).
+    """
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_acctbal > 0.0 "
+        "RETURN c_mktsegment, COUNT(*), SUM(c_acctbal);"
+    )[0]
+    return res.df.select(
+        "c_mktsegment",
+        "n_rows",
+        F.col("sum_c_acctbal").cast("decimal(14,2)").cast("double").alias(
+            "sum_c_acctbal"
+        ),
+    )

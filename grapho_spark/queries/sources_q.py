@@ -787,8 +787,11 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grapho_spark.sources import read_table, write_table
 
     c = load_table(spark, sf_dir, "customer")
+    # pid-scoped: two processes benching the same SF must not race on
+    # one overwrite-mode directory (the r7 band-index lesson)
     path = os.path.join(
-        tempfile.gettempdir(), f"grapho_src_xml_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"grapho_src_xml_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     write_table(c, path, fmt="xml", rowTag="customer")
     back = read_table(spark, path, fmt="xml", schema=c.schema, rowTag="customer")

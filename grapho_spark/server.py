@@ -54,6 +54,14 @@ def render_match(stmt: ast.MatchStmt, res: StatementResult) -> str:
     out = ["MATCH Results:"]
     rows = [r.asDict() for r in res.df.collect()]
     cols = res.df.columns
+    if stmt.return_aggs or stmt.return_count or stmt.return_agg:
+        # Aggregate RETURN (bare or grouped): no entity ids by
+        # construction — one line per (group) row.
+        out.append("")
+        out.append("Aggregate results:")
+        for row in rows:
+            out.append(f"  {_go_map(row)}")
+        return "\n".join(out) + "\n"
     if stmt.return_distinct:
         # RETURN DISTINCT: deduplicated projection — there are no
         # entity ids by construction, one line per distinct tuple.

@@ -160,6 +160,10 @@ PROBES = [
     "streaming_state_store_read",
     "corpus_curriculum_phases",
     "streaming_windowed_quantile_sketch",
+    # stress centrality: sigma/g passes are (source,node)-keyed integer
+    # sums over the shortest-path DAG; the 1% source modulus bounds the
+    # pair state on the densified graph
+    "graph_stress_centrality",
 ]
 
 

@@ -899,11 +899,14 @@ def test_match_aggregate_return_errors(eng):
     eng.execute("CREATE NODE B (id: int PRIMARY KEY, v: int);")
     with pytest.raises(EngineError):
         eng.execute("MATCH B RETURN SUM(nosuch);")
-    # parse errors: aggregate combined with fields / with ORDER BY
+    # aggregate + fields is now the grouped-aggregate extension
     from grapho_spark.gql.parser import parse_script
 
-    _, errs = parse_script("MATCH B RETURN SUM(v), v;")
-    assert errs
+    stmts, errs = parse_script("MATCH B RETURN SUM(v), v;")
+    assert not errs
+    assert stmts[0].return_fields == ("v",)
+    assert stmts[0].return_aggs == (("SUM", "v"),)
+    # ORDER BY with a BARE single aggregate stays meaningless
     _, errs = parse_script("MATCH B RETURN SUM(v) ORDER BY v;")
     assert errs
 
@@ -1225,3 +1228,72 @@ def test_return_distinct_var_length(spark):
         "a_name",
         "e_hops",
     ]
+
+
+def test_return_grouped_aggregates(eng):
+    eng.execute(
+        "CREATE NODE GA (id: int PRIMARY KEY, city: string, age: int);"
+        "INSERT NODE GA (id: 1, city: 'rome', age: 10);"
+        "INSERT NODE GA (id: 2, city: 'rome', age: 30);"
+        "INSERT NODE GA (id: 3, city: 'oslo', age: 20);"
+        "INSERT NODE GA (id: 4, city: 'oslo');"  # null age: skipped by SUM/AVG
+    )
+    res = eng.execute("MATCH GA RETURN city, COUNT(*), SUM(age);")[0].df
+    assert res.columns == ["city", "n_rows", "sum_age"]
+    assert [(r.city, r.n_rows, r.sum_age) for r in res.collect()] == [
+        ("oslo", 2, 20),
+        ("rome", 2, 40),
+    ]
+    # multiple aggregates, no group keys -> one global row
+    res = eng.execute("MATCH GA RETURN COUNT(*), MIN(age), MAX(age);")[0].df
+    assert res.columns == ["n_rows", "min_age", "max_age"]
+    assert [tuple(r) for r in res.collect()] == [(4, 10, 30)]
+    # ORDER BY an aggregate alias orders the groups; LIMIT composes
+    res = eng.execute(
+        "MATCH GA RETURN city, SUM(age) ORDER BY sum_age DESC LIMIT 1;"
+    )[0].df
+    assert [tuple(r) for r in res.collect()] == [("rome", 40)]
+    # WHERE composes (predicate before grouping)
+    res = eng.execute("MATCH GA WHERE age > 10 RETURN city, COUNT(*);")[0].df
+    assert [tuple(r) for r in res.collect()] == [("oslo", 1), ("rome", 1)]
+    # legacy single-aggregate form unchanged
+    res = eng.execute("MATCH GA RETURN COUNT(*);")[0].df
+    assert res.columns == ["n_rows"] and res.collect()[0][0] == 4
+
+
+def test_return_grouped_aggregates_chain(eng):
+    eng.execute(
+        "CREATE NODE GC (id: int PRIMARY KEY, tag: string);"
+        "CREATE NODE GD (id: int PRIMARY KEY, w: int);"
+        "CREATE EDGE GL (FROM GC MANY, TO GD MANY);"
+        "INSERT NODE GC (id: 1, tag: 'a'); INSERT NODE GC (id: 2, tag: 'b');"
+        "INSERT NODE GD (id: 1, w: 5); INSERT NODE GD (id: 2, w: 7);"
+        "INSERT EDGE GL FROM GC(id: 1) TO GD(id: 1);"
+        "INSERT EDGE GL FROM GC(id: 1) TO GD(id: 2);"
+        "INSERT EDGE GL FROM GC(id: 2) TO GD(id: 2);"
+    )
+    res = eng.execute("MATCH GC a, GL e, GD b RETURN tag, SUM(w), COUNT(*);")[0].df
+    assert sorted(res.columns) == ["a_tag", "n_rows", "sum_w"]
+    got = {(r["a_tag"], r["sum_w"], r["n_rows"]) for r in res.collect()}
+    assert got == {("a", 12, 2), ("b", 7, 1)}
+
+
+def test_return_grouped_aggregate_parse_errors(eng):
+    with pytest.raises(EngineError, match="duplicate aggregate"):
+        eng.execute("MATCH GA RETURN COUNT(*), COUNT(*);")
+    with pytest.raises(EngineError, match="DISTINCT cannot be combined"):
+        eng.execute("MATCH GA RETURN DISTINCT city, COUNT(*);")
+
+
+def test_grouped_agg_multi_pattern_guard(eng):
+    eng.execute(
+        "CREATE NODE M1 (id: int PRIMARY KEY, v: int);"
+        "CREATE NODE M2 (id: int PRIMARY KEY, v: int);"
+        "INSERT NODE M1 (id: 1, v: 5); INSERT NODE M2 (id: 1, v: 7);"
+    )
+    # COUNT(*) groups fine across the union
+    res = eng.execute("MATCH M1, M2 RETURN v, COUNT(*);")[0].df.collect()
+    assert sorted((r[0], r[1]) for r in res) == [("5", 1), ("7", 1)]
+    # numeric aggregates over the stringified union are refused
+    with pytest.raises(EngineError, match="multi-type pattern"):
+        eng.execute("MATCH M1, M2 RETURN v, SUM(v);")

@@ -306,9 +306,13 @@ def test_match_return_count_parse():
     # count stays a legal plain field name
     stmts, errs = parse_script("MATCH Customer RETURN count;")
     assert not errs and stmts[0].return_fields == ("count",)
-    # mixing with fields / ORDER BY is rejected
-    _, errs = parse_script("MATCH Customer RETURN COUNT(*), c_name;")
-    assert errs
+    # mixing with fields is the grouped-aggregate extension
+    stmts, errs = parse_script("MATCH Customer RETURN COUNT(*), c_name;")
+    assert not errs
+    assert stmts[0].return_fields == ("c_name",)
+    assert stmts[0].return_aggs == (("COUNT", "*"),)
+    assert not stmts[0].return_count  # grouped form, not the bare legacy one
+    # ORDER BY with a BARE aggregate stays rejected
     _, errs = parse_script("MATCH Customer RETURN COUNT(*) ORDER BY c_name;")
     assert errs
 

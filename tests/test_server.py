@@ -133,6 +133,9 @@ def test_execute_command_never_crashes_on_fuzz(spark):
         "UPDATE NODE F SET", "DELETE NODE F", "\x00\x01\xff", "'unterminated",
         "`backtick", "/* open comment", "-- just a comment",
         "MATCH F RETURN SUM();", "MATCH F RETURN COUNT(*) ORDER BY a;",
+        "MATCH F WHERE a <>;", "MATCH F WHERE a !;", "MATCH F WHERE a ! 1;",
+        "MATCH F RETURN DISTINCT COUNT(*);", "MATCH F WHERE a <> 1 RETURN DISTINCT a;",
+        "MATCH F RETURN a, COUNT(*), COUNT(*);", "MATCH F RETURN a, SUM(nosuch);",
         "A" * 5000, "MATCH F WHERE a: " + "9" * 200 + ";",
         "MATCH F LIMIT 3000000000;",
         "CREATE NODE G (x: " + "array<" * 3000 + "int" + ">" * 3000 + ");",
