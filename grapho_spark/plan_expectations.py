@@ -198,6 +198,10 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # stress centrality: distances and the SP-DAG are materialized once
     # and re-read by the unrolled sigma/g layer joins
     "graph_stress_centrality": ["InMemoryTableScan", "HashAggregate"],
+    # pipe-syntax front end must compile to the classic plan: pushed
+    # filters at the scan, partial hash aggregate
+    "relational_pipe_syntax": ["PushedFilters", "HashAggregate"],
+    "events_retention_matrix": ["HashAggregate", "ReadSchema"],
 }
 
 

@@ -1467,3 +1467,41 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_retention_matrix",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM daily GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(d.day - c.cohort_day AS BIGINT) AS offset_days,
+       COUNT(DISTINCT d.user_id) AS n_active
+FROM daily d JOIN cohort c ON d.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cohort-retention matrix: users are cohorted by first-seen
+    day; each (cohort_day, offset_days) cell counts distinct cohort
+    members active that many days later — the triangle heatmap every
+    growth dashboard draws (events_daily_retention is its next-day
+    diagonal).
+
+    Scale: events collapse to distinct (user, day) first; the cohort
+    table is user-sized and joins on user_id (one shuffle of the
+    compacted table); the matrix itself is tiny (days x offsets).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        daily.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

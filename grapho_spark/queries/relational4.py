@@ -1535,3 +1535,42 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_over_actual"),
         )
     )
+
+
+@query(
+    "relational_pipe_syntax",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+GROUP BY l_returnflag
+""",
+)
+def relational_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operator chaining — SQL that
+    reads in dataflow order like the DataFrame API): the Q6-shaped
+    revenue aggregate expressed as FROM |> WHERE |> EXTEND |>
+    AGGREGATE. Pipe stages compile to the SAME Catalyst plan as the
+    classic form — the oracle is that classic SQL, so equality is
+    checked by value, and pushdown/partial-agg behavior is identical
+    by construction.
+
+    Scale: one pushed-filter scan + map-side partial aggregate; the
+    syntax is front-end only.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+FROM pipe_lineitem
+|> WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+   AND l_discount BETWEEN 0.05 AND 0.07
+|> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+          * CAST(1 - l_discount AS DECIMAL(4,2)) AS disc_price
+|> AGGREGATE COUNT(*) AS n_items,
+             CAST(SUM(disc_price) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag
+"""
+    )
