@@ -107,6 +107,7 @@ HEADLINE = [
     "corpus_curriculum_phases",
     "streaming_windowed_quantile_sketch",
     "graph_stress_centrality",
+    "graph_random_walks",
 ]
 
 

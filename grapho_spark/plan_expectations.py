@@ -202,6 +202,9 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # filters at the scan, partial hash aggregate
     "relational_pipe_syntax": ["PushedFilters", "HashAggregate"],
     "events_retention_matrix": ["HashAggregate", "ReadSchema"],
+    # walk steps must be (node, idx)-keyed joins over the indexed
+    # adjacency (a Window builds the index), never a cross product
+    "graph_random_walks": ["Window", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
 }
 
 

@@ -1873,3 +1873,115 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("contrib").cast("long").alias("stress"))
         .filter(F.col("stress") > 0)
     )
+
+
+# Deterministic random walks: the graph-embedding training-data
+# primitive (DeepWalk/node2vec corpora are walk sequences). "Random"
+# comes from a salted md5 of (start, step, node) — a cryptographic
+# counter-mode PRNG both engines compute identically — so the walk
+# corpus is exactly reproducible with NO RNG state, the same trick the
+# shuffle-shard and split manifests use.
+RW_MOD = 17
+RW_STEPS = 4
+
+
+@query(
+    "graph_random_walks",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_EDGES_CTE},
+adj AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM sym),
+degs AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+starts AS (SELECT node FROM nodes WHERE node % {RW_MOD} = 0),
+walk(start, step, node) AS (
+  SELECT node, 0, node FROM starts
+  UNION ALL
+  SELECT w.start, w.step + 1, a.dst
+  FROM walk w
+  JOIN degs g ON g.src = w.node
+  JOIN adj a ON a.src = w.node
+   AND a.idx = CAST(('0x' || substring(
+         md5(CAST(w.start AS VARCHAR) || ':' || CAST(w.step AS VARCHAR)
+             || ':' || CAST(w.node AS VARCHAR)), 1, 6)) AS BIGINT) % g.d
+  WHERE w.step < {RW_STEPS})
+SELECT start, step, node FROM walk
+""",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic pseudo-random walk of {RW_STEPS} steps from
+    every sampled start node (node % {RW_MOD} == 0): at each step the
+    next neighbor is adjacency[md5(start:step:node) % degree] over the
+    dst-sorted neighbor list. The walk corpus is the input format
+    DeepWalk-style embedding trainers consume, and it is bit-identical
+    across engines and re-runs (hash-counter randomness, no RNG
+    state — re-running on a grown graph changes only affected walks).
+
+    Scale: each step is one join against the degree table and one
+    (node, idx)-keyed join against the indexed adjacency — edge-sized
+    shuffles carrying only the walk frontier; |starts| x steps rows of
+    output. Walks are embarrassingly parallel in the start key.
+    """
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = sym_edges(edges)
+
+    # the indexed adjacency is a standing index in production (built
+    # once per graph snapshot, shared by every walk batch) — memoized
+    # per session like copurchase_edges itself
+    def build_adj() -> DataFrame:
+        win = Window.partitionBy("src").orderBy("dst")
+        return sym.select(
+            F.col("src").alias("a_src"),
+            "dst",
+            (F.row_number().over(win) - 1).alias("idx"),
+        )
+
+    adj = memo_table(spark, f"rw_adj:{sf_dir}", build_adj)
+    degs = memo_table(
+        spark,
+        f"rw_degs:{sf_dir}",
+        lambda: sym.groupBy(F.col("src").alias("d_src")).agg(
+            F.count(F.lit(1)).alias("d")
+        ),
+    )
+    starts = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % RW_MOD == 0)
+    )
+    cur = starts.select(F.col("node").alias("start"), F.col("node"))
+    frames = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for t in range(RW_STEPS):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("start").cast("string"),
+                            F.lit(str(t)),
+                            F.col("node").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("d")
+        )
+        cur = (
+            cur.join(degs, cur.node == F.col("d_src"))
+            .withColumn("pick", pick)
+            .join(
+                adj,
+                (F.col("node") == F.col("a_src")) & (F.col("pick") == F.col("idx")),
+            )
+            .select("start", F.col("dst").alias("node"))
+        )
+        frames.append(cur.select("start", F.lit(t + 1).alias("step"), "node"))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -164,6 +164,9 @@ PROBES = [
     # sums over the shortest-path DAG; the 1% source modulus bounds the
     # pair state on the densified graph
     "graph_stress_centrality",
+    # random walks: per-step (node, idx)-keyed adjacency joins carrying
+    # only the walk frontier; start sample is the volume knob
+    "graph_random_walks",
 ]
 
 
