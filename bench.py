@@ -71,18 +71,18 @@ HEADLINE = [
     # round-7 additions
     "graph_wedge_cap_stats",
     "corpus_shuffle_shards",
-    "embedding_ivfpq_indexed_knn",
+    "core_embedding_ivfpq_indexed_knn",
     "graph_anf_hyperball",
     "streaming_windowed_distinct_sketch",
     # round-8 additions
     "streaming_ann_index_probe",
-    "corpus_dsir_importance",
-    "dedup_prefix_ssjoin_pairs",
+    "core_corpus_dsir_importance",
+    "core_dedup_prefix_ssjoin_pairs",
     "streaming_dsir_score",
     "corpus_training_export_manifest",
-    "text_bpe_merges",
+    "core_text_bpe_merges",
     "text_bpe_tokenize",
-    "embedding_semantic_dedup",
+    "core_embedding_semantic_dedup",
     "streaming_bpe_tokenize",
     "corpus_semantic_leakage",
     "source_binaryfile_blobs",
@@ -177,7 +177,7 @@ def main() -> None:
         "embedding_ivf_recall": lambda rows: {
             "recall3_ivf_label": rows[0]["avg_recall"]
         },
-        "embedding_ivfpq_recall": lambda rows: {
+        "core_embedding_ivfpq_recall": lambda rows: {
             "recall3_ivfpq_index": rows[0]["avg_recall"]
         },
         "embedding_ivf_multiprobe": lambda rows: {

@@ -133,7 +133,7 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "graph_triangle_count": ["Window", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
     # the ANN probe must scan the PERSISTED cell-bucketed code table
     # (build-once/probe-many), not re-derive PQ codes from raw vectors
-    "embedding_ivfpq_indexed_knn": ["ann_pq_codes", "BroadcastHashJoin"],
+    "core_embedding_ivfpq_indexed_knn": ["ann_pq_codes", "BroadcastHashJoin"],
     # all-corpus near-dup must ALSO read the stored code table (the
     # whole point is avoiding the O(n^2) raw-vector scan)
     "embedding_indexed_neardup_pairs": ["ann_pq_codes"],
@@ -142,8 +142,8 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # corpus-sized feature stream); the within-doc rarity ordering of
     # the prefix ssjoin must stay a doc-partitioned Window, and its
     # candidate generation an equi-join on the prefix token
-    "corpus_dsir_importance": ["BroadcastHashJoin", "HashAggregate", "InMemoryTableScan"],
-    "dedup_prefix_ssjoin_pairs": ["Window", "HashAggregate"],
+    "core_corpus_dsir_importance": ["BroadcastHashJoin", "HashAggregate", "InMemoryTableScan"],
+    "core_dedup_prefix_ssjoin_pairs": ["Window", "HashAggregate"],
     # the composed export funnel: dedup election stays a Window (no
     # self-join), the DSIR model joins as a broadcast
     "corpus_training_export_manifest": ["Window", "BroadcastHashJoin", "HashAggregate"],
@@ -152,7 +152,7 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # SemDeDup must broadcast centroids, rank via a Window, and read
     # the ranked table from its materialization (both pair-join sides)
     "text_bpe_tokenize": ["BroadcastHashJoin", "HashAggregate"],
-    "embedding_semantic_dedup": ["BroadcastHashJoin", "Window", "InMemoryTableScan"],
+    "core_embedding_semantic_dedup": ["BroadcastHashJoin", "Window", "InMemoryTableScan"],
     # the leakage audit reads the memoized k-means assignment and
     # joins holdout x train on the cell id
     "corpus_semantic_leakage": ["InMemoryTableScan", "HashAggregate"],

@@ -103,6 +103,15 @@ CORE = frozenset(
         "range_join_acctbal_bands",
         "salted_skew_aggregation",
         "stats_moments_by_segment",
+        # r9: the r8 flagship LLM-pipeline operators, promoted so the
+        # driver's 50-name window externally re-verifies them each round
+        # (VERDICT r8 task #1). 44 + 6 = exactly 50 core_ names.
+        "text_bpe_merges",
+        "corpus_dsir_importance",
+        "embedding_semantic_dedup",
+        "dedup_prefix_ssjoin_pairs",
+        "embedding_ivfpq_indexed_knn",
+        "embedding_ivfpq_recall",
     }
 )
 

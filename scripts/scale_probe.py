@@ -76,7 +76,7 @@ PROBES = [
     "stats_approx_aggregates_rows_only",
     "corpus_shuffle_shards",
     "corpus_epoch_plan",
-    "embedding_ivfpq_indexed_knn",
+    "core_embedding_ivfpq_indexed_knn",
     "graph_anf_hyperball",
     "streaming_windowed_distinct_sketch",
     # round-8 additions: the O(data) BUILD side of the persisted ANN
@@ -90,18 +90,18 @@ PROBES = [
     # the exact prefix-filtered set-similarity join (the inflated
     # corpus is 10 near-copies of every doc — the candidate blow-up
     # shape the prefix+length filters must absorb)
-    "corpus_dsir_importance",
+    "core_corpus_dsir_importance",
     "streaming_dsir_score",
-    "dedup_prefix_ssjoin_pairs",
+    "core_dedup_prefix_ssjoin_pairs",
     "dedup_prefix_ssjoin_stats",
     # round-8c additions: BPE vocabulary induction (the word count is
     # the only corpus-scale stage; merge rounds are vocab-sized),
     # tokenizer application (broadcast vocab over the token stream),
     # and windowed SemDeDup (bounded per-vector comparison fan-out),
     # plus the composed curation-funnel export plan
-    "text_bpe_merges",
+    "core_text_bpe_merges",
     "text_bpe_tokenize",
-    "embedding_semantic_dedup",
+    "core_embedding_semantic_dedup",
     # (embedding_semdedup_coverage is excluded like the ANN recall
     # dials: its truth side is deliberately quadratic-in-sample —
     # the sample modulus, not the probe, is its scale knob)

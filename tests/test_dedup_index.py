@@ -56,7 +56,7 @@ def test_ann_index_probe_and_crash_safe_rebuild(spark, sf_dir):
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
 
     reg = all_queries()
-    indexed = reg["embedding_ivfpq_indexed_knn"].spark_fn(spark, sf_dir)
+    indexed = reg["core_embedding_ivfpq_indexed_knn"].spark_fn(spark, sf_dir)
     rows = indexed.collect()
     assert rows  # queries must exist at this SF
     by_q = {}
@@ -86,7 +86,7 @@ def test_ann_index_probe_and_crash_safe_rebuild(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     cents2, book2, codes2 = ann_index_tables(spark, sf_dir)
     assert os.path.exists(marker)  # rebuild re-published the marker
-    rebuilt = reg["embedding_ivfpq_indexed_knn"].spark_fn(spark, sf_dir)
+    rebuilt = reg["core_embedding_ivfpq_indexed_knn"].spark_fn(spark, sf_dir)
     assert sorted((r["q_id"], r["vec_id"]) for r in rebuilt.collect()) == baseline
 
 

@@ -41,7 +41,7 @@ NEGATIVE_CHECKS = {
     "events_interval_overlap_join": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     # the prefix ssjoin's candidate stage is an equi-join on the
     # prefix token — never an all-pairs nested loop
-    "dedup_prefix_ssjoin_pairs": ["CartesianProduct"],
+    "core_dedup_prefix_ssjoin_pairs": ["CartesianProduct"],
     # GD weights re-enter the plan as LITERALS; a join/broadcast of a
     # weights table would mean the trainer regressed to a weights-as-
     # data design (one extra corpus-wide exchange per iteration)

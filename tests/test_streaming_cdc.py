@@ -273,7 +273,7 @@ def test_streaming_dsir_score_runs_stateless(spark, sf_dir):
         q.stop()
     got = {r.doc_id: r.log_importance for r in spark.table(name).collect()}
     assert got  # the % 7 sample is non-empty at every test SF
-    batch = all_queries()["corpus_dsir_importance"].spark_fn(spark, sf_dir)
+    batch = all_queries()["core_corpus_dsir_importance"].spark_fn(spark, sf_dir)
     want = {
         r.doc_id: r.log_importance
         for r in batch.filter("doc_id % 7 = 0").collect()
