@@ -218,9 +218,26 @@ def _apply_order_limit(
                 agg_fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
                 agg_cols.append(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
         out = out.groupBy(*keys).agg(*agg_cols) if keys else out.agg(*agg_cols)
+        # Post-aggregation only group keys (by RETURN name or resolved
+        # column) and aggregate aliases exist; a bare source field
+        # (ORDER BY age after RETURN city, SUM(age)) must error, not
+        # silently suffix-resolve to sum_age.
+        allowed: dict[str, str] = {}
+        for f, key_col in zip(stmt.return_fields, keys):
+            allowed[f] = key_col
+            allowed[key_col] = key_col
+        for func, fname in stmt.return_aggs:
+            alias = "n_rows" if func == "COUNT" else f"{func.lower()}_{fname}"
+            allowed[alias] = alias
         user_cols = []
         for name, desc in stmt.order_by:
-            resolved = _resolve_result_col(out, name, "ORDER BY")
+            if name not in allowed:
+                raise EngineError(
+                    f"ORDER BY field {name!r} is not a group key or "
+                    f"aggregate alias of this RETURN "
+                    f"(available: {sorted(set(allowed))})"
+                )
+            resolved = allowed[name]
             user_cols.append(F.col(resolved).desc() if desc else F.col(resolved).asc())
         # deterministic group order: user keys, then the group keys
         # (a global aggregate has one row — nothing to order)

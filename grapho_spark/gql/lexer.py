@@ -139,6 +139,10 @@ class Token:
     lit: str
     line: int
     col: int
+    # True for backtick-quoted identifiers: quoting opts the name out
+    # of every soft-keyword interpretation (DISTINCT/ORDER/LIMIT/...),
+    # so fields literally named after soft keywords stay reachable.
+    quoted: bool = False
 
 
 def _is_ident_start(ch: str) -> bool:
@@ -265,7 +269,8 @@ class Lexer:
             self._advance()
         lit = self.text[start : self.pos]
         self._advance()  # closing backtick
-        return self._token(TokenType.IDENT, lit, line, col)
+        tok = self._token(TokenType.IDENT, lit, line, col)
+        return Token(tok.type, tok.lit, tok.line, tok.col, quoted=True)
 
     def _lex_string(self, line: int, col: int) -> Token:
         self._advance()  # opening quote

@@ -559,12 +559,20 @@ class Parser:
             # RETURN DISTINCT extension (soft keyword): a marker only
             # when followed by another IDENT that can't start an
             # ORDER BY / LIMIT clause, so ``RETURN distinct`` still
-            # returns a field literally named distinct.
+            # returns a field literally named distinct. A backtick-
+            # quoted follower is never a clause starter, so fields
+            # literally named order/limit stay reachable under
+            # DISTINCT as ``RETURN DISTINCT `order```; a quoted
+            # ``distinct`` itself is always a plain field.
             if (
                 self._tok.type is T.IDENT
                 and self._tok.lit.upper() == "DISTINCT"
+                and not self._tok.quoted
                 and self._peek().type is T.IDENT
-                and self._peek().lit.upper() not in ("ORDER", "LIMIT")
+                and (
+                    self._peek().quoted
+                    or self._peek().lit.upper() not in ("ORDER", "LIMIT")
+                )
             ):
                 return_distinct = True
                 self._next()
@@ -611,6 +619,17 @@ class Parser:
                 alias = "n_rows" if func == "COUNT" else f"{func.lower()}_{fname}"
                 if alias in seen_aliases:
                     self._err(t, f"duplicate aggregate {func}({fname}) in RETURN")
+                # a plain return field (group key) carrying the same
+                # name as a generated aggregate alias would emit
+                # duplicate output columns and die later as an
+                # ambiguous-reference AnalysisException — reject at
+                # parse time instead
+                if alias in returns:
+                    self._err(
+                        t,
+                        f"RETURN field {alias!r} collides with the "
+                        f"{func}({fname}) aggregate's output column",
+                    )
                 seen_aliases.add(alias)
             return_aggs = tuple(aggs)
         else:
@@ -636,7 +655,7 @@ class Parser:
         """True when the current IDENT begins an ORDER BY / LIMIT
         clause rather than naming an alias/field (soft keywords: the
         reference reserves neither, parser/keywords.go:5-54)."""
-        if self._tok.type is not T.IDENT:
+        if self._tok.type is not T.IDENT or self._tok.quoted:
             return False
         up = self._tok.lit.upper()
         if up == "ORDER":

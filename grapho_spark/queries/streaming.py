@@ -11,6 +11,8 @@ full value-hash check on a streaming operator).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1079,11 +1081,20 @@ def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     InputPartition per shuffle partition of the checkpoint), so
     inspection cost tracks state size, not input history.
     """
+    import shutil as _shutil
     import tempfile as _tempfile
 
     from grapho_spark.streaming import run_with_checkpoint
 
-    ckpt = _tempfile.mkdtemp(prefix="grapho_statestore_")
+    # deterministic pid-scoped checkpoint (the source_xml_roundtrip
+    # convention): repeated bench/correctness invocations reuse and
+    # overwrite ONE directory per (sf_dir, process) instead of leaking
+    # a fresh mkdtemp of RocksDB/offset files per run
+    ckpt = os.path.join(
+        _tempfile.gettempdir(),
+        f"grapho_statestore_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    _shutil.rmtree(ckpt, ignore_errors=True)
     stream = load_stream(spark, sf_dir, "events").select(
         "user_id", F.get_json_object("props", "$.k").cast("long").alias("k")
     )
@@ -1092,6 +1103,18 @@ def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_with_checkpoint(agg, "update", ckpt)
     st = spark.read.format("statestore").load(ckpt)
+    # `value.count` / `value.sum` are Spark's INTERNAL aggregation-
+    # buffer field names (not the query's n_events/sum_k aliases) —
+    # an implementation detail stable across Spark 4.x but not a
+    # public API. Resolve them by position from the state schema so a
+    # rename on a Spark upgrade fails loudly here, not silently.
+    val_fields = st.schema["value"].dataType.names
+    if val_fields != ["count", "sum"]:
+        raise AssertionError(
+            f"statestore value schema changed (Spark upgrade?): "
+            f"expected aggregation buffer fields ['count', 'sum'], "
+            f"got {val_fields}"
+        )
     return st.select(
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("long").alias("n_events"),

@@ -1285,6 +1285,65 @@ def test_return_grouped_aggregate_parse_errors(eng):
         eng.execute("MATCH GA RETURN DISTINCT city, COUNT(*);")
 
 
+def test_return_alias_collision_rejected(eng):
+    # r9 (ADVICE): a plain return field colliding with a generated
+    # aggregate alias must die at parse time, not as an ambiguous-
+    # reference AnalysisException in the grouped orderBy
+    eng.execute("CREATE NODE ACX (id: int PRIMARY KEY, city: string, age: int);")
+    with pytest.raises(EngineError, match="collides"):
+        eng.execute("MATCH ACX RETURN sum_age, SUM(age);")
+    with pytest.raises(EngineError, match="collides"):
+        eng.execute("MATCH ACX RETURN n_rows, COUNT(*);")
+
+
+def test_grouped_agg_order_by_source_field_rejected(eng):
+    # r9 (ADVICE): post-aggregation ORDER BY resolves only group keys
+    # and aggregate aliases — a bare source field (age) must error
+    # rather than silently suffix-resolving to sum_age
+    eng.execute(
+        "CREATE NODE OBX (id: int PRIMARY KEY, city: string, age: int);"
+        "INSERT NODE OBX (id: 1, city: 'rome', age: 10);"
+        "INSERT NODE OBX (id: 2, city: 'oslo', age: 20);"
+    )
+    with pytest.raises(EngineError, match="not a group key"):
+        eng.execute("MATCH OBX RETURN city, SUM(age) ORDER BY age;")
+    res = eng.execute(
+        "MATCH OBX RETURN city, SUM(age) ORDER BY sum_age DESC;"
+    )[0].df.collect()
+    assert [r.city for r in res] == ["oslo", "rome"]
+    res = eng.execute(
+        "MATCH OBX RETURN city, SUM(age) ORDER BY city;"
+    )[0].df.collect()
+    assert [r.city for r in res] == ["oslo", "rome"]
+
+
+def test_return_distinct_quoted_soft_keywords(eng):
+    # r9 (ADVICE): backtick-quoted fields named after soft keywords
+    # stay reachable under DISTINCT and in ORDER BY
+    eng.execute(
+        "CREATE NODE QKX (id: int PRIMARY KEY, `order`: string, `limit`: int);"
+        "INSERT NODE QKX (id: 1, `order`: 'a', `limit`: 1);"
+        "INSERT NODE QKX (id: 2, `order`: 'a', `limit`: 1);"
+        "INSERT NODE QKX (id: 3, `order`: 'b', `limit`: 2);"
+    )
+    res = eng.execute("MATCH QKX RETURN DISTINCT `order`;")[0].df
+    assert res.columns == ["order"]
+    assert [r["order"] for r in res.collect()] == ["a", "b"]
+    res = eng.execute(
+        "MATCH QKX RETURN DISTINCT `limit` ORDER BY `limit` DESC;"
+    )[0].df.collect()
+    assert [r["limit"] for r in res] == [2, 1]
+    # a quoted `distinct` is always a plain field, never the marker
+    eng.execute(
+        "CREATE NODE QDX (id: int PRIMARY KEY, distinct: string);"
+        "INSERT NODE QDX (id: 1, distinct: 'x');"
+        "INSERT NODE QDX (id: 2, distinct: 'x');"
+    )
+    res = eng.execute("MATCH QDX RETURN `distinct`;")[0].df
+    assert res.columns == ["_id", "distinct"]  # plain RETURN keeps _id
+    assert [r["distinct"] for r in res.collect()] == ["x", "x"]
+
+
 def test_grouped_agg_multi_pattern_guard(eng):
     eng.execute(
         "CREATE NODE M1 (id: int PRIMARY KEY, v: int);"
