@@ -113,6 +113,49 @@ def _cmp(col: Column, op: str, lit: Column) -> Column:
     return col.eqNullSafe(lit)
 
 
+def _where_groups(
+    where: tuple["ast.Property", ...],
+) -> list[list["ast.Property"]]:
+    """Split a WHERE list into its conjunction of disjunction groups:
+    properties sharing an ``or_group >= 0`` form one OR group; every
+    ``or_group < 0`` property is its own conjunct (the reference's
+    comma = AND, server/server.go:768-803)."""
+    groups: dict[object, list] = {}
+    order: list[object] = []
+    for i, p in enumerate(where):
+        k = ("g", p.or_group) if getattr(p, "or_group", -1) >= 0 else ("s", i)
+        if k not in groups:
+            groups[k] = []
+            order.append(k)
+        groups[k].append(p)
+    return [groups[k] for k in order]
+
+
+def _in_pred(col: Column, vals: list) -> Column:
+    """``field IN (v1, ...)`` over coerced literals. Null handling
+    mirrors the engine's null-safe ``=``: a NULL literal in the list
+    matches stored nulls (compiled as an IsNull branch); otherwise a
+    null cell never matches — exactly what Catalyst's In gives, so
+    the non-null arm stays a single pushable In filter on the scan."""
+    nonnull = [v for v in vals if v is not None]
+    parts: list[Column] = []
+    if nonnull:
+        # IsNotNull guard keeps the predicate TOTAL (never NULL): In()
+        # on a null cell yields NULL, and DELETE's keep-side ~NULL
+        # would silently delete null rows the list never matched (the
+        # same trap _cmp documents; caught by the differential model).
+        # IsNotNull AND In both push to the parquet scan.
+        parts.append(col.isNotNull() & col.isin(*nonnull))
+    if any(v is None for v in vals):
+        parts.append(col.isNull())
+    if not parts:  # programmatic empty list: matches nothing
+        return F.lit(False)
+    expr = parts[0]
+    for e in parts[1:]:
+        expr = expr | e
+    return expr
+
+
 class EngineError(Exception):
     pass
 
@@ -1010,17 +1053,43 @@ class GraphEngine:
             if bf is not None and row.get(fname) is not None:
                 bf.put(row[fname])
 
+    def _resolve_prop_name(
+        self, p: ast.Property, alias: str | None
+    ) -> str | None:
+        """Resolve an (optionally alias-qualified) WHERE key against a
+        single element: ``a.field`` matches only when ``a`` is this
+        element's alias; an unqualified name passes through. None =
+        this predicate cannot match this element."""
+        if "." not in p.name:
+            return p.name
+        q, f = p.name.split(".", 1)
+        return f if alias is not None and q == alias else None
+
+    def _coerce_in_values(
+        self, p: ast.Property, spec: FieldSpec, name: str
+    ) -> list:
+        if spec.type.elem is not None:
+            raise EngineError(
+                f"IN is not supported on array field {name!r}"
+            )
+        try:
+            return [coerce_literal(v, spec.type, name) for v in p.in_values]
+        except CoercionError as e:
+            raise EngineError(str(e)) from e
+
     def _py_where(
         self,
         where: tuple[ast.Property, ...],
         specs: dict[str, FieldSpec],
         columns: list[str],
+        alias: str | None = None,
     ):
         """Driver-side twin of ``_where_pred`` for PURE-BUFFER tables
         (never flushed, never bound — all rows are dicts the engine
         itself coerced): returns ``callable(row) -> bool`` with the
-        same semantics — conjunctive equality, null-safe (null matches
-        null), unknown key matches nothing, same coercion errors.
+        same semantics — conjunction of OR-groups, null-safe equality
+        (null matches null), IN membership, unknown key matches
+        nothing, same coercion errors.
 
         Point DML on unflushed in-memory data is the reference's own
         execution model (Go maps on one machine); scheduling a
@@ -1028,35 +1097,53 @@ class GraphEngine:
         pure overhead per statement. Both sides of every comparison
         come from ``coerce_literal``, so Python ``==`` agrees with the
         Column predicate for every storable type."""
-        tests: list[tuple[str, str, object]] = []
-        for p in where:
-            spec = specs.get(p.name)
-            if spec is None or p.name not in columns:
+        # group -> list of (name, op, coerced value-or-values); a member
+        # whose key is unknown matches nothing (dropped from its group);
+        # a group with no viable member matches nothing at all.
+        compiled: list[list[tuple[str, str, object]]] = []
+        for group in _where_groups(where):
+            members: list[tuple[str, str, object]] = []
+            for p in group:
+                name = self._resolve_prop_name(p, alias)
+                spec = specs.get(name) if name is not None else None
+                if spec is None or name not in columns:
+                    continue
+                if p.op == "in":
+                    members.append(
+                        (name, "in", self._coerce_in_values(p, spec, name))
+                    )
+                    continue
+                try:
+                    val = coerce_literal(p.value, spec.type, name)
+                except CoercionError as e:
+                    raise EngineError(str(e)) from e
+                members.append((name, p.op, val))
+            if not members:
                 return lambda r: False
-            try:
-                val = coerce_literal(p.value, spec.type, p.name)
-            except CoercionError as e:
-                raise EngineError(str(e)) from e
-            tests.append((p.name, p.op, val))
+            compiled.append(members)
+
+        def one(r: dict, name: str, op: str, val: object) -> bool:
+            got = r.get(name)
+            if op == "in":
+                if got is None:
+                    return any(v is None for v in val)
+                return any(v is not None and got == v for v in val)
+            if op != "=":
+                # range/<> extension: null never matches (SQL semantics)
+                if got is None or val is None:
+                    return False
+                if op == "<>":
+                    return got != val
+                return got < val if op == "<" else got > val
+            if got is None or val is None:
+                return got is val
+            return got == val
 
         def match(r: dict) -> bool:
-            for name, op, val in tests:
-                got = r.get(name)
-                if op != "=":
-                    # range/<> extension: null never matches (SQL semantics)
-                    if got is None or val is None:
-                        return False
-                    if op == "<>":
-                        if not (got != val):
-                            return False
-                    elif not (got < val if op == "<" else got > val):
-                        return False
-                elif got is None or val is None:
-                    if got is not val:
-                        return False
-                elif got != val:
-                    return False
-            return True
+            return all(
+                any(one(r, name, op, val) for name, op, val in members)
+                for members in compiled
+            )
 
         return match
 
@@ -1065,22 +1152,82 @@ class GraphEngine:
         where: tuple[ast.Property, ...],
         specs: dict[str, FieldSpec],
         columns: list[str],
+        alias: str | None = None,
     ) -> Column:
-        """Conjunctive predicate; a key absent from the schema matches
-        nothing (server/server.go:779-782). ``=`` is null-safe equality
-        (server.go:793-797); the ``<``/``>`` extension uses ordinary
-        SQL comparison, so stored nulls never match a range."""
+        """Conjunction of OR-groups; a key absent from the schema
+        matches nothing (server/server.go:779-782) — within a
+        disjunction only that member dies, the group survives on its
+        other members. ``=`` is null-safe equality (server.go:793-797);
+        ``<``/``>``/``<>`` use guarded SQL comparison (see ``_cmp``);
+        ``IN`` compiles to a pushable In filter (see ``_in_pred``)."""
         pred = F.lit(True)
-        for p in where:
-            spec = specs.get(p.name)
-            if spec is None or p.name not in columns:
+        for group in _where_groups(where):
+            gpred: Column | None = None
+            for p in group:
+                name = self._resolve_prop_name(p, alias)
+                spec = specs.get(name) if name is not None else None
+                if spec is None or name not in columns:
+                    continue
+                if p.op == "in":
+                    one = _in_pred(
+                        F.col(name), self._coerce_in_values(p, spec, name)
+                    )
+                else:
+                    try:
+                        val = coerce_literal(p.value, spec.type, name)
+                    except CoercionError as e:
+                        raise EngineError(str(e)) from e
+                    one = _cmp(
+                        F.col(name), p.op, F.lit(val).cast(spark_type(spec.type))
+                    )
+                gpred = one if gpred is None else (gpred | one)
+            if gpred is None:
                 return F.lit(False)
-            try:
-                val = coerce_literal(p.value, spec.type, p.name)
-            except CoercionError as e:
-                raise EngineError(str(e)) from e
-            pred = pred & _cmp(F.col(p.name), p.op, F.lit(val).cast(spark_type(spec.type)))
+            pred = pred & gpred
         return pred
+
+    def _prefixed_member_pred(
+        self,
+        p: ast.Property,
+        aliases: list[str],
+        specs: list[dict[str, FieldSpec]],
+    ) -> Column | None:
+        """One WHERE member over alias-prefixed chain/var-length
+        columns: an alias-qualified key (``a.field``) targets exactly
+        its element; an unqualified key applies to EVERY element
+        declaring the field (AND — the chain's documented semantics).
+        None = this member matches nothing."""
+        name = p.name
+        if "." in name:
+            q, f = name.split(".", 1)
+            if q not in aliases:
+                return None
+            spec = specs[aliases.index(q)].get(f)
+            if spec is None:
+                return None
+            owners = [(q, spec)]
+            name = f
+        else:
+            owners = [
+                (aliases[i], sp[name])
+                for i, sp in enumerate(specs)
+                if name in sp
+            ]
+            if not owners:
+                return None
+        expr: Column | None = None
+        for alias, spec in owners:
+            col = F.col(f"{alias}_{name}")
+            if p.op == "in":
+                one = _in_pred(col, self._coerce_in_values(p, spec, name))
+            else:
+                try:
+                    val = coerce_literal(p.value, spec.type, name)
+                except CoercionError as e:
+                    raise EngineError(str(e)) from e
+                one = _cmp(col, p.op, F.lit(val).cast(spark_type(spec.type)))
+            expr = one if expr is None else expr & one
+        return expr
 
     # ------------------------------------------------------------- DML
 
@@ -1495,6 +1642,17 @@ class GraphEngine:
     def _match(self, stmt: ast.MatchStmt) -> StatementResult:
         if not stmt.pattern:
             raise EngineError("MATCH requires at least one pattern element")
+        if stmt.as_of is not None:
+            # Time-travel MATCH reads ONE committed parquet version —
+            # a chain/var-length/multi pattern would need a consistent
+            # multi-table snapshot the flush protocol doesn't define.
+            if len(stmt.pattern) != 1:
+                raise EngineError(
+                    "AS OF supports a single node-pattern element"
+                )
+            el = stmt.pattern[0]
+            if self.catalog.node(el.type) is None:
+                raise EngineError(f"node type {el.type!r} does not exist")
         # Edge-pattern extension: the reference's grammar parses pattern
         # elements but hardcodes IsEdge=false (parser.go:685) because a
         # parser without a catalog cannot tell node types from edge
@@ -1528,9 +1686,22 @@ class GraphEngine:
             if nt is None:
                 raise EngineError(f"node type {el.type!r} does not exist")
             key = ("node", el.type)
-            df = self._merged_df(key)
+            # AS OF reads the committed version's parquet (buffered
+            # rows are NOT part of a past version); WHERE/RETURN
+            # resolve against the current catalog's field specs
+            # intersected with the version's physical columns.
+            df = (
+                self.node_df_at(el.type, stmt.as_of)
+                if stmt.as_of is not None
+                else self._merged_df(key)
+            )
             pred = (
-                self._where_pred(stmt.where, nt.field_map(), df.columns)
+                self._where_pred(
+                    stmt.where,
+                    nt.field_map(),
+                    df.columns,
+                    alias=el.alias or el.type,
+                )
                 if stmt.where
                 else F.lit(True)
             )
@@ -1648,27 +1819,14 @@ class GraphEngine:
                 == F.col(f"{aliases[i + 1]}_{ID_COLUMN}"),
             )
 
-        for p in stmt.where:
-            owners = [
-                (aliases[i], sp[p.name])
-                for i, sp in enumerate(specs)
-                if p.name in sp
-            ]
-            if not owners:
-                out = out.filter(F.lit(False))  # missing prop matches nothing
-                continue
-            for alias, spec in owners:
-                try:
-                    val = coerce_literal(p.value, spec.type, p.name)
-                except CoercionError as e:
-                    raise EngineError(str(e)) from e
-                out = out.filter(
-                    _cmp(
-                        F.col(f"{alias}_{p.name}"),
-                        p.op,
-                        F.lit(val).cast(spark_type(spec.type)),
-                    )
-                )
+        for group in _where_groups(stmt.where):
+            gpred: Column | None = None
+            for p in group:
+                one = self._prefixed_member_pred(p, aliases, specs)
+                if one is not None:
+                    gpred = one if gpred is None else (gpred | one)
+            # a group with no viable member matches nothing
+            out = out.filter(gpred if gpred is not None else F.lit(False))
 
         id_cols = [f"{a}_{ID_COLUMN}" for a in aliases]
         ret_cols: list[str] = []
@@ -1804,32 +1962,20 @@ class GraphEngine:
 
         node_specs = [nt_l.field_map(), nt_r.field_map()]
         node_aliases = [a, b]
-        for p in stmt.where:
-            owners = [
-                (node_aliases[i], sp[p.name])
-                for i, sp in enumerate(node_specs)
-                if p.name in sp
-            ]
-            if p.name in et.prop_map() and not owners:
-                raise EngineError(
-                    f"WHERE on edge property {p.name!r} is not supported "
-                    f"across a variable-length edge"
-                )
-            if not owners:
-                out = out.filter(F.lit(False))
-                continue
-            for alias, spec in owners:
-                try:
-                    val = coerce_literal(p.value, spec.type, p.name)
-                except CoercionError as e:
-                    raise EngineError(str(e)) from e
-                out = out.filter(
-                    _cmp(
-                        F.col(f"{alias}_{p.name}"),
-                        p.op,
-                        F.lit(val).cast(spark_type(spec.type)),
-                    )
-                )
+        for group in _where_groups(stmt.where):
+            gpred: Column | None = None
+            for p in group:
+                one = self._prefixed_member_pred(p, node_aliases, node_specs)
+                if one is None:
+                    bare = p.name.split(".", 1)[-1]
+                    if bare in et.prop_map():
+                        raise EngineError(
+                            f"WHERE on edge property {bare!r} is not "
+                            f"supported across a variable-length edge"
+                        )
+                    continue
+                gpred = one if gpred is None else (gpred | one)
+            out = out.filter(gpred if gpred is not None else F.lit(False))
 
         id_cols = [f"{a}_{ID_COLUMN}", f"{b}_{ID_COLUMN}"]
         ret_cols: list[str] = []

@@ -95,10 +95,18 @@ class Property:
     value: Literal
     line: int = 0
     col: int = 0
-    #: comparison operator — "=" (the reference's only one), or "<"/">"
-    #: in WHERE clauses (engine-side extension; the lexer already had
-    #: LT/GT for generic type params, reference parser/token.go:70-71)
+    #: comparison operator — "=" (the reference's only one), or
+    #: "<"/">"/"<>"/"in" in WHERE clauses (engine-side extensions; the
+    #: lexer already had LT/GT for generic type params, reference
+    #: parser/token.go:70-71)
     op: str = "="
+    #: literal list for ``op == "in"`` (``field IN (v1, v2, ...)``);
+    #: ``value`` then holds the first element and is otherwise unused
+    in_values: tuple[Literal, ...] = ()
+    #: disjunction group (WHERE extension): properties sharing an
+    #: or_group >= 0 are OR'd together before the groups are AND'd
+    #: (the reference's comma conjunction); -1 = plain conjunct
+    or_group: int = -1
 
 
 class Stmt:
@@ -292,6 +300,11 @@ class MatchStmt(Stmt):
     # ``distinct`` stays legal). Deduplicates the PROJECTED return
     # fields (ids are dropped; plain RETURN keeps per-entity rows).
     return_distinct: bool = False
+    # AS OF extension (soft keywords, LL(2): ``AS`` is a marker only
+    # when followed by ``OF``): read the single node-pattern element
+    # at a past flushed parquet version — the GQL surface over the
+    # engine's node_df_at time travel.
+    as_of: int | None = None
 
 
 @dataclass(frozen=True)

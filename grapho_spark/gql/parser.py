@@ -10,6 +10,7 @@ reserves but never parses — SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 from grapho_spark.gql import ast
@@ -381,26 +382,71 @@ class Parser:
         alias-qualified keys — ``a.name: 'x'`` — stored with the dot in
         the property name; the engine resolves the alias.
         ``allow_cmp=True`` (WHERE clauses only) additionally accepts
-        ``name < literal`` / ``name > literal`` range predicates
-        (extension — the reference grammar has only ``name: value``
-        equality, parser.go:741-778)."""
+        ``name < literal`` / ``name > literal`` / ``name <> literal``
+        comparisons, ``name IN (lit, ...)`` membership lists, and
+        ``pred OR pred`` disjunctions between comma-separated
+        conjuncts (extensions — the reference grammar has only
+        ``name: value`` equality conjunction, parser.go:741-778).
+        OR binds tighter than the comma: ``a: 1 OR b: 2, c: 3`` is
+        ``(a=1 OR b=2) AND c=3``. OR and IN are soft keywords — a
+        field literally named ``or``/``in`` still parses at predicate
+        start, and backtick-quoting opts out everywhere."""
         props: list[ast.Property] = []
+        gid = 0
         while True:
-            name = self._expect(T.IDENT)
-            full = name.lit
-            if qualified and self._match(T.DOT):
-                full = f"{full}.{self._expect(T.IDENT).lit}"
-            op = "="
-            if allow_cmp and self._tok.type in (T.LT, T.GT, T.NEQ):
-                op = {T.LT: "<", T.GT: ">", T.NEQ: "<>"}[self._tok.type]
+            group = [self._parse_one_predicate(qualified, allow_cmp)]
+            while (
+                allow_cmp
+                and self._tok.type is T.IDENT
+                and not self._tok.quoted
+                and self._tok.lit.upper() == "OR"
+            ):
                 self._next()
-            else:
-                self._expect(T.COLON)
-            lit = self._parse_literal()
-            props.append(ast.Property(full, lit, name.line, name.col, op=op))
+                group.append(self._parse_one_predicate(qualified, allow_cmp))
+            if len(group) > 1:
+                group = [dataclasses.replace(p, or_group=gid) for p in group]
+                gid += 1
+            props.extend(group)
             if not self._match(T.COMMA):
                 break
         return tuple(props)
+
+    def _parse_one_predicate(
+        self, qualified: bool, allow_cmp: bool
+    ) -> ast.Property:
+        name = self._expect(T.IDENT)
+        full = name.lit
+        if qualified and self._match(T.DOT):
+            full = f"{full}.{self._expect(T.IDENT).lit}"
+        if allow_cmp and self._tok.type in (T.LT, T.GT, T.NEQ):
+            op = {T.LT: "<", T.GT: ">", T.NEQ: "<>"}[self._tok.type]
+            self._next()
+            return ast.Property(
+                full, self._parse_literal(), name.line, name.col, op=op
+            )
+        if (
+            allow_cmp
+            and self._tok.type is T.IDENT
+            and not self._tok.quoted
+            and self._tok.lit.upper() == "IN"
+            and self._peek().type is T.LPAREN
+        ):
+            self._next()  # IN
+            self._next()  # (
+            vals = [self._parse_literal()]
+            while self._match(T.COMMA):
+                vals.append(self._parse_literal())
+            self._expect(T.RPAREN)
+            return ast.Property(
+                full,
+                vals[0],
+                name.line,
+                name.col,
+                op="in",
+                in_values=tuple(vals),
+            )
+        self._expect(T.COLON)
+        return ast.Property(full, self._parse_literal(), name.line, name.col)
 
     def _parse_node_ref(self) -> ast.NodeRef:
         t = self._tok
@@ -548,6 +594,28 @@ class Parser:
             )
             if not self._match(T.COMMA):
                 break
+        # AS OF extension (soft keywords): read the pattern at a past
+        # flushed version — ``MATCH Person AS OF 2 WHERE ...`` compiles
+        # to the engine's node_df_at time travel. ``AS`` only acts as
+        # a marker when followed by ``OF`` (LL(2)), so aliases/fields
+        # literally named ``as`` stay legal.
+        as_of: int | None = None
+        if (
+            self._tok.type is T.IDENT
+            and not self._tok.quoted
+            and self._tok.lit.upper() == "AS"
+            and self._peek().type is T.IDENT
+            and self._peek().lit.upper() == "OF"
+        ):
+            self._next()  # AS
+            self._next()  # OF
+            v_tok = self._expect(T.NUMBER)
+            try:
+                as_of = int(v_tok.lit)
+            except ValueError:
+                self._err(
+                    v_tok, f"AS OF expects an integer version, got {v_tok.lit!r}"
+                )
         where: tuple[ast.Property, ...] = ()
         if self._match(T.WHERE):
             where = self._parse_property_list(qualified=True, allow_cmp=True)
@@ -649,6 +717,7 @@ class Parser:
             return_agg=return_agg,
             return_aggs=return_aggs,
             return_distinct=return_distinct,
+            as_of=as_of,
         )
 
     def _at_soft_clause(self) -> bool:
@@ -663,6 +732,9 @@ class Parser:
             return nxt.type is T.IDENT and nxt.lit.upper() == "BY"
         if up == "LIMIT":
             return self._peek().type is T.NUMBER
+        if up == "AS":
+            nxt = self._peek()
+            return nxt.type is T.IDENT and nxt.lit.upper() == "OF"
         return False
 
     def _parse_order_limit(

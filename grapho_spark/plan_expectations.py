@@ -49,6 +49,15 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # round-6: MATCH ... ORDER BY ... LIMIT must compile to per-partition
     # top-k over the pushed-filter scan, never a global sort
     "gql_match_order_limit": ["TakeOrderedAndProject", "PushedFilters"],
+    # round-9: the OR/IN WHERE extensions must reach the parquet scan —
+    # the disjunction as one Or() of IsNotNull-guarded arms, the
+    # membership list as ONE In() filter (never K unioned scans)
+    "gql_match_or_where": [
+        r"PushedFilters: \[[^\]]*Or\(And\(IsNotNull\(c_acctbal\),GreaterThan",
+    ],
+    "gql_match_in_where": [
+        r"PushedFilters: \[[^\]]*In\(c_mktsegment",
+    ],
     # round-6: item-frequency and stats dims must broadcast to the
     # scoring joins; chunk dedup must stay explode + window (no join)
     "market_basket_rules": ["BroadcastHashJoin"],

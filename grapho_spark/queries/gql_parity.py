@@ -609,3 +609,115 @@ def gql_match_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_c_acctbal"
         ),
     )
+
+
+@query(
+    "gql_match_or_where",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal, c_mktsegment
+FROM customer
+WHERE (c_acctbal > 9500.0 OR c_mktsegment = 'BUILDING')
+  AND c_nationkey < 10
+""",
+)
+def gql_match_or_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH with the OR-disjunction WHERE extension: ``pred OR pred``
+    binds tighter than the reference's comma conjunction, so
+    ``a > x OR b: y, c < z`` is ``(a OR b) AND c``. OR is a soft
+    keyword (the reserved-word table stays the reference's 46,
+    parser/keywords.go) and the compiled predicate keeps the
+    IsNotNull-guarded comparison form on each arm, so the whole
+    disjunction pushes to the parquet scan as
+    ``Or(And(IsNotNull, Gt), EqualNullSafe)`` — plan-CI-asserted."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_acctbal > 9500.0 OR c_mktsegment: 'BUILDING', "
+        "c_nationkey < 10 RETURN c_name, c_acctbal, c_mktsegment;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_match_in_where",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_mktsegment
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 9000.0
+""",
+)
+def gql_match_in_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH with the IN-list WHERE extension: ``field IN (lit, ...)``
+    compiles to Catalyst's single ``In`` filter (null literals in the
+    list add an IsNull arm, mirroring the engine's null-safe ``=``),
+    so membership over K values is ONE pushable scan predicate rather
+    than K unioned scans — at 100 TB the row groups that can't contain
+    any of the K values are never read. IN is a soft keyword; a field
+    literally named ``in`` still parses at predicate start."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'), "
+        "c_acctbal > 9000.0 RETURN c_name, c_mktsegment;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_time_travel_match",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'gizmo',  CAST(7 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'widget', CAST(10 AS BIGINT)),
+  (CAST(2 AS BIGINT), 'gizmo',  CAST(7 AS BIGINT)),
+  (CAST(2 AS BIGINT), 'widget', CAST(15 AS BIGINT)),
+  (CAST(3 AS BIGINT), 'widget', CAST(15 AS BIGINT))
+) AS t(version, name, qty)
+""",
+)
+def gql_time_travel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel surfaced IN the query language (r9): ``MATCH Item
+    AS OF <version> WHERE ... RETURN ...`` compiles to the engine's
+    ``node_df_at`` copy-on-write parquet read — AS/OF are soft
+    keywords (LL(2): AS is a marker only before OF), the reserved-word
+    table stays the reference's 46 (parser/keywords.go). The WHERE
+    still pushes to the version's parquet scan; buffered rows are
+    never visible to a past version. Three flushes (insert / update /
+    delete between them) are MATCHed per-version with a qty filter;
+    the oracle is the hand-computed surviving state."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from grapho_spark.engine import GraphEngine
+
+    data_dir = _os.path.join(
+        _tempfile.gettempdir(), f"grapho_ttm_{_os.getpid()}"
+    )
+    _shutil.rmtree(data_dir, ignore_errors=True)
+    eng = GraphEngine(spark, data_dir=data_dir)
+    eng.execute(
+        "CREATE NODE Item (name: string, qty: int);"
+        "INSERT NODE Item (name: 'widget', qty: 10);"
+        "INSERT NODE Item (name: 'gizmo', qty: 7);"
+        "INSERT NODE Item (name: 'junk', qty: 0);"
+    )
+    eng.flush()  # v1
+    eng.execute("UPDATE NODE Item SET qty: 15 WHERE name: 'widget';")
+    eng.flush()  # v2
+    eng.execute("DELETE NODE Item WHERE name: 'gizmo';")
+    eng.flush()  # v3
+    frames = []
+    for v in eng.table_versions("node", "Item"):
+        df = eng.execute(
+            f"MATCH Item AS OF {v} WHERE qty > 5 RETURN name, qty;"
+        )[0].df
+        frames.append(
+            df.select(
+                F.lit(v).cast("long").alias("version"),
+                "name",
+                F.col("qty").cast("long").alias("qty"),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

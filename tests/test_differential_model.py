@@ -20,35 +20,62 @@ N_OPS = 80
 DOMAIN = list(range(6))  # small value domain => predicates hit often
 
 
-def _model_match(row: dict, conds: list[tuple[str, str, object]]) -> bool:
-    for name, op, val in conds:
-        got = row.get(name)
-        if op == "=":
-            if got != val:
-                return False
-        else:
-            if got is None or val is None:
-                return False
-            if op == "<" and not got < val:
-                return False
-            if op == ">" and not got > val:
-                return False
-            if op == "<>" and not got != val:
-                return False
-    return True
+def _member_match(row: dict, name: str, op: str, val: object) -> bool:
+    got = row.get(name)
+    if op == "=":
+        return got == val
+    if op == "in":
+        # null-safe membership: a null literal in the list matches
+        # stored nulls, like the engine's `=` (here DOMAIN is non-null)
+        if got is None:
+            return any(v is None for v in val)
+        return any(v is not None and got == v for v in val)
+    if got is None or val is None:
+        return False  # range/<> never matches null
+    if op == "<":
+        return got < val
+    if op == ">":
+        return got > val
+    return got != val  # <>
 
 
-def _rand_conds(rng: random.Random) -> tuple[str, list[tuple[str, str, object]]]:
-    conds = []
-    for _ in range(rng.randint(1, 2)):
-        field = rng.choice(["a", "b"])
-        op = rng.choice(["=", "<", ">", "<>"])
-        val = rng.choice(DOMAIN)
-        conds.append((field, op, val))
-    text = ", ".join(
-        f"{f}: {v}" if op == "=" else f"{f} {op} {v}" for f, op, v in conds
+def _model_match(row: dict, groups: list[list[tuple[str, str, object]]]) -> bool:
+    """Conjunction of OR-groups (r9: the WHERE grammar's full extent —
+    comma = AND between groups, OR within a group, members =/</>/<>/IN)."""
+    return all(
+        any(_member_match(row, *m) for m in group) for group in groups
     )
-    return text, conds
+
+
+def _rand_conds(
+    rng: random.Random,
+) -> tuple[str, list[list[tuple[str, str, object]]]]:
+    groups: list[list[tuple[str, str, object]]] = []
+    for _ in range(rng.randint(1, 2)):
+        members: list[tuple[str, str, object]] = []
+        for _ in range(rng.randint(1, 2)):
+            field = rng.choice(["a", "b"])
+            op = rng.choice(["=", "<", ">", "<>", "in"])
+            if op == "in":
+                vals = tuple(
+                    rng.choice(DOMAIN) for _ in range(rng.randint(1, 3))
+                )
+                members.append((field, "in", vals))
+            else:
+                members.append((field, op, rng.choice(DOMAIN)))
+        groups.append(members)
+
+    def mtext(f: str, op: str, v: object) -> str:
+        if op == "=":
+            return f"{f}: {v}"
+        if op == "in":
+            return f"{f} IN ({', '.join(str(x) for x in v)})"
+        return f"{f} {op} {v}"
+
+    text = ", ".join(
+        " OR ".join(mtext(*m) for m in g) for g in groups
+    )
+    return text, groups
 
 
 def test_differential_random_dml(eng):

@@ -1285,6 +1285,120 @@ def test_return_grouped_aggregate_parse_errors(eng):
         eng.execute("MATCH GA RETURN DISTINCT city, COUNT(*);")
 
 
+def test_match_as_of_time_travel(spark, tmp_path):
+    # r9: MATCH ... AS OF <version> — GQL surface over node_df_at
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "tt"))
+    eng.execute(
+        "CREATE NODE TT (id: int PRIMARY KEY, v: int);"
+        "INSERT NODE TT (id: 1, v: 10); INSERT NODE TT (id: 2, v: 20);"
+    )
+    eng.flush()  # v1
+    eng.execute("UPDATE NODE TT SET v: 99 WHERE id: 1;")
+    eng.flush()  # v2
+    r = eng.execute("MATCH TT AS OF 1 RETURN v ORDER BY v;")[0].df
+    assert [x.v for x in r.collect()] == [10, 20]
+    r = eng.execute("MATCH TT AS OF 2 WHERE v > 50 RETURN v;")[0].df
+    assert [x.v for x in r.collect()] == [99]
+    # buffered rows are invisible to a past version
+    eng.execute("INSERT NODE TT (id: 3, v: 30);")
+    assert eng.execute("MATCH TT AS OF 2 RETURN COUNT(*);")[0].df.collect()[0][0] == 2
+    # current MATCH still sees the buffer
+    assert eng.execute("MATCH TT RETURN COUNT(*);")[0].df.collect()[0][0] == 3
+    # errors: missing version, multi-element pattern, non-durable engine
+    with pytest.raises(EngineError, match="no version 9"):
+        eng.execute("MATCH TT AS OF 9;")
+    with pytest.raises(EngineError, match="single node-pattern"):
+        eng.execute("MATCH TT a, TT b AS OF 1;")
+    with pytest.raises(EngineError, match="integer version"):
+        eng.execute("MATCH TT AS OF 1.5;")
+    eng_mem = GraphEngine(spark)
+    eng_mem.execute("CREATE NODE TM (id: int PRIMARY KEY);")
+    with pytest.raises(EngineError, match="durable"):
+        eng_mem.execute("MATCH TM AS OF 1;")
+    # an alias literally named `as` still parses (AS needs a following OF)
+    r = eng.execute("MATCH TT as RETURN v;")[0].df
+    assert r.count() == 3
+
+
+def test_where_or_in_predicates(eng):
+    # r9: OR disjunction + IN membership (soft keywords), buffer path
+    eng.execute(
+        "CREATE NODE WOI (id: int PRIMARY KEY, name: string, age: int);"
+        "INSERT NODE WOI (id: 1, name: 'a', age: 10);"
+        "INSERT NODE WOI (id: 2, name: 'b', age: 20);"
+        "INSERT NODE WOI (id: 3, name: 'c');"
+    )
+    r = eng.execute("MATCH WOI WHERE name: 'a' OR name: 'b' RETURN name;")[0].df
+    assert sorted(x.name for x in r.collect()) == ["a", "b"]
+    r = eng.execute("MATCH WOI WHERE name IN ('a', 'c') RETURN name;")[0].df
+    assert sorted(x.name for x in r.collect()) == ["a", "c"]
+    # null literal in the list matches stored nulls (null-safe like =)
+    r = eng.execute("MATCH WOI WHERE age IN (10, null) RETURN name;")[0].df
+    assert sorted(x.name for x in r.collect()) == ["a", "c"]
+    # OR binds tighter than the comma conjunction
+    r = eng.execute(
+        "MATCH WOI WHERE name: 'c' OR age > 15, id < 3 RETURN name;"
+    )[0].df
+    assert sorted(x.name for x in r.collect()) == ["b"]
+    # flushed (distributed) path: same answers + IN never deletes nulls
+    eng.flush()
+    r = eng.execute("MATCH WOI WHERE age IN (10, null) RETURN name;")[0].df
+    assert sorted(x.name for x in r.collect()) == ["a", "c"]
+    eng.execute("DELETE NODE WOI WHERE age IN (20);")
+    assert sorted(
+        x.name for x in eng.node_df("WOI").collect()
+    ) == ["a", "c"]  # null-age row survives (In is total, not NULL)
+    # unknown field in a disjunction kills only that member
+    r = eng.execute("MATCH WOI WHERE ghost: 1 OR name: 'a' RETURN name;")[0].df
+    assert [x.name for x in r.collect()] == ["a"]
+    # ... but a conjunct of only unknown members matches nothing
+    r = eng.execute("MATCH WOI WHERE ghost: 1, name: 'a' RETURN name;")[0].df
+    assert r.count() == 0
+    # IN on array fields is refused
+    eng.execute("CREATE NODE WARR (id: int PRIMARY KEY, xs: array<int>);")
+    with pytest.raises(EngineError, match="IN is not supported on array"):
+        eng.execute("MATCH WARR WHERE xs IN (1, 2);")
+
+
+def test_where_qualified_alias(eng):
+    # r9: alias-qualified WHERE keys target exactly their element
+    # (previously parsed but silently matched nothing)
+    eng.execute(
+        "CREATE NODE QP (id: int PRIMARY KEY, name: string);"
+        "CREATE EDGE QE (FROM QP MANY, TO QP MANY);"
+        "INSERT NODE QP (id: 1, name: 'a');"
+        "INSERT NODE QP (id: 2, name: 'b');"
+        "INSERT NODE QP (id: 3, name: 'c');"
+        "INSERT EDGE QE FROM QP(id: 1) TO QP(id: 2);"
+        "INSERT EDGE QE FROM QP(id: 2) TO QP(id: 3);"
+    )
+    # chain: unqualified name applies to BOTH endpoints (AND) -> empty
+    r = eng.execute("MATCH QP x, QE e, QP y WHERE name: 'a';")[0].df
+    assert r.count() == 0
+    # qualified: only x constrained
+    r = eng.execute("MATCH QP x, QE e, QP y WHERE x.name: 'a';")[0].df
+    assert r.count() == 1
+    # qualified OR across elements
+    r = eng.execute(
+        "MATCH QP x, QE e, QP y WHERE x.name: 'a' OR y.name: 'c';"
+    )[0].df
+    assert r.count() == 2
+    # qualified IN on a chain endpoint
+    r = eng.execute("MATCH QP x, QE e, QP y WHERE x.name IN ('b', 'z');")[0].df
+    assert r.count() == 1
+    # unknown alias matches nothing
+    r = eng.execute("MATCH QP x, QE e, QP y WHERE zz.name: 'a';")[0].df
+    assert r.count() == 0
+    # var-length: qualified endpoint key
+    r = eng.execute(
+        "MATCH QP x, QE*1..2 e, QP y WHERE y.name: 'c' RETURN hops;"
+    )[0].df
+    assert sorted(x.e_hops for x in r.collect()) == [1, 2]
+    # single-pattern qualified via the element alias
+    r = eng.execute("MATCH QP p WHERE p.name: 'a' RETURN name;")[0].df
+    assert [x.name for x in r.collect()] == ["a"]
+
+
 def test_return_alias_collision_rejected(eng):
     # r9 (ADVICE): a plain return field colliding with a generated
     # aggregate alias must die at parse time, not as an ambiguous-

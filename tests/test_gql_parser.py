@@ -393,3 +393,54 @@ def test_return_distinct_parses():
     # aggregates cannot combine with DISTINCT
     _, errors = parse_script("MATCH Person RETURN DISTINCT COUNT(*);")
     assert errors
+
+
+def test_where_or_in_parses():
+    # r9: OR groups + IN lists (soft keywords)
+    stmts, errors = parse_script(
+        "MATCH P WHERE a: 1 OR b < 2, c IN (1, 2, null) RETURN a;"
+    )
+    assert not errors
+    w = stmts[0].where
+    assert [(p.name, p.op, p.or_group) for p in w] == [
+        ("a", "=", 0),
+        ("b", "<", 0),
+        ("c", "in", -1),
+    ]
+    assert [v.text for v in w[2].in_values] == ["1", "2", "null"]
+    # OR/IN stay legal FIELD names at predicate start
+    stmts, errors = parse_script("MATCH P WHERE or: 1, in: 2;")
+    assert not errors
+    assert [(p.name, p.op) for p in stmts[0].where] == [("or", "="), ("in", "=")]
+    # IN requires allow_cmp positions (WHERE); INSERT rejects it
+    _, errors = parse_script("INSERT NODE P (a IN (1));")
+    assert errors
+    # UPDATE/DELETE WHERE accept OR/IN too
+    _, errors = parse_script("UPDATE NODE P SET a: 1 WHERE b: 1 OR b: 2;")
+    assert not errors
+    _, errors = parse_script("DELETE NODE P WHERE a IN (1, 2);")
+    assert not errors
+    # qualified keys compose with OR/IN
+    stmts, errors = parse_script("MATCH P x, E e, P y WHERE x.a: 1 OR y.b IN (2);")
+    assert not errors
+    assert [(p.name, p.op, p.or_group) for p in stmts[0].where] == [
+        ("x.a", "=", 0),
+        ("y.b", "in", 0),
+    ]
+
+
+def test_match_as_of_parses():
+    stmts, errors = parse_script("MATCH Person AS OF 2 WHERE a: 1 RETURN a;")
+    assert not errors
+    assert stmts[0].as_of == 2
+    # alias then AS OF
+    stmts, errors = parse_script("MATCH Person p AS OF 3;")
+    assert not errors
+    assert stmts[0].as_of == 3 and stmts[0].pattern[0].alias == "p"
+    # AS without OF is an alias named `as`
+    stmts, errors = parse_script("MATCH Person as;")
+    assert not errors
+    assert stmts[0].as_of is None and stmts[0].pattern[0].alias == "as"
+    # non-integer version rejected at parse time
+    _, errors = parse_script("MATCH Person AS OF 1.5;")
+    assert errors and "integer version" in errors[0].msg
