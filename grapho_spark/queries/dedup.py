@@ -1302,37 +1302,55 @@ def _build_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spark_prefix_ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard pairs (>= t) from prefix-filtered candidates,
-    verified by per-pair array intersection (map-side, no explode)."""
-    arr = _spark_doc_arrays(spark, sf_dir)
-    cand = _spark_prefix_candidates(spark, sf_dir)
-    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("sharr").alias("arr_a"))
-    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("sharr").alias("arr_b"))
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
+    verified by per-pair array intersection (map-side, no explode).
+
+    MEMOIZED (r9): the verified pair set is the exact dedup pass's
+    standing OUTPUT table — tiny relative to its inputs (true pairs,
+    not candidates) — and both the pairs query and the _stats audit
+    consume it. Without the memo the audit re-paid the whole
+    candidate+verify stream for two scalar counts (measured 27.9s at
+    the x10 probe); with it the audit costs one aggregation over the
+    materialized output, the same persist-once-and-share contract as
+    the minhash signatures and the ANN index."""
+
+    def build() -> DataFrame:
+        arr = _spark_doc_arrays(spark, sf_dir)
+        cand = _spark_prefix_candidates(spark, sf_dir)
+        a = arr.select(
+            F.col("doc_id").alias("doc_a"), F.col("sharr").alias("arr_a")
+        )
+        b = arr.select(
+            F.col("doc_id").alias("doc_b"), F.col("sharr").alias("arr_b")
+        )
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_sh_a",
+                "n_sh_b",
+                F.size(F.array_intersect("arr_a", "arr_b")).alias("n_common"),
+            )
+        )
+        return inter.filter(
+            F.lit(SSJOIN_T_DEN) * F.col("n_common")
+            >= F.lit(SSJOIN_T_NUM)
+            * (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common"))
+        ).select(
             "doc_a",
             "doc_b",
+            "n_common",
             "n_sh_a",
             "n_sh_b",
-            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_common"),
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common"))
+            ).alias("jaccard"),
         )
-    )
-    return inter.filter(
-        F.lit(SSJOIN_T_DEN) * F.col("n_common")
-        >= F.lit(SSJOIN_T_NUM) * (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common"))
-    ).select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        "n_sh_a",
-        "n_sh_b",
-        (
-            F.col("n_common")
-            * F.lit(1.0)
-            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common"))
-        ).alias("jaccard"),
-    )
+
+    return memo_table(spark, f"prefix_ssjoin_pairs:{sf_dir}", build)
 
 
 @query(
