@@ -1754,12 +1754,26 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on unit vectors), train cells on vector geometry (k-means), probe
 # more than one cell, and re-rank the survivors exactly. Measured
 # recall@3 at sf0.1 moves ~0 -> 0.79 (embedding_ivfpq_recall).
+#
+# r9 retune (32 cells / 16 probes / 400 shortlist): the r8 dial's
+# remaining loss decomposed as ROUTING, not quantization — measured at
+# sf0.1: PQ_K 16->32 recall flat 0.794 (codewords not binding);
+# nprobe 4->5 at shortlist 200 DROPPED recall to 0.762 (crowding);
+# the nprobe=4 routing CEILING (exhaustive shortlist) is 0.825. Finer
+# cells at the SAME 50% scan fraction fix it: 32 cells with 16 probed
+# reach 0.968 (vs 0.857 for 16/8, 0.794 shipped 8/4) because each
+# routing decision moves 1/32 of the corpus instead of 1/8. Probe wall
+# 1.88s -> 2.79s (1.48x, inside the gate) at UNCHANGED ADC scan
+# fraction; build 41s -> 88s (the corpus x cells assignment table —
+# the amortized ingest side). This is the standard IVF sizing rule
+# (cells grow ~sqrt(N), probe a fixed fraction), which the 8-cell
+# index was too coarse to express at this corpus size.
 # --------------------------------------------------------------------------
 
-_ANN_CELLS = 8  # coarse k-means cells in the persisted index
+_ANN_CELLS = 32  # coarse k-means cells in the persisted index
 _ANN_ROUNDS = 3  # Lloyd recompute rounds for the coarse cells
-_ANN_NPROBE = 4  # cells probed per query (of _ANN_CELLS)
-_ANN_SHORTLIST = 200  # ADC candidates re-ranked by exact cosine
+_ANN_NPROBE = 16  # cells probed per query (of _ANN_CELLS, 50% scan)
+_ANN_SHORTLIST = 400  # ADC candidates re-ranked by exact cosine
 _ANN_PQ_K = 16  # codewords per subspace (vs 4 in the exhaustive demo)
 _ANN_PQ_TRAIN = 2  # Lloyd rounds for the PQ codebook
 
@@ -2314,9 +2328,10 @@ def embedding_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, so the index was fast retrieval of the wrong neighbors. The
     v2 composition (k-means cells on normalized vectors, trained
     codebook, {_ANN_NPROBE}-cell multi-probe, exact re-rank of the top
-    {_ANN_SHORTLIST}) measures 0.79 at sf0.1 — every remedy the r7
-    dial named, now composed and re-measured. bench.py records this
-    number per run and flags drops like time regressions.
+    {_ANN_SHORTLIST}) measured 0.79 at sf0.1; the r9 retune (32 cells,
+    16 probed — same 50% scan fraction at finer routing granularity)
+    measures 0.968. bench.py records this number per run and flags
+    drops like time regressions.
 
     Scale: the index side reads stored codes (cheap); brute force is
     the expensive side and runs on the sampled query set, which is
@@ -2452,7 +2467,7 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     while (16 cells, 3 rounds, probe 4) reads ~0.70 — finer
     well-trained cells + multi-probe beat coarse cells at the same
     cost. Together with embedding_ivf_recall (label cells 0.08) and
-    embedding_ivfpq_recall (full v2 stack 0.79) the dials quantify
+    embedding_ivfpq_recall (full index stack 0.97 post-r9-retune) the dials quantify
     exactly where accuracy goes: partitioning, quantization, or
     metric mismatch.
 
@@ -2568,8 +2583,9 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_index_stream_tables(spark: SparkSession, sf_dir: str):
     """The persisted index reshaped for stream-static probing:
 
-    - a ONE-ROW broadcast frame (join key ``jk``) carrying the 8 cell
-      centroids and the 128-entry trained codebook as nested arrays —
+    - a ONE-ROW broadcast frame (join key ``jk``) carrying the
+      _ANN_CELLS cell centroids and the trained codebook as nested
+      arrays —
       genuinely KB-sized routing state, the thing a production stream
       keeps broadcast on every executor;
     - a PER-CELL table ``(cell, members)`` where members is the cell's
