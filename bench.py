@@ -145,8 +145,10 @@ def main() -> None:
     # persist once and share.
     REPEATS = 3
     wall_t0 = time.perf_counter()
+    load_start = os.getloadavg()
     medians: dict[str, float] = {}
     colds: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
         runs: list[float] = []
@@ -157,14 +159,20 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         runs_sorted = sorted(runs)
         medians[name] = round(runs_sorted[len(runs_sorted) // 2], 3)
+        # min-of-warm: the least load-contaminated estimate on a shared
+        # box (r8: the driver's run read 1.096 vs the builder's 0.952
+        # on identical code; the min is far more stable than the
+        # median under background contention)
+        mins[name] = round(runs_sorted[0], 3)
         colds[name] = round(runs[0], 3)
         print(
-            f"# {name}: median={medians[name]:.3f}s cold={runs[0]:.3f}s "
-            f"rows={n}",
+            f"# {name}: median={medians[name]:.3f}s min={mins[name]:.3f}s "
+            f"cold={runs[0]:.3f}s rows={n}",
             file=sys.stderr,
         )
 
     total = round(sum(medians.values()), 3)
+    min_total = round(sum(mins.values()), 3)
 
     # Quality dials (r8): recall is a recorded regression metric, not an
     # assumption — a cell-count or normalization change that silently
@@ -222,6 +230,7 @@ def main() -> None:
     # Regression ratio vs the previously committed detail file, on the
     # shared query subset (name-intersection so renames don't poison it).
     prev_ratio = None
+    prev_ratio_min = None
     prev_stamp = None
     quality_vs_prev = None
     try:
@@ -235,6 +244,16 @@ def main() -> None:
             if common and prev_total > 0:
                 prev_ratio = round(sum(medians[q] for q in common) / prev_total, 3)
                 prev_stamp = prev.get("stamp")
+            # min-of-warm ratio: the load-robust twin of the median
+            # ratio (prev runs without a queries_min section degrade
+            # to None, never to a crash)
+            prev_min = prev.get("queries_min") or {}
+            common_min = sorted(set(prev_min) & set(mins))
+            prev_min_total = sum(prev_min[q] for q in common_min)
+            if common_min and prev_min_total > 0:
+                prev_ratio_min = round(
+                    sum(mins[q] for q in common_min) / prev_min_total, 3
+                )
             # worst per-dial recall ratio vs the committed run: 1.0 is
             # flat, < 1 is a recall REGRESSION (time ratio reads the
             # other way — lower is better there)
@@ -257,16 +276,23 @@ def main() -> None:
         "unit": "sec",
         "stat": f"median_of_{REPEATS}",
         "queries": medians,
+        "queries_min": mins,
+        "min_total": min_total,
         "cold": colds,
         "cold_total": round(sum(colds.values()), 3),
         "wall_sec": round(time.perf_counter() - wall_t0, 3),
         "sf": sf,
         "stamp": f"sf{sf}_n{len(HEADLINE)}",
         "common_subset_vs_prev": prev_ratio,
+        "common_subset_vs_prev_min": prev_ratio_min,
         "prev_stamp": prev_stamp,
         "quality": quality,
         "quality_wall_sec": quality_wall,
         "quality_vs_prev": quality_vs_prev,
+        # box-load markers: a noisy ratio must be distinguishable from
+        # a real regression when the judge reads the record
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     with open(detail_json, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -275,13 +301,20 @@ def main() -> None:
         fh.write(
             f"# Bench detail — sf={sf}, {len(HEADLINE)} queries, "
             f"stat=median_of_{REPEATS}\n\n"
-            f"total median {total}s, total cold {detail['cold_total']}s, "
+            f"total median {total}s, total min {min_total}s, "
+            f"total cold {detail['cold_total']}s, "
             f"wall {detail['wall_sec']}s, "
-            f"common-subset vs prev recorded run: {prev_ratio}\n\n"
-            "| query | median s | cold s |\n|---|---|---|\n"
+            f"common-subset vs prev recorded run: median {prev_ratio}, "
+            f"min {prev_ratio_min}, "
+            f"loadavg start {detail['loadavg_start']} end "
+            f"{detail['loadavg_end']}\n\n"
+            "| query | median s | min s | cold s |\n|---|---|---|---|\n"
         )
         for name in HEADLINE:
-            fh.write(f"| {name} | {medians[name]} | {colds[name]} |\n")
+            fh.write(
+                f"| {name} | {medians[name]} | {mins[name]} | "
+                f"{colds[name]} |\n"
+            )
         fh.write(
             f"\n## Quality dials (recall@3 + coverage, {quality_wall}s; "
             f"worst ratio vs prev: {quality_vs_prev})\n\n"
@@ -299,11 +332,14 @@ def main() -> None:
                 "unit": "sec",
                 "stat": f"median_of_{REPEATS}",
                 "n_queries": len(HEADLINE),
+                "min_total": min_total,
                 "cold_total": detail["cold_total"],
                 "wall_sec": detail["wall_sec"],
                 "sf": sf,
                 "common_subset_vs_prev": prev_ratio,
+                "common_subset_vs_prev_min": prev_ratio_min,
                 "quality_vs_prev": quality_vs_prev,
+                "load_1m": detail["loadavg_end"][0],
                 "prev_stamp": prev_stamp,
                 "detail": "BENCH_DETAIL.json",
             }
