@@ -167,7 +167,98 @@ PROBES = [
     # random walks: per-step (node, idx)-keyed adjacency joins carrying
     # only the walk frontier; start sample is the volume knob
     "graph_random_walks",
+    # r9: the GQL ENGINE itself at 10x (VERDICT r8 task #8) — flush,
+    # distributed UPDATE, endpoint-qualified edge DML (all O(table)
+    # copy-on-write rewrites, the documented trade of SURVEY §7.3) and
+    # a 3-node/2-edge MATCH chain with a grouped-aggregate RETURN
+    "gql_engine",
 ]
+
+
+def gql_engine_times(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    """Engine-level wall probes the registered queries can't express:
+    each returns (seconds, result-count-or-mutation-count). Tables are
+    parquet-bound (customer/orders/part/lineitem), so DML rewrites pay
+    the real table-sized cost."""
+    import shutil
+    import tempfile
+
+    from grapho_spark.engine import GraphEngine
+    from grapho_spark.tables import load_table
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gql_probe_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    shutil.rmtree(data_dir, ignore_errors=True)
+    eng = GraphEngine(spark, data_dir=data_dir)
+    eng.bind_node_type(
+        "Cust", load_table(spark, sf_dir, "customer"), pk="c_custkey"
+    )
+    eng.bind_node_type(
+        "Ord",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        ),
+        pk="o_orderkey",
+    )
+    eng.bind_node_type(
+        "Prt",
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+        pk="p_partkey",
+    )
+    eng.bind_edge_type(
+        "Placed",
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        ),
+        src="o_custkey",
+        dst="o_orderkey",
+        from_label="Cust",
+        to_label="Ord",
+    )
+    eng.bind_edge_type(
+        "Contains",
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        ),
+        src="l_orderkey",
+        dst="l_partkey",
+        from_label="Ord",
+        to_label="Prt",
+    )
+    eng.flush()  # v1 of all five bound tables, outside every timer
+    out: dict[str, tuple[float, int]] = {}
+    t0 = time.perf_counter()
+    n = eng.execute(
+        "MATCH Cust c, Placed pl, Ord o, Contains ct, Prt p "
+        "WHERE c.c_mktsegment: 'BUILDING' RETURN p_brand, COUNT(*);"
+    )[0].df.count()
+    out["gql_match_3hop_chain"] = (time.perf_counter() - t0, n)
+    # flush after one INSERT: the copy-on-write rewrite of ONLY the
+    # dirty ORDERS-backed node table (orders inflates 10x; customer is
+    # a dimension and stays 1x) to a new parquet version
+    eng.execute("INSERT NODE Ord (o_orderkey: 999999999);")
+    t0 = time.perf_counter()
+    eng.flush()
+    out["gql_flush_insert"] = (time.perf_counter() - t0, 1)
+    # distributed UPDATE on the flushed orders-sized table
+    t0 = time.perf_counter()
+    r = eng.execute(
+        "UPDATE NODE Ord SET o_orderpriority: 'X-PROBE' "
+        "WHERE o_orderpriority: '1-URGENT';"
+    )[0]
+    out["gql_update_where"] = (time.perf_counter() - t0, r.count)
+    # endpoint-qualified edge DML: resolve ALL matching endpoint nodes
+    # (set semantics) then rewrite the orders-sized edge table
+    t0 = time.perf_counter()
+    r = eng.execute(
+        "UPDATE EDGE Placed FROM Cust (c_mktsegment: 'MACHINERY') TO Ord "
+        "SET o_totalprice: 0.0;"
+    )[0]
+    out["gql_endpoint_edge_dml"] = (time.perf_counter() - t0, r.count)
+    shutil.rmtree(data_dir, ignore_errors=True)
+    return out
 
 
 def ann_build_time(spark, sf_dir: str) -> float:
@@ -273,6 +364,18 @@ def main() -> None:
     probes = sys.argv[1:] or PROBES
     print(f"{'query':40s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}  rows(x10)")
     for name in probes:
+        if name == "gql_engine":
+            t1s = gql_engine_times(spark, SF_DIR)
+            t10s = gql_engine_times(spark, BIG_DIR)
+            for step in t1s:
+                t1, _ = t1s[step]
+                t10, n10 = t10s[step]
+                ratio = t10 / t1 if t1 > 0 else float("inf")
+                print(
+                    f"{step:40s} {t1:7.2f}s {t10:7.2f}s {ratio:5.1f}x  {n10}",
+                    flush=True,
+                )
+            continue
         if name == "ann_index_build":
             t1 = ann_build_time(spark, SF_DIR)
             t10 = ann_build_time(spark, BIG_DIR)
