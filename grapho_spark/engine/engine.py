@@ -108,6 +108,10 @@ def _cmp(col: Column, op: str, lit: Column) -> Column:
         return col.isNotNull() & lit.isNotNull() & (col < lit)
     if op == ">":
         return col.isNotNull() & lit.isNotNull() & (col > lit)
+    if op == "<=":
+        return col.isNotNull() & lit.isNotNull() & (col <= lit)
+    if op == ">=":
+        return col.isNotNull() & lit.isNotNull() & (col >= lit)
     if op == "<>":
         return col.isNotNull() & lit.isNotNull() & (col != lit)
     return col.eqNullSafe(lit)
@@ -1134,6 +1138,10 @@ class GraphEngine:
                     return False
                 if op == "<>":
                     return got != val
+                if op == "<=":
+                    return got <= val
+                if op == ">=":
+                    return got >= val
                 return got < val if op == "<" else got > val
             if got is None or val is None:
                 return got is val

@@ -30,6 +30,8 @@ class TokenType(enum.Enum):
     LT = "LT"
     GT = "GT"
     NEQ = "NEQ"  # extension: '<>' / '!=' not-equal in WHERE
+    LTE = "LTE"  # extension: '<=' in WHERE
+    GTE = "GTE"  # extension: '>=' in WHERE
     COMMA = "COMMA"
     SEMI = "SEMI"
     COLON = "COLON"
@@ -215,10 +217,17 @@ class Lexer:
         }
         if ch in punct:
             self._advance()
-            # two-char not-equal: '<>' (the '<' was just consumed)
+            # two-char comparisons: '<>' / '<=' / '>=' (the '<' or '>'
+            # was just consumed)
             if ch == "<" and self.pos < len(self.text) and self._peek() == ">":
                 self._advance()
                 return self._token(TokenType.NEQ, "<>", line, col)
+            if ch == "<" and self.pos < len(self.text) and self._peek() == "=":
+                self._advance()
+                return self._token(TokenType.LTE, "<=", line, col)
+            if ch == ">" and self.pos < len(self.text) and self._peek() == "=":
+                self._advance()
+                return self._token(TokenType.GTE, ">=", line, col)
             return self._token(punct[ch], ch, line, col)
 
         if ch == "!":

@@ -418,8 +418,14 @@ class Parser:
         full = name.lit
         if qualified and self._match(T.DOT):
             full = f"{full}.{self._expect(T.IDENT).lit}"
-        if allow_cmp and self._tok.type in (T.LT, T.GT, T.NEQ):
-            op = {T.LT: "<", T.GT: ">", T.NEQ: "<>"}[self._tok.type]
+        if allow_cmp and self._tok.type in (T.LT, T.GT, T.LTE, T.GTE, T.NEQ):
+            op = {
+                T.LT: "<",
+                T.GT: ">",
+                T.LTE: "<=",
+                T.GTE: ">=",
+                T.NEQ: "<>",
+            }[self._tok.type]
             self._next()
             return ast.Property(
                 full, self._parse_literal(), name.line, name.col, op=op

@@ -58,6 +58,12 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "gql_match_in_where": [
         r"PushedFilters: \[[^\]]*In\(c_mktsegment",
     ],
+    # r9: inclusive bounds must push as GreaterThanOrEqual/
+    # LessThanOrEqual scan filters
+    "gql_match_cmp_bounds": [
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(c_acctbal",
+        r"LessThanOrEqual\(c_acctbal",
+    ],
     # round-6: item-frequency and stats dims must broadcast to the
     # scoring joins; chunk dedup must stay explode + window (no join)
     "market_basket_rules": ["BroadcastHashJoin"],

@@ -721,3 +721,28 @@ def gql_time_travel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+@query(
+    "gql_match_cmp_bounds",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal >= 9000.0 AND c_acctbal <= 9500.0 AND c_nationkey <= 5
+""",
+)
+def gql_match_cmp_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH with the inclusive-bound extension (r9): ``field <=
+    literal`` / ``field >= literal`` complete the comparison set next
+    to ``<``/``>``/``<>``/IN — same IsNotNull-guarded total-predicate
+    discipline (null never matches, DELETE's keep-side never sees a
+    NULL predicate), same parquet pushdown (GreaterThanOrEqual /
+    LessThanOrEqual scan filters, plan-CI-asserted), same pure-buffer
+    Python twin, and the differential soak generator draws them like
+    every other operator."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_acctbal >= 9000.0, c_acctbal <= 9500.0, "
+        "c_nationkey <= 5 RETURN c_name, c_acctbal;"
+    )[0]
+    return res.df

@@ -36,6 +36,10 @@ def _member_match(row: dict, name: str, op: str, val: object) -> bool:
         return got < val
     if op == ">":
         return got > val
+    if op == "<=":
+        return got <= val
+    if op == ">=":
+        return got >= val
     return got != val  # <>
 
 
@@ -55,7 +59,7 @@ def _rand_conds(
         members: list[tuple[str, str, object]] = []
         for _ in range(rng.randint(1, 2)):
             field = rng.choice(["a", "b"])
-            op = rng.choice(["=", "<", ">", "<>", "in"])
+            op = rng.choice(["=", "<", ">", "<=", ">=", "<>", "in"])
             if op == "in":
                 vals = tuple(
                     rng.choice(DOMAIN) for _ in range(rng.randint(1, 3))

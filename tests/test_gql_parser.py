@@ -444,3 +444,17 @@ def test_match_as_of_parses():
     # non-integer version rejected at parse time
     _, errors = parse_script("MATCH Person AS OF 1.5;")
     assert errors and "integer version" in errors[0].msg
+
+
+def test_where_inclusive_bounds_parse():
+    # r9: <= / >= complete the comparison set
+    stmts, errors = parse_script("MATCH P WHERE a <= 3, b >= 1 OR c <> 2;")
+    assert not errors
+    assert [(p.name, p.op, p.or_group) for p in stmts[0].where] == [
+        ("a", "<=", -1),
+        ("b", ">=", 0),
+        ("c", "<>", 0),
+    ]
+    # reference grammar positions reject them
+    _, errors = parse_script("INSERT NODE P (a <= 3);")
+    assert errors
