@@ -179,6 +179,11 @@ class _Table:
     buffer: list[dict] = field(default_factory=list)
     version: int = 0
     dirty: bool = False
+    # True when BASE rows were mutated since the last flush (UPDATE/
+    # DELETE/ALTER rewrite); False means any pending change is pure
+    # buffered INSERTs, which flush as an O(delta) append version
+    # instead of an O(table) rewrite (see flush()).
+    base_dirty: bool = False
     # Lazily-built bloom sketches per unique field (operators/bloom.py):
     # a negative probe proves a value absent from base with no Spark
     # job. No false negatives; cleared whenever base VALUES can change
@@ -622,13 +627,41 @@ class GraphEngine:
         """Time travel: the node table as of flush ``version``. The
         engine's copy-on-write flush keeps every version's parquet
         (v1, v2, ...), so old versions stay readable — Delta-style
-        time travel on plain parquet. Schema is read as-of the version
-        (an ALTER between versions shows the old shape)."""
+        time travel on plain parquet. A delta (insert-only) version
+        reads as its chain: latest full at-or-below it + deltas since
+        (``_chain_paths``). Schema is read as-of the version's chain
+        (an ALTER between versions shows the old shape; ALTER forces
+        the next flush to start a fresh full chain)."""
         return self._df_at("node", name, version)
 
     def edge_df_at(self, name: str, version: int) -> DataFrame:
         """Time travel: the edge table as of flush ``version``."""
         return self._df_at("edge", name, version)
+
+    def _is_delta_version(self, kind: str, name: str, v: int) -> bool:
+        return os.path.exists(
+            os.path.join(
+                self.data_dir, "tables", f"{kind}_{name}", f"v{v}", "_DELTA"
+            )
+        )
+
+    def _chain_paths(self, kind: str, name: str, version: int) -> list[str]:
+        """Parquet paths composing the table AS OF ``version``: the
+        latest FULL version at-or-below it plus every delta version
+        after that full (delta dirs are self-describing via their
+        _DELTA marker, so no manifest history is needed). Chains have
+        one physical schema: any schema-changing or row-mutating
+        operation forces the next flush to be a full rewrite, which
+        also compacts the chain."""
+        base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
+        chain: list[int] = []
+        for v in reversed(
+            [v for v in self.table_versions(kind, name) if v <= version]
+        ):
+            chain.append(v)
+            if not self._is_delta_version(kind, name, v):
+                break
+        return [os.path.join(base_dir, f"v{v}") for v in sorted(chain)]
 
     def _df_at(self, kind: str, name: str, version: int) -> DataFrame:
         if not self.data_dir:
@@ -642,7 +675,7 @@ class GraphEngine:
                 f"{kind} {name!r} has no version {version} "
                 f"(available: {have or 'none'})"
             )
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(*self._chain_paths(kind, name, version))
 
     def history(self) -> list[dict]:
         """Catalog version history (time-travel audit) reconstructed
@@ -653,7 +686,10 @@ class GraphEngine:
 
     def flush(self, retain_log: bool = False) -> None:
         """Persist buffered rows / materialized tables as new parquet
-        versions and advance the manifest (copy-on-write compaction).
+        versions and advance the manifest. Insert-only changes write
+        an O(delta) APPEND version (r9); mutated/migrated tables write
+        the full copy-on-write rewrite, which doubles as chain
+        compaction.
 
         ``retain_log=True`` additionally drops sealed commit-log
         segments wholly below the now-durable manifest offset (needs
@@ -670,13 +706,38 @@ class GraphEngine:
             for (kind, name), tab in self.tables.items():
                 key = f"{kind}_{name}"
                 if tab.buffer or tab.dirty or tab.base is None or tab.version == 0:
-                    df = self._merged_df((kind, name))
+                    # INSERT-only changes on an already-flushed table
+                    # write an O(delta) APPEND version (just the
+                    # buffered rows + a _DELTA marker making the chain
+                    # self-describing on disk) instead of the O(table)
+                    # copy-on-write rewrite — appends dominate a
+                    # production ingest workload, so the common flush
+                    # is delta-sized. UPDATE/DELETE/ALTER set
+                    # base_dirty and keep the full rewrite (which also
+                    # acts as compaction of any prior delta chain).
+                    delta = (
+                        tab.base is not None
+                        and tab.version > 0
+                        and bool(tab.buffer)
+                        and not tab.base_dirty
+                    )
+                    df = (
+                        self._buffer_df(tab)
+                        if delta
+                        else self._merged_df((kind, name))
+                    )
                     tab.version += 1
                     path = os.path.join(self.data_dir, "tables", key, f"v{tab.version}")
                     df.write.mode("overwrite").parquet(path)
-                    tab.base = self.spark.read.schema(tab.schema).parquet(path)
+                    if delta:
+                        with open(os.path.join(path, "_DELTA"), "w") as mk:
+                            mk.write("delta\n")
+                    tab.base = self.spark.read.schema(tab.schema).parquet(
+                        *self._chain_paths(kind, name, tab.version)
+                    )
                     tab.buffer = []
                     tab.dirty = False
+                    tab.base_dirty = False
                 versions[key] = tab.version
             self._commit_offset = self._count_commit_lines()
             # Snapshot the catalog BEFORE publishing the engine manifest:
@@ -726,12 +787,23 @@ class GraphEngine:
         """Delete flushed parquet version dirs older than the retention
         window (``keep_versions`` most recent per table). Time travel
         to a pruned version raises the normal no-such-version error,
-        which lists what survives."""
+        which lists what survives. A FULL version (and intermediate
+        deltas) that a retained delta version's chain depends on is
+        never pruned, even when it falls outside the window — pruning
+        it would corrupt every retained version built on it."""
         for (kind, name), tab in self.tables.items():
+            all_vs = self.table_versions(kind, name)
+            needed: set[int] = set()
+            for v in all_vs:
+                if v > tab.version - self.keep_versions:
+                    needed.update(
+                        int(os.path.basename(p)[1:])
+                        for p in self._chain_paths(kind, name, v)
+                    )
             victims = [
                 v
-                for v in self.table_versions(kind, name)
-                if v <= tab.version - self.keep_versions
+                for v in all_vs
+                if v <= tab.version - self.keep_versions and v not in needed
             ]
             for v in victims:
                 shutil.rmtree(
@@ -811,7 +883,9 @@ class GraphEngine:
                 continue
             path = os.path.join(self.data_dir, "tables", key, f"v{version}")
             if os.path.exists(path):
-                base = self.spark.read.schema(schema).parquet(path)
+                base = self.spark.read.schema(schema).parquet(
+                    *self._chain_paths(kind, name, version)
+                )
                 self.tables[(kind, name)] = _Table(schema, base=base, version=version)
 
     def _read_commit_entries(self) -> list[tuple[int | None, ast.Stmt]]:
@@ -958,8 +1032,13 @@ class GraphEngine:
                 elif df.schema[f.name].dataType != f.dataType:
                     df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
             df = df.select(*[f.name for f in new_schema.fields])
+            # the migrated base must flush as a FULL rewrite: old
+            # version files carry the old physical schema
             self.tables[key] = _Table(
-                new_schema, base=df.localCheckpoint(), version=tab.version
+                new_schema,
+                base=df.localCheckpoint(),
+                version=tab.version,
+                base_dirty=True,
             )
 
     # ------------------------------------------------------------ tables
@@ -970,14 +1049,17 @@ class GraphEngine:
             raise EngineError(f"{kind} type {name!r} does not exist")
         return tab
 
+    def _buffer_df(self, tab: _Table) -> DataFrame | None:
+        if not tab.buffer:
+            return None
+        rows = [
+            tuple(r.get(f.name) for f in tab.schema.fields) for r in tab.buffer
+        ]
+        return self.spark.createDataFrame(rows, tab.schema)
+
     def _merged_df(self, key: tuple[str, str]) -> DataFrame:
         tab = self.tables[key]
-        buf_df = None
-        if tab.buffer:
-            rows = [
-                tuple(r.get(f.name) for f in tab.schema.fields) for r in tab.buffer
-            ]
-            buf_df = self.spark.createDataFrame(rows, tab.schema)
+        buf_df = self._buffer_df(tab)
         if tab.base is not None and buf_df is not None:
             return tab.base.unionByName(buf_df)
         if tab.base is not None:
@@ -1591,6 +1673,7 @@ class GraphEngine:
             tab.base = new_df.localCheckpoint()
             tab.buffer = []
             tab.dirty = True
+            tab.base_dirty = True
             # SET may introduce values unseen by the sketches — a stale
             # bloom would false-negative and skip a real duplicate scan.
             tab.blooms.clear()
@@ -1640,6 +1723,7 @@ class GraphEngine:
             tab.base = df.filter(~pred).drop(*ep_drops).localCheckpoint()
             tab.buffer = []
             tab.dirty = True
+            tab.base_dirty = True
         # NOTE: like the reference, DELETE NODE does not cascade or
         # validate dangling edges (SURVEY.md §2.1 #12).
         self._log_dml(stmt)

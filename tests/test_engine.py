@@ -681,18 +681,24 @@ def test_time_travel_versions(spark, tmp_path):
 
 
 def test_version_retention_prunes_outside_window(spark, tmp_path):
-    # keep_versions=2: travel works inside the window, pruned versions
-    # raise the normal no-such-version error, and the live table plus
-    # reopen/replay are untouched by GC.
+    # keep_versions=2 over FULL versions (each flush follows an UPDATE,
+    # which forces a full rewrite): travel works inside the window,
+    # pruned versions raise the normal no-such-version error, and the
+    # live table plus reopen/replay are untouched by GC. (r9:
+    # insert-only versions are deltas whose chains PROTECT their full
+    # from pruning — covered by
+    # test_delta_flush_retention_keeps_needed_chain.)
     d = str(tmp_path / "gc")
     eng = GraphEngine(spark, data_dir=d, keep_versions=2)
     eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
-    eng.flush()  # v1
+    eng.flush()  # v1 (full)
     eng.execute("INSERT NODE P (name: 'b');")
-    eng.flush()  # v2
+    eng.execute("UPDATE NODE P SET name: 'b2' WHERE name: 'b';")
+    eng.flush()  # v2 (full: base mutated)
     assert eng.table_versions("node", "P") == [1, 2]  # inside window
     eng.execute("INSERT NODE P (name: 'c');")
-    eng.flush()  # v3 -> v1 pruned
+    eng.execute("UPDATE NODE P SET name: 'c2' WHERE name: 'c';")
+    eng.flush()  # v3 (full) -> v1 pruned
     assert eng.table_versions("node", "P") == [2, 3]
     assert eng.node_df_at("P", 2).count() == 2
     assert eng.node_df_at("P", 3).count() == 3
@@ -1470,3 +1476,63 @@ def test_grouped_agg_multi_pattern_guard(eng):
     # numeric aggregates over the stringified union are refused
     with pytest.raises(EngineError, match="multi-type pattern"):
         eng.execute("MATCH M1, M2 RETURN v, SUM(v);")
+
+
+def test_delta_flush_append_versions(spark, tmp_path):
+    # r9: insert-only flushes write O(delta) append versions; chains
+    # compose for reads, time travel, and boot recovery; any mutation
+    # forces the next flush to be a full compaction
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"))
+    eng.execute(
+        "CREATE NODE DL (id: int PRIMARY KEY, v: int);"
+        "INSERT NODE DL (id: 1, v: 10);"
+    )
+    eng.flush()  # v1 full
+    eng.execute("INSERT NODE DL (id: 2, v: 20);")
+    eng.flush()  # v2 delta
+    eng.execute("INSERT NODE DL (id: 3, v: 30);")
+    eng.flush()  # v3 delta
+    d = tmp_path / "d" / "tables" / "node_DL"
+    assert not (d / "v1" / "_DELTA").exists()
+    assert (d / "v2" / "_DELTA").exists()
+    assert (d / "v3" / "_DELTA").exists()
+    # v2's dir holds ONLY the delta rows (the O(delta) write claim)
+    assert [r.v for r in spark.read.parquet(str(d / "v2")).collect()] == [20]
+    # current state and time travel compose the chain
+    assert sorted(r.v for r in eng.node_df("DL").collect()) == [10, 20, 30]
+    assert sorted(r.v for r in eng.node_df_at("DL", 3).collect()) == [10, 20, 30]
+    assert sorted(r.v for r in eng.node_df_at("DL", 2).collect()) == [10, 20]
+    assert [r.v for r in eng.node_df_at("DL", 1).collect()] == [10]
+    # GQL AS OF rides the same chain
+    got = eng.execute("MATCH DL AS OF 2 RETURN v ORDER BY v;")[0].df.collect()
+    assert [r.v for r in got] == [10, 20]
+    # UPDATE -> next flush is a full compaction
+    eng.execute("UPDATE NODE DL SET v: 99 WHERE id: 1;")
+    eng.flush()  # v4 full
+    assert not (d / "v4" / "_DELTA").exists()
+    assert sorted(r.v for r in eng.node_df_at("DL", 4).collect()) == [20, 30, 99]
+    # boot recovery composes chains identically
+    eng2 = GraphEngine(spark, data_dir=eng.data_dir)
+    assert sorted(r.v for r in eng2.node_df("DL").collect()) == [20, 30, 99]
+    assert sorted(r.v for r in eng2.node_df_at("DL", 3).collect()) == [10, 20, 30]
+
+
+def test_delta_flush_retention_keeps_needed_chain(spark, tmp_path):
+    # r9: the retention GC must not prune a full version (or an
+    # intermediate delta) that a retained delta's chain depends on
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), keep_versions=2)
+    eng.execute("CREATE NODE DR (id: int PRIMARY KEY);" "INSERT NODE DR (id: 1);")
+    eng.flush()  # v1 full
+    for k in (2, 3, 4):
+        eng.execute(f"INSERT NODE DR (id: {k});")
+        eng.flush()  # v2..v4 deltas
+    # window is {3,4} but their chains reach back to v1 -> all survive
+    assert eng.table_versions("node", "DR") == [1, 2, 3, 4]
+    assert sorted(r.id for r in eng.node_df_at("DR", 4).collect()) == [1, 2, 3, 4]
+    # two full rewrites move the window past the chain -> old dirs go
+    eng.execute("UPDATE NODE DR SET id: 1 WHERE id: 1;")
+    eng.flush()  # v5 full
+    eng.execute("UPDATE NODE DR SET id: 2 WHERE id: 2;")
+    eng.flush()  # v6 full
+    assert eng.table_versions("node", "DR") == [5, 6]
+    assert sorted(r.id for r in eng.node_df_at("DR", 6).collect()) == [1, 2, 3, 4]
