@@ -295,6 +295,8 @@ def _apply_order_limit(
         # (a global aggregate has one row — nothing to order)
         if user_cols or keys:
             out = out.orderBy(*user_cols, *[F.col(k) for k in keys])
+        if getattr(stmt, "offset", None):
+            out = out.offset(stmt.offset)
         if stmt.limit is not None:
             out = out.limit(stmt.limit)
         return out
@@ -311,6 +313,12 @@ def _apply_order_limit(
         resolved = _resolve_result_col(out, name, "ORDER BY")
         user_cols.append(F.col(resolved).desc() if desc else F.col(resolved).asc())
     out = out.orderBy(*user_cols, *tiebreak)
+    if getattr(stmt, "offset", None):
+        # paging: the deterministic tiebreak above makes the skipped
+        # prefix stable, so consecutive pages never overlap or gap;
+        # orderBy+offset+limit compile to one TakeOrderedAndProject
+        # (per-partition top-(m+n), driver merge) — no global sort
+        out = out.offset(stmt.offset)
     if stmt.limit is not None:
         out = out.limit(stmt.limit)
     return out

@@ -280,6 +280,9 @@ class MatchStmt(Stmt):
     # Each order key is (field, descending).
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
+    # paging extension: LIMIT n OFFSET m (soft keyword, only after
+    # LIMIT) — skip the first m rows of the deterministic order
+    offset: int | None = None
     # RETURN COUNT(*) extension: aggregate row count instead of a
     # projection. The parenthesized form keeps ``count`` a legal field
     # name (a field reference is never followed by LPAREN).

@@ -708,7 +708,7 @@ class Parser:
             return_aggs = tuple(aggs)
         else:
             return_aggs = ()
-        order_by, limit = self._parse_order_limit()
+        order_by, limit, offset = self._parse_order_limit()
         if (return_count or return_agg) and order_by:
             self._err(t, "ORDER BY is meaningless with an aggregate RETURN")
         return ast.MatchStmt(
@@ -719,6 +719,7 @@ class Parser:
             col=t.col,
             order_by=order_by,
             limit=limit,
+            offset=offset,
             return_count=return_count,
             return_agg=return_agg,
             return_aggs=return_aggs,
@@ -745,10 +746,11 @@ class Parser:
 
     def _parse_order_limit(
         self,
-    ) -> tuple[tuple[tuple[str, bool], ...], int | None]:
+    ) -> tuple[tuple[tuple[str, bool], ...], int | None, int | None]:
         """MATCH extension: ``[ORDER BY field [ASC|DESC], ...]
-        [LIMIT n]``. Results stay deterministic regardless — the engine
-        appends its _id tiebreak after the user keys."""
+        [LIMIT n [OFFSET m]]``. Results stay deterministic regardless —
+        the engine appends its _id tiebreak after the user keys, which
+        also makes OFFSET paging stable (no overlaps/gaps)."""
         order_by: list[tuple[str, bool]] = []
         if self._at_soft_clause() and self._tok.lit.upper() == "ORDER":
             self._next()  # ORDER
@@ -780,7 +782,31 @@ class Parser:
                 # Dataset.limit takes a JVM int; a larger literal would
                 # escape as a py4j overflow instead of a parse error
                 self._err(lim_kw, f"LIMIT must be <= {2**31 - 1}, got {limit}")
-        return tuple(order_by), limit
+        offset: int | None = None
+        if (
+            limit is not None
+            and self._tok.type is T.IDENT
+            and not self._tok.quoted
+            and self._tok.lit.upper() == "OFFSET"
+            and self._peek().type is T.NUMBER
+        ):
+            # paging extension: OFFSET is a soft keyword valid only
+            # after LIMIT (the deterministic _id tiebreak makes the
+            # skipped prefix stable, so pages never overlap or gap)
+            off_kw = self._tok
+            self._next()  # OFFSET
+            n_tok = self._expect(T.NUMBER)
+            try:
+                offset = int(n_tok.lit)
+            except ValueError:
+                self._err(n_tok, f"OFFSET must be an integer, got {n_tok.lit!r}")
+            if offset is not None and offset < 0:
+                self._err(off_kw, f"OFFSET must be >= 0, got {offset}")
+            if offset is not None and offset > 2**31 - 1:
+                self._err(
+                    off_kw, f"OFFSET must be <= {2**31 - 1}, got {offset}"
+                )
+        return tuple(order_by), limit, offset
 
     # -- SHOW / DESCRIBE (extension; reserved tokens in the reference) ----
 

@@ -64,6 +64,16 @@ PLAN_CHECKS: dict[str, list[str]] = {
         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(c_acctbal",
         r"LessThanOrEqual\(c_acctbal",
     ],
+    # r9: paging must compile to ONE TakeOrderedAndProject carrying the
+    # offset (per-partition top-(m+n) + driver merge), never a global
+    # sort + skip scan
+    # (formatted plans carry the node args on an Arguments: line —
+    # limit=offset+n first, the trailing 5 is the offset)
+    "gql_match_limit_offset": [
+        "TakeOrderedAndProject",
+        r"Arguments: 10, \[c_acctbal[^\]]*\], \[[^\]]*\], 5",
+        "PushedFilters",
+    ],
     # round-6: item-frequency and stats dims must broadcast to the
     # scoring joins; chunk dedup must stay explode + window (no join)
     "market_basket_rules": ["BroadcastHashJoin"],

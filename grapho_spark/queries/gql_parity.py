@@ -300,11 +300,19 @@ def gql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (insert / update / delete between them) are read back per-version
     and aggregated; the oracle is the hand-computed state at each
     version."""
+    import os as _os
+    import shutil as _shutil
     import tempfile
 
     from grapho_spark.engine import GraphEngine
 
-    eng = GraphEngine(spark, data_dir=tempfile.mkdtemp(prefix="grapho_tt_"))
+    # deterministic pid-scoped dir (reused + overwritten per process)
+    # instead of leaking one mkdtemp per bench/correctness invocation
+    data_dir = _os.path.join(
+        tempfile.gettempdir(), f"grapho_tt_{_os.getpid()}"
+    )
+    _shutil.rmtree(data_dir, ignore_errors=True)
+    eng = GraphEngine(spark, data_dir=data_dir)
     eng.execute(
         "CREATE NODE Item (name: string, qty: int);"
         "INSERT NODE Item (name: 'widget', qty: 10);"
@@ -744,5 +752,32 @@ def gql_match_cmp_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = eng.execute(
         "MATCH Customer WHERE c_acctbal >= 9000.0, c_acctbal <= 9500.0, "
         "c_nationkey <= 5 RETURN c_name, c_acctbal;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_match_limit_offset",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_acctbal DESC,
+         length(CAST(c_custkey AS VARCHAR)), CAST(c_custkey AS VARCHAR)
+LIMIT 5 OFFSET 5
+""",
+)
+def gql_match_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paging extension (r9): ``LIMIT n OFFSET m`` on MATCH — OFFSET
+    is a soft keyword valid only after LIMIT, and the engine's
+    deterministic _id tiebreak makes the skipped prefix stable, so
+    consecutive pages never overlap or gap (the property plain SQL
+    paging lacks under ties). orderBy+offset+limit compile to ONE
+    TakeOrderedAndProject(limit=m+n, offset=m): per-partition
+    top-(m+n) then a driver merge — no global sort, no full skip-scan
+    (plan-CI-asserted)."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_mktsegment: 'BUILDING' "
+        "RETURN c_name, c_acctbal ORDER BY c_acctbal DESC LIMIT 5 OFFSET 5;"
     )[0]
     return res.df

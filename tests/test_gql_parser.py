@@ -458,3 +458,20 @@ def test_where_inclusive_bounds_parse():
     # reference grammar positions reject them
     _, errors = parse_script("INSERT NODE P (a <= 3);")
     assert errors
+
+
+def test_limit_offset_parses():
+    stmts, errors = parse_script("MATCH P ORDER BY a LIMIT 5 OFFSET 10;")
+    assert not errors
+    assert stmts[0].limit == 5 and stmts[0].offset == 10
+    # OFFSET without LIMIT is just a field... no clause to attach to:
+    # the parser leaves it unconsumed and errors on the dangling token
+    _, errors = parse_script("MATCH P ORDER BY a OFFSET 10;")
+    assert errors
+    # negative / overflow rejected
+    _, errors = parse_script("MATCH P LIMIT 5 OFFSET 3000000000;")
+    assert errors and "OFFSET" in errors[0].msg
+    # a field literally named offset still parses everywhere else
+    stmts, errors = parse_script("MATCH P WHERE offset: 1 RETURN offset;")
+    assert not errors
+    assert stmts[0].where[0].name == "offset"
