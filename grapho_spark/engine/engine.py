@@ -117,6 +117,15 @@ def _cmp(col: Column, op: str, lit: Column) -> Column:
     return col.eqNullSafe(lit)
 
 
+_AGG_FNS = {
+    "SUM": F.sum,
+    "MIN": F.min,
+    "MAX": F.max,
+    "AVG": F.avg,
+    "COUNT": F.count,  # COUNT(field): non-null count (SQL semantics)
+}
+
+
 def _where_groups(
     where: tuple["ast.Property", ...],
 ) -> list[list["ast.Property"]]:
@@ -246,12 +255,14 @@ def _apply_order_limit(
         # partial count + single-row exchange, never a full sort.
         return out.agg(F.count(F.lit(1)).alias("n_rows"))
     if stmt.return_agg:
-        # RETURN SUM/MIN/MAX/AVG(field): same map-side-partial shape
-        # as COUNT(*); the field resolves like an ORDER BY key.
+        # RETURN SUM/MIN/MAX/AVG/COUNT(field): same map-side-partial
+        # shape as COUNT(*); the field resolves like an ORDER BY key
+        # (COUNT(field) counts NON-NULL values, SQL semantics).
         func, fname = stmt.return_agg
         resolved = _resolve_result_col(out, fname, "aggregate")
-        agg_fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
-        return out.agg(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
+        return out.agg(
+            _AGG_FNS[func](F.col(resolved)).alias(f"{func.lower()}_{fname}")
+        )
     if stmt.return_aggs:
         # Grouped-aggregate RETURN: the return fields are the group
         # keys (none = one global row); each aggregate projects with a
@@ -263,11 +274,11 @@ def _apply_order_limit(
         ]
         agg_cols: list[Column] = []
         for func, fname in stmt.return_aggs:
-            if func == "COUNT":
+            if func == "COUNT" and fname == "*":
                 agg_cols.append(F.count(F.lit(1)).alias("n_rows"))
             else:
                 resolved = _resolve_result_col(out, fname, "aggregate")
-                agg_fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
+                agg_fn = _AGG_FNS[func]
                 agg_cols.append(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
         out = out.groupBy(*keys).agg(*agg_cols) if keys else out.agg(*agg_cols)
         # Post-aggregation only group keys (by RETURN name or resolved
@@ -279,7 +290,11 @@ def _apply_order_limit(
             allowed[f] = key_col
             allowed[key_col] = key_col
         for func, fname in stmt.return_aggs:
-            alias = "n_rows" if func == "COUNT" else f"{func.lower()}_{fname}"
+            alias = (
+                "n_rows"
+                if func == "COUNT" and fname == "*"
+                else f"{func.lower()}_{fname}"
+            )
             allowed[alias] = alias
         user_cols = []
         for name, desc in stmt.order_by:

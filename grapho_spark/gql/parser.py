@@ -666,10 +666,13 @@ class Parser:
                     and self._tok.type is T.LPAREN
                 ):
                     self._next()
-                    if up == "COUNT":
-                        self._expect(T.STAR)
+                    if up == "COUNT" and self._tok.type is T.STAR:
+                        self._next()
                         aggs.append(("COUNT", "*"))
                     else:
+                        # COUNT(field) counts NON-NULL values (SQL
+                        # semantics), aliased count_<field> vs
+                        # COUNT(*)'s n_rows
                         aggs.append((up, self._expect(T.IDENT).lit))
                     self._expect(T.RPAREN)
                     if return_distinct:
@@ -683,14 +686,18 @@ class Parser:
                     break
             if len(aggs) == 1 and not returns:
                 func, fname = aggs[0]
-                if func == "COUNT":
+                if func == "COUNT" and fname == "*":
                     return_count = True
                 else:
                     return_agg = (func, fname)
                 aggs = []
             seen_aliases = set()
             for func, fname in aggs:
-                alias = "n_rows" if func == "COUNT" else f"{func.lower()}_{fname}"
+                alias = (
+                    "n_rows"
+                    if func == "COUNT" and fname == "*"
+                    else f"{func.lower()}_{fname}"
+                )
                 if alias in seen_aliases:
                     self._err(t, f"duplicate aggregate {func}({fname}) in RETURN")
                 # a plain return field (group key) carrying the same

@@ -781,3 +781,34 @@ def gql_match_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN c_name, c_acctbal ORDER BY c_acctbal DESC LIMIT 5 OFFSET 5;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_count_field",
+    oracle="""
+SELECT * FROM (VALUES
+  ('oslo', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+  ('rome', CAST(1 AS BIGINT), CAST(2 AS BIGINT))
+) AS t(city, count_age, n_rows)
+""",
+)
+def gql_match_count_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(field) extension (r9): counts NON-NULL values (SQL
+    semantics) next to COUNT(*)'s row count, aliased
+    ``count_<field>`` vs ``n_rows`` — in both the bare single-
+    aggregate RETURN and the grouped form, same map-side-partial
+    plan. The fixture plants a null age so the two counts diverge;
+    the oracle is the hand-computed table."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE CityF (id: int PRIMARY KEY, city: string, age: int);"
+        "INSERT NODE CityF (id: 1, city: 'rome', age: 10);"
+        "INSERT NODE CityF (id: 2, city: 'rome');"
+        "INSERT NODE CityF (id: 3, city: 'oslo', age: 30);"
+    )
+    res = eng.execute(
+        "MATCH CityF RETURN city, COUNT(age), COUNT(*) ORDER BY city;"
+    )[0]
+    return res.df

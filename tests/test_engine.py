@@ -1536,3 +1536,32 @@ def test_delta_flush_retention_keeps_needed_chain(spark, tmp_path):
     eng.flush()  # v6 full
     assert eng.table_versions("node", "DR") == [5, 6]
     assert sorted(r.id for r in eng.node_df_at("DR", 6).collect()) == [1, 2, 3, 4]
+
+
+def test_return_count_field_non_null(eng):
+    # r9: COUNT(field) counts non-null values; COUNT(*) counts rows
+    eng.execute(
+        "CREATE NODE CNF (id: int PRIMARY KEY, city: string, age: int);"
+        "INSERT NODE CNF (id: 1, city: 'rome', age: 10);"
+        "INSERT NODE CNF (id: 2, city: 'rome');"
+        "INSERT NODE CNF (id: 3, city: 'oslo', age: 30);"
+    )
+    r = eng.execute("MATCH CNF RETURN COUNT(age);")[0].df
+    assert r.columns == ["count_age"] and r.collect()[0][0] == 2
+    r = eng.execute(
+        "MATCH CNF RETURN city, COUNT(age), COUNT(*) ORDER BY city;"
+    )[0].df
+    assert [(x.city, x.count_age, x.n_rows) for x in r.collect()] == [
+        ("oslo", 1, 1),
+        ("rome", 1, 2),
+    ]
+    # ORDER BY the count_<field> alias works; duplicate aggregate rejected
+    r = eng.execute(
+        "MATCH CNF RETURN city, COUNT(age) ORDER BY count_age DESC, city;"
+    )[0].df
+    assert [x.city for x in r.collect()] == ["oslo", "rome"]
+    with pytest.raises(EngineError, match="duplicate aggregate"):
+        eng.execute("MATCH CNF RETURN COUNT(age), COUNT(age);")
+    # COUNT(*) and COUNT(field) compose (different aliases)
+    r = eng.execute("MATCH CNF RETURN COUNT(*), COUNT(age);")[0].df
+    assert sorted(r.columns) == ["count_age", "n_rows"]
