@@ -132,6 +132,23 @@ def test_differential_random_dml(eng):
         s = eng.execute(f"MATCH D WHERE {text} RETURN SUM(b);")[0].df.collect()
         want_sum = [r["b"] for r in want if r["b"] is not None]
         assert s[0][0] == (sum(want_sum) if want_sum else None), text
+        # ORDER BY / LIMIT OFFSET paging differential (r9): the engine
+        # orders by (a ASC NULLS FIRST, _id), and _id order IS the
+        # model's insertion order, so a STABLE null-aware sort of the
+        # model replicates every page exactly — overlaps, gaps or
+        # nondeterministic tie handling would fail here
+        # Spark ASC is NULLS FIRST -> None sorts before every value
+        want_sorted = sorted(
+            want, key=lambda r: (r["a"] is not None, r["a"] is not None and r["a"])
+        )
+        for off in (0, 2, 5):
+            got_p = eng.execute(
+                f"MATCH D WHERE {text} RETURN a, b "
+                f"ORDER BY a LIMIT 3 OFFSET {off};"
+            )[0].df.collect()
+            assert [(r.a, r.b) for r in got_p] == [
+                (r["a"], r["b"]) for r in want_sorted[off : off + 3]
+            ], (text, off)
 
     for i in range(N_OPS):
         rng.choice([insert, insert, insert, update, update, delete])()
