@@ -221,3 +221,35 @@ def test_explain_over_socket(server):
     assert reply[-1].startswith("OK - 1 statement(s)")
     c.send("quit")
     c.close()
+
+
+def test_r9_syntax_over_socket(server):
+    # OR / IN / <= / OFFSET / COUNT(field) ride the reference wire
+    # protocol unchanged (statements pass through the same engine)
+    c = _Client(server.port)
+    c.read_until_blank()
+    c.send(
+        "CREATE NODE W9 (id: int PRIMARY KEY, v: int);"
+        "INSERT NODE W9 (id: 1, v: 10); INSERT NODE W9 (id: 2, v: 20);"
+        "INSERT NODE W9 (id: 3);"
+    )
+    reply = c.read_until_blank()
+    assert reply[-1].startswith("OK - 4 statement(s)")
+    c.send("MATCH W9 WHERE v: 10 OR v >= 20 RETURN v;")
+    reply = c.read_until_blank()
+    assert reply[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    assert sum("v:" in ln for ln in block) == 2
+    c.send("MATCH W9 WHERE id IN (1, 3) RETURN COUNT(id);")
+    reply = c.read_until_blank()
+    assert reply[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    assert any("count_id" in ln and "2" in ln for ln in block), block
+    # ORDER BY v ASC is NULLS FIRST: [null(id 3), 10, 20] -> OFFSET 2
+    # lands on v=20
+    c.send("MATCH W9 RETURN v ORDER BY v LIMIT 1 OFFSET 2;")
+    reply = c.read_until_blank()
+    block = c.read_until_blank()
+    assert any("v:20" in ln.replace(" ", "") for ln in block), block
+    c.send("quit")
+    c.close()
