@@ -1565,3 +1565,24 @@ def test_return_count_field_non_null(eng):
     # COUNT(*) and COUNT(field) compose (different aliases)
     r = eng.execute("MATCH CNF RETURN COUNT(*), COUNT(age);")[0].df
     assert sorted(r.columns) == ["count_age", "n_rows"]
+
+
+def test_delta_chain_read_keeps_pushdown(spark, tmp_path):
+    # r9: the multi-path chain read (full + deltas) must stay ONE
+    # parquet scan with predicates pushed — a lost pushdown on the
+    # composed read would be a silent full-scan regression at scale
+    import re
+
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"))
+    eng.execute(
+        "CREATE NODE CPD (id: int PRIMARY KEY, v: int);"
+        + "".join(f"INSERT NODE CPD (id: {i}, v: {i});" for i in range(5))
+    )
+    eng.flush()  # v1 full
+    eng.execute("INSERT NODE CPD (id: 10, v: 10);")
+    eng.flush()  # v2 delta
+    df = eng.execute("MATCH CPD WHERE v > 3 RETURN v;")[0].df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert pushed and "GreaterThan(v,3)" in pushed[0], pushed
+    assert sorted(r.v for r in df.collect()) == [4, 10]
