@@ -27,6 +27,7 @@ from grapho_spark.sparkutil import materialize
 from grapho_spark.queries import query
 from grapho_spark.sparkutil import memo_table
 from grapho_spark.tables import load_table
+from grapho_spark.sparkutil import scratch_path
 
 N_SEEDS = 12
 N_BANDS = 3
@@ -746,9 +747,7 @@ def corpus_band_index(
             .sortBy("band_id", "band_key")
             .option(
                 "path",
-                os.path.join(
-                    tempfile.gettempdir(), "grapho_spark_index", tname
-                ),
+                scratch_path("grapho_spark_index", tname),
             )
             .mode("overwrite")
             .saveAsTable(tname)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
 from grapho_spark.tables import load_table
+from grapho_spark.sparkutil import scratch_path
 
 DIM = 64
 
@@ -2082,7 +2083,7 @@ def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
     cent_t = f"ann_centroids_{tag}"
     book_t = f"ann_codebook_{tag}"
     codes_t = f"ann_pq_codes_{tag}"
-    base = os.path.join(tempfile.gettempdir(), "grapho_spark_index")
+    base = scratch_path("grapho_spark_index")
     marker = os.path.join(base, f"_BUILD_OK_{tag}")
     complete = os.path.exists(marker) and all(
         spark.catalog.tableExists(t) for t in (cent_t, book_t, codes_t)

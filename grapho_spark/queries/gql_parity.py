@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
 from grapho_spark.tables import load_table
+from grapho_spark.sparkutil import scratch_path
 
 
 def _engine_with_customer(spark: SparkSession, sf_dir: str):
@@ -308,9 +309,7 @@ def gql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # deterministic pid-scoped dir (reused + overwritten per process)
     # instead of leaking one mkdtemp per bench/correctness invocation
-    data_dir = _os.path.join(
-        tempfile.gettempdir(), f"grapho_tt_{_os.getpid()}"
-    )
+    data_dir = scratch_path(f"grapho_tt_{_os.getpid()}")
     _shutil.rmtree(data_dir, ignore_errors=True)
     eng = GraphEngine(spark, data_dir=data_dir)
     eng.execute(
@@ -697,9 +696,7 @@ def gql_time_travel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from grapho_spark.engine import GraphEngine
 
-    data_dir = _os.path.join(
-        _tempfile.gettempdir(), f"grapho_ttm_{_os.getpid()}"
-    )
+    data_dir = scratch_path(f"grapho_ttm_{_os.getpid()}")
     _shutil.rmtree(data_dir, ignore_errors=True)
     eng = GraphEngine(spark, data_dir=data_dir)
     eng.execute(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from grapho_spark.queries import query
 from grapho_spark.queries._util import dec, dsum
 from grapho_spark.tables import load_table
+from grapho_spark.sparkutil import scratch_path
 
 # Default CSV/JSON timestamp formats drop sub-millisecond precision;
 # the fixtures carry microseconds.
@@ -23,7 +24,7 @@ TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 def _roundtrip(spark: SparkSession, df: DataFrame, fmt: str, tag: str) -> DataFrame:
     from grapho_spark.sources import read_table, write_table
 
-    path = os.path.join(tempfile.gettempdir(), f"grapho_src_{fmt}_{tag}")
+    path = scratch_path(f"grapho_src_{fmt}_{tag}")
     # timestampNTZFormat too: if an NTZ column ever reaches the writer,
     # the plain timestampFormat silently doesn't apply and the default
     # NTZ format truncates to milliseconds (a silent wrong answer).
@@ -127,9 +128,7 @@ def _partitioned_copy(
     except OSError:
         ident = f"{os.path.abspath(sf_dir)}:{table}:{part_col}"
     key = hashlib.md5(ident.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"grapho_src_part_{os.getuid()}_{key}"
-    )
+    path = scratch_path(f"grapho_src_part_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, table).write.mode("overwrite").partitionBy(
             part_col
@@ -222,7 +221,7 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import pandas as pd
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
-    path = os.path.join(tempfile.gettempdir(), f"grapho_binfix_{tag}")
+    path = scratch_path(f"grapho_binfix_{tag}")
     marker = os.path.join(path, "_FIXTURE_OK")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
@@ -342,7 +341,7 @@ def _schema_evolution_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, st
     import hashlib
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
-    base = os.path.join(tempfile.gettempdir(), f"grapho_schevo_{tag}")
+    base = scratch_path(f"grapho_schevo_{tag}")
     v1, v2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
     marker = os.path.join(base, "_FIXTURE_OK")
     if not os.path.exists(marker):
@@ -623,7 +622,7 @@ def _commitlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from grapho_spark.engine.commitlog import CommitLog
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
-    path = os.path.join(tempfile.gettempdir(), f"grapho_walfix_{tag}")
+    path = scratch_path(f"grapho_walfix_{tag}")
     marker = os.path.join(path, "_FIXTURE_OK")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
@@ -789,9 +788,8 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     # pid-scoped: two processes benching the same SF must not race on
     # one overwrite-mode directory (the r7 band-index lesson)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"grapho_src_xml_{os.path.basename(sf_dir)}_{os.getpid()}",
+    path = scratch_path(
+        f"grapho_src_xml_{os.path.basename(sf_dir)}_{os.getpid()}"
     )
     write_table(c, path, fmt="xml", rowTag="customer")
     back = read_table(spark, path, fmt="xml", schema=c.schema, rowTag="customer")

@@ -20,6 +20,7 @@ from grapho_spark.queries import query
 from grapho_spark.streaming import run_to_memory
 from grapho_spark.tables import load_stream, load_table
 from grapho_spark.queries.text import _STOP_SQL as _CUR_STOP_SQL
+from grapho_spark.sparkutil import scratch_path
 
 
 @query(
@@ -1090,9 +1091,8 @@ def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convention): repeated bench/correctness invocations reuse and
     # overwrite ONE directory per (sf_dir, process) instead of leaking
     # a fresh mkdtemp of RocksDB/offset files per run
-    ckpt = os.path.join(
-        _tempfile.gettempdir(),
-        f"grapho_statestore_{os.path.basename(sf_dir)}_{os.getpid()}",
+    ckpt = scratch_path(
+        f"grapho_statestore_{os.path.basename(sf_dir)}_{os.getpid()}"
     )
     _shutil.rmtree(ckpt, ignore_errors=True)
     stream = load_stream(spark, sf_dir, "events").select(

@@ -100,3 +100,50 @@ def no_aqe(spark: SparkSession):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def scratch_path(*parts: str) -> str:
+    """A path under the engine's per-user 0700 scratch root.
+
+    All deterministic scratch locations (fixture dirs, persisted query
+    indexes, streaming checkpoints, probe data dirs) live under ONE
+    per-user directory instead of world-readable names directly in
+    shared /tmp: a predictable name in a shared, sticky-bit tmp is a
+    symlink/squat hazard on multi-user hosts, and a root owned by
+    another uid would silently serve (or receive) someone else's
+    data. The root is created 0700 and refused if it pre-exists as a
+    symlink or under another owner — same guard as CPython's
+    ``tempfile`` internals, without leaking one mkdtemp per run.
+
+    Callers keep their own naming / reuse / cleanup semantics; this
+    only re-bases them. Does NOT create the returned path itself.
+    """
+    import os
+    import tempfile
+
+    try:
+        tag = f"uid{os.getuid()}"
+    except AttributeError:  # non-POSIX fallback
+        import getpass
+
+        tag = getpass.getuser()
+    base = os.path.join(tempfile.gettempdir(), f"grapho-{tag}")
+    try:
+        st = os.lstat(base)
+    except FileNotFoundError:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+    else:
+        import stat as _stat
+
+        if _stat.S_ISLNK(st.st_mode) or not _stat.S_ISDIR(st.st_mode):
+            raise RuntimeError(
+                f"scratch root {base!r} pre-exists and is not a real "
+                "directory (symlink squat?) — refusing to use it"
+            )
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"scratch root {base!r} is owned by uid {st.st_uid}, "
+                "not us — refusing to share scratch state"
+            )
+        os.chmod(base, 0o700)
+    return os.path.join(base, *parts)

@@ -23,6 +23,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from grapho_spark.sparkutil import scratch_path
 
 TABLE_NAMES = [
     "region",
@@ -94,7 +95,7 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # hashlib, not hash(): Python string hashing is salted per process,
     # which would mint a fresh symlink dir on every run.
     digest = hashlib.md5(f"{sf_dir}:{name}".encode()).hexdigest()[:10]
-    link_dir = os.path.join(tempfile.gettempdir(), f"grapho_stream_{digest}")
+    link_dir = scratch_path(f"grapho_stream_{digest}")
     os.makedirs(link_dir, exist_ok=True)
     src = os.path.abspath(table_path(sf_dir, name))
     # Prune dangling links first: a rebuilt fixture (mode=overwrite

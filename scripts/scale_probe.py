@@ -21,6 +21,7 @@ import sys
 import time
 
 from pyspark.sql import functions as F
+from grapho_spark.sparkutil import scratch_path
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BIG_DIR = "/tmp/grapho_scale_x10"
@@ -186,9 +187,8 @@ def gql_engine_times(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     from grapho_spark.engine import GraphEngine
     from grapho_spark.tables import load_table
 
-    data_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"gql_probe_{os.path.basename(sf_dir)}_{os.getpid()}",
+    data_dir = scratch_path(
+        f"gql_probe_{os.path.basename(sf_dir)}_{os.getpid()}"
     )
     shutil.rmtree(data_dir, ignore_errors=True)
     eng = GraphEngine(spark, data_dir=data_dir)
@@ -274,9 +274,7 @@ def ann_build_time(spark, sf_dir: str) -> float:
     tag = emb._ann_index_tag(sf_dir)
     for t in (f"ann_centroids_{tag}", f"ann_codebook_{tag}", f"ann_pq_codes_{tag}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    marker = os.path.join(
-        tempfile.gettempdir(), "grapho_spark_index", f"_BUILD_OK_{tag}"
-    )
+    marker = scratch_path("grapho_spark_index", f"_BUILD_OK_{tag}")
     if os.path.exists(marker):
         os.unlink(marker)
     emb._KMEANS_PAIR_MEMO.clear()

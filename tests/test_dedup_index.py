@@ -6,6 +6,7 @@ bucketed. Uses its own corpus predicate so the shared session index
 used by the oracle-checked queries is never mutated."""
 
 from __future__ import annotations
+from grapho_spark.sparkutil import scratch_path
 
 
 def _rows(df):
@@ -80,7 +81,7 @@ def test_ann_index_probe_and_crash_safe_rebuild(spark, sf_dir):
     # simulate a build that died mid-write: one table gone, marker
     # (written only after ALL tables) absent
     marker = os.path.join(
-        tempfile.gettempdir(), "grapho_spark_index", f"_BUILD_OK_{tag}"
+        scratch_path("grapho_spark_index"), f"_BUILD_OK_{tag}"
     )
     os.unlink(marker)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -155,7 +156,7 @@ def test_ann_index_append_matches_frozen_rebuild(spark, sf_dir):
     import tempfile
 
     marker = os.path.join(
-        tempfile.gettempdir(), "grapho_spark_index", f"_BUILD_OK_{tag}"
+        scratch_path("grapho_spark_index"), f"_BUILD_OK_{tag}"
     )
     if os.path.exists(marker):
         os.unlink(marker)

@@ -12,6 +12,7 @@ from grapho_spark.queries.sources_q import (
     _binaryfile_fixture_dir,
     _schema_evolution_fixture,
 )
+from grapho_spark.sparkutil import scratch_path
 
 
 def test_binaryfile_fixture_rebuilds_after_partial_write(spark, sf_dir):
@@ -21,7 +22,7 @@ def test_binaryfile_fixture_rebuilds_after_partial_write(spark, sf_dir):
     import tempfile
 
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_pid{os.getpid()}"
-    path = os.path.join(tempfile.gettempdir(), f"grapho_binfix_{tag}")
+    path = scratch_path(f"grapho_binfix_{tag}")
     marker = os.path.join(path, "_FIXTURE_OK")
     if os.path.exists(marker):
         os.remove(marker)  # invalidate a previously-published fixture
