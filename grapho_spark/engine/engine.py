@@ -355,6 +355,7 @@ class GraphEngine:
         snapshot_every: int = 64,
         keep_versions: int | None = None,
         log_segment_bytes: int | None = None,
+        max_delta_chain: int = 8,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
@@ -373,12 +374,21 @@ class GraphEngine:
         at the end of each ``flush()`` (Delta-style VACUUM). ``None``
         (default) keeps every version forever; without a bound a
         long-lived OLTP workload grows storage without limit. Must be
-        >= 1 when set (the live version is never pruned)."""
+        >= 1 when set (the live version is never pruned).
+
+        ``max_delta_chain``: insert-only flushes append O(delta)
+        versions onto the last full rewrite; once a chain carries this
+        many deltas, the next flush compacts it with a full rewrite
+        (bounding per-read path counts and retention's protected set
+        on ingest-dominated workloads). Must be >= 1."""
         if keep_versions is not None and keep_versions < 1:
             raise EngineError("keep_versions must be >= 1 (or None)")
+        if max_delta_chain < 1:
+            raise EngineError("max_delta_chain must be >= 1")
         self.spark = spark
         self.data_dir = data_dir
         self.keep_versions = keep_versions
+        self.max_delta_chain = max_delta_chain
         self._lock = threading.RLock()
         self.tables: dict[tuple[str, str], _Table] = {}
         self.next_id = 1
@@ -632,7 +642,11 @@ class GraphEngine:
 
     def table_versions(self, kind: str, name: str) -> list[int]:
         """Flushed parquet versions available for time travel (ascending;
-        empty for in-memory engines or never-flushed tables)."""
+        empty for in-memory engines or never-flushed tables). Clamped
+        to the table's COMMITTED version: a dir published by a flush
+        that crashed before its manifest write (rename done, manifest
+        not) is invisible until the re-run flush overwrites it —
+        uncommitted state must never be servable via AS OF."""
         if not self.data_dir:
             return []
         tdir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
@@ -640,10 +654,14 @@ class GraphEngine:
             entries = os.listdir(tdir)
         except FileNotFoundError:
             return []
+        tab = self.tables.get((kind, name))
+        cap = tab.version if tab is not None else None
         out = []
         for e in entries:
             if e.startswith("v") and e[1:].isdigit():
-                out.append(int(e[1:]))
+                v = int(e[1:])
+                if cap is None or v <= cap:
+                    out.append(v)
         return sorted(out)
 
     def node_df_at(self, name: str, version: int) -> DataFrame:
@@ -668,15 +686,11 @@ class GraphEngine:
             )
         )
 
-    def _chain_paths(self, kind: str, name: str, version: int) -> list[str]:
-        """Parquet paths composing the table AS OF ``version``: the
-        latest FULL version at-or-below it plus every delta version
-        after that full (delta dirs are self-describing via their
-        _DELTA marker, so no manifest history is needed). Chains have
-        one physical schema: any schema-changing or row-mutating
-        operation forces the next flush to be a full rewrite, which
-        also compacts the chain."""
-        base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
+    def _chain_versions(self, kind: str, name: str, version: int) -> list[int]:
+        """Version numbers composing the table AS OF ``version``
+        (ascending): the latest FULL version at-or-below it plus every
+        delta version after that full. Delta dirs are self-describing
+        via their _DELTA marker, so no manifest history is needed."""
         chain: list[int] = []
         for v in reversed(
             [v for v in self.table_versions(kind, name) if v <= version]
@@ -684,16 +698,30 @@ class GraphEngine:
             chain.append(v)
             if not self._is_delta_version(kind, name, v):
                 break
-        return [os.path.join(base_dir, f"v{v}") for v in sorted(chain)]
+        return sorted(chain)
+
+    def _chain_paths(self, kind: str, name: str, version: int) -> list[str]:
+        """Parquet paths composing the table AS OF ``version`` (see
+        ``_chain_versions``). Chains have one physical schema: any
+        schema-changing or row-mutating operation forces the next
+        flush to be a full rewrite; pure-insert chains are compacted
+        by a forced full rewrite once they exceed ``max_delta_chain``
+        deltas, so no read ever composes an unbounded path list."""
+        base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
+        return [
+            os.path.join(base_dir, f"v{v}")
+            for v in self._chain_versions(kind, name, version)
+        ]
 
     def _df_at(self, kind: str, name: str, version: int) -> DataFrame:
         if not self.data_dir:
             raise EngineError("time travel needs a durable engine (data_dir)")
-        path = os.path.join(
-            self.data_dir, "tables", f"{kind}_{name}", f"v{version}"
-        )
-        if not os.path.exists(path):
-            have = self.table_versions(kind, name)
+        # membership via table_versions, not raw path existence: an
+        # orphan dir published by a crashed flush (rename done,
+        # manifest not) sits above the committed version and must not
+        # be servable as history
+        have = self.table_versions(kind, name)
+        if version not in have:
             raise EngineError(
                 f"{kind} {name!r} has no version {version} "
                 f"(available: {have or 'none'})"
@@ -743,6 +771,16 @@ class GraphEngine:
                         and tab.version > 0
                         and bool(tab.buffer)
                         and not tab.base_dirty
+                        # Auto-compaction: a pure-ingest workload never
+                        # mutates, so without a cap the chain (and the
+                        # per-read path list, and retention's protected
+                        # set) would grow one dir per flush forever.
+                        # Once the live chain carries max_delta_chain
+                        # deltas, the next flush is a full compacting
+                        # rewrite — Delta/Iceberg-style OPTIMIZE,
+                        # amortized O(table / max_delta_chain) per flush.
+                        and len(self._chain_versions(kind, name, tab.version))
+                        <= self.max_delta_chain
                     )
                     df = (
                         self._buffer_df(tab)
@@ -751,10 +789,25 @@ class GraphEngine:
                     )
                     tab.version += 1
                     path = os.path.join(self.data_dir, "tables", key, f"v{tab.version}")
-                    df.write.mode("overwrite").parquet(path)
+                    # Staged publish: write parquet AND the _DELTA
+                    # marker into v<N>.staging, then rename into place.
+                    # A crash anywhere before the rename leaves only a
+                    # .staging dir, which table_versions/_chain_paths
+                    # never read — so a half-written version (or a
+                    # delta missing its marker, which a chain read
+                    # would misclassify as FULL) is never servable.
+                    staging = path + ".staging"
+                    shutil.rmtree(staging, ignore_errors=True)
+                    df.write.mode("overwrite").parquet(staging)
                     if delta:
-                        with open(os.path.join(path, "_DELTA"), "w") as mk:
+                        with open(os.path.join(staging, "_DELTA"), "w") as mk:
                             mk.write("delta\n")
+                    # a complete v-dir here is an orphan of a flush that
+                    # crashed after rename but before its manifest
+                    # publish (never committed, hidden by the
+                    # table_versions clamp) — superseded by this rewrite
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.replace(staging, path)
                     tab.base = self.spark.read.schema(tab.schema).parquet(
                         *self._chain_paths(kind, name, tab.version)
                     )

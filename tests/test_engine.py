@@ -1538,6 +1538,84 @@ def test_delta_flush_retention_keeps_needed_chain(spark, tmp_path):
     assert sorted(r.id for r in eng.node_df_at("DR", 6).collect()) == [1, 2, 3, 4]
 
 
+def test_delta_chain_auto_compaction(spark, tmp_path):
+    # r10: a pure-ingest workload must not grow an unbounded chain —
+    # once max_delta_chain deltas stack on a full, the next flush is a
+    # full compacting rewrite, so no read composes more than
+    # max_delta_chain + 1 paths
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), max_delta_chain=3)
+    eng.execute("CREATE NODE AC (id: int PRIMARY KEY);")
+    for k in range(1, 13):
+        eng.execute(f"INSERT NODE AC (id: {k});")
+        eng.flush()
+    d = tmp_path / "d" / "tables" / "node_AC"
+    fulls = [
+        v
+        for v in eng.table_versions("node", "AC")
+        if not (d / f"v{v}" / "_DELTA").exists()
+    ]
+    # v1 full, then a compaction every 4th flush (3 deltas per chain)
+    assert fulls == [1, 5, 9]
+    for v in eng.table_versions("node", "AC"):
+        assert len(eng._chain_versions("node", "AC", v)) <= 4
+        assert sorted(
+            r.id for r in eng.node_df_at("AC", v).collect()
+        ) == list(range(1, v + 1))
+    assert sorted(r.id for r in eng.node_df("AC").collect()) == list(range(1, 13))
+
+
+def test_staged_publish_hides_crashed_flush(spark, tmp_path):
+    # r10: versions publish by rename from v<N>.staging — a crash
+    # before the rename (including between the parquet job and the
+    # _DELTA marker, which would otherwise make a delta read as FULL)
+    # leaves only a .staging dir that no read surface ever serves
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"))
+    eng.execute(
+        "CREATE NODE SP (id: int PRIMARY KEY);" "INSERT NODE SP (id: 1);"
+    )
+    eng.flush()  # v1 full
+    d = tmp_path / "d" / "tables" / "node_SP"
+    # simulate a crash mid-flush: delta parquet written to staging,
+    # no _DELTA marker yet, no rename
+    eng.execute("INSERT NODE SP (id: 2);")
+    spark.createDataFrame([(5, "9")], "id int, _id string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "v2.staging"))
+    assert eng.table_versions("node", "SP") == [1]
+    assert [r.id for r in eng.node_df_at("SP", 1).collect()] == [1]
+    with pytest.raises(EngineError, match="no version 2"):
+        eng.node_df_at("SP", 2)
+    # the re-run flush overwrites the orphan staging dir and publishes
+    # a correct v2 delta
+    eng.flush()
+    assert (d / "v2" / "_DELTA").exists()
+    assert not (d / "v2.staging").exists()
+    assert sorted(r.id for r in eng.node_df_at("SP", 2).collect()) == [1, 2]
+
+
+def test_orphan_published_version_not_servable(spark, tmp_path):
+    # r10: a crash AFTER the rename but BEFORE the manifest publish
+    # leaves a complete v-dir above the committed version; it must be
+    # invisible (table_versions clamp + _df_at membership check) until
+    # the re-run flush overwrites it
+    import shutil as _sh
+
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"))
+    eng.execute(
+        "CREATE NODE OP (id: int PRIMARY KEY);" "INSERT NODE OP (id: 1);"
+    )
+    eng.flush()  # v1, manifest at v1
+    d = tmp_path / "d" / "tables" / "node_OP"
+    _sh.copytree(d / "v1", d / "v2")  # orphan: renamed, never committed
+    eng2 = GraphEngine(spark, data_dir=eng.data_dir)
+    assert eng2.table_versions("node", "OP") == [1]
+    with pytest.raises(EngineError, match="no version 2"):
+        eng2.node_df_at("OP", 2)
+    eng2.execute("INSERT NODE OP (id: 2);")
+    eng2.flush()  # re-publishes v2 over the orphan
+    assert sorted(r.id for r in eng2.node_df_at("OP", 2).collect()) == [1, 2]
+
+
 def test_return_count_field_non_null(eng):
     # r9: COUNT(field) counts non-null values; COUNT(*) counts rows
     eng.execute(
