@@ -72,6 +72,11 @@ from grapho_spark.gql import ast
 from grapho_spark.gql.ast import Cardinality, LiteralKind, TypeSpec
 from grapho_spark.gql.parser import parse_script
 
+# Hash-bucket partition column of versioned table parquet (full
+# rewrites write partitionBy(_gbkt); never present in data files or
+# table schemas — it lives only in leaf-dir names).
+BUCKET_COLUMN = "_gbkt"
+
 # Serializes the register-views + analyze window of GraphEngine.sql()
 # across ALL engine instances sharing this process's SparkSession (temp
 # views are session-global; see GraphEngine.sql's docstring).
@@ -193,6 +198,15 @@ class _Table:
     # buffered INSERTs, which flush as an O(delta) append version
     # instead of an O(table) rewrite (see flush()).
     base_dirty: bool = False
+    # Hash buckets (pmod(xxhash64(_id), id_buckets)) whose rows were
+    # mutated since the last flush: UPDATE/DELETE union in the matched
+    # rows' buckets, letting flush() rewrite ONLY those buckets of the
+    # versioned parquet (partition-pruned copy-on-write). None = the
+    # touched set is unknowable (ALTER changed the physical schema),
+    # forcing the full rewrite. _id never changes after insert, so a
+    # row's bucket is immutable and the set stays a superset of every
+    # changed bucket.
+    touched_buckets: set[int] | None = field(default_factory=set)
     # Lazily-built bloom sketches per unique field (operators/bloom.py):
     # a negative probe proves a value absent from base with no Spark
     # job. No false negatives; cleared whenever base VALUES can change
@@ -356,6 +370,7 @@ class GraphEngine:
         keep_versions: int | None = None,
         log_segment_bytes: int | None = None,
         max_delta_chain: int = 8,
+        id_buckets: int = 16,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
@@ -380,15 +395,29 @@ class GraphEngine:
         versions onto the last full rewrite; once a chain carries this
         many deltas, the next flush compacts it with a full rewrite
         (bounding per-read path counts and retention's protected set
-        on ingest-dominated workloads). Must be >= 1."""
+        on ingest-dominated workloads). Must be >= 1.
+
+        ``id_buckets``: full rewrites lay the versioned parquet out as
+        hash buckets of ``_id`` (``_gbkt=<k>`` leaf dirs + a
+        _BUCKETS.json map). A later UPDATE/DELETE flush then rewrites
+        ONLY the buckets holding matched rows and inherits the rest
+        from the prior version's map — partition-pruned copy-on-write,
+        so mutation I/O is O(touched/id_buckets of the table), not
+        O(table). Size it so one bucket ≈ a healthy parquet file set
+        at your table size (more buckets = finer rewrites but more
+        files; at cluster scale hundreds-to-thousands). Must be >= 1;
+        1 effectively disables pruning."""
         if keep_versions is not None and keep_versions < 1:
             raise EngineError("keep_versions must be >= 1 (or None)")
         if max_delta_chain < 1:
             raise EngineError("max_delta_chain must be >= 1")
+        if id_buckets < 1:
+            raise EngineError("id_buckets must be >= 1")
         self.spark = spark
         self.data_dir = data_dir
         self.keep_versions = keep_versions
         self.max_delta_chain = max_delta_chain
+        self.id_buckets = id_buckets
         self._lock = threading.RLock()
         self.tables: dict[tuple[str, str], _Table] = {}
         self.next_id = 1
@@ -686,6 +715,34 @@ class GraphEngine:
             )
         )
 
+    def _bucket_expr(self) -> Column:
+        """Stable hash bucket of a row: pmod(xxhash64(_id), id_buckets).
+        xxhash64 is a fixed algorithm (seed 42) computed JVM-side, so
+        the same _id lands in the same bucket across sessions and
+        versions; _id never changes after insert, so bucket membership
+        is immutable — the invariant partition-pruned rewrites rest on."""
+        return F.pmod(F.xxhash64(F.col(ID_COLUMN)), F.lit(self.id_buckets))
+
+    def _bucket_map(self, kind: str, name: str, v: int) -> dict | None:
+        """The _BUCKETS.json manifest of a bucket-complete version:
+        ``{"n": <id_buckets at write>, "map": {"<bucket>": <version
+        owning its leaf dir>}}``. None for delta versions, legacy
+        whole-dir versions, and missing versions."""
+        try:
+            with open(
+                os.path.join(
+                    self.data_dir,
+                    "tables",
+                    f"{kind}_{name}",
+                    f"v{v}",
+                    "_BUCKETS.json",
+                ),
+                encoding="utf-8",
+            ) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def _chain_versions(self, kind: str, name: str, version: int) -> list[int]:
         """Version numbers composing the table AS OF ``version``
         (ascending): the latest FULL version at-or-below it plus every
@@ -706,12 +763,30 @@ class GraphEngine:
         schema-changing or row-mutating operation forces the next
         flush to be a full rewrite; pure-insert chains are compacted
         by a forced full rewrite once they exceed ``max_delta_chain``
-        deltas, so no read ever composes an unbounded path list."""
+        deltas, so no read ever composes an unbounded path list.
+
+        A bucket-complete version (one carrying _BUCKETS.json) expands
+        to its bucket leaf dirs, each served from the version that
+        last rewrote it — the read side of partition-pruned
+        copy-on-write. Leaf dirs are read directly (no basePath), so
+        Spark never infers the _gbkt partition column and the physical
+        schema stays exactly the table schema."""
         base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
-        return [
-            os.path.join(base_dir, f"v{v}")
-            for v in self._chain_versions(kind, name, version)
-        ]
+        paths: list[str] = []
+        for v in self._chain_versions(kind, name, version):
+            bm = self._bucket_map(kind, name, v)
+            if bm is None:
+                paths.append(os.path.join(base_dir, f"v{v}"))
+            else:
+                paths.extend(
+                    os.path.join(
+                        base_dir, f"v{owner}", f"{BUCKET_COLUMN}={k}"
+                    )
+                    for k, owner in sorted(
+                        bm["map"].items(), key=lambda kv: int(kv[0])
+                    )
+                )
+        return paths
 
     def _df_at(self, kind: str, name: str, version: int) -> DataFrame:
         if not self.data_dir:
@@ -726,7 +801,14 @@ class GraphEngine:
                 f"{kind} {name!r} has no version {version} "
                 f"(available: {have or 'none'})"
             )
-        return self.spark.read.parquet(*self._chain_paths(kind, name, version))
+        paths = self._chain_paths(kind, name, version)
+        if not paths:
+            # the version owns no bucket leaf dirs (DELETE emptied the
+            # table before that flush): empty frame, current schema
+            tab = self.tables.get((kind, name))
+            schema = tab.schema if tab is not None else ST.StructType([])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
 
     def history(self) -> list[dict]:
         """Catalog version history (time-travel audit) reconstructed
@@ -756,7 +838,13 @@ class GraphEngine:
             versions: dict[str, int] = {}
             for (kind, name), tab in self.tables.items():
                 key = f"{kind}_{name}"
-                if tab.buffer or tab.dirty or tab.base is None or tab.version == 0:
+                if (
+                    tab.buffer
+                    or tab.dirty
+                    or tab.base_dirty  # ALTER migrates base without setting dirty
+                    or tab.base is None
+                    or tab.version == 0
+                ):
                     # INSERT-only changes on an already-flushed table
                     # write an O(delta) APPEND version (just the
                     # buffered rows + a _DELTA marker making the chain
@@ -782,38 +870,43 @@ class GraphEngine:
                         and len(self._chain_versions(kind, name, tab.version))
                         <= self.max_delta_chain
                     )
-                    df = (
-                        self._buffer_df(tab)
-                        if delta
-                        else self._merged_df((kind, name))
-                    )
+                    prev = tab.version
                     tab.version += 1
                     path = os.path.join(self.data_dir, "tables", key, f"v{tab.version}")
-                    # Staged publish: write parquet AND the _DELTA
-                    # marker into v<N>.staging, then rename into place.
-                    # A crash anywhere before the rename leaves only a
-                    # .staging dir, which table_versions/_chain_paths
-                    # never read — so a half-written version (or a
-                    # delta missing its marker, which a chain read
-                    # would misclassify as FULL) is never servable.
+                    # Staged publish: write parquet AND the _DELTA /
+                    # _BUCKETS.json markers into v<N>.staging, then
+                    # rename into place. A crash anywhere before the
+                    # rename leaves only a .staging dir, which
+                    # table_versions/_chain_paths never read — so a
+                    # half-written version (or a delta missing its
+                    # marker, which a chain read would misclassify as
+                    # FULL) is never servable.
                     staging = path + ".staging"
                     shutil.rmtree(staging, ignore_errors=True)
-                    df.write.mode("overwrite").parquet(staging)
                     if delta:
+                        self._buffer_df(tab).write.mode("overwrite").parquet(
+                            staging
+                        )
                         with open(os.path.join(staging, "_DELTA"), "w") as mk:
                             mk.write("delta\n")
+                    else:
+                        self._write_bucketed(kind, name, tab, prev, staging)
                     # a complete v-dir here is an orphan of a flush that
                     # crashed after rename but before its manifest
                     # publish (never committed, hidden by the
                     # table_versions clamp) — superseded by this rewrite
                     shutil.rmtree(path, ignore_errors=True)
                     os.replace(staging, path)
-                    tab.base = self.spark.read.schema(tab.schema).parquet(
-                        *self._chain_paths(kind, name, tab.version)
+                    chain = self._chain_paths(kind, name, tab.version)
+                    tab.base = (
+                        self.spark.read.schema(tab.schema).parquet(*chain)
+                        if chain
+                        else self.spark.createDataFrame([], tab.schema)
                     )
                     tab.buffer = []
                     tab.dirty = False
                     tab.base_dirty = False
+                    tab.touched_buckets = set()
                 versions[key] = tab.version
             self._commit_offset = self._count_commit_lines()
             # Snapshot the catalog BEFORE publishing the engine manifest:
@@ -866,16 +959,21 @@ class GraphEngine:
         which lists what survives. A FULL version (and intermediate
         deltas) that a retained delta version's chain depends on is
         never pruned, even when it falls outside the window — pruning
-        it would corrupt every retained version built on it."""
+        it would corrupt every retained version built on it. Likewise
+        a version still OWNING bucket leaf dirs referenced by a
+        retained version's _BUCKETS.json map survives whole (per-leaf
+        GC inside a surviving dir is a possible later refinement —
+        pruning here is dir-granular)."""
         for (kind, name), tab in self.tables.items():
             all_vs = self.table_versions(kind, name)
             needed: set[int] = set()
             for v in all_vs:
                 if v > tab.version - self.keep_versions:
-                    needed.update(
-                        int(os.path.basename(p)[1:])
-                        for p in self._chain_paths(kind, name, v)
-                    )
+                    for c in self._chain_versions(kind, name, v):
+                        needed.add(c)
+                        bm = self._bucket_map(kind, name, c)
+                        if bm is not None:
+                            needed.update(int(o) for o in bm["map"].values())
             victims = [
                 v
                 for v in all_vs
@@ -888,6 +986,94 @@ class GraphEngine:
                     ),
                     ignore_errors=True,
                 )
+
+    def _write_bucketed(
+        self, kind: str, name: str, tab: _Table, prev: int, staging: str
+    ) -> None:
+        """Write a bucket-complete (non-delta) version into ``staging``:
+        the table laid out as ``_gbkt=<k>`` hash-bucket leaf dirs plus
+        a _BUCKETS.json owner map.
+
+        When every mutated bucket since the last flush is known
+        (UPDATE/DELETE recorded them; no ALTER; the prior tip is
+        bucket-complete under the same ``id_buckets``), only those
+        buckets are rewritten and the rest INHERIT their leaf dirs
+        from the prior map — mutation flush I/O becomes
+        O(touched/id_buckets of the table) instead of O(table), the
+        partition-pruned copy-on-write the O(delta) insert path
+        already gets for appends. Anything else (legacy whole-dir tip,
+        delta tip needing compaction, schema migration, first flush)
+        falls back to the full rewrite, which also migrates the layout."""
+        parent = self._bucket_map(kind, name, prev) if prev > 0 else None
+        partial = (
+            tab.base_dirty
+            and tab.touched_buckets is not None
+            and bool(tab.touched_buckets)
+            and parent is not None
+            and parent.get("n") == self.id_buckets
+            and not self._is_delta_version(kind, name, prev)
+        )
+        touched = {int(b) for b in tab.touched_buckets or ()}
+        if partial:
+            # Owner-spread cap (the partial-rewrite twin of
+            # max_delta_chain): each partial rewrite can leave the map
+            # referencing one more version dir, and retention must keep
+            # every referenced dir whole — unbounded spread would mean
+            # unbounded protected storage and path-list diversity on a
+            # mutation-dominated workload. Once a rewrite would leave
+            # more than max_delta_chain owner versions, compact with a
+            # full rewrite instead.
+            inherited = {
+                int(o)
+                for k, o in parent["map"].items()
+                if int(k) not in touched
+            }
+            if len(inherited) + 1 > self.max_delta_chain:
+                partial = False
+        if partial and tab.buffer:
+            # post-mutation inserts ride the same partial rewrite;
+            # their buckets come from a buffer-sized job, never a
+            # table scan
+            buf = self._buffer_df(tab)
+            touched |= {
+                int(r["b"])
+                for r in buf.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            }
+        df = self._merged_df((kind, name)).withColumn(
+            BUCKET_COLUMN, self._bucket_expr()
+        )
+        if partial:
+            df = df.filter(F.col(BUCKET_COLUMN).isin(sorted(touched)))
+        # one task per bucket keeps leaf dirs to O(1) files; at cluster
+        # scale the repartition is the standard dynamic-partition write
+        (
+            df.repartition(self.id_buckets, F.col(BUCKET_COLUMN))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COLUMN)
+            .parquet(staging)
+        )
+        present = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(staging)
+            if e.startswith(f"{BUCKET_COLUMN}=")
+        }
+        if partial:
+            bmap = dict(parent["map"])
+            for k in touched:
+                if k in present:
+                    bmap[str(k)] = tab.version
+                else:
+                    # the rewrite emptied this bucket (DELETE took its
+                    # last row) — dropping the entry is what deletes it
+                    bmap.pop(str(k), None)
+        else:
+            bmap = {str(k): tab.version for k in sorted(present)}
+        with open(
+            os.path.join(staging, "_BUCKETS.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump({"n": self.id_buckets, "map": bmap}, f)
 
     # ------------------------------------------------------- persistence
 
@@ -959,8 +1145,11 @@ class GraphEngine:
                 continue
             path = os.path.join(self.data_dir, "tables", key, f"v{version}")
             if os.path.exists(path):
-                base = self.spark.read.schema(schema).parquet(
-                    *self._chain_paths(kind, name, version)
+                chain = self._chain_paths(kind, name, version)
+                base = (
+                    self.spark.read.schema(schema).parquet(*chain)
+                    if chain
+                    else self.spark.createDataFrame([], schema)
                 )
                 self.tables[(kind, name)] = _Table(schema, base=base, version=version)
 
@@ -1109,12 +1298,14 @@ class GraphEngine:
                     df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
             df = df.select(*[f.name for f in new_schema.fields])
             # the migrated base must flush as a FULL rewrite: old
-            # version files carry the old physical schema
+            # version files carry the old physical schema, so no
+            # bucket leaf dir can be inherited (touched_buckets=None)
             self.tables[key] = _Table(
                 new_schema,
                 base=df.localCheckpoint(),
                 version=tab.version,
                 base_dirty=True,
+                touched_buckets=None,
             )
 
     # ------------------------------------------------------------ tables
@@ -1716,8 +1907,17 @@ class GraphEngine:
 
         sets = self._coerce_sets(stmt, specs, type_name)
 
-        count = df.filter(pred).count()
+        # count + touched buckets in ONE scan: the matched rows'
+        # buckets let the next flush rewrite only those buckets of the
+        # versioned parquet (partition-pruned copy-on-write)
+        stats = df.filter(pred).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(self._bucket_expr()).alias("bks"),
+        ).first()
+        count = stats["n"]
         if count:
+            if tab.touched_buckets is not None:
+                tab.touched_buckets |= {int(b) for b in stats["bks"]}
             # Materialize the match ONCE before mutating: if a SET rewrites a
             # column referenced in WHERE, re-resolving `pred` against the
             # updated value would silently skip the remaining SET columns.
@@ -1794,8 +1994,14 @@ class GraphEngine:
                 df, type_name, stmt.from_node, stmt.to_node
             )
             pred = pred & ep_pred
-        count = df.filter(pred).count()
+        stats = df.filter(pred).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(self._bucket_expr()).alias("bks"),
+        ).first()
+        count = stats["n"]
         if count:
+            if tab.touched_buckets is not None:
+                tab.touched_buckets |= {int(b) for b in stats["bks"]}
             tab.base = df.filter(~pred).drop(*ep_drops).localCheckpoint()
             tab.buffer = []
             tab.dirty = True

@@ -681,30 +681,39 @@ def test_time_travel_versions(spark, tmp_path):
 
 
 def test_version_retention_prunes_outside_window(spark, tmp_path):
-    # keep_versions=2 over FULL versions (each flush follows an UPDATE,
-    # which forces a full rewrite): travel works inside the window,
-    # pruned versions raise the normal no-such-version error, and the
-    # live table plus reopen/replay are untouched by GC. (r9:
-    # insert-only versions are deltas whose chains PROTECT their full
-    # from pruning — covered by
-    # test_delta_flush_retention_keeps_needed_chain.)
+    # keep_versions=2: travel works inside the window, pruned versions
+    # raise the normal no-such-version error, and the live table plus
+    # reopen/replay are untouched by GC. r10: mutation flushes are
+    # PARTIAL bucket rewrites, so an old version still owning bucket
+    # leaf dirs referenced by a retained map survives the window (the
+    # partial-rewrite twin of the delta-chain protection in
+    # test_delta_flush_retention_keeps_needed_chain); a full rewrite
+    # (here forced by ALTER) releases it.
     d = str(tmp_path / "gc")
     eng = GraphEngine(spark, data_dir=d, keep_versions=2)
     eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
     eng.flush()  # v1 (full)
     eng.execute("INSERT NODE P (name: 'b');")
     eng.execute("UPDATE NODE P SET name: 'b2' WHERE name: 'b';")
-    eng.flush()  # v2 (full: base mutated)
+    eng.flush()  # v2 (partial: only b's bucket rewritten)
     assert eng.table_versions("node", "P") == [1, 2]  # inside window
     eng.execute("INSERT NODE P (name: 'c');")
     eng.execute("UPDATE NODE P SET name: 'c2' WHERE name: 'c';")
-    eng.flush()  # v3 (full) -> v1 pruned
-    assert eng.table_versions("node", "P") == [2, 3]
+    eng.flush()  # v3 (partial) — v1 still owns a's bucket: protected
+    assert eng.table_versions("node", "P") == [1, 2, 3]
     assert eng.node_df_at("P", 2).count() == 2
     assert eng.node_df_at("P", 3).count() == 3
+    # a schema migration forces a FULL rewrite; the next window no
+    # longer references the old owners and GC frees them
+    eng.execute("ALTER NODE P ADD extra: int;")
+    eng.flush()  # v4 (full)
+    eng.execute("UPDATE NODE P SET extra: 1 WHERE name: 'a';")
+    eng.flush()  # v5 (partial over v4) -> window {4,5}, owners {4,5}
+    assert eng.table_versions("node", "P") == [4, 5]
     with pytest.raises(EngineError, match="no version 1"):
         eng.node_df_at("P", 1)
-    eng2 = GraphEngine(spark, data_dir=d)  # reopen reads the live v3
+    assert eng.node_df_at("P", 5).count() == 3
+    eng2 = GraphEngine(spark, data_dir=d)  # reopen reads the live v5
     assert eng2.node_df("P").count() == 3
 
 
@@ -1614,6 +1623,140 @@ def test_orphan_published_version_not_servable(spark, tmp_path):
     eng2.execute("INSERT NODE OP (id: 2);")
     eng2.flush()  # re-publishes v2 over the orphan
     assert sorted(r.id for r in eng2.node_df_at("OP", 2).collect()) == [1, 2]
+
+
+def _bucket_of(spark, _id: str, n: int) -> int:
+    return spark.sql(
+        f"SELECT pmod(xxhash64('{_id}'), {n}) AS b"
+    ).collect()[0]["b"]
+
+
+def test_partial_rewrite_touches_only_matched_buckets(spark, tmp_path):
+    # r10: an UPDATE/DELETE flush rewrites ONLY the hash buckets
+    # holding matched rows; the rest inherit their leaf dirs from the
+    # prior version's _BUCKETS.json map (partition-pruned
+    # copy-on-write)
+    import glob as _glob
+
+    B = 8
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=B)
+    eng.execute("CREATE NODE PB (id: int PRIMARY KEY, v: int);")
+    for k in range(1, 33):
+        eng.execute(f"INSERT NODE PB (id: {k}, v: {k});")
+    eng.flush()  # v1 full, bucketed
+    d = tmp_path / "d" / "tables" / "node_PB"
+    v1_leafs = sorted(_glob.glob(str(d / "v1" / "_gbkt=*")))
+    assert len(v1_leafs) == B  # 32 seq ids cover all 8 buckets
+    assert (d / "v1" / "_BUCKETS.json").exists()
+
+    # one matched row -> exactly one bucket rewritten in v2
+    eng.execute("UPDATE NODE PB SET v: 999 WHERE id: 7;")
+    eng.flush()
+    v2_leafs = sorted(_glob.glob(str(d / "v2" / "_gbkt=*")))
+    assert len(v2_leafs) == 1
+    # the rewritten bucket is the one id 7's _id hashes into
+    victim = eng.node_df("PB").filter("id = 7").collect()[0]["_id"]
+    assert v2_leafs[0].endswith(f"_gbkt={_bucket_of(spark, victim, B)}")
+    # reads compose the map: full current state, v1 unchanged
+    assert sorted(r.v for r in eng.node_df_at("PB", 1).collect()) == list(
+        range(1, 33)
+    )
+    got = sorted(r.v for r in eng.node_df("PB").collect())
+    assert got == [v for v in range(1, 33) if v != 7] + [999]
+
+    # DELETE also prunes: one bucket rewritten, others inherited
+    eng.execute("DELETE NODE PB WHERE id: 8;")
+    eng.flush()
+    v3_leafs = _glob.glob(str(d / "v3" / "_gbkt=*"))
+    assert len(v3_leafs) == 1
+    assert eng.node_df("PB").count() == 31
+    # boot recovery resolves the same maps
+    eng2 = GraphEngine(spark, data_dir=eng.data_dir)
+    assert eng2.node_df("PB").count() == 31
+    assert sorted(r.v for r in eng2.node_df_at("PB", 2).collect()) == got
+
+
+def test_partial_rewrite_carries_new_inserts(spark, tmp_path):
+    # inserts buffered after a mutation ride the same partial rewrite:
+    # their buckets are added to the touched set at flush
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    eng.execute(
+        "CREATE NODE PC (id: int PRIMARY KEY);"
+        "INSERT NODE PC (id: 1); INSERT NODE PC (id: 2);"
+        "INSERT NODE PC (id: 3); INSERT NODE PC (id: 4);"
+    )
+    eng.flush()  # v1
+    eng.execute("UPDATE NODE PC SET id: 20 WHERE id: 2;")
+    eng.execute("INSERT NODE PC (id: 5); INSERT NODE PC (id: 6);")
+    eng.flush()  # v2 partial: buckets of {2's _id, 5's _id, 6's _id}
+    assert sorted(r.id for r in eng.node_df("PC").collect()) == [1, 3, 4, 5, 6, 20]
+    assert sorted(r.id for r in eng.node_df_at("PC", 2).collect()) == [
+        1, 3, 4, 5, 6, 20,
+    ]
+    assert sorted(r.id for r in eng.node_df_at("PC", 1).collect()) == [1, 2, 3, 4]
+
+
+def test_partial_rewrite_empty_bucket_drops_map_entry(spark, tmp_path):
+    # deleting a bucket's last row removes its map entry — readers must
+    # not resurrect the old leaf dir
+    B = 4
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=B)
+    eng.execute("CREATE NODE PD (id: int PRIMARY KEY);")
+    for k in range(1, 9):
+        eng.execute(f"INSERT NODE PD (id: {k});")
+    eng.flush()  # v1
+    # find an id alone in its bucket (seq _ids "1".."8" over 4 buckets)
+    ids = {r["id"]: r["_id"] for r in eng.node_df("PD").collect()}
+    from collections import Counter
+
+    counts = Counter(_bucket_of(spark, i, B) for i in ids.values())
+    lone = next(
+        (k for k, i in ids.items() if counts[_bucket_of(spark, i, B)] == 1),
+        None,
+    )
+    if lone is None:  # hash layout left no singleton bucket: delete a pair
+        b = next(b for b, c in counts.items() if c == 2)
+        pair = [k for k, i in ids.items() if _bucket_of(spark, i, B) == b]
+        eng.execute(f"DELETE NODE PD WHERE id: {pair[0]};")
+        eng.execute(f"DELETE NODE PD WHERE id: {pair[1]};")
+        survivors = sorted(set(ids) - set(pair))
+    else:
+        eng.execute(f"DELETE NODE PD WHERE id: {lone};")
+        survivors = sorted(set(ids) - {lone})
+    eng.flush()  # v2 partial, emptied bucket dropped from map
+    import json as _json
+
+    bm = _json.load(open(tmp_path / "d" / "tables" / "node_PD" / "v2" / "_BUCKETS.json"))
+    assert len(bm["map"]) == len(set(bm["map"])) and len(bm["map"]) < B + 1
+    assert sorted(r.id for r in eng.node_df("PD").collect()) == survivors
+    assert sorted(r.id for r in eng.node_df_at("PD", 2).collect()) == survivors
+
+
+def test_partial_rewrite_owner_spread_compacts(spark, tmp_path):
+    # the owner-spread cap: once a map would reference more than
+    # max_delta_chain versions, the flush compacts with a full rewrite
+    # (so retention's protected set stays bounded under a
+    # mutation-dominated workload)
+    import json as _json
+
+    eng = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=8, max_delta_chain=3
+    )
+    eng.execute("CREATE NODE PE (id: int PRIMARY KEY, v: int);")
+    for k in range(1, 25):
+        eng.execute(f"INSERT NODE PE (id: {k}, v: 0);")
+    eng.flush()  # v1 full
+    spreads = []
+    for step, k in enumerate((1, 9, 17, 2, 10), start=2):
+        eng.execute(f"UPDATE NODE PE SET v: {step} WHERE id: {k};")
+        eng.flush()
+        bm = _json.load(
+            open(tmp_path / "d" / "tables" / "node_PE" / f"v{step}" / "_BUCKETS.json")
+        )
+        spreads.append(len(set(bm["map"].values())))
+    assert max(spreads) <= 3
+    assert 1 in spreads[1:]  # at least one forced full compaction
+    assert eng.node_df("PE").count() == 24
 
 
 def test_return_count_field_non_null(eng):
