@@ -78,6 +78,7 @@ _VALUE_CLASSES = {
         ast.FieldDef,
         ast.Endpoint,
         ast.Property,
+        ast.PredGroup,
         ast.NodeRef,
         ast.MatchElement,
         *_DDL_CLASSES.values(),

@@ -987,6 +987,20 @@ class GraphEngine:
                     ignore_errors=True,
                 )
 
+    def _buffer_buckets(self, tab: _Table) -> set[int]:
+        """Hash buckets of the driver-held buffer rows — a buffer-sized
+        Spark job (the bucket hash must be the JVM xxhash64, so it is
+        never computed driver-side)."""
+        buf = self._buffer_df(tab)
+        if buf is None:
+            return set()
+        return {
+            int(r["b"])
+            for r in buf.select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        }
+
     def _write_bucketed(
         self, kind: str, name: str, tab: _Table, prev: int, staging: str
     ) -> None:
@@ -1014,6 +1028,11 @@ class GraphEngine:
             and not self._is_delta_version(kind, name, prev)
         )
         touched = {int(b) for b in tab.touched_buckets or ()}
+        if partial and tab.buffer:
+            # post-mutation inserts ride the same partial rewrite;
+            # their buckets come from a buffer-sized job, never a
+            # table scan
+            touched |= self._buffer_buckets(tab)
         if partial:
             # Owner-spread cap (the partial-rewrite twin of
             # max_delta_chain): each partial rewrite can leave the map
@@ -1030,17 +1049,6 @@ class GraphEngine:
             }
             if len(inherited) + 1 > self.max_delta_chain:
                 partial = False
-        if partial and tab.buffer:
-            # post-mutation inserts ride the same partial rewrite;
-            # their buckets come from a buffer-sized job, never a
-            # table scan
-            buf = self._buffer_df(tab)
-            touched |= {
-                int(r["b"])
-                for r in buf.select(self._bucket_expr().alias("b"))
-                .distinct()
-                .collect()
-            }
         df = self._merged_df((kind, name)).withColumn(
             BUCKET_COLUMN, self._bucket_expr()
         )
@@ -1450,59 +1458,73 @@ class GraphEngine:
         pure overhead per statement. Both sides of every comparison
         come from ``coerce_literal``, so Python ``==`` agrees with the
         Column predicate for every storable type."""
-        # group -> list of (name, op, coerced value-or-values); a member
-        # whose key is unknown matches nothing (dropped from its group);
-        # a group with no viable member matches nothing at all.
-        compiled: list[list[tuple[str, str, object]]] = []
-        for group in _where_groups(where):
-            members: list[tuple[str, str, object]] = []
-            for p in group:
-                name = self._resolve_prop_name(p, alias)
-                spec = specs.get(name) if name is not None else None
-                if spec is None or name not in columns:
-                    continue
-                if p.op == "in":
-                    members.append(
-                        (name, "in", self._coerce_in_values(p, spec, name))
-                    )
-                    continue
-                try:
-                    val = coerce_literal(p.value, spec.type, name)
-                except CoercionError as e:
-                    raise EngineError(str(e)) from e
-                members.append((name, p.op, val))
-            if not members:
-                return lambda r: False
-            compiled.append(members)
-
-        def one(r: dict, name: str, op: str, val: object) -> bool:
-            got = r.get(name)
-            if op == "in":
-                if got is None:
-                    return any(v is None for v in val)
-                return any(v is not None and got == v for v in val)
-            if op != "=":
-                # range/<> extension: null never matches (SQL semantics)
-                if got is None or val is None:
-                    return False
-                if op == "<>":
-                    return got != val
-                if op == "<=":
-                    return got <= val
-                if op == ">=":
-                    return got >= val
-                return got < val if op == "<" else got > val
-            if got is None or val is None:
-                return got is val
-            return got == val
+        # group -> list of member callables; a member whose key is
+        # unknown matches nothing (compiles to False — so its NOT
+        # matches everything, mirroring _where_member); a group with
+        # only such members matches nothing at all.
+        compiled: list[list] = [
+            [self._py_member(p, specs, columns, alias) for p in group]
+            for group in _where_groups(where)
+        ]
 
         def match(r: dict) -> bool:
             return all(
-                any(one(r, name, op, val) for name, op, val in members)
-                for members in compiled
+                any(m(r) for m in members) for members in compiled
             )
 
         return match
+
+    def _py_member(
+        self,
+        p: "ast.Property | ast.PredGroup",
+        specs: dict[str, FieldSpec],
+        columns: list[str],
+        alias: str | None = None,
+    ):
+        """One disjunction member of ``_py_where`` (leaf or nested
+        group), with its NOT applied — coercion errors raise at
+        compile time, like the distributed path."""
+        if isinstance(p, ast.PredGroup):
+            sub = self._py_where(p.items, specs, columns, alias)
+            return (lambda r: not sub(r)) if p.negated else sub
+        name = self._resolve_prop_name(p, alias)
+        spec = specs.get(name) if name is not None else None
+        if spec is None or name not in columns:
+            leaf = lambda r: False  # noqa: E731
+        elif p.op == "in":
+            vals = self._coerce_in_values(p, spec, name)
+
+            def leaf(r, name=name, vals=vals):
+                got = r.get(name)
+                if got is None:
+                    return any(v is None for v in vals)
+                return any(v is not None and got == v for v in vals)
+
+        else:
+            try:
+                val = coerce_literal(p.value, spec.type, name)
+            except CoercionError as e:
+                raise EngineError(str(e)) from e
+
+            def leaf(r, name=name, op=p.op, val=val):
+                got = r.get(name)
+                if op != "=":
+                    # range/<> extension: null never matches (SQL
+                    # semantics; total, so NOT is plain negation)
+                    if got is None or val is None:
+                        return False
+                    if op == "<>":
+                        return got != val
+                    if op == "<=":
+                        return got <= val
+                    if op == ">=":
+                        return got >= val
+                    return got < val if op == "<" else got > val
+                if got is None or val is None:
+                    return got is val
+                return got == val
+
+        return (lambda r: not leaf(r)) if p.negated else leaf
 
     def _where_pred(
         self,
@@ -1512,48 +1534,106 @@ class GraphEngine:
         alias: str | None = None,
     ) -> Column:
         """Conjunction of OR-groups; a key absent from the schema
-        matches nothing (server/server.go:779-782) — within a
-        disjunction only that member dies, the group survives on its
-        other members. ``=`` is null-safe equality (server.go:793-797);
-        ``<``/``>``/``<>`` use guarded SQL comparison (see ``_cmp``);
-        ``IN`` compiles to a pushable In filter (see ``_in_pred``)."""
+        matches nothing (server/server.go:779-782) — the member
+        compiles to FALSE, so within a disjunction only that member
+        dies and the group survives on its other members (and
+        ``NOT missing: x``, false negated, matches everything —
+        compositional semantics). ``=`` is null-safe equality
+        (server.go:793-797); ``<``/``>``/``<>`` use guarded SQL
+        comparison (see ``_cmp``); ``IN`` compiles to a pushable In
+        filter (see ``_in_pred``); parenthesized groups recurse;
+        every leaf is TOTAL, so NOT is plain negation (never a
+        three-valued surprise on DELETE's ``~pred`` keep side).
+        Catalyst constant-folds the FALSE leaves away, so pushdown is
+        unaffected."""
         pred = F.lit(True)
         for group in _where_groups(where):
             gpred: Column | None = None
             for p in group:
-                name = self._resolve_prop_name(p, alias)
-                spec = specs.get(name) if name is not None else None
-                if spec is None or name not in columns:
-                    continue
-                if p.op == "in":
-                    one = _in_pred(
-                        F.col(name), self._coerce_in_values(p, spec, name)
-                    )
-                else:
-                    try:
-                        val = coerce_literal(p.value, spec.type, name)
-                    except CoercionError as e:
-                        raise EngineError(str(e)) from e
-                    one = _cmp(
-                        F.col(name), p.op, F.lit(val).cast(spark_type(spec.type))
-                    )
+                one = self._where_member(p, specs, columns, alias)
                 gpred = one if gpred is None else (gpred | one)
-            if gpred is None:
-                return F.lit(False)
-            pred = pred & gpred
+            pred = pred & (gpred if gpred is not None else F.lit(False))
+        return pred
+
+    def _where_member(
+        self,
+        p: "ast.Property | ast.PredGroup",
+        specs: dict[str, FieldSpec],
+        columns: list[str],
+        alias: str | None = None,
+    ) -> Column:
+        """One disjunction member of ``_where_pred`` (leaf predicate or
+        nested parenthesized group), with its NOT applied."""
+        if isinstance(p, ast.PredGroup):
+            sub = self._where_pred(p.items, specs, columns, alias)
+            return ~sub if p.negated else sub
+        name = self._resolve_prop_name(p, alias)
+        spec = specs.get(name) if name is not None else None
+        if spec is None or name not in columns:
+            one: Column = F.lit(False)
+        elif p.op == "in":
+            one = _in_pred(F.col(name), self._coerce_in_values(p, spec, name))
+        else:
+            try:
+                val = coerce_literal(p.value, spec.type, name)
+            except CoercionError as e:
+                raise EngineError(str(e)) from e
+            one = _cmp(F.col(name), p.op, F.lit(val).cast(spark_type(spec.type)))
+        return ~one if p.negated else one
+
+    def _prefixed_where_pred(
+        self,
+        items: tuple["ast.Property | ast.PredGroup", ...],
+        aliases: list[str],
+        specs: list[dict[str, FieldSpec]],
+        on_dead=None,
+    ) -> Column:
+        """Conjunction of OR-groups over alias-prefixed chain /
+        var-length columns (the prefixed twin of ``_where_pred``).
+        ``on_dead`` is called with each non-viable member (used by the
+        var-length path to reject WHERE on edge properties); a group
+        left with no viable member matches nothing."""
+        pred = F.lit(True)
+        for group in _where_groups(items):
+            gpred: Column | None = None
+            for p in group:
+                one = self._prefixed_member_pred(
+                    p, aliases, specs, on_dead=on_dead
+                )
+                if one is None:
+                    if on_dead is not None:
+                        on_dead(p)  # may raise (var-length edge props)
+                    if getattr(p, "negated", False):
+                        # NOT over a non-viable member matches
+                        # everything (compositional: NOT false)
+                        one = F.lit(True)
+                    else:
+                        continue
+                gpred = one if gpred is None else (gpred | one)
+            pred = pred & (gpred if gpred is not None else F.lit(False))
         return pred
 
     def _prefixed_member_pred(
         self,
-        p: ast.Property,
+        p: "ast.Property | ast.PredGroup",
         aliases: list[str],
         specs: list[dict[str, FieldSpec]],
+        on_dead=None,
     ) -> Column | None:
         """One WHERE member over alias-prefixed chain/var-length
         columns: an alias-qualified key (``a.field``) targets exactly
         its element; an unqualified key applies to EVERY element
-        declaring the field (AND — the chain's documented semantics).
-        None = this member matches nothing."""
+        declaring the field (AND — the chain's documented semantics);
+        NOT negates the member as a whole (parenthesized groups
+        recurse; all leaves are total). None = this member is not
+        viable (the group loop turns a negated dead member into
+        match-everything, compositional with ``_where_member``, after
+        giving ``on_dead`` its chance to reject)."""
+        if isinstance(p, ast.PredGroup):
+            sub = self._prefixed_where_pred(
+                p.items, aliases, specs, on_dead=on_dead
+            )
+            return ~sub if p.negated else sub
         name = p.name
         if "." in name:
             q, f = name.split(".", 1)
@@ -1584,7 +1664,7 @@ class GraphEngine:
                     raise EngineError(str(e)) from e
                 one = _cmp(col, p.op, F.lit(val).cast(spark_type(spec.type)))
             expr = one if expr is None else expr & one
-        return expr
+        return ~expr if p.negated else expr
 
     # ------------------------------------------------------------- DML
 
@@ -1918,6 +1998,13 @@ class GraphEngine:
         if count:
             if tab.touched_buckets is not None:
                 tab.touched_buckets |= {int(b) for b in stats["bks"]}
+                if tab.buffer:
+                    # the mutation folds buffered inserts into base
+                    # (buffer cleared below) — record THEIR buckets
+                    # too, or a later partial rewrite would drop
+                    # surviving ex-buffer rows in untouched buckets
+                    # (caught by the r10 durable soak, seed 209)
+                    tab.touched_buckets |= self._buffer_buckets(tab)
             # Materialize the match ONCE before mutating: if a SET rewrites a
             # column referenced in WHERE, re-resolving `pred` against the
             # updated value would silently skip the remaining SET columns.
@@ -2002,6 +2089,9 @@ class GraphEngine:
         if count:
             if tab.touched_buckets is not None:
                 tab.touched_buckets |= {int(b) for b in stats["bks"]}
+                if tab.buffer:
+                    # same fold-the-buffer bucket recording as _update
+                    tab.touched_buckets |= self._buffer_buckets(tab)
             tab.base = df.filter(~pred).drop(*ep_drops).localCheckpoint()
             tab.buffer = []
             tab.dirty = True
@@ -2193,14 +2283,10 @@ class GraphEngine:
                 == F.col(f"{aliases[i + 1]}_{ID_COLUMN}"),
             )
 
-        for group in _where_groups(stmt.where):
-            gpred: Column | None = None
-            for p in group:
-                one = self._prefixed_member_pred(p, aliases, specs)
-                if one is not None:
-                    gpred = one if gpred is None else (gpred | one)
-            # a group with no viable member matches nothing
-            out = out.filter(gpred if gpred is not None else F.lit(False))
+        if stmt.where:
+            out = out.filter(
+                self._prefixed_where_pred(stmt.where, aliases, specs)
+            )
 
         id_cols = [f"{a}_{ID_COLUMN}" for a in aliases]
         ret_cols: list[str] = []
@@ -2336,20 +2422,22 @@ class GraphEngine:
 
         node_specs = [nt_l.field_map(), nt_r.field_map()]
         node_aliases = [a, b]
-        for group in _where_groups(stmt.where):
-            gpred: Column | None = None
-            for p in group:
-                one = self._prefixed_member_pred(p, node_aliases, node_specs)
-                if one is None:
-                    bare = p.name.split(".", 1)[-1]
-                    if bare in et.prop_map():
-                        raise EngineError(
-                            f"WHERE on edge property {bare!r} is not "
-                            f"supported across a variable-length edge"
-                        )
-                    continue
-                gpred = one if gpred is None else (gpred | one)
-            out = out.filter(gpred if gpred is not None else F.lit(False))
+
+        def _reject_edge_prop(p: ast.Property) -> None:
+            bare = p.name.split(".", 1)[-1]
+            if bare in et.prop_map():
+                raise EngineError(
+                    f"WHERE on edge property {bare!r} is not "
+                    f"supported across a variable-length edge"
+                )
+
+        if stmt.where:
+            out = out.filter(
+                self._prefixed_where_pred(
+                    stmt.where, node_aliases, node_specs,
+                    on_dead=_reject_edge_prop,
+                )
+            )
 
         id_cols = [f"{a}_{ID_COLUMN}", f"{b}_{ID_COLUMN}"]
         ret_cols: list[str] = []

@@ -107,6 +107,27 @@ class Property:
     #: or_group >= 0 are OR'd together before the groups are AND'd
     #: (the reference's comma conjunction); -1 = plain conjunct
     or_group: int = -1
+    #: NOT prefix (WHERE extension): negate this member. Every leaf
+    #: predicate compiles TOTAL (never NULL), so negation is total
+    #: too — ``NOT a: 5`` matches rows where a is null or != 5
+    #: (negation of null-safe equality), never a third value.
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class PredGroup:
+    """Parenthesized WHERE sub-expression (extension — the reference
+    grammar has only the flat comma conjunction, parser.go:741-778):
+    ``items`` carries the same conjunction-of-OR-groups encoding as a
+    top-level WHERE tuple and may nest further groups; ``negated``
+    applies NOT to the whole group; ``or_group`` lets the group join
+    an enclosing disjunction like any other member."""
+
+    items: tuple["Property | PredGroup", ...]
+    negated: bool = False
+    or_group: int = -1
+    line: int = 0
+    col: int = 0
 
 
 class Stmt:

@@ -385,16 +385,22 @@ class Parser:
         ``name < literal`` / ``name > literal`` / ``name <> literal``
         comparisons, ``name IN (lit, ...)`` membership lists, and
         ``pred OR pred`` disjunctions between comma-separated
-        conjuncts (extensions — the reference grammar has only
-        ``name: value`` equality conjunction, parser.go:741-778).
-        OR binds tighter than the comma: ``a: 1 OR b: 2, c: 3`` is
-        ``(a=1 OR b=2) AND c=3``. OR and IN are soft keywords — a
-        field literally named ``or``/``in`` still parses at predicate
-        start, and backtick-quoting opts out everywhere."""
-        props: list[ast.Property] = []
+        conjuncts, ``NOT term`` negation, and ``( ... )`` grouping of
+        a full nested predicate list (extensions — the reference
+        grammar has only ``name: value`` equality conjunction,
+        parser.go:741-778). OR binds tighter than the comma
+        (``a: 1 OR b: 2, c: 3`` is ``(a=1 OR b=2) AND c=3``) and NOT
+        binds tighter than OR (``NOT a: 1 OR b: 2`` is
+        ``(NOT a=1) OR b=2``); parentheses override both. OR and IN
+        are soft keywords — a field literally named ``or``/``in``
+        still parses at predicate start and backtick-quoting opts out
+        everywhere; NOT is reserved in the reference lexer already
+        (NOT NULL), so a field named ``not`` needs backticks like any
+        reserved word."""
+        props: list[ast.Property | ast.PredGroup] = []
         gid = 0
         while True:
-            group = [self._parse_one_predicate(qualified, allow_cmp)]
+            group = [self._parse_one_term(qualified, allow_cmp)]
             while (
                 allow_cmp
                 and self._tok.type is T.IDENT
@@ -402,7 +408,7 @@ class Parser:
                 and self._tok.lit.upper() == "OR"
             ):
                 self._next()
-                group.append(self._parse_one_predicate(qualified, allow_cmp))
+                group.append(self._parse_one_term(qualified, allow_cmp))
             if len(group) > 1:
                 group = [dataclasses.replace(p, or_group=gid) for p in group]
                 gid += 1
@@ -410,6 +416,31 @@ class Parser:
             if not self._match(T.COMMA):
                 break
         return tuple(props)
+
+    def _parse_one_term(
+        self, qualified: bool, allow_cmp: bool
+    ) -> "ast.Property | ast.PredGroup":
+        """One disjunction member: ``[NOT] predicate`` or ``[NOT]
+        ( nested-where )`` (cmp contexts only; plain property lists
+        keep the reference grammar)."""
+        negated = False
+        while allow_cmp and self._tok.type is T.NOT:
+            # NOT is already reserved in the reference lexer (NOT NULL,
+            # token.go) — no soft-keyword dance needed; a field named
+            # ``not`` requires backticks everywhere, as with any
+            # reserved word
+            self._next()
+            negated = not negated
+        if allow_cmp and self._tok.type is T.LPAREN:
+            t = self._tok
+            self._next()
+            items = self._parse_property_list(qualified, allow_cmp)
+            self._expect(T.RPAREN)
+            return ast.PredGroup(
+                items, negated=negated, line=t.line, col=t.col
+            )
+        p = self._parse_one_predicate(qualified, allow_cmp)
+        return dataclasses.replace(p, negated=True) if negated else p
 
     def _parse_one_predicate(
         self, qualified: bool, allow_cmp: bool

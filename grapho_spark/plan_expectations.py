@@ -58,6 +58,14 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "gql_match_in_where": [
         r"PushedFilters: \[[^\]]*In\(c_mktsegment",
     ],
+    # r10: NOT decomposes to pushable Not(EqualNullSafe) conjuncts
+    "gql_match_not_where": [
+        r"PushedFilters: \[[^\]]*Not\(EqualNullSafe\(c_mktsegment,BUILDING\)\)",
+    ],
+    # r10: nested paren groups push whole as one Or(And(...)) tree
+    "gql_match_paren_groups": [
+        r"PushedFilters: \[[^\]]*Or\(And\(",
+    ],
     # r9: inclusive bounds must push as GreaterThanOrEqual/
     # LessThanOrEqual scan filters
     "gql_match_cmp_bounds": [

@@ -809,3 +809,61 @@ def gql_match_count_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH CityF RETURN city, COUNT(age), COUNT(*) ORDER BY city;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_not_where",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal, c_mktsegment
+FROM customer
+WHERE NOT (c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY')
+  AND c_acctbal > 9600.0
+""",
+)
+def gql_match_not_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH with the NOT WHERE extension (r10): ``NOT term`` negates
+    a single predicate or a parenthesized group. Every leaf compiles
+    TOTAL (null-safe ``=``, IsNotNull-guarded comparisons, guarded
+    IN), so the negation is plain boolean NOT — no three-valued
+    surprise on DELETE's ``~pred`` keep side — and Catalyst folds
+    ``Not(Or(EqualNullSafe...))`` into a pushable scan filter
+    (plan-CI-asserted). NOT was already reserved in the reference
+    lexer (NOT NULL, parser/token.go), so the reserved-word table is
+    unchanged. c_mktsegment is never null in the fixture, so the
+    null-matching arm of NOT-over-``=`` is inert here and the DuckDB
+    NOT(...) oracle agrees; the null semantics themselves are pinned
+    by tests/test_engine.py::test_not_and_paren_where_semantics."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE "
+        "NOT (c_mktsegment: 'BUILDING' OR c_mktsegment: 'MACHINERY'), "
+        "c_acctbal > 9600.0 "
+        "RETURN c_name, c_acctbal, c_mktsegment;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_match_paren_groups",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal, c_nationkey
+FROM customer
+WHERE ((c_nationkey < 3 AND c_acctbal > 9000.0)
+       OR (c_nationkey > 20 AND NOT c_acctbal < 9900.0))
+""",
+)
+def gql_match_paren_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthesized WHERE groups (r10): ``( ... )`` wraps a full
+    nested predicate list (comma = AND, OR, NOT all legal inside) and
+    participates in an enclosing disjunction like any member —
+    completing the boolean algebra the r9 OR/IN extension started.
+    The nested groups compile to ordinary AND/OR Columns that
+    Catalyst flattens and pushes whole to the parquet scan."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE "
+        "(c_nationkey < 3, c_acctbal > 9000.0) OR "
+        "(c_nationkey > 20, NOT c_acctbal < 9900.0) "
+        "RETURN c_name, c_acctbal, c_nationkey;"
+    )[0]
+    return res.df

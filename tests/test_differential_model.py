@@ -20,66 +20,78 @@ N_OPS = 80
 DOMAIN = list(range(6))  # small value domain => predicates hit often
 
 
-def _member_match(row: dict, name: str, op: str, val: object) -> bool:
+def _member_match(row: dict, m: tuple) -> bool:
+    """One disjunction member: ``("leaf", negated, field, op, val)`` or
+    ``("group", negated, groups)`` — mirroring the engine's r10 WHERE
+    algebra (every leaf total, NOT = plain negation)."""
+    if m[0] == "group":
+        _, neg, groups = m
+        res = _model_match(row, groups)
+        return (not res) if neg else res
+    _, neg, name, op, val = m
     got = row.get(name)
     if op == "=":
-        return got == val
-    if op == "in":
+        res = got == val
+    elif op == "in":
         # null-safe membership: a null literal in the list matches
         # stored nulls, like the engine's `=` (here DOMAIN is non-null)
         if got is None:
-            return any(v is None for v in val)
-        return any(v is not None and got == v for v in val)
-    if got is None or val is None:
-        return False  # range/<> never matches null
-    if op == "<":
-        return got < val
-    if op == ">":
-        return got > val
-    if op == "<=":
-        return got <= val
-    if op == ">=":
-        return got >= val
-    return got != val  # <>
+            res = any(v is None for v in val)
+        else:
+            res = any(v is not None and got == v for v in val)
+    elif got is None or val is None:
+        res = False  # range/<> never matches null (total: False, not NULL)
+    elif op == "<":
+        res = got < val
+    elif op == ">":
+        res = got > val
+    elif op == "<=":
+        res = got <= val
+    elif op == ">=":
+        res = got >= val
+    else:
+        res = got != val  # <>
+    return (not res) if neg else res
 
 
-def _model_match(row: dict, groups: list[list[tuple[str, str, object]]]) -> bool:
-    """Conjunction of OR-groups (r9: the WHERE grammar's full extent —
-    comma = AND between groups, OR within a group, members =/</>/<>/IN)."""
+def _model_match(row: dict, groups: list[list[tuple]]) -> bool:
+    """Conjunction of OR-groups (r10: the WHERE grammar's full extent —
+    comma = AND between groups, OR within a group, members
+    =/</>/<>/IN, NOT on any member, parenthesized nested groups)."""
     return all(
-        any(_member_match(row, *m) for m in group) for group in groups
+        any(_member_match(row, m) for m in group) for group in groups
     )
+
+
+def _rand_member(rng: random.Random, depth: int) -> tuple[str, tuple]:
+    neg = rng.random() < 0.25
+    pre = "NOT " if neg else ""
+    if depth == 0 and rng.random() < 0.2:
+        subtext, subgroups = _rand_conds(rng, depth=1)
+        return f"{pre}({subtext})", ("group", neg, subgroups)
+    field = rng.choice(["a", "b"])
+    op = rng.choice(["=", "<", ">", "<=", ">=", "<>", "in"])
+    if op == "in":
+        vals = tuple(rng.choice(DOMAIN) for _ in range(rng.randint(1, 3)))
+        return (
+            f"{pre}{field} IN ({', '.join(str(x) for x in vals)})",
+            ("leaf", neg, field, "in", vals),
+        )
+    v = rng.choice(DOMAIN)
+    txt = f"{field}: {v}" if op == "=" else f"{field} {op} {v}"
+    return f"{pre}{txt}", ("leaf", neg, field, op, v)
 
 
 def _rand_conds(
-    rng: random.Random,
-) -> tuple[str, list[list[tuple[str, str, object]]]]:
-    groups: list[list[tuple[str, str, object]]] = []
+    rng: random.Random, depth: int = 0
+) -> tuple[str, list[list[tuple]]]:
+    groups: list[list[tuple]] = []
+    texts: list[str] = []
     for _ in range(rng.randint(1, 2)):
-        members: list[tuple[str, str, object]] = []
-        for _ in range(rng.randint(1, 2)):
-            field = rng.choice(["a", "b"])
-            op = rng.choice(["=", "<", ">", "<=", ">=", "<>", "in"])
-            if op == "in":
-                vals = tuple(
-                    rng.choice(DOMAIN) for _ in range(rng.randint(1, 3))
-                )
-                members.append((field, "in", vals))
-            else:
-                members.append((field, op, rng.choice(DOMAIN)))
-        groups.append(members)
-
-    def mtext(f: str, op: str, v: object) -> str:
-        if op == "=":
-            return f"{f}: {v}"
-        if op == "in":
-            return f"{f} IN ({', '.join(str(x) for x in v)})"
-        return f"{f} {op} {v}"
-
-    text = ", ".join(
-        " OR ".join(mtext(*m) for m in g) for g in groups
-    )
-    return text, groups
+        pairs = [_rand_member(rng, depth) for _ in range(rng.randint(1, 2))]
+        groups.append([m for _, m in pairs])
+        texts.append(" OR ".join(t for t, _ in pairs))
+    return ", ".join(texts), groups
 
 
 def test_differential_random_dml(eng):

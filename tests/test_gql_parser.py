@@ -475,3 +475,46 @@ def test_limit_offset_parses():
     stmts, errors = parse_script("MATCH P WHERE offset: 1 RETURN offset;")
     assert not errors
     assert stmts[0].where[0].name == "offset"
+
+
+def test_not_and_paren_groups_parse():
+    # r10: NOT term and parenthesized nested predicate lists
+    from grapho_spark.gql import ast
+
+    stmts, errors = parse_script("MATCH P WHERE NOT a: 1, b: 2;")
+    assert not errors
+    w = stmts[0].where
+    assert (w[0].name, w[0].negated, w[1].name, w[1].negated) == (
+        "a", True, "b", False,
+    )
+    # NOT NOT cancels
+    stmts, _ = parse_script("MATCH P WHERE NOT NOT a: 1;")
+    assert stmts[0].where[0].negated is False
+    # parenthesized group joins an enclosing OR like any member
+    stmts, errors = parse_script("MATCH P WHERE (a: 1, b: 2) OR c: 3;")
+    assert not errors
+    g, c = stmts[0].where
+    assert isinstance(g, ast.PredGroup) and not g.negated
+    assert [p.name for p in g.items] == ["a", "b"]
+    assert g.or_group == c.or_group == 0
+    # NOT over a group, nesting, and NOT inside
+    stmts, errors = parse_script("MATCH P WHERE NOT (a < 3, NOT (b: 2 OR c: 4));")
+    assert not errors
+    outer = stmts[0].where[0]
+    assert isinstance(outer, ast.PredGroup) and outer.negated
+    inner = outer.items[1]
+    assert isinstance(inner, ast.PredGroup) and inner.negated
+    assert [p.or_group for p in inner.items] == [0, 0]
+    # NOT is reserved (NOT NULL): a field named not needs backticks
+    _, errors = parse_script("MATCH P WHERE not: 1;")
+    assert errors
+    stmts, errors = parse_script("MATCH P WHERE `not`: 1;")
+    assert not errors and stmts[0].where[0].name == "not"
+    # reference grammar positions reject both extensions
+    _, errors = parse_script("INSERT NODE P (NOT a: 1);")
+    assert errors
+    _, errors = parse_script("INSERT NODE P ((a: 1));")
+    assert errors
+    # unbalanced paren is a parse error
+    _, errors = parse_script("MATCH P WHERE (a: 1 OR b: 2;")
+    assert errors

@@ -253,3 +253,87 @@ def test_r9_syntax_over_socket(server):
     assert any("v:20" in ln.replace(" ", "") for ln in block), block
     c.send("quit")
     c.close()
+
+
+def test_r10_not_and_paren_over_socket(server):
+    # r10 NOT / parenthesized groups over the reference wire protocol,
+    # plus one malformed-input recovery case per new form
+    c = _Client(server.port)
+    c.read_until_blank()
+    c.send(
+        "CREATE NODE W10 (id: int PRIMARY KEY, v: int, tag: string);"
+        "INSERT NODE W10 (id: 1, v: 10, tag: 'x');"
+        "INSERT NODE W10 (id: 2, v: 20, tag: 'y');"
+        "INSERT NODE W10 (id: 3, tag: 'x');"
+    )
+    assert c.read_until_blank()[-1].startswith("OK - 4 statement(s)")
+    # NOT leaf matches nulls (negated null-safe =)
+    c.send("MATCH W10 WHERE NOT v: 10 RETURN id ORDER BY id;")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    assert sum("id:" in ln for ln in block) == 2
+    # NOT over a parenthesized OR group
+    c.send("MATCH W10 WHERE NOT (v: 10 OR tag: 'y') RETURN id;")
+    c.read_until_blank()
+    block = c.read_until_blank()
+    assert sum("id:" in ln for ln in block) == 1 and any(
+        "id:3" in ln.replace(" ", "") for ln in block
+    )
+    # malformed: unbalanced paren -> parse error, connection survives
+    c.send("MATCH W10 WHERE (v: 10 OR tag: 'y' RETURN id;")
+    reply = c.read_until_blank()
+    assert any("ERROR" in ln or "error" in ln for ln in reply), reply
+    # malformed: bare NOT with nothing to negate
+    c.send("MATCH W10 WHERE NOT RETURN id;")
+    reply = c.read_until_blank()
+    assert any("ERROR" in ln or "error" in ln for ln in reply), reply
+    # connection still works after both errors
+    c.send("MATCH W10 RETURN COUNT(*);")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    c.read_until_blank()
+    c.send("quit")
+    c.close()
+
+
+def test_r10_endpoint_dml_with_predicates_over_socket(server):
+    # endpoint-qualified UPDATE/DELETE combined with the r9/r10
+    # predicate forms (OR / IN / NOT) over the wire — untested
+    # combinations called out by the r9 verdict
+    c = _Client(server.port)
+    c.read_until_blank()
+    c.send(
+        "CREATE NODE U (id: int PRIMARY KEY, name: string);"
+        "CREATE EDGE Owns (FROM U MANY, TO U MANY, PROPS (w: int, kind: string));"
+        "INSERT NODE U (id: 1, name: 'a'); INSERT NODE U (id: 2, name: 'b');"
+        "INSERT NODE U (id: 3, name: 'c');"
+        "INSERT EDGE Owns FROM U('1') TO U('2') (w: 1, kind: 'k1');"
+        "INSERT EDGE Owns FROM U('1') TO U('3') (w: 2, kind: 'k2');"
+        "INSERT EDGE Owns FROM U('2') TO U('3') (w: 3, kind: 'k1');"
+    )
+    assert c.read_until_blank()[-1].startswith("OK - 8 statement(s)")
+    # endpoint-qualified UPDATE with an IN/OR predicate
+    c.send(
+        "UPDATE EDGE Owns FROM U('1') TO U SET kind: 'seen' "
+        "WHERE w IN (1, 3) OR w >= 2;"
+    )
+    reply = c.read_until_blank()
+    assert any("Updated 2 edge(s)" in ln for ln in reply), reply
+    # endpoint-qualified DELETE with NOT (the ~pred keep side over a
+    # joined endpoint marker)
+    c.send("DELETE EDGE Owns FROM U TO U('3') WHERE NOT kind: 'seen';")
+    reply = c.read_until_blank()
+    assert any("Deleted 1 edge(s)" in ln for ln in reply), reply
+    c.send("MATCH U a, Owns e, U b RETURN kind ORDER BY kind;")
+    c.read_until_blank()
+    block = c.read_until_blank()
+    assert sum("kind:seen" in ln.replace(" ", "") for ln in block) == 2, block
+    # malformed endpoint ref recovers
+    c.send("DELETE EDGE Owns FROM U( TO U WHERE w: 1;")
+    reply = c.read_until_blank()
+    assert any("error" in ln.lower() for ln in reply), reply
+    c.send("MATCH U a, Owns e, U b RETURN COUNT(*);")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    assert any("n_rows" in ln and "2" in ln for ln in block), block
+    c.send("quit")
+    c.close()
