@@ -2055,7 +2055,12 @@ def _ann_index_tag(sf_dir: str, pred: str | None = None) -> str:
     return f"{hashlib.md5(key.encode()).hexdigest()[:10]}_pid{os.getpid()}"
 
 
-def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
+def ann_index_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str | None = None,
+    cells: int | None = None,
+):
     """The STANDING ANN index (build-once/probe-many, the ANN twin of
     dedup's corpus_band_index), v2: PQ codes of the L2-NORMALIZED
     vectors persisted as a parquet table bucketed by K-MEANS cell
@@ -2075,9 +2080,14 @@ def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
     half-registered tables and rebuilds instead of probing garbage.
 
     ``pred`` restricts the indexed corpus (its own tag/tables; used by
-    the delta-ingest path, whose appends then target that index)."""
+    the delta-ingest path, whose appends then target that index).
+    ``cells`` overrides _ANN_CELLS (used by rebuild_ann_index when the
+    corpus has outgrown the frozen routing granularity — the r9 retune
+    measured that cells must grow with the corpus to hold recall at a
+    fixed scan fraction). The marker records the built corpus size and
+    cell count so ann_index_health can detect the outgrowth."""
+    import json
     import os
-    import tempfile
 
     tag = _ann_index_tag(sf_dir, pred)
     cent_t = f"ann_centroids_{tag}"
@@ -2089,12 +2099,13 @@ def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
         spark.catalog.tableExists(t) for t in (cent_t, book_t, codes_t)
     )
     if not complete:
+        n_cells = cells or _ANN_CELLS
         for t in (cent_t, book_t, codes_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         if os.path.exists(marker):
             os.unlink(marker)
         assign, cents = _kmeans_pair(
-            spark, sf_dir, _ANN_CELLS, _ANN_ROUNDS, normalized=True, pred=pred
+            spark, sf_dir, n_cells, _ANN_ROUNDS, normalized=True, pred=pred
         )
         book = _pq16_codebook(spark, sf_dir, pred)
         codes = (
@@ -2116,8 +2127,16 @@ def ann_index_tables(spark: SparkSession, sf_dir: str, pred: str | None = None):
             .saveAsTable(codes_t)
         )
         os.makedirs(base, exist_ok=True)
+        built_rows = assign.count()  # indexed vectors at build time
         with open(marker, "w") as fh:
-            fh.write(f"{cent_t}\n{book_t}\n{codes_t}\n")
+            json.dump(
+                {
+                    "tables": [cent_t, book_t, codes_t],
+                    "built_rows": built_rows,
+                    "cells": n_cells,
+                },
+                fh,
+            )
     return spark.table(cent_t), spark.table(book_t), spark.table(codes_t)
 
 
@@ -2151,6 +2170,100 @@ def append_to_ann_index(
         .saveAsTable(codes_t)
     )
     return codes_t
+
+
+# Appended rows beyond this multiple of the BUILT corpus flag the index
+# for a compacting rebuild: the r9 retune measured that cells must grow
+# with the corpus to hold recall at a fixed scan fraction (8 cells at
+# 1x -> 32 at 10x kept recall@3 >= 0.95), so an index serving 2x its
+# built size is running at half its designed routing granularity.
+_ANN_REBUILD_FACTOR = 2.0
+
+
+def ann_index_health(
+    spark: SparkSession, sf_dir: str, pred: str | None = None
+) -> dict:
+    """Outgrowth check for the persisted ANN index of (sf_dir, pred):
+    compares the CURRENT indexed-vector count (codes table, sub 0 —
+    one row per vector) against the corpus size recorded in the build
+    marker. ``rebuild=True`` once growth crosses _ANN_REBUILD_FACTOR,
+    with ``recommended_cells`` scaled ~ sqrt(growth) (rounded to a
+    power of two) so the per-cell candidate count — the probe-cost
+    unit — returns to its designed size. In production this runs after
+    each ingest batch and gates the periodic compaction job; here the
+    delta-ingest tests drive it (VERDICT r9 task #5).
+
+    The frozen-parameter append path stays valid below the threshold
+    (every historical code remains comparable); the rebuild is the
+    designed response above it, not a correctness fix."""
+    import json
+    import math
+    import os
+
+    tag = _ann_index_tag(sf_dir, pred)
+    marker = os.path.join(
+        scratch_path("grapho_spark_index"), f"_BUILD_OK_{tag}"
+    )
+    codes_t = f"ann_pq_codes_{tag}"
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            meta = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        # no index, or a pre-r10 marker without sizing metadata: no
+        # signal either way — callers rebuild on their own cadence
+        return {"built": False, "rebuild": False}
+    built = int(meta.get("built_rows") or 0)
+    cells = int(meta.get("cells") or _ANN_CELLS)
+    current = spark.table(codes_t).filter(F.col("sub") == 0).count()
+    growth = (current / built) if built else float("inf")
+    rebuild = growth >= _ANN_REBUILD_FACTOR
+    recommended = cells
+    if rebuild:
+        recommended = 2 ** max(
+            int(math.log2(cells)),
+            round(math.log2(cells * math.sqrt(growth))),
+        )
+    return {
+        "built": True,
+        "built_rows": built,
+        "current_rows": current,
+        "growth": growth,
+        "cells": cells,
+        "rebuild": rebuild,
+        "recommended_cells": recommended,
+    }
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str | None = None,
+    cells: int | None = None,
+):
+    """Compacting rebuild of the (sf_dir, pred) index: drop the
+    published tables + marker and retrain centroids and codebook on
+    the CURRENT pred corpus at the new cell count (default: what
+    ann_index_health recommends). This is the periodic compaction the
+    frozen-parameter append path assumes — at 100 TB it is the same
+    scheduled job that compacts any LSM-shaped index. ``pred`` should
+    cover the union of the originally-built corpus and every appended
+    batch (the index is rebuilt FROM the base tables, not from the
+    accumulated code rows, so re-encoding cost is one corpus pass)."""
+    import os
+
+    if cells is None:
+        health = ann_index_health(spark, sf_dir, pred)
+        cells = health.get("recommended_cells") or _ANN_CELLS
+    tag = _ann_index_tag(sf_dir, pred)
+    for t in (f"ann_centroids_{tag}", f"ann_codebook_{tag}", f"ann_pq_codes_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    marker = os.path.join(
+        scratch_path("grapho_spark_index"), f"_BUILD_OK_{tag}"
+    )
+    if os.path.exists(marker):
+        os.unlink(marker)
+    _KMEANS_PAIR_MEMO.clear()
+    return ann_index_tables(spark, sf_dir, pred, cells=cells)
 
 
 def _ann_probe(

@@ -257,6 +257,31 @@ def gql_engine_times(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         "SET o_totalprice: 0.0;"
     )[0]
     out["gql_endpoint_edge_dml"] = (time.perf_counter() - t0, r.count)
+    # r10 partition-pruned mutation rewrite: settle the bulk mutations
+    # into a bucket-complete version, then UPDATE a single row — the
+    # flush must rewrite exactly ONE of id_buckets bucket leaf dirs
+    # (file-count asserted), so single-key mutation flush I/O is
+    # O(table/id_buckets) regardless of scale
+    eng.flush()
+    eng.execute(
+        "UPDATE NODE Ord SET o_orderpriority: 'Y-PROBE' "
+        "WHERE o_orderkey: 999999999;"
+    )
+    t0 = time.perf_counter()
+    eng.flush()
+    out["gql_flush_partial_rewrite"] = (time.perf_counter() - t0, 1)
+    tdir = os.path.join(data_dir, "tables", "node_Ord")
+    tip = max(
+        int(e[1:]) for e in os.listdir(tdir) if e[1:].isdigit()
+    )
+    leafs = [
+        e for e in os.listdir(os.path.join(tdir, f"v{tip}"))
+        if e.startswith("_gbkt=")
+    ]
+    assert len(leafs) == 1, (
+        f"single-row UPDATE rewrote {len(leafs)}/{eng.id_buckets} buckets"
+    )
+    out["gql_partial_rewrite_buckets"] = (0.0, len(leafs))
     shutil.rmtree(data_dir, ignore_errors=True)
     return out
 

@@ -204,3 +204,94 @@ def test_prefix_ssjoin_is_exact_vs_brute_force(spark, sf_dir):
     want = {(r.doc_a, r.doc_b): r.n_common for r in brute.collect()}
     assert got == want
     assert want  # non-vacuous: the fixture contains true near-dups
+
+
+def test_ann_index_outgrowth_flags_and_rebuild(spark, sf_dir):
+    """r10 (VERDICT r9 task #5): the build marker records corpus size;
+    delta-ingest past _ANN_REBUILD_FACTOR surfaces the rebuild signal
+    with cells scaled ~ sqrt(growth); a compacting rebuild over the
+    union corpus at the recommended cell count clears the flag and
+    still answers probes with healthy recall vs exact brute force."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grapho_spark.queries.embeddings import (
+        _ann_probe,
+        _ann_index_tag,
+        _spark_cosine,
+        ann_index_health,
+        ann_index_tables,
+        append_to_ann_index,
+        rebuild_ann_index,
+    )
+    from grapho_spark.tables import load_table
+
+    base_pred = "vec_id % 10 < 3"
+    union_pred = "vec_id % 10 < 9"
+    preds = [base_pred, union_pred]
+
+    ann_index_tables(spark, sf_dir, base_pred)
+    h0 = ann_index_health(spark, sf_dir, base_pred)
+    assert h0["built"] and not h0["rebuild"]
+    assert abs(h0["growth"] - 1.0) < 1e-9
+
+    # two appended batches triple the indexed corpus -> outgrown
+    append_to_ann_index(spark, sf_dir, "vec_id % 10 IN (3, 4, 5)", base_pred)
+    append_to_ann_index(spark, sf_dir, "vec_id % 10 IN (6, 7, 8)", base_pred)
+    h1 = ann_index_health(spark, sf_dir, base_pred)
+    assert h1["rebuild"] and h1["growth"] >= 2.0
+    assert h1["recommended_cells"] > h1["cells"]
+
+    # compacting rebuild over the union corpus at the recommended size
+    cents2, book2, codes2 = rebuild_ann_index(
+        spark, sf_dir, union_pred, cells=h1["recommended_cells"]
+    )
+    h2 = ann_index_health(spark, sf_dir, union_pred)
+    assert h2["built"] and not h2["rebuild"]
+    assert h2["cells"] == h1["recommended_cells"]
+
+    # recall@3 of the rebuilt index vs exact brute force on the union
+    q_pred = "vec_id % 97 = 0"
+    probed = (
+        _ann_probe(spark, sf_dir, cents2, book2, codes2, query_pred=q_pred)
+        .select("q_id", "vec_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings").filter(union_pred)
+    q = e.filter(q_pred).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    bf = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    n_q = q.count()
+    hits = probed.join(bf, ["q_id", "vec_id"]).count()
+    assert n_q > 0
+    assert hits / (3.0 * n_q) >= 0.6, (hits, n_q)
+
+    # cleanup: pred-scoped indexes; drop so reruns rebuild fresh
+    for pred in preds:
+        tag = _ann_index_tag(sf_dir, pred)
+        for t in (
+            f"ann_centroids_{tag}",
+            f"ann_codebook_{tag}",
+            f"ann_pq_codes_{tag}",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        marker = os.path.join(
+            scratch_path("grapho_spark_index"), f"_BUILD_OK_{tag}"
+        )
+        if os.path.exists(marker):
+            os.unlink(marker)
