@@ -149,6 +149,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     colds: dict[str, float] = {}
     mins: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = registry[name]
         runs: list[float] = []
@@ -157,6 +158,7 @@ def main() -> None:
             df = q.spark_fn(spark, sf_dir)
             n = df.count()
             runs.append(time.perf_counter() - t0)
+        all_runs[name] = runs
         runs_sorted = sorted(runs)
         medians[name] = round(runs_sorted[len(runs_sorted) // 2], 3)
         # min-of-warm: the least load-contaminated estimate on a shared
@@ -173,6 +175,28 @@ def main() -> None:
 
     total = round(sum(medians.values()), 3)
     min_total = round(sum(mins.values()), 3)
+
+    # Run-quality self-diagnosis (r10, VERDICT r9 task #6): the driver's
+    # ratio read ~7% hot on a loaded box where back-to-back builder runs
+    # agreed within 2.4%. Two independent contamination signals: the
+    # box was already busy when we started (external load), and the
+    # three repeats of the same query disagreed among themselves
+    # (noise DURING the run, self-measured — no /proc parsing, immune
+    # to our own 32 threads showing up in loadavg). When either trips,
+    # the emitted ratio carries a machine-readable note telling the
+    # reader to trust common_subset_vs_prev_min (min-of-warm agreed
+    # within 2.4% across the r9 contention episodes) over the median.
+    spreads = sorted(
+        max(r) / min(r) for r in all_runs.values() if min(r) > 0
+    )
+    run_noise = round(spreads[len(spreads) // 2], 3) if spreads else None
+    hot_box = bool(load_start[0] > 2.0 or (run_noise or 1.0) > 1.25)
+    ratio_note = (
+        f"hot-box (load_1m_start={round(load_start[0], 2)}, "
+        f"run_noise={run_noise}); read the _min ratio"
+        if hot_box
+        else None
+    )
 
     # Quality dials (r8): recall is a recorded regression metric, not an
     # assumption — a cell-count or normalization change that silently
@@ -293,6 +317,9 @@ def main() -> None:
         # a real regression when the judge reads the record
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "run_noise": run_noise,
+        "hot_box": hot_box,
+        "ratio_note": ratio_note,
     }
     with open(detail_json, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -340,6 +367,8 @@ def main() -> None:
                 "common_subset_vs_prev_min": prev_ratio_min,
                 "quality_vs_prev": quality_vs_prev,
                 "load_1m": detail["loadavg_end"][0],
+                "run_noise": run_noise,
+                "ratio_note": ratio_note,
                 "prev_stamp": prev_stamp,
                 "detail": "BENCH_DETAIL.json",
             }
