@@ -1722,7 +1722,13 @@ class GraphEngine:
             return ids[0]
         df = self._merged_df(key)
         if ref.id is not None:
-            hits = df.filter(F.col(ID_COLUMN) == F.lit(ref.id.text)).limit(1).collect()
+            # direct-ID refs are EXISTENCE checks (the resolved id is
+            # the literal itself) — answerable from the driver buffer
+            # plus a bucket-pruned read of one leaf dir instead of a
+            # table scan per INSERT EDGE
+            if self._point_id_exists(key, tab, ref.id.text):
+                return ref.id.text
+            raise EngineError(f"{side} node not found for {ref.node_type}")
         elif ref.properties:
             pred = self._where_pred(ref.properties, nt.field_map(), df.columns)
             # deterministic first-match: smallest ID (the reference's
@@ -1734,6 +1740,71 @@ class GraphEngine:
         if not hits:
             raise EngineError(f"{side} node not found for {ref.node_type}")
         return hits[0][ID_COLUMN]
+
+    def _point_id_exists(
+        self, key: tuple[str, str], tab: _Table, id_text: str
+    ) -> bool:
+        """Does a row with this exact ``_id`` exist? Buffer rows are
+        checked driver-side (no job). On a CLEAN flushed table the
+        disk probe is BUCKET-PRUNED: one tiny job computes the id's
+        hash bucket, then only the owning ``_gbkt`` leaf dir (plus any
+        delta dirs, which are batch-sized) is read — O(1) files where
+        the merged-frame filter reads every file's listing/footers.
+        At 100 TB this is the difference between a point lookup and a
+        table pass for every INSERT EDGE endpoint resolve. An
+        unflushed mutation (base_dirty) or in-memory engine falls back
+        to the full merged-frame filter."""
+        if any(r.get(ID_COLUMN) == id_text for r in tab.buffer):
+            return True
+        if tab.base is None:
+            return False
+        kind, name = key
+        if not self.data_dir or tab.version == 0 or tab.base_dirty:
+            return bool(
+                tab.base.filter(F.col(ID_COLUMN) == F.lit(id_text))
+                .limit(1)
+                .collect()
+            )
+        chain = self._chain_versions(kind, name, tab.version)
+        if not chain:
+            return False
+        base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
+        anchor = chain[0]
+        bm = (
+            self._bucket_map(kind, name, anchor)
+            if not self._is_delta_version(kind, name, anchor)
+            else None
+        )
+        paths: list[str] = []
+        if bm is not None:
+            b = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(id_text)), F.lit(int(bm["n"]))
+                    ).alias("b")
+                )
+                .first()["b"]
+            )
+            owner = bm["map"].get(str(b))
+            if owner is not None:
+                paths.append(
+                    os.path.join(base_dir, f"v{owner}", f"{BUCKET_COLUMN}={b}")
+                )
+            start = 1
+        else:
+            # legacy whole-dir anchor (pre-bucketed layout)
+            paths.append(os.path.join(base_dir, f"v{anchor}"))
+            start = 1
+        paths.extend(
+            os.path.join(base_dir, f"v{v}") for v in chain[start:]
+        )
+        if not paths:  # empty bucket, no deltas: provably absent
+            return False
+        probe = self.spark.read.schema(tab.schema).parquet(*paths)
+        return bool(
+            probe.filter(F.col(ID_COLUMN) == F.lit(id_text)).limit(1).collect()
+        )
 
     def _endpoint_id_set(
         self, ref: ast.NodeRef, declared_label: str, side: str

@@ -1856,6 +1856,43 @@ def test_not_where_on_chain_and_var_length(eng):
     assert sorted(v[hcol] for v in r.collect()) == [1, 2]
 
 
+def test_point_id_lookup_bucket_pruned(spark, tmp_path):
+    # r10: direct-ID endpoint resolution on a clean flushed table reads
+    # ONE bucket leaf (+ deltas), not the whole table — and stays
+    # correct across buffer hits, delta-resident ids, dirty fallback,
+    # and provably-absent empty buckets
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    eng.execute(
+        "CREATE NODE N (k: int PRIMARY KEY);"
+        "CREATE EDGE L (FROM N MANY, TO N MANY);"
+    )
+    for k in range(1, 9):
+        eng.execute(f"INSERT NODE N (k: {k});")
+    eng.flush()  # bucket-complete v1
+    tab = eng.tables[("node", "N")]
+    assert eng._point_id_exists(("node", "N"), tab, "3")
+    assert not eng._point_id_exists(("node", "N"), tab, "99")
+    # resolve via the real INSERT EDGE path (flushed, clean)
+    eng.execute("INSERT EDGE L FROM N('1') TO N('8');")
+    with pytest.raises(EngineError, match="not found"):
+        eng.execute("INSERT EDGE L FROM N('77') TO N('1');")
+    # delta-resident id: insert + flush (delta version), then resolve
+    eng.execute("INSERT NODE N (k: 9);")
+    nid = eng.execute("MATCH N WHERE k: 9;")[0].df.collect()[0]["_id"]
+    assert eng._point_id_exists(("node", "N"), tab, nid)  # buffer hit
+    eng.flush()
+    assert eng._point_id_exists(("node", "N"), tab, nid)  # delta hit
+    eng.execute(f"INSERT EDGE L FROM N('{nid}') TO N('1');")
+    # dirty fallback: UPDATE leaves base ahead of disk
+    eng.execute("UPDATE NODE N SET k: 100 WHERE k: 1;")
+    assert eng._point_id_exists(("node", "N"), tab, "1")
+    assert (
+        eng.execute("MATCH N a, L e, N b RETURN COUNT(*);")[0]
+        .df.collect()[0][0]
+        == 2
+    )
+
+
 def test_return_count_field_non_null(eng):
     # r9: COUNT(field) counts non-null values; COUNT(*) counts rows
     eng.execute(
