@@ -952,6 +952,29 @@ class GraphEngine:
                 # leaves extra old segments, never a replay gap
                 self._commitlog.retain_below(self._commit_offset)
 
+    def compact(self, kind: str | None = None, name: str | None = None) -> None:
+        """Explicit OPTIMIZE: force a FULL compacting rewrite of the
+        selected flushed tables (default: every flushed table) and run
+        the flush. Collapses delta chains and bucket owner maps into
+        one fresh bucket-complete version, after which retention GC
+        can free every older dir nothing references. The automatic
+        triggers (``max_delta_chain`` on insert chains, the
+        owner-spread cap on partial rewrites) bound growth on their
+        own; this reclaims immediately — the maintenance-window job a
+        100 TB deployment schedules off-peak, exactly Delta/Iceberg
+        OPTIMIZE."""
+        with self._lock:
+            for (k, n), tab in self.tables.items():
+                if kind is not None and k != kind:
+                    continue
+                if name is not None and n != name:
+                    continue
+                if tab.version == 0:
+                    continue  # never flushed: nothing to compact
+                tab.base_dirty = True
+                tab.touched_buckets = None  # None = force the full path
+            self.flush()
+
     def _prune_versions(self) -> None:
         """Delete flushed parquet version dirs older than the retention
         window (``keep_versions`` most recent per table). Time travel
@@ -2573,9 +2596,38 @@ class GraphEngine:
             if kind is None:
                 raise EngineError(f"type {stmt.target!r} does not exist")
             versions = self.table_versions(kind, stmt.target)
+            latest = versions[-1] if versions else -1
+
+            def _vkind(v: int) -> tuple[str, int]:
+                """(layout, n_buckets_owned): full/partial versions are
+                bucket-complete via their _BUCKETS.json owner map;
+                delta versions are insert-only appends; legacy is the
+                pre-r10 whole-dir layout."""
+                if self._is_delta_version(kind, stmt.target, v):
+                    return "delta", 0
+                bm = self._bucket_map(kind, stmt.target, v)
+                if bm is None:
+                    return "legacy", 0
+                owned = sum(1 for o in bm["map"].values() if int(o) == v)
+                layout = "full" if owned == len(bm["map"]) else "partial"
+                return layout, owned
+            rows = []
+            for v in versions:
+                layout, owned = _vkind(v)
+                rows.append(
+                    (
+                        stmt.target,
+                        v,
+                        v == latest,
+                        layout,
+                        owned,
+                        len(self._chain_versions(kind, stmt.target, v)),
+                    )
+                )
             df = self.spark.createDataFrame(
-                [(stmt.target, v, v == (versions[-1] if versions else -1)) for v in versions],
-                "name string, version long, is_latest boolean",
+                rows,
+                "name string, version long, is_latest boolean, "
+                "layout string, buckets_owned int, chain_len int",
             )
             return StatementResult("show", "", count=-1, df=df)
         if stmt.kind == "NODES":

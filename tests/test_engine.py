@@ -852,7 +852,9 @@ def test_show_versions(spark, tmp_path):
     eng.execute("CREATE NODE P (name: string); INSERT NODE P (name: 'a');")
     # no flush yet -> empty version list, stable schema
     res = eng.execute("SHOW VERSIONS P;")[0]
-    assert res.df.columns == ["name", "version", "is_latest"]
+    assert res.df.columns == [
+        "name", "version", "is_latest", "layout", "buckets_owned", "chain_len",
+    ]
     assert res.df.count() == 0
     eng.flush()
     eng.execute("INSERT NODE P (name: 'b');")
@@ -1891,6 +1893,56 @@ def test_point_id_lookup_bucket_pruned(spark, tmp_path):
         .df.collect()[0][0]
         == 2
     )
+
+
+def test_explicit_compact_collapses_chains_and_maps(spark, tmp_path):
+    # r10: engine.compact() is the explicit OPTIMIZE — one full
+    # bucket-complete version replaces the delta chain / spread map,
+    # and retention can then free the old dirs
+    eng = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=4, keep_versions=1
+    )
+    eng.execute("CREATE NODE OC (id: int PRIMARY KEY);")
+    eng.execute("INSERT NODE OC (id: 1);")
+    eng.flush()  # v1 full
+    for k in (2, 3):
+        eng.execute(f"INSERT NODE OC (id: {k});")
+        eng.flush()  # v2, v3 deltas (chain protected from retention)
+    eng.execute("UPDATE NODE OC SET id: 30 WHERE id: 3;")
+    eng.flush()  # v4 full (delta tip) — v1..v3 pruned, then
+    eng.execute("UPDATE NODE OC SET id: 20 WHERE id: 2;")
+    eng.flush()  # v5 partial over v4 — v4 still owns buckets
+    assert 4 in eng.table_versions("node", "OC")
+    eng.compact()
+    vs = eng.table_versions("node", "OC")
+    assert vs == [6]  # one fresh full version; everything else freed
+    assert len(eng._chain_versions("node", "OC", 6)) == 1
+    got = eng.execute("SHOW VERSIONS OC;")[0].df.collect()
+    assert [(r.version, r.layout, r.chain_len) for r in got] == [(6, "full", 1)]
+    assert sorted(r.id for r in eng.node_df("OC").collect()) == [1, 20, 30]
+    # reopen reads the compacted state
+    eng2 = GraphEngine(spark, data_dir=eng.data_dir)
+    assert sorted(r.id for r in eng2.node_df("OC").collect()) == [1, 20, 30]
+
+
+def test_show_versions_layout_columns(spark, tmp_path):
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    eng.execute("CREATE NODE SV (id: int PRIMARY KEY);")
+    for k in (1, 2, 3, 4):
+        eng.execute(f"INSERT NODE SV (id: {k});")
+    eng.flush()  # v1 full
+    eng.execute("INSERT NODE SV (id: 5);")
+    eng.flush()  # v2 delta
+    eng.execute("UPDATE NODE SV SET id: 10 WHERE id: 1;")
+    eng.flush()  # v3 full (delta tip forces compaction)
+    eng.execute("UPDATE NODE SV SET id: 20 WHERE id: 2;")
+    eng.flush()  # v4 partial
+    rows = {r.version: r for r in eng.execute("SHOW VERSIONS SV;")[0].df.collect()}
+    assert rows[1].layout == "full" and rows[1].buckets_owned > 0
+    assert rows[2].layout == "delta" and rows[2].chain_len == 2
+    assert rows[3].layout == "full"
+    assert rows[4].layout == "partial" and rows[4].is_latest
+    assert 0 < rows[4].buckets_owned < rows[3].buckets_owned + 1
 
 
 def test_return_count_field_non_null(eng):
