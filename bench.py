@@ -144,6 +144,23 @@ def main() -> None:
     # signatures, co-purchase edges) that a production deployment would
     # persist once and share.
     REPEATS = 3
+
+    def _cpu_probe() -> float:
+        """Fixed single-threaded CPU task (~40ms idle): between queries
+        Spark holds no cores, so this measures EXTERNAL CPU pressure
+        directly — the signal loadavg can't give (our own local[32]
+        bursts dominate it) and warm-repeat spread misses (a sustained
+        external load slows both repeats together; measured r10: a
+        1.46x-inflated run carried run_noise 1.14)."""
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        return time.perf_counter() - t0
+
+    probe_ref = min(_cpu_probe() for _ in range(3))  # this-box idle ref
+    probes: list[float] = []
+
     wall_t0 = time.perf_counter()
     load_start = os.getloadavg()
     medians: dict[str, float] = {}
@@ -159,6 +176,7 @@ def main() -> None:
             n = df.count()
             runs.append(time.perf_counter() - t0)
         all_runs[name] = runs
+        probes.append(_cpu_probe())
         runs_sorted = sorted(runs)
         medians[name] = round(runs_sorted[len(runs_sorted) // 2], 3)
         # min-of-warm: the least load-contaminated estimate on a shared
@@ -186,14 +204,33 @@ def main() -> None:
     # the emitted ratio carries a machine-readable note telling the
     # reader to trust common_subset_vs_prev_min (min-of-warm agreed
     # within 2.4% across the r9 contention episodes) over the median.
+    # noise is read off the WARM repeats (runs[1:]) of queries >= 0.3s
+    # only: the first run is cold (JIT, session memos — legitimately
+    # 1.5-3x the warm time, that's what the separate "cold" column
+    # records), and sub-300ms repeats vary 1.5x from scheduler jitter
+    # alone even on an idle box (both measured in r10); contention is
+    # warm runs of big queries disagreeing with each other
     spreads = sorted(
-        max(r) / min(r) for r in all_runs.values() if min(r) > 0
+        max(r[1:]) / min(r[1:])
+        for r in all_runs.values()
+        if len(r) > 1 and min(r[1:]) >= 0.3
     )
     run_noise = round(spreads[len(spreads) // 2], 3) if spreads else None
-    hot_box = bool(load_start[0] > 2.0 or (run_noise or 1.0) > 1.25)
+    # external CPU pressure over the run: median probe wall vs the
+    # start-of-run idle reference (1.0 = nobody else on the cores)
+    psorted = sorted(probes)
+    cpu_pressure = (
+        round(psorted[len(psorted) // 2] / probe_ref, 3) if psorted else None
+    )
+    hot_box = bool(
+        load_start[0] > 2.0
+        or (run_noise or 1.0) > 1.25
+        or (cpu_pressure or 1.0) > 1.3
+    )
     ratio_note = (
         f"hot-box (load_1m_start={round(load_start[0], 2)}, "
-        f"run_noise={run_noise}); read the _min ratio"
+        f"run_noise={run_noise}, cpu_pressure={cpu_pressure}); "
+        f"read the _min ratio"
         if hot_box
         else None
     )
@@ -318,6 +355,7 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "run_noise": run_noise,
+        "cpu_pressure": cpu_pressure,
         "hot_box": hot_box,
         "ratio_note": ratio_note,
     }
@@ -368,6 +406,7 @@ def main() -> None:
                 "quality_vs_prev": quality_vs_prev,
                 "load_1m": detail["loadavg_end"][0],
                 "run_noise": run_noise,
+                "cpu_pressure": cpu_pressure,
                 "ratio_note": ratio_note,
                 "prev_stamp": prev_stamp,
                 "detail": "BENCH_DETAIL.json",
