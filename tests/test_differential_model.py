@@ -339,3 +339,69 @@ def test_differential_alter_interleaved(eng):
     )
     want = sorted((tuple(r.get(c) for c in cols) for r in model), key=key)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [301, 302])
+def test_differential_durable_bucketed_storage(spark, tmp_path, seed):
+    """r10: the durable twin of the random-DML differential — every
+    periodic flush exercises bucketed partial rewrites, delta chains,
+    auto-compaction and the staged publish (id_buckets=4,
+    max_delta_chain=2), and the run ends with a REOPEN (boot recovery
+    over bucket maps + commit-log replay) plus a chain-length bound.
+    The full 12-seed version is scripts/soak_r10.py; two seeds run in
+    CI so a storage regression cannot outlive a round. This shape
+    caught the fold-time bucket-loss bug (soak seed 209)."""
+    from grapho_spark.engine import GraphEngine
+
+    rng = random.Random(seed)
+    eng = GraphEngine(
+        spark,
+        data_dir=str(tmp_path / f"soak{seed}"),
+        id_buckets=4,
+        max_delta_chain=2,
+    )
+    eng.execute("CREATE NODE D (a: int, b: int);")
+    model: list[dict] = []
+
+    def insert():
+        props = {f: rng.choice(DOMAIN) for f in ("a", "b") if rng.random() < 0.85}
+        body = ", ".join(f"{k}: {v}" for k, v in props.items())
+        eng.execute(f"INSERT NODE D ({body});" if body else "INSERT NODE D;")
+        model.append({"a": props.get("a"), "b": props.get("b")})
+
+    def update():
+        text, conds = _rand_conds(rng)
+        setv = rng.choice(DOMAIN)
+        eng.execute(f"UPDATE NODE D SET b: {setv} WHERE {text};")
+        for r in model:
+            if _model_match(r, conds):
+                r["b"] = setv
+
+    def delete():
+        text, conds = _rand_conds(rng)
+        eng.execute(f"DELETE NODE D WHERE {text};")
+        model[:] = [r for r in model if not _model_match(r, conds)]
+
+    def check():
+        text, conds = _rand_conds(rng)
+        want = [r for r in model if _model_match(r, conds)]
+        got = eng.execute(f"MATCH D WHERE {text} RETURN a, b;")[0].df.collect()
+        key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
+        assert sorted(((r.a, r.b) for r in got), key=key) == sorted(
+            ((r["a"], r["b"]) for r in want), key=key
+        ), (seed, text)
+
+    ops = [insert] * 5 + [update] * 2 + [delete] * 1 + [check] * 2
+    for i in range(60):
+        rng.choice(ops)()
+        if i % 15 == 14:
+            eng.flush()
+    eng.flush()
+    eng2 = GraphEngine(spark, data_dir=eng.data_dir)
+    key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
+    rows = eng2.execute("MATCH D;")[0].df.collect()
+    assert sorted(((r.a, r.b) for r in rows), key=key) == sorted(
+        ((r["a"], r["b"]) for r in model), key=key
+    ), (seed, "reopen")
+    for v in eng2.table_versions("node", "D"):
+        assert len(eng2._chain_versions("node", "D", v)) <= 3, (seed, v)
