@@ -224,7 +224,16 @@ def _id_sort_key() -> list[Column]:
 def _resolve_result_col(out: DataFrame, name: str, clause: str) -> str:
     """Resolve a user field against result columns: exact name first,
     else a unique ``<alias>_<field>`` suffix match (the chain and
-    var-length paths prefix columns with the element alias)."""
+    var-length paths prefix columns with the element alias). An
+    alias-QUALIFIED name (``x.field``) maps to its exact ``x_field``
+    output column — never a suffix guess."""
+    if "." in name:
+        exact = name.replace(".", "_")
+        if exact in out.columns:
+            return exact
+        raise EngineError(
+            f"{clause} field {name!r} not found in result columns {out.columns}"
+        )
     if name in out.columns:
         return name
     suffix = [c for c in out.columns if c.endswith(f"_{name}")]
@@ -235,6 +244,32 @@ def _resolve_result_col(out: DataFrame, name: str, clause: str) -> str:
             else f"{clause} field {name!r} is ambiguous: {suffix}"
         )
     return suffix[0]
+
+
+def _return_field_owner(
+    rf: str,
+    aliases: list[str],
+    specs: list[dict],
+    where_desc: str,
+) -> tuple[str, str]:
+    """(owner_alias, bare_field) for a RETURN item over alias-prefixed
+    columns: a qualified ``x.field`` targets exactly its element; an
+    unqualified field keeps the first-declaring-element rule."""
+    if "." in rf:
+        q, f = rf.split(".", 1)
+        if q not in aliases:
+            raise EngineError(f"RETURN alias {q!r} is not in the pattern")
+        if f not in specs[aliases.index(q)]:
+            raise EngineError(
+                f"RETURN field {f!r} is not declared by element {q!r}"
+            )
+        return q, f
+    owner = next(
+        (aliases[i] for i, sp in enumerate(specs) if rf in sp), None
+    )
+    if owner is None:
+        raise EngineError(f"RETURN field {rf!r} {where_desc}")
+    return owner, rf
 
 
 def _projection_fields(stmt: "ast.MatchStmt") -> list[str]:
@@ -2267,7 +2302,24 @@ class GraphEngine:
             if stmt.return_fields or stmt.return_aggs:
                 cols: list[Column] = [F.col(ID_COLUMN)]
                 for rf in _projection_fields(stmt):
-                    if rf in df.columns:
+                    if "." in rf:
+                        # alias-qualified: this element contributes the
+                        # field only when the alias names IT (output
+                        # column <alias>_<field>, like the chain path);
+                        # other union elements contribute null — the
+                        # same shape as an undeclared field
+                        q, f = rf.split(".", 1)
+                        outn = f"{q}_{f}"
+                        if q == (el.alias or el.type) and f in df.columns:
+                            cols.append(F.col(f).alias(outn))
+                        elif multi:
+                            cols.append(F.lit(None).cast("string").alias(outn))
+                        else:
+                            raise EngineError(
+                                f"RETURN field {rf!r} not found on type "
+                                f"{el.type!r} (alias {el.alias or el.type!r})"
+                            )
+                    elif rf in df.columns:
                         cols.append(F.col(rf))
                     elif multi:
                         cols.append(F.lit(None).cast("string").alias(rf))
@@ -2387,13 +2439,11 @@ class GraphEngine:
         if stmt.return_fields or stmt.return_aggs:
             cols = list(id_cols)
             for rf in _projection_fields(stmt):
-                owner = next(
-                    (aliases[i] for i, sp in enumerate(specs) if rf in sp), None
+                owner, bare = _return_field_owner(
+                    rf, aliases, specs, "not found in pattern"
                 )
-                if owner is None:
-                    raise EngineError(f"RETURN field {rf!r} not found in pattern")
-                cols.append(f"{owner}_{rf}")
-                ret_cols.append(f"{owner}_{rf}")
+                cols.append(f"{owner}_{bare}")
+                ret_cols.append(f"{owner}_{bare}")
             out = out.select(*cols)
         sort_cols: list[Column] = []
         for c in id_cols:
@@ -2538,23 +2588,15 @@ class GraphEngine:
         if stmt.return_fields or stmt.return_aggs:
             cols = list(id_cols) + [f"{e_alias}_hops"]
             for rf in _projection_fields(stmt):
-                if rf == "hops":
+                if rf == "hops" or rf == f"{e_alias}.hops":
                     ret_cols.append(f"{e_alias}_hops")
                     continue  # always projected as <alias>_hops
-                owner = next(
-                    (
-                        node_aliases[i]
-                        for i, sp in enumerate(node_specs)
-                        if rf in sp
-                    ),
-                    None,
+                owner, bare = _return_field_owner(
+                    rf, node_aliases, node_specs,
+                    "not found on the endpoint types",
                 )
-                if owner is None:
-                    raise EngineError(
-                        f"RETURN field {rf!r} not found on the endpoint types"
-                    )
-                cols.append(f"{owner}_{rf}")
-                ret_cols.append(f"{owner}_{rf}")
+                cols.append(f"{owner}_{bare}")
+                ret_cols.append(f"{owner}_{bare}")
             out = out.select(*cols)
         sort_cols: list[Column] = []
         for c in id_cols:

@@ -712,7 +712,14 @@ class Parser:
                             "DISTINCT cannot be combined with an aggregate RETURN",
                         )
                 else:
-                    returns.append(item.lit)
+                    # r10: alias-qualified RETURN field (``RETURN
+                    # x.name``) — the projection twin of the r9
+                    # alias-qualified WHERE key; resolves to exactly
+                    # its pattern element (output column ``x_name``)
+                    name = item.lit
+                    if self._match(T.DOT):
+                        name = f"{name}.{self._expect(T.IDENT).lit}"
+                    returns.append(name)
                 if not self._match(T.COMMA):
                     break
             if len(aggs) == 1 and not returns:
@@ -795,6 +802,9 @@ class Parser:
             self._next()  # BY (validated by _at_soft_clause)
             while True:
                 fld = self._expect(T.IDENT)
+                fname = fld.lit
+                if self._match(T.DOT):  # alias-qualified sort key (r10)
+                    fname = f"{fname}.{self._expect(T.IDENT).lit}"
                 desc = False
                 if self._tok.type is T.IDENT and self._tok.lit.upper() in (
                     "ASC",
@@ -802,7 +812,7 @@ class Parser:
                 ):
                     desc = self._tok.lit.upper() == "DESC"
                     self._next()
-                order_by.append((fld.lit, desc))
+                order_by.append((fname, desc))
                 if not self._match(T.COMMA):
                     break
         limit: int | None = None

@@ -867,3 +867,55 @@ def gql_match_paren_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN c_name, c_acctbal, c_nationkey;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_qualified_return",
+    oracle="""
+WITH e AS (
+  SELECT c1.c_custkey AS s, c2.c_custkey AS d
+  FROM customer c1 JOIN customer c2
+    ON c2.c_custkey = c1.c_custkey + 1
+   AND c2.c_mktsegment = c1.c_mktsegment)
+SELECT CAST(a.c_custkey AS VARCHAR) AS x__id,
+       'edge_' || CAST(e.s AS VARCHAR) || '_' || CAST(e.d AS VARCHAR) AS e__id,
+       CAST(b.c_custkey AS VARCHAR) AS y__id,
+       a.c_name AS x_c_name, b.c_name AS y_c_name,
+       b.c_acctbal AS y_c_acctbal
+FROM e
+JOIN customer a ON a.c_custkey = e.s
+JOIN customer b ON b.c_custkey = e.d
+WHERE a.c_mktsegment = 'BUILDING' AND b.c_acctbal > 5000.0
+""",
+)
+def gql_match_qualified_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-qualified RETURN fields (r10): ``RETURN x.c_name,
+    y.c_name, y.c_acctbal`` projects a shared field from BOTH chain
+    endpoints in one statement — the projection twin of the r9
+    alias-qualified WHERE key, which the first-declaring-element rule
+    for unqualified fields cannot express. Output columns are
+    ``<alias>_<field>``, and ORDER BY accepts the dotted form through
+    the same exact-resolution. The NextInSeg edge links consecutive
+    customer ids within a market segment (the var-length fixture's
+    single-hop shape); bound-edge _ids are 'edge_<src>_<dst>',
+    mirrored in the oracle."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    eng.bind_node_type("Customer", cust, pk="c_custkey")
+    c1 = cust.select(F.col("c_custkey").alias("sk"), F.col("c_mktsegment").alias("m1"))
+    c2 = cust.select(F.col("c_custkey").alias("dk"), F.col("c_mktsegment").alias("m2"))
+    edges = c1.join(
+        c2, (F.col("dk") == F.col("sk") + 1) & (F.col("m1") == F.col("m2"))
+    ).select("sk", "dk")
+    eng.bind_edge_type(
+        "NextInSeg", edges, src="sk", dst="dk",
+        from_label="Customer", to_label="Customer",
+    )
+    res = eng.execute(
+        "MATCH Customer x, NextInSeg e, Customer y "
+        "WHERE x.c_mktsegment: 'BUILDING', y.c_acctbal > 5000.0 "
+        "RETURN x.c_name, y.c_name, y.c_acctbal;"
+    )[0]
+    return res.df

@@ -1945,6 +1945,47 @@ def test_show_versions_layout_columns(spark, tmp_path):
     assert 0 < rows[4].buckets_owned < rows[3].buckets_owned + 1
 
 
+def test_qualified_return_fields(eng):
+    # r10: RETURN x.name / ORDER BY x.name — the projection twin of the
+    # r9 alias-qualified WHERE key; output columns are <alias>_<field>
+    eng.execute(
+        "CREATE NODE QR (name: string PRIMARY KEY, seg: string);"
+        "CREATE EDGE QL (FROM QR MANY, TO QR MANY);"
+        "INSERT NODE QR (name: 'a', seg: 's1');"
+        "INSERT NODE QR (name: 'b', seg: 's2');"
+        "INSERT NODE QR (name: 'c', seg: 's1');"
+        "INSERT EDGE QL FROM QR('1') TO QR('2');"
+        "INSERT EDGE QL FROM QR('2') TO QR('3');"
+    )
+    # single element
+    r = eng.execute("MATCH QR p RETURN p.name ORDER BY p.name DESC;")[0].df
+    assert "p_name" in r.columns
+    assert [x["p_name"] for x in r.collect()] == ["c", "b", "a"]
+    # chain: both endpoints of the shared-name field, disambiguated
+    r = eng.execute(
+        "MATCH QR x, QL e, QR y RETURN x.name, y.name ORDER BY x.name;"
+    )[0].df
+    assert [(v.x_name, v.y_name) for v in r.collect()] == [("a", "b"), ("b", "c")]
+    # var-length endpoint field + hops
+    r = eng.execute(
+        "MATCH QR x, QL*1..2 e, QR y RETURN y.name, hops ORDER BY hops, y.name;"
+    )[0].df
+    assert [(v.y_name, v.e_hops) for v in r.collect()] == [
+        ("b", 1), ("c", 1), ("c", 2),
+    ]
+    # grouped aggregate with a qualified group key
+    r = eng.execute("MATCH QR x, QL e, QR y RETURN x.seg, COUNT(*);")[0].df
+    assert sorted(tuple(v) for v in r.collect()) == [("s1", 1), ("s2", 1)]
+    # DISTINCT over a qualified projection
+    r = eng.execute("MATCH QR x, QL e, QR y RETURN DISTINCT x.seg;")[0].df
+    assert sorted(v[0] for v in r.collect()) == ["s1", "s2"]
+    # errors: unknown alias, field not on the named element
+    with pytest.raises(EngineError, match="not found on type"):
+        eng.execute("MATCH QR p RETURN z.name;")
+    with pytest.raises(EngineError, match="not declared by element"):
+        eng.execute("MATCH QR x, QL e, QR y RETURN x.nosuch;")
+
+
 def test_return_count_field_non_null(eng):
     # r9: COUNT(field) counts non-null values; COUNT(*) counts rows
     eng.execute(
