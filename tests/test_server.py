@@ -337,3 +337,30 @@ def test_r10_endpoint_dml_with_predicates_over_socket(server):
     assert any("n_rows" in ln and "2" in ln for ln in block), block
     c.send("quit")
     c.close()
+
+
+def test_r10_qualified_return_over_socket(server):
+    c = _Client(server.port)
+    c.read_until_blank()
+    c.send(
+        "CREATE NODE QS (name: string PRIMARY KEY, seg: string);"
+        "CREATE EDGE QE (FROM QS MANY, TO QS MANY);"
+        "INSERT NODE QS (name: 'a', seg: 's1');"
+        "INSERT NODE QS (name: 'b', seg: 's2');"
+        "INSERT EDGE QE FROM QS('1') TO QS('2');"
+    )
+    assert c.read_until_blank()[-1].startswith("OK - 5 statement(s)")
+    c.send("MATCH QS x, QE e, QS y RETURN x.name, y.name;")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    joined = " ".join(block).replace(" ", "")
+    assert "x_name:a" in joined and "y_name:b" in joined, block
+    # malformed: dangling dot recovers
+    c.send("MATCH QS x RETURN x.;")
+    reply = c.read_until_blank()
+    assert any("error" in ln.lower() for ln in reply), reply
+    c.send("MATCH QS RETURN name ORDER BY name;")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    c.read_until_blank()
+    c.send("quit")
+    c.close()
