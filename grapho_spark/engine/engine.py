@@ -2349,7 +2349,13 @@ class GraphEngine:
             stmt,
             [*tiebreak, *_id_sort_key()],
             distinct_cols=self._distinct_cols(
-                stmt, (["_label"] if multi else []) + list(stmt.return_fields)
+                stmt,
+                # DISTINCT must name OUTPUT columns: a qualified return
+                # field (x.seg) was projected as x_seg above — passing
+                # the raw dotted name would make select() parse it as
+                # struct access and die (ADVICE r10)
+                (["_label"] if multi else [])
+                + [rf.replace(".", "_") for rf in stmt.return_fields],
             ),
         )
         return StatementResult("match", "", count=-1, df=out)

@@ -2218,11 +2218,14 @@ def ann_index_health(
     growth = (current / built) if built else float("inf")
     rebuild = growth >= _ANN_REBUILD_FACTOR
     recommended = cells
-    if rebuild:
+    if rebuild and math.isfinite(growth):
         recommended = 2 ** max(
             int(math.log2(cells)),
             round(math.log2(cells * math.sqrt(growth))),
         )
+    # built_rows == 0 (the build pred matched nothing): growth is
+    # infinite — flag the rebuild but keep the current cell count;
+    # sqrt(inf) has no usable sizing signal (ADVICE r10).
     return {
         "built": True,
         "built_rows": built,

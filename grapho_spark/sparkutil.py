@@ -128,11 +128,8 @@ def scratch_path(*parts: str) -> str:
 
         tag = getpass.getuser()
     base = os.path.join(tempfile.gettempdir(), f"grapho-{tag}")
-    try:
-        st = os.lstat(base)
-    except FileNotFoundError:
-        os.makedirs(base, mode=0o700, exist_ok=True)
-    else:
+
+    def _verify(st) -> None:
         import stat as _stat
 
         if _stat.S_ISLNK(st.st_mode) or not _stat.S_ISDIR(st.st_mode):
@@ -146,4 +143,18 @@ def scratch_path(*parts: str) -> str:
                 "not us — refusing to share scratch state"
             )
         os.chmod(base, 0o700)
+
+    # verified-or-created-by-us, with no follow-the-symlink window:
+    # os.mkdir never resolves a pre-planted symlink (unlike makedirs,
+    # which would silently follow one planted between the lstat and
+    # the create — ADVICE r10). On FileExistsError the lstat checks
+    # re-run against whatever won the race.
+    try:
+        _verify(os.lstat(base))
+    except FileNotFoundError:
+        try:
+            os.mkdir(base, mode=0o700)
+            os.chmod(base, 0o700)  # mode= is umask-masked; pin it
+        except FileExistsError:
+            _verify(os.lstat(base))
     return os.path.join(base, *parts)

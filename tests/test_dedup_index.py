@@ -295,3 +295,34 @@ def test_ann_index_outgrowth_flags_and_rebuild(spark, sf_dir):
         )
         if os.path.exists(marker):
             os.unlink(marker)
+
+
+def test_ann_index_health_zero_built_rows(spark, sf_dir):
+    """r11 (ADVICE r10): a marker recording built_rows == 0 (build pred
+    matched no vectors) must flag rebuild WITHOUT raising — infinite
+    growth has no usable cell-sizing signal, so recommended_cells stays
+    at the current cell count instead of round(log2(inf))."""
+    import json
+    import os
+
+    from grapho_spark.queries.embeddings import _ann_index_tag, ann_index_health
+
+    pred = "vec_id < 0"  # any unused tag
+    tag = _ann_index_tag(sf_dir, pred)
+    codes_t = f"ann_pq_codes_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {codes_t}")
+    spark.createDataFrame(
+        [(0, 1, 0, 3)], "cell INT, vec_id INT, sub INT, code INT"
+    ).write.saveAsTable(codes_t)
+    marker = os.path.join(scratch_path("grapho_spark_index"), f"_BUILD_OK_{tag}")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as fh:
+        json.dump({"tables": [codes_t], "built_rows": 0, "cells": 8}, fh)
+    try:
+        h = ann_index_health(spark, sf_dir, pred)
+        assert h["built"] and h["rebuild"]
+        assert h["growth"] == float("inf")
+        assert h["recommended_cells"] == 8  # flag-only: no sizing signal
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {codes_t}")
+        os.unlink(marker)

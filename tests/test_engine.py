@@ -1979,6 +1979,16 @@ def test_qualified_return_fields(eng):
     # DISTINCT over a qualified projection
     r = eng.execute("MATCH QR x, QL e, QR y RETURN DISTINCT x.seg;")[0].df
     assert sorted(v[0] for v in r.collect()) == ["s1", "s2"]
+    # DISTINCT over a qualified projection on a SINGLE element (r11
+    # fix: _distinct_cols received the dotted name while the projection
+    # had renamed it to p_seg — unresolved-column crash, ADVICE r10)
+    r = eng.execute("MATCH QR p RETURN DISTINCT p.seg;")[0].df
+    assert r.columns == ["p_seg"]
+    assert sorted(v[0] for v in r.collect()) == ["s1", "s2"]
+    r = eng.execute(
+        "MATCH QR p RETURN DISTINCT p.seg ORDER BY p.seg DESC LIMIT 1;"
+    )[0].df
+    assert [v[0] for v in r.collect()] == ["s2"]
     # errors: unknown alias, field not on the named element
     with pytest.raises(EngineError, match="not found on type"):
         eng.execute("MATCH QR p RETURN z.name;")
