@@ -272,15 +272,22 @@ def _return_field_owner(
     return owner, rf
 
 
-def _projection_fields(stmt: "ast.MatchStmt") -> list[str]:
-    """RETURN fields to project: the named fields plus the source
-    fields of grouped aggregates (``RETURN city, SUM(age)`` must carry
-    ``age`` through the projection for the aggregation step)."""
-    fields = list(stmt.return_fields)
+def _return_items(stmt: "ast.MatchStmt") -> list[tuple[str, str | None]]:
+    """RETURN items to project as ``(field, output_alias | None)``
+    pairs: the named fields (with their r11 ``AS`` output aliases) plus
+    the source fields of grouped aggregates (``RETURN city, SUM(age)``
+    must carry ``age`` through the projection for the aggregation
+    step). An aggregate source rides along under its OWN name even when
+    the field also appears aliased (``RETURN age AS a, SUM(age)`` —
+    the aggregation step resolves the raw name)."""
+    aliases = stmt.return_aliases or (None,) * len(stmt.return_fields)
+    items = list(zip(stmt.return_fields, aliases))
+    plain = {rf for rf, al in items if al is None}
     for _, fname in stmt.return_aggs:
-        if fname != "*" and fname not in fields:
-            fields.append(fname)
-    return fields
+        if fname != "*" and fname not in plain:
+            items.append((fname, None))
+            plain.add(fname)
+    return items
 
 
 def _apply_order_limit(
@@ -317,9 +324,12 @@ def _apply_order_limit(
         # keys (none = one global row); each aggregate projects with a
         # deterministic alias. Map-side partial agg + one shuffle on
         # the key — the same shape as the single-aggregate forms.
+        # a group key carrying an AS alias (r11) was projected under
+        # the alias — resolve that exact output column, not the raw name
+        key_aliases = stmt.return_aliases or (None,) * len(stmt.return_fields)
         keys = [
-            _resolve_result_col(out, f, "RETURN group key")
-            for f in stmt.return_fields
+            _resolve_result_col(out, al or f, "RETURN group key")
+            for f, al in zip(stmt.return_fields, key_aliases)
         ]
         agg_cols: list[Column] = []
         for func, fname in stmt.return_aggs:
@@ -2301,15 +2311,16 @@ class GraphEngine:
             df = df.filter(pred)
             if stmt.return_fields or stmt.return_aggs:
                 cols: list[Column] = [F.col(ID_COLUMN)]
-                for rf in _projection_fields(stmt):
+                for rf, user_al in _return_items(stmt):
                     if "." in rf:
                         # alias-qualified: this element contributes the
                         # field only when the alias names IT (output
-                        # column <alias>_<field>, like the chain path);
-                        # other union elements contribute null — the
-                        # same shape as an undeclared field
+                        # column <alias>_<field>, or the user's AS
+                        # alias, like the chain path); other union
+                        # elements contribute null — the same shape as
+                        # an undeclared field
                         q, f = rf.split(".", 1)
-                        outn = f"{q}_{f}"
+                        outn = user_al or f"{q}_{f}"
                         if q == (el.alias or el.type) and f in df.columns:
                             cols.append(F.col(f).alias(outn))
                         elif multi:
@@ -2320,9 +2331,13 @@ class GraphEngine:
                                 f"{el.type!r} (alias {el.alias or el.type!r})"
                             )
                     elif rf in df.columns:
-                        cols.append(F.col(rf))
+                        cols.append(
+                            F.col(rf).alias(user_al) if user_al else F.col(rf)
+                        )
                     elif multi:
-                        cols.append(F.lit(None).cast("string").alias(rf))
+                        cols.append(
+                            F.lit(None).cast("string").alias(user_al or rf)
+                        )
                     else:
                         raise EngineError(
                             f"RETURN field {rf!r} not found on type {el.type!r}"
@@ -2353,9 +2368,17 @@ class GraphEngine:
                 # DISTINCT must name OUTPUT columns: a qualified return
                 # field (x.seg) was projected as x_seg above — passing
                 # the raw dotted name would make select() parse it as
-                # struct access and die (ADVICE r10)
+                # struct access and die (ADVICE r10); an AS alias IS
+                # the output column (r11)
                 (["_label"] if multi else [])
-                + [rf.replace(".", "_") for rf in stmt.return_fields],
+                + [
+                    al or rf.replace(".", "_")
+                    for rf, al in zip(
+                        stmt.return_fields,
+                        stmt.return_aliases
+                        or (None,) * len(stmt.return_fields),
+                    )
+                ],
             ),
         )
         return StatementResult("match", "", count=-1, df=out)
@@ -2444,12 +2467,17 @@ class GraphEngine:
         ret_cols: list[str] = []
         if stmt.return_fields or stmt.return_aggs:
             cols = list(id_cols)
-            for rf in _projection_fields(stmt):
+            for rf, user_al in _return_items(stmt):
                 owner, bare = _return_field_owner(
                     rf, aliases, specs, "not found in pattern"
                 )
-                cols.append(f"{owner}_{bare}")
-                ret_cols.append(f"{owner}_{bare}")
+                outn = user_al or f"{owner}_{bare}"
+                cols.append(
+                    F.col(f"{owner}_{bare}").alias(outn)
+                    if user_al
+                    else f"{owner}_{bare}"
+                )
+                ret_cols.append(outn)
             out = out.select(*cols)
         sort_cols: list[Column] = []
         for c in id_cols:
@@ -2593,16 +2621,26 @@ class GraphEngine:
         ret_cols: list[str] = []
         if stmt.return_fields or stmt.return_aggs:
             cols = list(id_cols) + [f"{e_alias}_hops"]
-            for rf in _projection_fields(stmt):
+            for rf, user_al in _return_items(stmt):
                 if rf == "hops" or rf == f"{e_alias}.hops":
-                    ret_cols.append(f"{e_alias}_hops")
+                    if user_al:
+                        out = out.withColumn(user_al, F.col(f"{e_alias}_hops"))
+                        cols.append(user_al)
+                        ret_cols.append(user_al)
+                    else:
+                        ret_cols.append(f"{e_alias}_hops")
                     continue  # always projected as <alias>_hops
                 owner, bare = _return_field_owner(
                     rf, node_aliases, node_specs,
                     "not found on the endpoint types",
                 )
-                cols.append(f"{owner}_{bare}")
-                ret_cols.append(f"{owner}_{bare}")
+                outn = user_al or f"{owner}_{bare}"
+                cols.append(
+                    F.col(f"{owner}_{bare}").alias(outn)
+                    if user_al
+                    else f"{owner}_{bare}"
+                )
+                ret_cols.append(outn)
             out = out.select(*cols)
         sort_cols: list[Column] = []
         for c in id_cols:

@@ -329,6 +329,12 @@ class MatchStmt(Stmt):
     # at a past flushed parquet version — the GQL surface over the
     # engine's node_df_at time travel.
     as_of: int | None = None
+    # RETURN output aliasing extension (r11): ``RETURN a.name AS
+    # owner`` — one entry per return_fields item, the user-chosen
+    # output column name or None for the default (<alias>_<field> for
+    # qualified items, the bare field otherwise). Empty tuple = no
+    # aliases anywhere (programmatic ASTs stay valid unchanged).
+    return_aliases: tuple[str | None, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -689,6 +689,7 @@ class Parser:
             # keys. A single bare aggregate keeps the legacy
             # return_count/return_agg encoding.
             aggs: list[tuple[str, str]] = []
+            ret_aliases: list[str | None] = []
             while True:
                 item = self._expect(T.IDENT)
                 up = item.lit.upper()
@@ -711,6 +712,13 @@ class Parser:
                             item,
                             "DISTINCT cannot be combined with an aggregate RETURN",
                         )
+                    if self._at_return_as():
+                        self._err(
+                            self._tok,
+                            "aggregate RETURN items cannot be aliased — "
+                            "they project deterministic <func>_<field> / "
+                            "n_rows output names",
+                        )
                 else:
                     # r10: alias-qualified RETURN field (``RETURN
                     # x.name``) — the projection twin of the r9
@@ -719,7 +727,18 @@ class Parser:
                     name = item.lit
                     if self._match(T.DOT):
                         name = f"{name}.{self._expect(T.IDENT).lit}"
+                    # r11: RETURN output aliasing — ``field AS owner``
+                    # renames the OUTPUT column (soft keyword, LL(2):
+                    # ``AS`` is a marker only when followed by an
+                    # IDENT; a quoted ``as`` is always a plain field).
+                    # AS OF never appears after RETURN, so there is no
+                    # clash with the time-travel marker.
+                    out_alias: str | None = None
+                    if self._at_return_as():
+                        self._next()  # AS
+                        out_alias = self._expect(T.IDENT).lit
                     returns.append(name)
+                    ret_aliases.append(out_alias)
                 if not self._match(T.COMMA):
                     break
             if len(aggs) == 1 and not returns:
@@ -729,6 +748,27 @@ class Parser:
                 else:
                     return_agg = (func, fname)
                 aggs = []
+            # Effective OUTPUT names of the field items (user AS alias,
+            # else the qualified <alias>_<field> rename, else the bare
+            # field) — collisions among them, or with a generated
+            # aggregate alias, would emit duplicate output columns and
+            # die later as an ambiguous-reference AnalysisException;
+            # reject at parse time instead. (Unqualified fields in a
+            # CHAIN pattern get an owner prefix only the engine knows —
+            # this check covers every name the parser can see.)
+            out_names: list[str] = [
+                al or nm.replace(".", "_")
+                for nm, al in zip(returns, ret_aliases)
+            ]
+            seen_out: set[str] = set()
+            for nm, on in zip(returns, out_names):
+                if on in seen_out:
+                    self._err(
+                        t,
+                        f"duplicate RETURN output column {on!r} "
+                        f"(from item {nm!r}) — use AS to disambiguate",
+                    )
+                seen_out.add(on)
             seen_aliases = set()
             for func, fname in aggs:
                 alias = (
@@ -738,21 +778,20 @@ class Parser:
                 )
                 if alias in seen_aliases:
                     self._err(t, f"duplicate aggregate {func}({fname}) in RETURN")
-                # a plain return field (group key) carrying the same
-                # name as a generated aggregate alias would emit
-                # duplicate output columns and die later as an
-                # ambiguous-reference AnalysisException — reject at
-                # parse time instead
-                if alias in returns:
+                if alias in seen_out:
                     self._err(
                         t,
-                        f"RETURN field {alias!r} collides with the "
+                        f"RETURN field output {alias!r} collides with the "
                         f"{func}({fname}) aggregate's output column",
                     )
                 seen_aliases.add(alias)
             return_aggs = tuple(aggs)
+            return_aliases = (
+                tuple(ret_aliases) if any(a is not None for a in ret_aliases) else ()
+            )
         else:
             return_aggs = ()
+            return_aliases = ()
         order_by, limit, offset = self._parse_order_limit()
         if (return_count or return_agg) and order_by:
             self._err(t, "ORDER BY is meaningless with an aggregate RETURN")
@@ -770,6 +809,20 @@ class Parser:
             return_aggs=return_aggs,
             return_distinct=return_distinct,
             as_of=as_of,
+            return_aliases=return_aliases,
+        )
+
+    def _at_return_as(self) -> bool:
+        """True when the current token is the RETURN-item ``AS`` output
+        alias marker (r11): an unquoted ``AS`` followed by an IDENT.
+        AS OF never appears after RETURN (it sits between the pattern
+        and WHERE), so inside the RETURN item list AS+IDENT is always
+        an alias; a backtick-quoted ``as`` is never a marker."""
+        return (
+            self._tok.type is T.IDENT
+            and not self._tok.quoted
+            and self._tok.lit.upper() == "AS"
+            and self._peek().type is T.IDENT
         )
 
     def _at_soft_clause(self) -> bool:

@@ -919,3 +919,32 @@ def gql_match_qualified_return(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN x.c_name, y.c_name, y.c_acctbal;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_return_alias",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id,
+       c_name AS owner, c_acctbal AS balance
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+""",
+)
+def gql_match_return_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN output aliasing (r11): ``RETURN p.c_name AS owner,
+    c_acctbal AS balance`` — the user picks the OUTPUT column names
+    (the projection surface's missing half after r10's qualified
+    RETURN, whose columns were auto-named ``<alias>_<field>``). ``AS``
+    is a soft keyword (marker only before an IDENT inside the RETURN
+    list), so fields literally named ``as`` stay legal, and AS OF is
+    unaffected (it sits before WHERE). ORDER BY and DISTINCT resolve
+    aliases as exact output columns; output-name collisions are
+    parse-time errors. The reference parses-and-ignores RETURN
+    entirely (parser/parser.go:711-719) — extension polish."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer p "
+        "WHERE p.c_mktsegment: 'BUILDING', p.c_acctbal > 9000.0 "
+        "RETURN p.c_name AS owner, c_acctbal AS balance;"
+    )[0]
+    return res.df

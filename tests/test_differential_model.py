@@ -161,6 +161,19 @@ def test_differential_random_dml(eng):
             assert [(r.a, r.b) for r in got_p] == [
                 (r["a"], r["b"]) for r in want_sorted[off : off + 3]
             ], (text, off)
+        # r11: aliased-projection differential — AS renames the OUTPUT
+        # column only; values, ordering and paging are unchanged, and
+        # ORDER BY resolves the alias as an exact output column
+        got_al = eng.execute(
+            f"MATCH D WHERE {text} RETURN b AS bb, a ORDER BY bb LIMIT 4;"
+        )[0].df
+        assert got_al.columns == ["_id", "bb", "a"], text
+        want_bb = sorted(
+            want, key=lambda r: (r["b"] is not None, r["b"] is not None and r["b"])
+        )[:4]
+        assert [(r.bb, r.a) for r in got_al.collect()] == [
+            (r["b"], r["a"]) for r in want_bb
+        ], text
 
     for i in range(N_OPS):
         rng.choice([insert, insert, insert, update, update, delete])()

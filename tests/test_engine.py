@@ -1996,6 +1996,68 @@ def test_qualified_return_fields(eng):
         eng.execute("MATCH QR x, QL e, QR y RETURN x.nosuch;")
 
 
+def test_return_output_aliasing(eng):
+    # r11: RETURN <field> AS <name> renames the OUTPUT column on every
+    # MATCH path; ORDER BY and DISTINCT resolve the alias exactly;
+    # collisions are parse-time errors (VERDICT r10 task #4)
+    eng.execute(
+        "CREATE NODE RA (name: string PRIMARY KEY, seg: string);"
+        "CREATE EDGE RL (FROM RA MANY, TO RA MANY);"
+        "INSERT NODE RA (name: 'a', seg: 's1');"
+        "INSERT NODE RA (name: 'b', seg: 's2');"
+        "INSERT NODE RA (name: 'c', seg: 's1');"
+        "INSERT EDGE RL FROM RA('1') TO RA('2');"
+        "INSERT EDGE RL FROM RA('2') TO RA('3');"
+    )
+    # single element: bare + qualified, ORDER BY the alias
+    r = eng.execute("MATCH RA p RETURN p.name AS owner ORDER BY owner DESC;")[0].df
+    assert r.columns == ["_id", "owner"]
+    assert [x.owner for x in r.collect()] == ["c", "b", "a"]
+    r = eng.execute("MATCH RA RETURN name AS n2, seg;")[0].df
+    assert r.columns == ["_id", "n2", "seg"]
+    # the same field twice under different aliases is legal
+    r = eng.execute("MATCH RA p RETURN p.name AS x1, p.name AS x2 LIMIT 1;")[0].df
+    assert r.columns == ["_id", "x1", "x2"]
+    assert r.collect()[0].x1 == r.collect()[0].x2 == "a"
+    # chain endpoints under user names
+    r = eng.execute(
+        "MATCH RA x, RL e, RA y RETURN x.name AS src, y.name AS dst ORDER BY src;"
+    )[0].df
+    assert [(v.src, v.dst) for v in r.collect()] == [("a", "b"), ("b", "c")]
+    # var-length: hops aliased alongside an endpoint field
+    r = eng.execute(
+        "MATCH RA x, RL*1..2 e, RA y RETURN y.name AS tgt, hops AS depth "
+        "ORDER BY depth, tgt;"
+    )[0].df
+    assert [(v.tgt, v.depth) for v in r.collect()] == [("b", 1), ("c", 1), ("c", 2)]
+    # grouped aggregate with an aliased group key; ORDER BY alias or raw
+    r = eng.execute("MATCH RA RETURN seg AS s, COUNT(*) ORDER BY s;")[0].df
+    assert r.columns == ["s", "n_rows"]
+    assert [tuple(v) for v in r.collect()] == [("s1", 2), ("s2", 1)]
+    r = eng.execute("MATCH RA RETURN seg AS s, COUNT(*) ORDER BY seg;")[0].df
+    assert [tuple(v) for v in r.collect()] == [("s1", 2), ("s2", 1)]
+    # aggregate source rides along when the field only appears aliased
+    r = eng.execute("MATCH RA RETURN seg AS s, COUNT(seg) ORDER BY s;")[0].df
+    assert [tuple(v) for v in r.collect()] == [("s1", 2), ("s2", 1)]
+    # DISTINCT over the aliased projection
+    r = eng.execute("MATCH RA p RETURN DISTINCT p.seg AS s ORDER BY s;")[0].df
+    assert r.columns == ["s"] and [v.s for v in r.collect()] == ["s1", "s2"]
+    # parse-time rejections: output collisions, aliased aggregates
+    with pytest.raises(EngineError, match="duplicate RETURN output column"):
+        eng.execute("MATCH RA RETURN name AS x, seg AS x;")
+    with pytest.raises(EngineError, match="collides with the COUNT"):
+        eng.execute("MATCH RA RETURN seg AS n_rows, COUNT(*);")
+    with pytest.raises(EngineError, match="cannot be aliased"):
+        eng.execute("MATCH RA RETURN COUNT(*) AS c;")
+    # a field literally named `as` stays reachable (quoted or bare)
+    eng.execute(
+        "CREATE NODE RAS (`as`: string PRIMARY KEY);"
+        "INSERT NODE RAS (`as`: 'v');"
+    )
+    r = eng.execute("MATCH RAS RETURN `as` AS a2;")[0].df
+    assert r.columns == ["_id", "a2"] and r.collect()[0].a2 == "v"
+
+
 def test_return_count_field_non_null(eng):
     # r9: COUNT(field) counts non-null values; COUNT(*) counts rows
     eng.execute(

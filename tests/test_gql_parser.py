@@ -518,3 +518,36 @@ def test_not_and_paren_groups_parse():
     # unbalanced paren is a parse error
     _, errors = parse_script("MATCH P WHERE (a: 1 OR b: 2;")
     assert errors
+
+
+def test_match_return_alias_parse():
+    # r11: RETURN output aliasing — AS is a soft keyword (marker only
+    # when followed by an IDENT); aliases land index-aligned in
+    # return_aliases, None for unaliased items
+    st = one("MATCH Person p RETURN p.name AS owner, age, city AS c;")
+    assert st.return_fields == ("p.name", "age", "city")
+    assert st.return_aliases == ("owner", None, "c")
+    # no aliases anywhere -> empty tuple (programmatic-AST back-compat)
+    st = one("MATCH Person RETURN name, age;")
+    assert st.return_aliases == ()
+    # quoted `as` is a plain field, never a marker
+    st = one("MATCH Person RETURN `as`, name;")
+    assert st.return_fields == ("as", "name") and st.return_aliases == ()
+    # DISTINCT composes with aliases
+    st = one("MATCH Person RETURN DISTINCT seg AS s;")
+    assert st.return_distinct and st.return_aliases == ("s",)
+    # alias followed by ORDER BY parses (greedy alias, then the clause)
+    st = one("MATCH Person RETURN name AS n ORDER BY n DESC LIMIT 2;")
+    assert st.return_aliases == ("n",) and st.order_by == (("n", True),)
+
+
+def test_match_return_alias_collisions_rejected():
+    _, errors = parse_script("MATCH P RETURN a AS x, b AS x;")
+    assert len(errors) == 1 and "duplicate RETURN output column" in errors[0].msg
+    _, errors = parse_script("MATCH P RETURN a AS sum_b, SUM(b);")
+    assert len(errors) == 1 and "collides with the SUM(b)" in errors[0].msg
+    _, errors = parse_script("MATCH P RETURN SUM(b) AS total;")
+    assert len(errors) == 1 and "cannot be aliased" in errors[0].msg
+    # qualified item whose default output name collides with an alias
+    _, errors = parse_script("MATCH P p RETURN p.name AS p_seg, p.seg;")
+    assert len(errors) == 1 and "duplicate RETURN output column" in errors[0].msg

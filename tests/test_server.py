@@ -364,3 +364,31 @@ def test_r10_qualified_return_over_socket(server):
     c.read_until_blank()
     c.send("quit")
     c.close()
+
+
+def test_r11_return_alias_over_socket(server):
+    # r11: RETURN output aliasing over the reference wire protocol —
+    # the pretty-printer renders the user's AS names; a collision is a
+    # parse error the connection survives
+    c = _Client(server.port)
+    c.read_until_blank()
+    c.send(
+        "CREATE NODE AL (name: string PRIMARY KEY, seg: string);"
+        "INSERT NODE AL (name: 'a', seg: 's1');"
+        "INSERT NODE AL (name: 'b', seg: 's2');"
+    )
+    assert c.read_until_blank()[-1].startswith("OK - 3 statement(s)")
+    c.send("MATCH AL p RETURN p.name AS owner, seg AS s ORDER BY owner DESC;")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    joined = " ".join(block).replace(" ", "")
+    assert "owner:b" in joined and "s:s2" in joined, block
+    # malformed: duplicate output name -> parse error, connection lives
+    c.send("MATCH AL RETURN name AS x, seg AS x;")
+    reply = c.read_until_blank()
+    assert any("error" in ln.lower() for ln in reply), reply
+    c.send("MATCH AL RETURN COUNT(*);")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    c.read_until_blank()
+    c.send("quit")
+    c.close()
