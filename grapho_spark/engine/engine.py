@@ -2274,6 +2274,13 @@ class GraphEngine:
             raise EngineError(
                 "variable-length *bounds require an edge element in the pattern"
             )
+        if any(el.optional for el in stmt.pattern):
+            # OPTIONAL on a node-only pattern has nothing to be
+            # optional relative to — the union path would silently
+            # ignore the marker
+            raise EngineError(
+                "OPTIONAL requires an edge element in a chain pattern"
+            )
         frames: list[DataFrame] = []
         multi = len(stmt.pattern) > 1
         if multi and any(func != "COUNT" for func, _ in stmt.return_aggs):
@@ -2418,6 +2425,10 @@ class GraphEngine:
                     raise EngineError(
                         f"pattern position {i + 1}: node type {el.type!r} expected"
                     )
+                if el.optional:
+                    raise EngineError(
+                        "OPTIONAL marks an edge element, not a node"
+                    )
                 specs.append(nt.field_map())
             else:
                 et = self.catalog.edge(el.type)
@@ -2447,15 +2458,29 @@ class GraphEngine:
             )
 
         out = prefixed(0)
+        # OPTIONAL (r11): the marked edge hop and every later hop
+        # compile to LEFT joins — left-prefix rows survive with
+        # NULL-padded edge/right-node fields when nothing matches
+        # (inner joins after an optional hop would silently re-drop
+        # the NULL-padded rows, turning OPTIONAL back into inner).
+        # WHERE stays a post-join filter: every leaf predicate is
+        # TOTAL (null-safe =, IsNotNull-guarded comparisons), so a
+        # predicate on an optional field drops NULL-padded rows —
+        # SQL LEFT JOIN + WHERE semantics — and its NOT keeps them.
+        opt_seen = False
         for i in range(1, len(pattern), 2):
+            opt_seen = opt_seen or pattern[i].optional
+            how = "left" if opt_seen else "inner"
             out = out.join(
                 prefixed(i),
                 F.col(f"{aliases[i]}_{SRC_COLUMN}")
                 == F.col(f"{aliases[i - 1]}_{ID_COLUMN}"),
+                how,
             ).join(
                 prefixed(i + 1),
                 F.col(f"{aliases[i]}_{DST_COLUMN}")
                 == F.col(f"{aliases[i + 1]}_{ID_COLUMN}"),
+                how,
             )
 
         if stmt.where:
@@ -2519,6 +2544,12 @@ class GraphEngine:
         if len(pattern) != 3:
             raise EngineError(
                 "variable-length MATCH supports exactly node, edge*, node"
+            )
+        if any(el.optional for el in pattern):
+            # parse-time rejects OPTIONAL+*bounds on one element; this
+            # covers OPTIONAL on the other elements of a *bounds chain
+            raise EngineError(
+                "OPTIONAL cannot combine with a variable-length pattern"
             )
         left_el, edge_el, right_el = pattern
         for el in (left_el, right_el):

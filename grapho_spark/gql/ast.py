@@ -286,6 +286,10 @@ class MatchElement:
     # TYPE*lo..hi. (1, 1) = plain single-hop element.
     min_hops: int = 1
     max_hops: int = 1
+    # OPTIONAL extension (r11, edge elements only): this hop and every
+    # later one compile to LEFT joins — left-prefix rows survive with
+    # NULL-padded fields when nothing matches.
+    optional: bool = False
 
 
 @dataclass(frozen=True)

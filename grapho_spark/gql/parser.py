@@ -588,6 +588,22 @@ class Parser:
         self._next()
         pattern: list[ast.MatchElement] = []
         while self._tok.type is T.IDENT:
+            # OPTIONAL extension (r11, soft keyword): ``MATCH A a,
+            # OPTIONAL E e, B b`` marks the edge element (and
+            # everything after it) left-outer — rows of the left
+            # prefix survive with NULL-padded fields when no edge
+            # matches. Marker only when followed by another IDENT (the
+            # element type), so a type literally named OPTIONAL stays
+            # reachable bare at the end of a pattern or backtick-quoted
+            # anywhere.
+            optional = False
+            if (
+                self._tok.lit.upper() == "OPTIONAL"
+                and not self._tok.quoted
+                and self._peek().type is T.IDENT
+            ):
+                optional = True
+                self._next()
             el_tok = self._tok
             el_type = el_tok.lit
             self._next()
@@ -618,6 +634,10 @@ class Parser:
             if self._tok.type is T.IDENT and not self._at_soft_clause():
                 alias = self._tok.lit
                 self._next()
+            if optional and (min_hops != 1 or max_hops != 1):
+                self._err(
+                    el_tok, "OPTIONAL cannot combine with *bounds"
+                )
             pattern.append(
                 ast.MatchElement(
                     el_type,
@@ -627,6 +647,7 @@ class Parser:
                     max_hops=max_hops,
                     line=el_tok.line,
                     col=el_tok.col,
+                    optional=optional,
                 )
             )
             if not self._match(T.COMMA):

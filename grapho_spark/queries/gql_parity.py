@@ -948,3 +948,51 @@ def gql_match_return_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN p.c_name AS owner, c_acctbal AS balance;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_optional",
+    oracle="""
+SELECT CAST(c.c_custkey AS VARCHAR) AS c__id,
+       CASE WHEN o.o_orderkey IS NULL THEN NULL
+            ELSE 'edge_' || CAST(o.o_custkey AS VARCHAR) || '_'
+                         || CAST(o.o_orderkey AS VARCHAR) END AS h__id,
+       CAST(o.o_orderkey AS VARCHAR) AS o__id,
+       c.c_name AS cust,
+       o.o_totalprice AS price
+FROM customer c
+LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+WHERE o.o_totalprice IS NULL OR o.o_totalprice < 100000.0
+""",
+)
+def gql_match_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH (r11): ``MATCH Customer c, OPTIONAL PlacedP h,
+    Order o`` compiles the marked hop (and everything after it) to
+    LEFT joins — customers with no pending order survive with
+    NULL-padded edge/order fields. WHERE stays a post-join filter
+    over TOTAL predicates, so ``NOT o.o_totalprice >= X`` KEEPS the
+    NULL-padded rows (guarded comparison is false on NULL; NOT false
+    is true) — mirrored in the oracle as ``IS NULL OR <``. Declared
+    absent in the reference (inner-only chains); every mainstream
+    graph QL grows this form."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    o = load_table(spark, sf_dir, "orders")
+    eng.bind_node_type("Customer", load_table(spark, sf_dir, "customer"), pk="c_custkey")
+    eng.bind_node_type("Order", o.select("o_orderkey", "o_totalprice"), pk="o_orderkey")
+    eng.bind_edge_type(
+        "PlacedP",
+        o.filter(F.col("o_orderstatus") == "P").select("o_custkey", "o_orderkey"),
+        src="o_custkey",
+        dst="o_orderkey",
+        from_label="Customer",
+        to_label="Order",
+    )
+    res = eng.execute(
+        "MATCH Customer c, OPTIONAL PlacedP h, Order o "
+        "WHERE NOT o.o_totalprice >= 100000.0 "
+        "RETURN c.c_name AS cust, o.o_totalprice AS price;"
+    )[0]
+    return res.df

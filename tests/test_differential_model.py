@@ -280,11 +280,37 @@ def test_differential_random_edge_dml(eng):
             )
         ]
 
+    def check_optional():
+        # r11 OPTIONAL differential: left-join semantics vs the model —
+        # a node with NO outgoing edge survives as one NULL-padded row;
+        # a node whose edges ALL fail the WHERE disappears (post-join
+        # filter, no null resurrection); NOT over the total predicate
+        # KEEPS the padded rows (guarded cmp is false on NULL)
+        tv = rng.choice(DOMAIN)
+        got = eng.execute(
+            f"MATCH P x, OPTIONAL E e, P y WHERE NOT e.w > {tv} "
+            "RETURN x.k AS xk, e.w AS wv;"
+        )[0].df.collect()
+        rows: list[tuple] = []
+        for nid, k in nodes:
+            matched = [e for e in edges if e["src"] == nid]
+            if matched:
+                rows.extend((k, e["w"]) for e in matched)
+            else:
+                rows.append((k, None))
+        want_o = [(k, w) for k, w in rows if not (w is not None and w > tv)]
+        key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
+        assert sorted(((r.xk, r.wv) for r in got), key=key) == sorted(
+            want_o, key=key
+        ), tv
+
     ops = [ins_node] * 2 + [ins_edge] * 3 + [upd_edge] * 2 + [del_edge]
     for i in range(60):
         rng.choice(ops)()
         if i == 30:
             eng.flush()
+            check_optional()  # over flushed base + buffer
+    check_optional()  # end-state
 
     got = sorted(
         (r["_id"], r["_src"], r["_dst"], r.w) for r in eng.edge_df("E").collect()

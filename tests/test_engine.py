@@ -2058,6 +2058,92 @@ def test_return_output_aliasing(eng):
     assert r.columns == ["_id", "a2"] and r.collect()[0].a2 == "v"
 
 
+def _optional_fixture(e):
+    e.execute(
+        "CREATE NODE OP (name: string PRIMARY KEY, seg: string);"
+        "CREATE EDGE OL (FROM OP MANY, TO OP MANY, PROPS (w: int));"
+        "INSERT NODE OP (name: 'a', seg: 's1');"
+        "INSERT NODE OP (name: 'b', seg: 's2');"
+        "INSERT NODE OP (name: 'c', seg: 's1');"
+        "INSERT EDGE OL FROM OP('1') TO OP('2') (w: 5);"
+    )
+
+
+def _assert_optional_semantics(e):
+    # unmatched left rows survive with NULL-padded edge/right fields
+    r = e.execute(
+        "MATCH OP x, OPTIONAL OL e, OP y "
+        "RETURN x.name AS src, y.name AS dst ORDER BY src;"
+    )[0].df
+    assert [(v.src, v.dst) for v in r.collect()] == [
+        ("a", "b"), ("b", None), ("c", None),
+    ]
+    # WHERE on the optional side is a post-join filter over TOTAL
+    # predicates: it drops NULL-padded rows; its NOT keeps them
+    r = e.execute(
+        "MATCH OP x, OPTIONAL OL e, OP y WHERE y.seg: 's2' "
+        "RETURN x.name AS src;"
+    )[0].df
+    assert [v.src for v in r.collect()] == ["a"]
+    r = e.execute(
+        "MATCH OP x, OPTIONAL OL e, OP y WHERE NOT y.seg: 's2' "
+        "RETURN x.name AS src ORDER BY src;"
+    )[0].df
+    assert [v.src for v in r.collect()] == ["b", "c"]
+    # optional edge properties predicate the same way
+    r = e.execute(
+        "MATCH OP x, OPTIONAL OL e, OP y WHERE e.w > 1 RETURN x.name AS src;"
+    )[0].df
+    assert [v.src for v in r.collect()] == ["a"]
+    # DISTINCT and aggregates see the NULL-padded rows
+    r = e.execute(
+        "MATCH OP x, OPTIONAL OL e, OP y RETURN DISTINCT y.seg AS s ORDER BY s;"
+    )[0].df
+    assert [v.s for v in r.collect()] == [None, "s2"]
+    assert (
+        e.execute("MATCH OP x, OPTIONAL OL e, OP y RETURN COUNT(*);")[0]
+        .df.collect()[0][0]
+        == 3
+    )
+    # COUNT(field) skips the padded NULLs (SQL semantics)
+    r = e.execute("MATCH OP x, OPTIONAL OL e, OP y RETURN COUNT(w);")[0].df
+    assert r.collect()[0][0] == 1
+
+
+def test_optional_match_left_outer_chain(eng):
+    # r11 (VERDICT r10 task #6): OPTIONAL edge element = left join with
+    # NULL-padded fields, exercised on the PURE-BUFFER table
+    _optional_fixture(eng)
+    _assert_optional_semantics(eng)
+    # rejections: node-only pattern, node element, *bounds
+    with pytest.raises(EngineError, match="requires an edge element"):
+        eng.execute("MATCH OPTIONAL OP p;")
+    with pytest.raises(EngineError, match="not a node"):
+        eng.execute("MATCH OP x, OL e, OPTIONAL OP y;")
+    with pytest.raises(EngineError, match="cannot combine"):
+        eng.execute("MATCH OP x, OPTIONAL OL*2 e, OP y;")
+    # a node type literally named OPTIONAL stays reachable (bare at
+    # pattern end, or backtick-quoted anywhere)
+    eng.execute(
+        "CREATE NODE OPTIONAL (k: int PRIMARY KEY);"
+        "INSERT NODE OPTIONAL (k: 7);"
+    )
+    assert eng.execute("MATCH OPTIONAL;")[0].df.count() == 1
+    assert eng.execute("MATCH `OPTIONAL` z RETURN z.k;")[0].df.collect()[0].z_k == 7
+
+
+def test_optional_match_flushed_bucketed(spark, tmp_path):
+    # the same OPTIONAL semantics over FLUSHED bucketed parquet (the
+    # durable twin of the pure-buffer test above)
+    e = GraphEngine(spark, data_dir=str(tmp_path / "opt"))
+    _optional_fixture(e)
+    e.flush()
+    _assert_optional_semantics(e)
+    # and once more after reopen (replay + versioned reads)
+    e2 = GraphEngine(spark, data_dir=str(tmp_path / "opt"))
+    _assert_optional_semantics(e2)
+
+
 def test_return_count_field_non_null(eng):
     # r9: COUNT(field) counts non-null values; COUNT(*) counts rows
     eng.execute(

@@ -551,3 +551,15 @@ def test_match_return_alias_collisions_rejected():
     # qualified item whose default output name collides with an alias
     _, errors = parse_script("MATCH P p RETURN p.name AS p_seg, p.seg;")
     assert len(errors) == 1 and "duplicate RETURN output column" in errors[0].msg
+
+
+def test_match_optional_parse():
+    # r11: OPTIONAL soft keyword marks the following element; a type
+    # literally named OPTIONAL stays reachable bare at pattern end
+    st = one("MATCH A a, OPTIONAL E e, B b;")
+    assert [el.optional for el in st.pattern] == [False, True, False]
+    assert st.pattern[1].type == "E" and st.pattern[1].alias == "e"
+    st = one("MATCH OPTIONAL;")
+    assert st.pattern[0].type == "OPTIONAL" and not st.pattern[0].optional
+    _, errors = parse_script("MATCH A a, OPTIONAL E*2 e, B b;")
+    assert len(errors) == 1 and "cannot combine with *bounds" in errors[0].msg

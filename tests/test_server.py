@@ -392,3 +392,34 @@ def test_r11_return_alias_over_socket(server):
     c.read_until_blank()
     c.send("quit")
     c.close()
+
+
+def test_r11_optional_match_over_socket(server):
+    # r11 OPTIONAL MATCH over the wire: NULL-padded fields render, and
+    # a misplaced OPTIONAL is an error the connection survives
+    c = _Client(server.port)
+    c.read_until_blank()
+    c.send(
+        "CREATE NODE ON1 (name: string PRIMARY KEY);"
+        "CREATE EDGE OE1 (FROM ON1 MANY, TO ON1 MANY);"
+        "INSERT NODE ON1 (name: 'a'); INSERT NODE ON1 (name: 'b');"
+        "INSERT EDGE OE1 FROM ON1('1') TO ON1('2');"
+    )
+    assert c.read_until_blank()[-1].startswith("OK - 5 statement(s)")
+    c.send(
+        "MATCH ON1 x, OPTIONAL OE1 e, ON1 y "
+        "RETURN x.name AS src, y.name AS dst ORDER BY src;"
+    )
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    joined = " ".join(block).replace(" ", "")
+    assert "src:a" in joined and "dst:b" in joined, block
+    assert "src:b" in joined, block  # the unmatched row survives
+    c.send("MATCH ON1 x, OE1 e, OPTIONAL ON1 y;")
+    reply = c.read_until_blank()
+    assert any("error" in ln.lower() for ln in reply), reply
+    c.send("MATCH ON1 RETURN COUNT(*);")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    c.read_until_blank()
+    c.send("quit")
+    c.close()
