@@ -66,6 +66,20 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "gql_match_paren_groups": [
         r"PushedFilters: \[[^\]]*Or\(And\(",
     ],
+    # r11: the composite boolean-algebra MATCH on a flushed bucketed
+    # engine table — Catalyst decomposes NOT(a OR b) into pushable
+    # conjuncts (Not(EqualNullSafe), Not(In)), the bounds and <> push
+    # alongside, and paging stays ONE TakeOrderedAndProject carrying
+    # offset 10 (limit arg = offset+40)
+    "core_gql_match_bool_algebra": [
+        r"PushedFilters: \[[^\]]*Not\(EqualNullSafe\(c_mktsegment,AUTOMOBILE\)\)",
+        r"Not\(In\(c_mktsegment, \[FURNITURE,HOUSEHOLD\]\)\)",
+        r"GreaterThanOrEqual\(c_acctbal,1000\.0\)",
+        r"LessThan\(c_acctbal,9000\.0\)",
+        r"Not\(EqualTo\(c_nationkey,13\)\)",
+        "TakeOrderedAndProject",
+        r"Arguments: 50, \[bal[^\]]*\], \[[^\]]*\], 10",
+    ],
     # r9: inclusive bounds must push as GreaterThanOrEqual/
     # LessThanOrEqual scan filters
     "gql_match_cmp_bounds": [

@@ -996,3 +996,57 @@ def gql_match_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN c.c_name AS cust, o.o_totalprice AS price;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_bool_algebra",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS _id,
+       c_name AS name, c_acctbal AS bal, c_mktsegment AS seg
+FROM customer
+WHERE NOT (c_mktsegment = 'AUTOMOBILE'
+           OR c_mktsegment IN ('FURNITURE', 'HOUSEHOLD'))
+  AND c_acctbal >= 1000.0 AND c_acctbal < 9000.0
+  AND c_nationkey <> 13
+ORDER BY bal DESC, name
+LIMIT 40 OFFSET 10
+""",
+)
+def gql_match_bool_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10/r11 MATCH surface composed in ONE statement, executed
+    against a FLUSHED BUCKETED engine table (VERDICT r10 task #3): NOT
+    over a parenthesized OR group, IN, inclusive/exclusive bounds and
+    ``<>`` — all as alias-qualified WHERE keys — with qualified RETURN
+    under r11 ``AS`` output aliases and ORDER BY/LIMIT/OFFSET paging.
+    The fixture binds customer as a node type and flushes, so the scan
+    is the engine's versioned ``_gbkt`` bucket layout and the whole
+    predicate tree pushes to that parquet scan (plan-CI pins
+    Not/In/bounds in PushedFilters and the single
+    TakeOrderedAndProject carrying the offset). Every leaf compiles
+    total (null-safe =, IsNotNull-guarded cmp/IN), and c_mktsegment /
+    c_acctbal / c_nationkey are never null in the fixture, so the
+    plain-SQL oracle agrees; the null semantics themselves are pinned
+    by tests/test_engine.py."""
+    import os as _os
+    import shutil as _shutil
+
+    from grapho_spark.engine import GraphEngine
+
+    data_dir = scratch_path(f"grapho_ba_{_os.getpid()}")
+    _shutil.rmtree(data_dir, ignore_errors=True)
+    eng = GraphEngine(spark, data_dir=data_dir)
+    eng.bind_node_type(
+        "Customer", load_table(spark, sf_dir, "customer"), pk="c_custkey"
+    )
+    eng.flush()  # v1: bucket-complete _gbkt layout on disk
+    res = eng.execute(
+        "MATCH Customer c WHERE "
+        "NOT (c.c_mktsegment: 'AUTOMOBILE' OR "
+        "c.c_mktsegment IN ('FURNITURE', 'HOUSEHOLD')), "
+        "c.c_acctbal >= 1000.0, c.c_acctbal < 9000.0, "
+        "c.c_nationkey <> 13 "
+        "RETURN c.c_name AS name, c.c_acctbal AS bal, "
+        "c.c_mktsegment AS seg "
+        "ORDER BY bal DESC, name LIMIT 40 OFFSET 10;"
+    )[0]
+    return res.df
