@@ -207,6 +207,15 @@ class _Table:
     # row's bucket is immutable and the set stays a superset of every
     # changed bucket.
     touched_buckets: set[int] | None = field(default_factory=set)
+    # Bucket count of the table's live bucket-complete layout (the
+    # "n" of the tip chain's _BUCKETS.json). None = no bucket-complete
+    # version yet, or a legacy whole-dir layout — the engine-level
+    # id_buckets floor applies. Adaptive re-bucketing grows this at
+    # full compacting rewrites (see _grown_bucket_n); it never changes
+    # between full rewrites, so mutation-time touched-bucket recording
+    # and the partial-rewrite filter always hash with the SAME n as
+    # the layout they prune against.
+    bucket_n: int | None = None
     # Lazily-built bloom sketches per unique field (operators/bloom.py):
     # a negative probe proves a value absent from base with no Spark
     # job. No false negatives; cleared whenever base VALUES can change
@@ -416,6 +425,7 @@ class GraphEngine:
         log_segment_bytes: int | None = None,
         max_delta_chain: int = 8,
         id_buckets: int = 16,
+        target_bucket_rows: int | None = None,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
@@ -451,18 +461,33 @@ class GraphEngine:
         O(table). Size it so one bucket ≈ a healthy parquet file set
         at your table size (more buckets = finer rewrites but more
         files; at cluster scale hundreds-to-thousands). Must be >= 1;
-        1 effectively disables pruning."""
+        1 effectively disables pruning.
+
+        ``target_bucket_rows``: adaptive re-bucketing — at each FULL
+        compacting rewrite (first flush, chain compaction, ALTER,
+        explicit ``compact()``), if the table now holds more than this
+        many rows per bucket, the bucket count DOUBLES until it fits
+        (grow-only; ``id_buckets`` stays the floor). The grown count
+        is per-table, recorded in that version's _BUCKETS.json, and
+        every later mutation/partial-rewrite hashes with it — so the
+        partial-rewrite win stays O(touched · rows/bucket) as the
+        table grows 100×, instead of decaying to O(table/16). The
+        storage twin of the ANN index's outgrowth rule. ``None``
+        (default) disables growth (fixed ``id_buckets``)."""
         if keep_versions is not None and keep_versions < 1:
             raise EngineError("keep_versions must be >= 1 (or None)")
         if max_delta_chain < 1:
             raise EngineError("max_delta_chain must be >= 1")
         if id_buckets < 1:
             raise EngineError("id_buckets must be >= 1")
+        if target_bucket_rows is not None and target_bucket_rows < 1:
+            raise EngineError("target_bucket_rows must be >= 1 (or None)")
         self.spark = spark
         self.data_dir = data_dir
         self.keep_versions = keep_versions
         self.max_delta_chain = max_delta_chain
         self.id_buckets = id_buckets
+        self.target_bucket_rows = target_bucket_rows
         self._lock = threading.RLock()
         self.tables: dict[tuple[str, str], _Table] = {}
         self.next_id = 1
@@ -760,13 +785,37 @@ class GraphEngine:
             )
         )
 
-    def _bucket_expr(self) -> Column:
-        """Stable hash bucket of a row: pmod(xxhash64(_id), id_buckets).
+    def _bucket_expr(self, n: int) -> Column:
+        """Stable hash bucket of a row: pmod(xxhash64(_id), n).
         xxhash64 is a fixed algorithm (seed 42) computed JVM-side, so
         the same _id lands in the same bucket across sessions and
         versions; _id never changes after insert, so bucket membership
-        is immutable — the invariant partition-pruned rewrites rest on."""
-        return F.pmod(F.xxhash64(F.col(ID_COLUMN)), F.lit(self.id_buckets))
+        is immutable FOR A GIVEN n — the invariant partition-pruned
+        rewrites rest on. ``n`` is the table's live layout count
+        (``_tab_bucket_n``); a full rewrite may grow it, rehashing
+        everything it writes anyway."""
+        return F.pmod(F.xxhash64(F.col(ID_COLUMN)), F.lit(n))
+
+    def _tab_bucket_n(self, tab: _Table) -> int:
+        """Bucket count of the table's LIVE layout: the tip chain's
+        _BUCKETS.json ``n`` (tracked in tab.bucket_n), else the engine
+        floor for tables with no bucket-complete version yet."""
+        return tab.bucket_n if tab.bucket_n is not None else self.id_buckets
+
+    def _grown_bucket_n(self, tab: _Table, rows: int) -> int:
+        """Adaptive re-bucketing decision at a FULL rewrite: double the
+        bucket count until rows/bucket <= target_bucket_rows (grow-only
+        — never below the current layout or the id_buckets floor, so
+        an already-grown table keeps its granularity across ALTER /
+        compact even if it shrank). Doubling keeps the progression
+        stable and the file-count overhead geometric, exactly the ANN
+        index's cells ∝ √growth discipline applied to storage."""
+        n = max(self._tab_bucket_n(tab), self.id_buckets)
+        if self.target_bucket_rows is None:
+            return n
+        while rows > n * self.target_bucket_rows:
+            n *= 2
+        return n
 
     def _bucket_map(self, kind: str, name: str, v: int) -> dict | None:
         """The _BUCKETS.json manifest of a bucket-complete version:
@@ -1064,7 +1113,9 @@ class GraphEngine:
             return set()
         return {
             int(r["b"])
-            for r in buf.select(self._bucket_expr().alias("b"))
+            for r in buf.select(
+                self._bucket_expr(self._tab_bucket_n(tab)).alias("b")
+            )
             .distinct()
             .collect()
         }
@@ -1078,21 +1129,24 @@ class GraphEngine:
 
         When every mutated bucket since the last flush is known
         (UPDATE/DELETE recorded them; no ALTER; the prior tip is
-        bucket-complete under the same ``id_buckets``), only those
-        buckets are rewritten and the rest INHERIT their leaf dirs
-        from the prior map — mutation flush I/O becomes
-        O(touched/id_buckets of the table) instead of O(table), the
+        bucket-complete under the table's live bucket count), only
+        those buckets are rewritten and the rest INHERIT their leaf
+        dirs from the prior map — mutation flush I/O becomes
+        O(touched · rows/bucket) instead of O(table), the
         partition-pruned copy-on-write the O(delta) insert path
         already gets for appends. Anything else (legacy whole-dir tip,
         delta tip needing compaction, schema migration, first flush)
-        falls back to the full rewrite, which also migrates the layout."""
+        falls back to the full rewrite, which also migrates the layout
+        and — with ``target_bucket_rows`` set — GROWS the bucket count
+        to fit the table's current size (adaptive re-bucketing), so
+        per-bucket rewrite cost stays bounded as the table grows."""
         parent = self._bucket_map(kind, name, prev) if prev > 0 else None
         partial = (
             tab.base_dirty
             and tab.touched_buckets is not None
             and bool(tab.touched_buckets)
             and parent is not None
-            and parent.get("n") == self.id_buckets
+            and parent.get("n") == self._tab_bucket_n(tab)
             and not self._is_delta_version(kind, name, prev)
         )
         touched = {int(b) for b in tab.touched_buckets or ()}
@@ -1117,15 +1171,27 @@ class GraphEngine:
             }
             if len(inherited) + 1 > self.max_delta_chain:
                 partial = False
-        df = self._merged_df((kind, name)).withColumn(
-            BUCKET_COLUMN, self._bucket_expr()
-        )
+        df = self._merged_df((kind, name))
+        if partial:
+            # a partial rewrite NEVER re-buckets: it must hash with the
+            # exact n of the layout it inherits leaf dirs from
+            n = int(parent["n"])
+        else:
+            # full rewrites are the re-bucketing point: when adaptive
+            # growth is on, one count (parquet-footer-cheap on the
+            # flushed chain; the rewrite scans the table anyway)
+            # decides the new layout's bucket count
+            n = self._grown_bucket_n(
+                tab,
+                df.count() if self.target_bucket_rows is not None else 0,
+            )
+        df = df.withColumn(BUCKET_COLUMN, self._bucket_expr(n))
         if partial:
             df = df.filter(F.col(BUCKET_COLUMN).isin(sorted(touched)))
         # one task per bucket keeps leaf dirs to O(1) files; at cluster
         # scale the repartition is the standard dynamic-partition write
         (
-            df.repartition(self.id_buckets, F.col(BUCKET_COLUMN))
+            df.repartition(n, F.col(BUCKET_COLUMN))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COLUMN)
             .parquet(staging)
@@ -1149,7 +1215,11 @@ class GraphEngine:
         with open(
             os.path.join(staging, "_BUCKETS.json"), "w", encoding="utf-8"
         ) as f:
-            json.dump({"n": self.id_buckets, "map": bmap}, f)
+            json.dump({"n": n, "map": bmap}, f)
+        # the new layout's n becomes the table's live bucket count —
+        # every later touched-bucket recording and partial rewrite
+        # hashes with it
+        tab.bucket_n = n
 
     # ------------------------------------------------------- persistence
 
@@ -1227,7 +1297,18 @@ class GraphEngine:
                     if chain
                     else self.spark.createDataFrame([], schema)
                 )
-                self.tables[(kind, name)] = _Table(schema, base=base, version=version)
+                # restore the live layout's bucket count from the tip
+                # chain's bucket-complete version (its first element),
+                # so reopen continues partial rewrites at the GROWN
+                # granularity instead of resetting to the engine floor
+                cvs = self._chain_versions(kind, name, version)
+                bm = self._bucket_map(kind, name, cvs[0]) if cvs else None
+                self.tables[(kind, name)] = _Table(
+                    schema,
+                    base=base,
+                    version=version,
+                    bucket_n=int(bm["n"]) if bm else None,
+                )
 
     def _read_commit_entries(self) -> list[tuple[int | None, ast.Stmt]]:
         """Decode commit-log lines past the manifest offset as
@@ -1382,6 +1463,9 @@ class GraphEngine:
                 version=tab.version,
                 base_dirty=True,
                 touched_buckets=None,
+                # the forced full rewrite may re-bucket, but until it
+                # runs the GROWN granularity must survive the ALTER
+                bucket_n=tab.bucket_n,
             )
 
     # ------------------------------------------------------------ tables
@@ -2131,7 +2215,9 @@ class GraphEngine:
         # versioned parquet (partition-pruned copy-on-write)
         stats = df.filter(pred).agg(
             F.count(F.lit(1)).alias("n"),
-            F.collect_set(self._bucket_expr()).alias("bks"),
+            F.collect_set(
+                self._bucket_expr(self._tab_bucket_n(tab))
+            ).alias("bks"),
         ).first()
         count = stats["n"]
         if count:
@@ -2222,7 +2308,9 @@ class GraphEngine:
             pred = pred & ep_pred
         stats = df.filter(pred).agg(
             F.count(F.lit(1)).alias("n"),
-            F.collect_set(self._bucket_expr()).alias("bks"),
+            F.collect_set(
+                self._bucket_expr(self._tab_bucket_n(tab))
+            ).alias("bks"),
         ).first()
         count = stats["n"]
         if count:
@@ -2715,22 +2803,24 @@ class GraphEngine:
             versions = self.table_versions(kind, stmt.target)
             latest = versions[-1] if versions else -1
 
-            def _vkind(v: int) -> tuple[str, int]:
-                """(layout, n_buckets_owned): full/partial versions are
-                bucket-complete via their _BUCKETS.json owner map;
-                delta versions are insert-only appends; legacy is the
+            def _vkind(v: int) -> tuple[str, int, int]:
+                """(layout, n_buckets_owned, bucket_n): full/partial
+                versions are bucket-complete via their _BUCKETS.json
+                owner map (bucket_n = the map's n, which adaptive
+                re-bucketing grows over the table's life); delta
+                versions are insert-only appends; legacy is the
                 pre-r10 whole-dir layout."""
                 if self._is_delta_version(kind, stmt.target, v):
-                    return "delta", 0
+                    return "delta", 0, 0
                 bm = self._bucket_map(kind, stmt.target, v)
                 if bm is None:
-                    return "legacy", 0
+                    return "legacy", 0, 0
                 owned = sum(1 for o in bm["map"].values() if int(o) == v)
                 layout = "full" if owned == len(bm["map"]) else "partial"
-                return layout, owned
+                return layout, owned, int(bm["n"])
             rows = []
             for v in versions:
-                layout, owned = _vkind(v)
+                layout, owned, n = _vkind(v)
                 rows.append(
                     (
                         stmt.target,
@@ -2739,12 +2829,14 @@ class GraphEngine:
                         layout,
                         owned,
                         len(self._chain_versions(kind, stmt.target, v)),
+                        n,
                     )
                 )
             df = self.spark.createDataFrame(
                 rows,
                 "name string, version long, is_latest boolean, "
-                "layout string, buckets_owned int, chain_len int",
+                "layout string, buckets_owned int, chain_len int, "
+                "bucket_n int",
             )
             return StatementResult("show", "", count=-1, df=df)
         if stmt.kind == "NODES":

@@ -20,7 +20,12 @@ def run(seed):
     rng = random.Random(seed)
     data_dir = scratch_path(f"soak_r10_{seed}")
     shutil.rmtree(data_dir, ignore_errors=True)
-    eng = GraphEngine(spark, data_dir=data_dir, id_buckets=4, max_delta_chain=2)
+    # r11: target_bucket_rows makes the soak cross a re-bucket
+    # boundary mid-stream (the table outgrows 4 rows/bucket), so
+    # partial rewrites, point reads and reopen all run against a
+    # GROWN-generation layout for most of each seed
+    eng = GraphEngine(spark, data_dir=data_dir, id_buckets=4,
+                      max_delta_chain=2, target_bucket_rows=4)
     eng.execute("CREATE NODE D (a: int, b: int, tag: string DEFAULT 'x');")
     model = []
     def insert():
@@ -54,6 +59,8 @@ def run(seed):
         rng.choice(ops)()
         if i % 24 == 23:
             eng.flush(); n_flush += 1
+        if i == N_OPS // 2:
+            eng.compact()  # mid-stream maintenance: the re-bucket point
     eng.flush()
     # reopen: boot recovery composes bucket maps + chains identically
     eng2 = GraphEngine(spark, data_dir=data_dir)
@@ -66,6 +73,9 @@ def run(seed):
     # chain/path bound held throughout
     for v in eng2.table_versions("node", "D"):
         assert len(eng2._chain_versions("node", "D", v)) <= 3, (seed, v)
+    # reopen restored the grown layout n (adaptive re-bucketing)
+    bn = eng2.tables[("node", "D")].bucket_n
+    assert bn is not None and bn >= 4, (seed, bn)
     shutil.rmtree(data_dir, ignore_errors=True)
     print(f"seed {seed}: OK ({len(model)} rows, {n_flush+1} flushes, reopen ok)", flush=True)
 

@@ -398,6 +398,11 @@ def test_differential_durable_bucketed_storage(spark, tmp_path, seed):
         data_dir=str(tmp_path / f"soak{seed}"),
         id_buckets=4,
         max_delta_chain=2,
+        # r11: adaptive re-bucketing live under the soak — the table
+        # outgrows 4 rows/bucket mid-stream, so at least one full
+        # rewrite re-buckets and later partial rewrites/point reads
+        # hash with the GROWN n across the generation boundary
+        target_bucket_rows=4,
     )
     eng.execute("CREATE NODE D (a: int, b: int);")
     model: list[dict] = []
@@ -435,8 +440,16 @@ def test_differential_durable_bucketed_storage(spark, tmp_path, seed):
         rng.choice(ops)()
         if i % 15 == 14:
             eng.flush()
+        if i == 29:
+            # mid-stream maintenance compaction: the re-bucketing point
+            eng.compact()
     eng.flush()
     eng2 = GraphEngine(spark, data_dir=eng.data_dir)
+    # the reopened engine restores the grown layout n from the tip map
+    tab2 = eng2.tables[("node", "D")]
+    assert tab2.bucket_n is not None and tab2.bucket_n >= 4, (
+        seed, tab2.bucket_n,
+    )
     key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
     rows = eng2.execute("MATCH D;")[0].df.collect()
     assert sorted(((r.a, r.b) for r in rows), key=key) == sorted(

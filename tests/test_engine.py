@@ -853,7 +853,8 @@ def test_show_versions(spark, tmp_path):
     # no flush yet -> empty version list, stable schema
     res = eng.execute("SHOW VERSIONS P;")[0]
     assert res.df.columns == [
-        "name", "version", "is_latest", "layout", "buckets_owned", "chain_len",
+        "name", "version", "is_latest", "layout", "buckets_owned",
+        "chain_len", "bucket_n",
     ]
     assert res.df.count() == 0
     eng.flush()
@@ -1943,6 +1944,96 @@ def test_show_versions_layout_columns(spark, tmp_path):
     assert rows[3].layout == "full"
     assert rows[4].layout == "partial" and rows[4].is_latest
     assert 0 < rows[4].buckets_owned < rows[3].buckets_owned + 1
+
+
+def test_adaptive_rebucket_grows_at_compaction(spark, tmp_path):
+    # r11: with target_bucket_rows set, a FULL compacting rewrite
+    # doubles the bucket count until rows/bucket fits — the storage
+    # twin of the ANN index's outgrowth rule. Partial rewrites then
+    # hash with the GROWN n, so a point-UPDATE flush keeps writing
+    # exactly one leaf dir as the table scales.
+    import glob as _glob
+
+    eng = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=2,
+        target_bucket_rows=4,
+    )
+    eng.execute("CREATE NODE AB (id: int PRIMARY KEY, v: int);")
+    for k in range(1, 9):
+        eng.execute(f"INSERT NODE AB (id: {k}, v: {k});")
+    eng.flush()  # v1 full: 8 rows / 2 buckets = 4 <= target -> stays 2
+    d = tmp_path / "d" / "tables" / "node_AB"
+    import json as _json
+
+    bm1 = _json.load(open(d / "v1" / "_BUCKETS.json"))
+    assert bm1["n"] == 2
+
+    for k in range(9, 33):
+        eng.execute(f"INSERT NODE AB (id: {k}, v: {k});")
+    eng.flush()  # v2 delta (pure inserts)
+    eng.compact()  # v3 full: 32 rows -> n doubles 2->4->8 (32 <= 8*4)
+    bm3 = _json.load(open(d / "v3" / "_BUCKETS.json"))
+    assert bm3["n"] == 8
+    assert len(_glob.glob(str(d / "v3" / "_gbkt=*"))) == 8
+    sv = {r.version: r for r in eng.execute("SHOW VERSIONS AB;")[0].df.collect()}
+    assert sv[3].bucket_n == 8 and sv[1].bucket_n == 2
+
+    # point UPDATE now prunes at the grown granularity: one leaf dir
+    eng.execute("UPDATE NODE AB SET v: 999 WHERE id: 7;")
+    eng.flush()  # v4 partial over the n=8 layout
+    v4_leafs = _glob.glob(str(d / "v4" / "_gbkt=*"))
+    assert len(v4_leafs) == 1
+    victim = eng.node_df("AB").filter("id = 7").collect()[0]["_id"]
+    assert v4_leafs[0].endswith(f"_gbkt={_bucket_of(spark, victim, 8)}")
+    got = sorted(r.v for r in eng.node_df("AB").collect())
+    assert got == [v for v in range(1, 33) if v != 7] + [999]
+    # time travel across the re-bucket boundary still composes
+    assert sorted(r.v for r in eng.node_df_at("AB", 1).collect()) == list(
+        range(1, 9)
+    )
+    assert sorted(r.v for r in eng.node_df_at("AB", 3).collect()) == list(
+        range(1, 33)
+    )
+
+    # reopen restores the GROWN n (not the engine floor): the next
+    # point-UPDATE partial rewrite still writes exactly one n=8 leaf,
+    # even with growth disabled on the reopened engine
+    eng2 = GraphEngine(spark, data_dir=eng.data_dir, id_buckets=2)
+    assert eng2.tables[("node", "AB")].bucket_n == 8
+    eng2.execute("UPDATE NODE AB SET v: 888 WHERE id: 11;")
+    eng2.flush()  # v5 partial
+    v5_leafs = _glob.glob(str(d / "v5" / "_gbkt=*"))
+    assert len(v5_leafs) == 1
+    victim2 = eng2.node_df("AB").filter("id = 11").collect()[0]["_id"]
+    assert v5_leafs[0].endswith(f"_gbkt={_bucket_of(spark, victim2, 8)}")
+    assert eng2.node_df("AB").filter("id = 11").collect()[0]["v"] == 888
+
+
+def test_adaptive_rebucket_never_shrinks_and_validates(spark, tmp_path):
+    # grow-only: an ALTER-forced full rewrite at a now-smaller row
+    # count keeps the grown granularity (re-splitting churn is worse
+    # than a few sparse buckets); target_bucket_rows must be >= 1
+    import json as _json
+
+    with pytest.raises(EngineError):
+        GraphEngine(spark, target_bucket_rows=0)
+    eng = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=2,
+        target_bucket_rows=2,
+    )
+    eng.execute("CREATE NODE AN (id: int PRIMARY KEY);")
+    for k in range(1, 17):
+        eng.execute(f"INSERT NODE AN (id: {k});")
+    eng.flush()  # v1 full: 16 rows -> n grows 2->8
+    d = tmp_path / "d" / "tables" / "node_AN"
+    assert _json.load(open(d / "v1" / "_BUCKETS.json"))["n"] == 8
+    eng.execute("DELETE NODE AN WHERE id > 2;")
+    eng.flush()  # v2 partial (mutation), still n=8
+    eng.execute("ALTER NODE AN ADD extra: int;")
+    eng.flush()  # v3 full via migration: 2 rows, but n stays 8
+    vs = eng.table_versions("node", "AN")
+    assert _json.load(open(d / f"v{vs[-1]}" / "_BUCKETS.json"))["n"] == 8
+    assert sorted(r.id for r in eng.node_df("AN").collect()) == [1, 2]
 
 
 def test_qualified_return_fields(eng):
