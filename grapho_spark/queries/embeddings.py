@@ -2141,8 +2141,12 @@ def ann_index_tables(
 
 
 def append_to_ann_index(
-    spark: SparkSession, sf_dir: str, batch_pred: str, base_pred: str
-) -> str:
+    spark: SparkSession,
+    sf_dir: str,
+    batch_pred: str,
+    base_pred: str,
+    auto_rebuild_pred: str | None = None,
+) -> dict:
     """Delta-ingest for the persisted ANN index (the ANN twin of
     dedup's append_to_band_index): normalize the new batch, assign
     each vector to its nearest STORED centroid, encode it with the
@@ -2150,12 +2154,28 @@ def append_to_ann_index(
     table in the SAME bucket layout (Spark verifies the bucket spec).
     Centroids and codebook are FROZEN — the production invariant that
     keeps every historical code comparable; periodic compaction
-    (a full rebuild) re-trains them when drift accumulates. Returns
-    the codes table name.
+    (a full rebuild) re-trains them when drift accumulates.
+
+    The outgrowth verdict is surfaced IN-BAND (VERDICT r10 task #2):
+    every append runs ``ann_index_health`` on its way out and returns
+    ``{"codes_table", "health", "rebuilt", "rebuilt_tables"}`` — an
+    ingest pipeline that only ever calls this function still sees
+    ``health["rebuild"]`` flip the moment the index outgrows its
+    routing granularity, instead of silently degrading forever. Pass
+    ``auto_rebuild_pred`` (a predicate covering the UNION of the built
+    corpus and every appended batch — the rebuild re-trains from the
+    base tables, so it must see all of them) to run the compacting
+    rebuild in-band at the health-recommended cell count when flagged;
+    the returned health is then the post-rebuild (cleared) verdict for
+    the NEW index identity.
 
     Scale: the batch-sized delta is the only thing computed or
-    written — no rebuild, no re-encode of the standing corpus; the
-    append is one bucketed write, so probes keep their bucketed scan."""
+    written — no rebuild, no re-encode of the standing corpus (the
+    health check is one metadata-cheap count on the codes table); the
+    append is one bucketed write, so probes keep their bucketed scan.
+    The auto-rebuild, when it fires, is the same scheduled compaction
+    cost the LSM-shaped design always owed — just triggered by the
+    ingest that crossed the threshold instead of a cron job."""
     cents, book, _ = ann_index_tables(spark, sf_dir, base_pred)
     codes_t = f"ann_pq_codes_{_ann_index_tag(sf_dir, base_pred)}"
     delta = (
@@ -2169,7 +2189,24 @@ def append_to_ann_index(
         .mode("append")
         .saveAsTable(codes_t)
     )
-    return codes_t
+    health = ann_index_health(spark, sf_dir, base_pred)
+    rebuilt = False
+    rebuilt_tables = None
+    if auto_rebuild_pred is not None and health.get("rebuild"):
+        rebuilt_tables = rebuild_ann_index(
+            spark,
+            sf_dir,
+            auto_rebuild_pred,
+            cells=health.get("recommended_cells"),
+        )
+        rebuilt = True
+        health = ann_index_health(spark, sf_dir, auto_rebuild_pred)
+    return {
+        "codes_table": codes_t,
+        "health": health,
+        "rebuilt": rebuilt,
+        "rebuilt_tables": rebuilt_tables,
+    }
 
 
 # Appended rows beyond this multiple of the BUILT corpus flag the index

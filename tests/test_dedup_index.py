@@ -114,7 +114,12 @@ def test_ann_index_append_matches_frozen_rebuild(spark, sf_dir):
     batch_pred = "vec_id % 10 >= 8"
     union_pred = "vec_id IS NOT NULL"
 
-    codes_t = append_to_ann_index(spark, sf_dir, batch_pred, base_pred)
+    res = append_to_ann_index(spark, sf_dir, batch_pred, base_pred)
+    codes_t = res["codes_table"]
+    # the outgrowth verdict rides the append in-band: 8 base slices +
+    # 2 appended = 1.25x growth, below the 2x rebuild threshold
+    assert res["health"]["built"] and not res["health"]["rebuild"]
+    assert not res["rebuilt"]
     cents, book, codes = ann_index_tables(spark, sf_dir, base_pred)
 
     # appended table == frozen-parameter encode of the FULL corpus
@@ -238,11 +243,15 @@ def test_ann_index_outgrowth_flags_and_rebuild(spark, sf_dir):
     assert abs(h0["growth"] - 1.0) < 1e-9
 
     # two appended batches triple the indexed corpus -> outgrown
-    append_to_ann_index(spark, sf_dir, "vec_id % 10 IN (3, 4, 5)", base_pred)
-    append_to_ann_index(spark, sf_dir, "vec_id % 10 IN (6, 7, 8)", base_pred)
+    a1 = append_to_ann_index(spark, sf_dir, "vec_id % 10 IN (3, 4, 5)", base_pred)
+    a2 = append_to_ann_index(spark, sf_dir, "vec_id % 10 IN (6, 7, 8)", base_pred)
     h1 = ann_index_health(spark, sf_dir, base_pred)
     assert h1["rebuild"] and h1["growth"] >= 2.0
     assert h1["recommended_cells"] > h1["cells"]
+    # the same verdict was already surfaced IN-BAND by the appends
+    # themselves (r11: no separate health call needed to notice)
+    assert a1["health"]["rebuild"] and a2["health"]["rebuild"]
+    assert a2["health"] == h1
 
     # compacting rebuild over the union corpus at the recommended size
     cents2, book2, codes2 = rebuild_ann_index(
@@ -326,3 +335,61 @@ def test_ann_index_health_zero_built_rows(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {codes_t}")
         os.unlink(marker)
+
+
+def test_ann_append_auto_rebuild_in_band(spark, sf_dir):
+    """r11 (VERDICT r10 task #2): with ``auto_rebuild_pred`` set, the
+    append that crosses _ANN_REBUILD_FACTOR runs the compacting
+    rebuild in-band — the returned health is the post-rebuild CLEARED
+    verdict for the new index identity, and a probe against the
+    rebuilt tables answers from the union corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from grapho_spark.queries.embeddings import (
+        _ann_index_tag,
+        _ann_probe,
+        ann_index_tables,
+        append_to_ann_index,
+    )
+    from grapho_spark.sparkutil import scratch_path
+
+    base_pred = "vec_id % 10 = 0"
+    union_pred = "vec_id % 10 IN (0, 1, 2)"
+    ann_index_tables(spark, sf_dir, base_pred)
+    # the appended batch triples the indexed corpus -> outgrown ->
+    # the auto-rebuild fires inside the same call
+    res = append_to_ann_index(
+        spark,
+        sf_dir,
+        "vec_id % 10 IN (1, 2)",
+        base_pred,
+        auto_rebuild_pred=union_pred,
+    )
+    try:
+        assert res["rebuilt"]
+        assert res["health"]["built"] and not res["health"]["rebuild"]
+        assert abs(res["health"]["growth"] - 1.0) < 1e-9
+        cents2, book2, codes2 = res["rebuilt_tables"]
+        probed = _ann_probe(
+            spark, sf_dir, cents2, book2, codes2, query_pred="vec_id % 97 = 0"
+        )
+        per_q = (
+            probed.groupBy("q_id").agg(F.count("*").alias("n")).collect()
+        )
+        assert per_q and all(r.n <= 3 for r in per_q)
+    finally:
+        for pred in (base_pred, union_pred):
+            tag = _ann_index_tag(sf_dir, pred)
+            for t in (
+                f"ann_centroids_{tag}",
+                f"ann_codebook_{tag}",
+                f"ann_pq_codes_{tag}",
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            marker = os.path.join(
+                scratch_path("grapho_spark_index"), f"_BUILD_OK_{tag}"
+            )
+            if os.path.exists(marker):
+                os.unlink(marker)
