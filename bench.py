@@ -135,6 +135,20 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(_ident, schema="id long").count()
 
+    # ANN index BUILD is a scheduled ingest job in production (built
+    # once, extended by append_to_ann_index deltas), not a query cost.
+    # Build — or crash-safe-reopen — the persisted index here and
+    # report the wall as its own amortized row, so the probe queries'
+    # cold column measures the PROBE path. (r10 conflated them: 62.9s
+    # of one-time build landed in core_embedding_ivfpq_indexed_knn's
+    # cold and dominated cold_total; VERDICT r10 task #7.)
+    from grapho_spark.queries.embeddings import ann_index_tables
+
+    t0 = time.perf_counter()
+    ann_index_tables(spark, sf_dir)
+    ann_build_sec = round(time.perf_counter() - t0, 3)
+    print(f"# ann_index build/open: {ann_build_sec}s", file=sys.stderr)
+
     # Per-query median of REPEATS runs: single-shot cold timings on a
     # shared box could not support a clean 2x regression gate (round-5
     # showed uniform 1.4-1.9x inflation vs round-3 purely from box
@@ -341,6 +355,10 @@ def main() -> None:
         "min_total": min_total,
         "cold": colds,
         "cold_total": round(sum(colds.values()), 3),
+        # one-time persisted-index build (or reopen) cost, amortized
+        # across every probe of the index's life — kept OUT of the
+        # query columns so a probe-path cold regression is visible
+        "ann_build_sec": ann_build_sec,
         "wall_sec": round(time.perf_counter() - wall_t0, 3),
         "sf": sf,
         "stamp": f"sf{sf}_n{len(HEADLINE)}",
@@ -368,6 +386,8 @@ def main() -> None:
             f"stat=median_of_{REPEATS}\n\n"
             f"total median {total}s, total min {min_total}s, "
             f"total cold {detail['cold_total']}s, "
+            f"ann index build/open {ann_build_sec}s (amortized, "
+            f"excluded from query columns), "
             f"wall {detail['wall_sec']}s, "
             f"common-subset vs prev recorded run: median {prev_ratio}, "
             f"min {prev_ratio_min}, "
@@ -399,6 +419,7 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "min_total": min_total,
                 "cold_total": detail["cold_total"],
+                "ann_build_sec": ann_build_sec,
                 "wall_sec": detail["wall_sec"],
                 "sf": sf,
                 "common_subset_vs_prev": prev_ratio,
