@@ -340,14 +340,26 @@ def _apply_order_limit(
             _resolve_result_col(out, al or f, "RETURN group key")
             for f, al in zip(stmt.return_fields, key_aliases)
         ]
+        # r11: each aggregate projects under its user AS alias when
+        # given, else the deterministic <func>_<field> / n_rows name
+        agg_user = stmt.return_agg_aliases or (None,) * len(stmt.return_aggs)
+        agg_out: list[str] = [
+            ua
+            or (
+                "n_rows"
+                if func == "COUNT" and fname == "*"
+                else f"{func.lower()}_{fname}"
+            )
+            for (func, fname), ua in zip(stmt.return_aggs, agg_user)
+        ]
         agg_cols: list[Column] = []
-        for func, fname in stmt.return_aggs:
+        for (func, fname), alias in zip(stmt.return_aggs, agg_out):
             if func == "COUNT" and fname == "*":
-                agg_cols.append(F.count(F.lit(1)).alias("n_rows"))
+                agg_cols.append(F.count(F.lit(1)).alias(alias))
             else:
                 resolved = _resolve_result_col(out, fname, "aggregate")
                 agg_fn = _AGG_FNS[func]
-                agg_cols.append(agg_fn(F.col(resolved)).alias(f"{func.lower()}_{fname}"))
+                agg_cols.append(agg_fn(F.col(resolved)).alias(alias))
         out = out.groupBy(*keys).agg(*agg_cols) if keys else out.agg(*agg_cols)
         # Post-aggregation only group keys (by RETURN name or resolved
         # column) and aggregate aliases exist; a bare source field
@@ -357,12 +369,7 @@ def _apply_order_limit(
         for f, key_col in zip(stmt.return_fields, keys):
             allowed[f] = key_col
             allowed[key_col] = key_col
-        for func, fname in stmt.return_aggs:
-            alias = (
-                "n_rows"
-                if func == "COUNT" and fname == "*"
-                else f"{func.lower()}_{fname}"
-            )
+        for alias in agg_out:
             allowed[alias] = alias
         user_cols = []
         for name, desc in stmt.order_by:

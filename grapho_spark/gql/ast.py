@@ -339,6 +339,14 @@ class MatchStmt(Stmt):
     # qualified items, the bare field otherwise). Empty tuple = no
     # aliases anywhere (programmatic ASTs stay valid unchanged).
     return_aliases: tuple[str | None, ...] = ()
+    # Aggregate output aliasing extension (r11): ``COUNT(*) AS total``
+    # — one entry per return_aggs item, the user-chosen output column
+    # name or None for the deterministic <func>_<field> / n_rows
+    # default. Empty tuple = no aliases anywhere. A single bare
+    # aggregate WITH an alias stays in return_aggs (never the legacy
+    # return_count/return_agg encoding), so these two tuples are
+    # always index-aligned.
+    return_agg_aliases: tuple[str | None, ...] = ()
 
 
 @dataclass(frozen=True)

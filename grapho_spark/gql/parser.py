@@ -710,6 +710,7 @@ class Parser:
             # keys. A single bare aggregate keeps the legacy
             # return_count/return_agg encoding.
             aggs: list[tuple[str, str]] = []
+            agg_aliases: list[str | None] = []
             ret_aliases: list[str | None] = []
             while True:
                 item = self._expect(T.IDENT)
@@ -733,13 +734,16 @@ class Parser:
                             item,
                             "DISTINCT cannot be combined with an aggregate RETURN",
                         )
+                    # r11: aggregate output aliasing — ``COUNT(*) AS
+                    # total`` renames the aggregate's output column
+                    # (default: the deterministic <func>_<field> /
+                    # n_rows name). Same soft-keyword rule as field
+                    # aliases.
                     if self._at_return_as():
-                        self._err(
-                            self._tok,
-                            "aggregate RETURN items cannot be aliased — "
-                            "they project deterministic <func>_<field> / "
-                            "n_rows output names",
-                        )
+                        self._next()  # AS
+                        agg_aliases.append(self._expect(T.IDENT).lit)
+                    else:
+                        agg_aliases.append(None)
                 else:
                     # r10: alias-qualified RETURN field (``RETURN
                     # x.name``) — the projection twin of the r9
@@ -762,13 +766,18 @@ class Parser:
                     ret_aliases.append(out_alias)
                 if not self._match(T.COMMA):
                     break
-            if len(aggs) == 1 and not returns:
+            if len(aggs) == 1 and not returns and agg_aliases[0] is None:
+                # legacy single-bare-aggregate encoding; an ALIASED
+                # single aggregate stays in return_aggs (the grouped
+                # path with zero keys is the same global-row plan and
+                # carries the alias)
                 func, fname = aggs[0]
                 if func == "COUNT" and fname == "*":
                     return_count = True
                 else:
                     return_agg = (func, fname)
                 aggs = []
+                agg_aliases = []
             # Effective OUTPUT names of the field items (user AS alias,
             # else the qualified <alias>_<field> rename, else the bare
             # field) — collisions among them, or with a generated
@@ -791,14 +800,18 @@ class Parser:
                     )
                 seen_out.add(on)
             seen_aliases = set()
-            for func, fname in aggs:
-                alias = (
+            for (func, fname), user_al in zip(aggs, agg_aliases):
+                alias = user_al or (
                     "n_rows"
                     if func == "COUNT" and fname == "*"
                     else f"{func.lower()}_{fname}"
                 )
                 if alias in seen_aliases:
-                    self._err(t, f"duplicate aggregate {func}({fname}) in RETURN")
+                    self._err(
+                        t,
+                        f"duplicate aggregate output column {alias!r} in "
+                        f"RETURN — use AS to disambiguate",
+                    )
                 if alias in seen_out:
                     self._err(
                         t,
@@ -810,9 +823,15 @@ class Parser:
             return_aliases = (
                 tuple(ret_aliases) if any(a is not None for a in ret_aliases) else ()
             )
+            return_agg_aliases = (
+                tuple(agg_aliases)
+                if any(a is not None for a in agg_aliases)
+                else ()
+            )
         else:
             return_aggs = ()
             return_aliases = ()
+            return_agg_aliases = ()
         order_by, limit, offset = self._parse_order_limit()
         if (return_count or return_agg) and order_by:
             self._err(t, "ORDER BY is meaningless with an aggregate RETURN")
@@ -831,6 +850,7 @@ class Parser:
             return_distinct=return_distinct,
             as_of=as_of,
             return_aliases=return_aliases,
+            return_agg_aliases=return_agg_aliases,
         )
 
     def _at_return_as(self) -> bool:

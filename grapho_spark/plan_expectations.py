@@ -238,6 +238,14 @@ PLAN_CHECKS: dict[str, list[str]] = {
     # grouped-aggregate RETURN: map-side partial agg over the
     # pushed-filter scan (the range predicate must reach parquet)
     "gql_match_group_agg": ["HashAggregate", "PushedFilters"],
+    # r11: aggregate output aliases keep the same grouped plan shape —
+    # the user names land as-is in the aggregate expressions (no
+    # post-agg rename projection) and the range filter still pushes
+    "gql_match_agg_alias": [
+        "HashAggregate",
+        "PushedFilters",
+        r"AS n_cust#\d+",  # the user alias IS the aggregate's output attr
+    ],
     "source_xml_roundtrip": ["Scan xml", "HashAggregate"],
     "streaming_state_store_read": ["StateScan"],
     "corpus_curriculum_phases": ["BroadcastNestedLoopJoin", "Aggregate"],

@@ -951,6 +951,35 @@ def gql_match_return_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gql_match_agg_alias",
+    oracle="""
+SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+       MAX(c_acctbal) AS top_bal
+FROM customer
+WHERE c_acctbal > 1000.0
+GROUP BY c_mktsegment
+ORDER BY n_cust DESC, segment
+""",
+)
+def gql_match_agg_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate output aliasing (r11): ``COUNT(*) AS n_cust,
+    MAX(c_acctbal) AS top_bal`` renames aggregate output columns (the
+    aggregate half of RETURN AS; defaults stay the deterministic
+    ``n_rows``/``<func>_<field>`` names), with ORDER BY resolving the
+    user alias. Group keys alias too (``c_mktsegment AS segment``).
+    Same grouped plan as gql_match_group_agg: map-side partial agg +
+    one shuffle on the key. MAX over decimals is order-free, so no
+    accumulation-order cast discipline is needed."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_acctbal > 1000.0 "
+        "RETURN c_mktsegment AS segment, COUNT(*) AS n_cust, "
+        "MAX(c_acctbal) AS top_bal ORDER BY n_cust DESC, segment;"
+    )[0]
+    return res.df
+
+
+@query(
     "gql_match_optional",
     oracle="""
 SELECT CAST(c.c_custkey AS VARCHAR) AS c__id,

@@ -12,7 +12,7 @@ from grapho_spark.session import get_spark
 from grapho_spark.engine import GraphEngine
 from grapho_spark.sparkutil import scratch_path
 
-SEEDS = list(range(200, 212))
+SEEDS = [int(a) for a in sys.argv[1:]] or list(range(200, 212))
 N_OPS = 120
 spark = get_spark("soak_r10")
 

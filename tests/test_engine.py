@@ -2133,13 +2133,11 @@ def test_return_output_aliasing(eng):
     # DISTINCT over the aliased projection
     r = eng.execute("MATCH RA p RETURN DISTINCT p.seg AS s ORDER BY s;")[0].df
     assert r.columns == ["s"] and [v.s for v in r.collect()] == ["s1", "s2"]
-    # parse-time rejections: output collisions, aliased aggregates
+    # parse-time rejections: output collisions
     with pytest.raises(EngineError, match="duplicate RETURN output column"):
         eng.execute("MATCH RA RETURN name AS x, seg AS x;")
     with pytest.raises(EngineError, match="collides with the COUNT"):
         eng.execute("MATCH RA RETURN seg AS n_rows, COUNT(*);")
-    with pytest.raises(EngineError, match="cannot be aliased"):
-        eng.execute("MATCH RA RETURN COUNT(*) AS c;")
     # a field literally named `as` stays reachable (quoted or bare)
     eng.execute(
         "CREATE NODE RAS (`as`: string PRIMARY KEY);"
@@ -2147,6 +2145,47 @@ def test_return_output_aliasing(eng):
     )
     r = eng.execute("MATCH RAS RETURN `as` AS a2;")[0].df
     assert r.columns == ["_id", "a2"] and r.collect()[0].a2 == "v"
+
+
+def test_return_aggregate_aliasing(eng):
+    # r11: aggregates alias too — COUNT(*) AS total / SUM(v) AS s
+    # rename the output column (default stays n_rows/<func>_<field>);
+    # ORDER BY resolves the user alias; duplicates are parse errors
+    eng.execute(
+        "CREATE NODE AG (seg: string, v: int);"
+        "INSERT NODE AG (seg: 'a', v: 1); INSERT NODE AG (seg: 'a', v: 2);"
+        "INSERT NODE AG (seg: 'b', v: 5);"
+    )
+    # grouped: aliased aggregates alongside an aliased group key
+    r = eng.execute(
+        "MATCH AG RETURN seg AS s, COUNT(*) AS cnt, SUM(v) AS total "
+        "ORDER BY cnt DESC;"
+    )[0].df
+    assert r.columns == ["s", "cnt", "total"]
+    assert [tuple(x) for x in r.collect()] == [("a", 2, 3), ("b", 1, 5)]
+    # mixed: one aliased, one default-named
+    r = eng.execute("MATCH AG RETURN seg, COUNT(*) AS cnt, SUM(v) ORDER BY seg;")[0].df
+    assert r.columns == ["seg", "cnt", "sum_v"]
+    # single bare aggregate with an alias: global one-row result under
+    # the user's name (the unaliased forms keep n_rows / sum_v)
+    r = eng.execute("MATCH AG RETURN COUNT(*) AS total;")[0].df
+    assert r.columns == ["total"] and r.collect()[0].total == 3
+    r = eng.execute("MATCH AG RETURN SUM(v) AS s;")[0].df
+    assert r.columns == ["s"] and r.collect()[0].s == 8
+    r = eng.execute("MATCH AG RETURN COUNT(*);")[0].df
+    assert r.columns == ["n_rows"]
+    # COUNT(field) counts non-null under the alias
+    eng.execute("INSERT NODE AG (seg: 'b');")
+    r = eng.execute("MATCH AG RETURN seg AS s, COUNT(v) AS nv ORDER BY s;")[0].df
+    assert [tuple(x) for x in r.collect()] == [("a", 2), ("b", 1)]
+    # rejections: duplicate aggregate output names, alias collisions
+    with pytest.raises(EngineError, match="duplicate aggregate output column"):
+        eng.execute("MATCH AG RETURN COUNT(*) AS x, SUM(v) AS x;")
+    with pytest.raises(EngineError, match="collides with"):
+        eng.execute("MATCH AG RETURN seg AS x, COUNT(*) AS x;")
+    # the alias keeps DISTINCT illegal with aggregates, like before
+    with pytest.raises(EngineError, match="DISTINCT cannot be combined"):
+        eng.execute("MATCH AG RETURN DISTINCT COUNT(*) AS c;")
 
 
 def _optional_fixture(e):

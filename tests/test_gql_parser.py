@@ -546,11 +546,36 @@ def test_match_return_alias_collisions_rejected():
     assert len(errors) == 1 and "duplicate RETURN output column" in errors[0].msg
     _, errors = parse_script("MATCH P RETURN a AS sum_b, SUM(b);")
     assert len(errors) == 1 and "collides with the SUM(b)" in errors[0].msg
-    _, errors = parse_script("MATCH P RETURN SUM(b) AS total;")
-    assert len(errors) == 1 and "cannot be aliased" in errors[0].msg
+    _, errors = parse_script("MATCH P RETURN COUNT(*) AS x, SUM(b) AS x;")
+    assert len(errors) == 1 and "duplicate aggregate output column" in errors[0].msg
     # qualified item whose default output name collides with an alias
     _, errors = parse_script("MATCH P p RETURN p.name AS p_seg, p.seg;")
     assert len(errors) == 1 and "duplicate RETURN output column" in errors[0].msg
+
+
+def test_match_aggregate_alias_parse():
+    # r11: aggregates alias too — aliases land index-aligned in
+    # return_agg_aliases; a single bare aggregate WITH an alias stays
+    # in return_aggs (never the legacy return_count/return_agg)
+    st = one("MATCH P RETURN seg, COUNT(*) AS cnt, SUM(v) AS total;")
+    assert st.return_aggs == (("COUNT", "*"), ("SUM", "v"))
+    assert st.return_agg_aliases == ("cnt", "total")
+    st = one("MATCH P RETURN seg, COUNT(*) AS cnt, SUM(v);")
+    assert st.return_agg_aliases == ("cnt", None)
+    st = one("MATCH P RETURN COUNT(*) AS total;")
+    assert not st.return_count
+    assert st.return_aggs == (("COUNT", "*"),)
+    assert st.return_agg_aliases == ("total",)
+    st = one("MATCH P RETURN SUM(v) AS s ORDER BY s DESC;")
+    assert st.return_agg is None and st.return_aggs == (("SUM", "v"),)
+    # unaliased single aggregates keep the legacy encoding
+    st = one("MATCH P RETURN COUNT(*);")
+    assert st.return_count and st.return_aggs == ()
+    st = one("MATCH P RETURN SUM(v);")
+    assert st.return_agg == ("SUM", "v") and st.return_aggs == ()
+    # no agg aliases anywhere -> empty tuple (programmatic back-compat)
+    st = one("MATCH P RETURN seg, COUNT(*), SUM(v);")
+    assert st.return_agg_aliases == ()
 
 
 def test_match_optional_parse():

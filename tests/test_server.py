@@ -390,6 +390,16 @@ def test_r11_return_alias_over_socket(server):
     c.send("MATCH AL RETURN COUNT(*);")
     assert c.read_until_blank()[0] == "MATCH Results:"
     c.read_until_blank()
+    # r11: aggregate aliases render under the user's names too
+    c.send("MATCH AL RETURN seg AS s, COUNT(*) AS cnt ORDER BY s;")
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    block = c.read_until_blank()
+    joined = " ".join(block).replace(" ", "")
+    assert "cnt:1" in joined and "s:s1" in joined, block
+    # duplicate aggregate output names are a parse error it survives
+    c.send("MATCH AL RETURN COUNT(*) AS x, SUM(seg) AS x;")
+    reply = c.read_until_blank()
+    assert any("error" in ln.lower() for ln in reply), reply
     c.send("quit")
     c.close()
 
