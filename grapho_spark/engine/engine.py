@@ -902,6 +902,33 @@ class GraphEngine:
                 f"{kind} {name!r} has no version {version} "
                 f"(available: {have or 'none'})"
             )
+        # A version dir kept past retention ONLY because later maps
+        # still reference some of its bucket leaf dirs is leaf-GC'd
+        # (_LEAF_GC marker): its unreferenced leafs are gone, so a
+        # direct AS OF read would silently return partial state.
+        # Refuse with the same shape as a pruned version.
+        if os.path.exists(
+            os.path.join(
+                self.data_dir, "tables", f"{kind}_{name}", f"v{version}",
+                "_LEAF_GC",
+            )
+        ):
+            servable = [
+                v
+                for v in have
+                if not os.path.exists(
+                    os.path.join(
+                        self.data_dir, "tables", f"{kind}_{name}",
+                        f"v{v}", "_LEAF_GC",
+                    )
+                )
+            ]
+            raise EngineError(
+                f"{kind} {name!r} version {version} was retained only as "
+                f"a bucket-leaf dependency of newer versions and is no "
+                f"longer directly servable (leaf-GC'd by retention; "
+                f"servable: {servable or 'none'})"
+            )
         paths = self._chain_paths(kind, name, version)
         if not paths:
             # the version owns no bucket leaf dirs (DELETE emptied the
@@ -1081,35 +1108,66 @@ class GraphEngine:
         window (``keep_versions`` most recent per table). Time travel
         to a pruned version raises the normal no-such-version error,
         which lists what survives. A FULL version (and intermediate
-        deltas) that a retained delta version's chain depends on is
-        never pruned, even when it falls outside the window — pruning
-        it would corrupt every retained version built on it. Likewise
-        a version still OWNING bucket leaf dirs referenced by a
-        retained version's _BUCKETS.json map survives whole (per-leaf
-        GC inside a surviving dir is a possible later refinement —
-        pruning here is dir-granular)."""
+        deltas) that a retained version's chain depends on is never
+        pruned, even when it falls outside the window — pruning it
+        would corrupt every retained version built on it.
+
+        A version that survives ONLY because retained _BUCKETS.json
+        maps still reference some of its bucket leaf dirs is pruned
+        LEAF-GRANULARLY (r11): the leafs no retained read references
+        are deleted and a ``_LEAF_GC`` marker makes the now-partial
+        dir unservable as a direct AS OF anchor (it was never part of
+        servable history after falling out of the window — only its
+        referenced leafs are). Without this, a mutation-heavy
+        workload pinned every historical version dir WHOLE as long as
+        one of its buckets stayed un-rewritten — unbounded protected
+        storage the r10 owner-spread cap only bounds in dir count,
+        not bytes. The marker is written BEFORE any leaf is deleted,
+        so a crash mid-GC can only leave extra leafs behind a marker
+        that already refuses direct reads, never a silently-partial
+        servable version."""
         for (kind, name), tab in self.tables.items():
             all_vs = self.table_versions(kind, name)
+            base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
+            # whole dirs every retained read traverses (chain members:
+            # full anchors + deltas), and the exact (owner, bucket)
+            # leaf pairs those reads reference through bucket maps
             needed: set[int] = set()
+            needed_leafs: set[tuple[int, int]] = set()
             for v in all_vs:
                 if v > tab.version - self.keep_versions:
                     for c in self._chain_versions(kind, name, v):
                         needed.add(c)
                         bm = self._bucket_map(kind, name, c)
                         if bm is not None:
-                            needed.update(int(o) for o in bm["map"].values())
-            victims = [
-                v
-                for v in all_vs
-                if v <= tab.version - self.keep_versions and v not in needed
-            ]
-            for v in victims:
-                shutil.rmtree(
-                    os.path.join(
-                        self.data_dir, "tables", f"{kind}_{name}", f"v{v}"
-                    ),
-                    ignore_errors=True,
-                )
+                            for k, o in bm["map"].items():
+                                needed_leafs.add((int(o), int(k)))
+            owners = {o for o, _ in needed_leafs}
+            for v in all_vs:
+                if v > tab.version - self.keep_versions or v in needed:
+                    continue  # in-window or chain-needed: keep whole
+                vdir = os.path.join(base_dir, f"v{v}")
+                if v not in owners:
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    continue
+                # Owner-only survivor: shed the unreferenced leafs.
+                # The marker is unconditional — even with nothing to
+                # shed, the dir is past retention and its OWN map may
+                # reference sub-owners that were pruned, so it is no
+                # longer directly-servable history either way.
+                keep = {k for o, k in needed_leafs if o == v}
+                victims = [
+                    e
+                    for e in os.listdir(vdir)
+                    if e.startswith(f"{BUCKET_COLUMN}=")
+                    and int(e.split("=", 1)[1]) not in keep
+                ]
+                marker = os.path.join(vdir, "_LEAF_GC")
+                if not os.path.exists(marker):
+                    with open(marker, "w") as mk:
+                        mk.write("leaf-gc\n")
+                for e in victims:
+                    shutil.rmtree(os.path.join(vdir, e), ignore_errors=True)
 
     def _buffer_buckets(self, tab: _Table) -> set[int]:
         """Hash buckets of the driver-held buffer rows — a buffer-sized
@@ -2824,6 +2882,15 @@ class GraphEngine:
                     return "legacy", 0, 0
                 owned = sum(1 for o in bm["map"].values() if int(o) == v)
                 layout = "full" if owned == len(bm["map"]) else "partial"
+                if os.path.exists(
+                    os.path.join(
+                        self.data_dir, "tables", f"{kind}_{stmt.target}",
+                        f"v{v}", "_LEAF_GC",
+                    )
+                ):
+                    # kept past retention only as a bucket-leaf
+                    # dependency; not directly servable
+                    layout += "(gc)"
                 return layout, owned, int(bm["n"])
             rows = []
             for v in versions:

@@ -23,9 +23,12 @@ def run(seed):
     # r11: target_bucket_rows makes the soak cross a re-bucket
     # boundary mid-stream (the table outgrows 4 rows/bucket), so
     # partial rewrites, point reads and reopen all run against a
-    # GROWN-generation layout for most of each seed
+    # GROWN-generation layout for most of each seed; keep_versions
+    # makes every flush run retention GC, including the r11
+    # leaf-granular shed of owner-only version dirs
     eng = GraphEngine(spark, data_dir=data_dir, id_buckets=4,
-                      max_delta_chain=2, target_bucket_rows=4)
+                      max_delta_chain=2, target_bucket_rows=4,
+                      keep_versions=3)
     eng.execute("CREATE NODE D (a: int, b: int, tag: string DEFAULT 'x');")
     model = []
     def insert():

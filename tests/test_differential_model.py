@@ -401,8 +401,11 @@ def test_differential_durable_bucketed_storage(spark, tmp_path, seed):
         # r11: adaptive re-bucketing live under the soak — the table
         # outgrows 4 rows/bucket mid-stream, so at least one full
         # rewrite re-buckets and later partial rewrites/point reads
-        # hash with the GROWN n across the generation boundary
+        # hash with the GROWN n across the generation boundary;
+        # keep_versions fires retention GC (incl. the r11 leaf-
+        # granular shed) on every flush under random DML
         target_bucket_rows=4,
+        keep_versions=3,
     )
     eng.execute("CREATE NODE D (a: int, b: int);")
     model: list[dict] = []

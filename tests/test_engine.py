@@ -717,6 +717,73 @@ def test_version_retention_prunes_outside_window(spark, tmp_path):
     assert eng2.node_df("P").count() == 3
 
 
+def test_retention_leaf_gc_sheds_unreferenced_buckets(spark, tmp_path):
+    # r11: a version kept past the retention window ONLY because later
+    # maps reference some of its bucket leaf dirs is pruned
+    # LEAF-granularly — each old dir keeps exactly the leafs the
+    # retained read references (the rest are deleted), a _LEAF_GC
+    # marker makes it unservable as a direct AS OF anchor, and the
+    # live read + reopen still compose correctly.
+    import glob as _glob
+    import json as _json
+    import os
+
+    B = 4
+    eng = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=B, keep_versions=1
+    )
+    eng.execute("CREATE NODE LG (id: int PRIMARY KEY, v: int);")
+    for k in range(1, 9):
+        eng.execute(f"INSERT NODE LG (id: {k}, v: {k});")
+    eng.flush()  # v1 full: all B leafs owned by v1
+    d = tmp_path / "d" / "tables" / "node_LG"
+    assert len(_glob.glob(str(d / "v1" / "_gbkt=*"))) == B
+
+    eng.execute("UPDATE NODE LG SET v: 100 WHERE id: 1;")
+    eng.flush()  # v2 partial; window {2} -> v1 is owner-only
+    eng.execute("UPDATE NODE LG SET v: 200 WHERE id: 2;")
+    eng.flush()  # v3 partial; window {3} -> v1, v2 owner-only
+    tip = eng.table_versions("node", "LG")[-1]
+    bm_tip = _json.load(open(d / f"v{tip}" / "_BUCKETS.json"))
+    for old_v in (v for v in eng.table_versions("node", "LG") if v != tip):
+        vdir = d / f"v{old_v}"
+        if not vdir.exists():
+            continue  # fully unreferenced -> whole-dir pruned
+        # every surviving old dir: marker present, leafs == exactly the
+        # buckets the tip's map still assigns to it
+        assert (vdir / "_LEAF_GC").exists(), old_v
+        expected = {
+            int(k) for k, o in bm_tip["map"].items() if int(o) == old_v
+        }
+        actual = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(vdir)
+            if e.startswith("_gbkt=")
+        }
+        assert actual == expected, (old_v, actual, expected)
+        with pytest.raises(EngineError, match="leaf-GC"):
+            eng.node_df_at("LG", old_v)
+    # v1 shed at least the bucket(s) the updates rewrote
+    if (d / "v1").exists():
+        assert len(_glob.glob(str(d / "v1" / "_gbkt=*"))) < B
+    # live read correct, SHOW VERSIONS annotates, reopen identical
+    got = sorted(r.v for r in eng.node_df("LG").collect())
+    assert got == sorted([100, 200] + list(range(3, 9)))
+    rows = {
+        r.version: r for r in eng.execute("SHOW VERSIONS LG;")[0].df.collect()
+    }
+    for old_v, r in rows.items():
+        if old_v != tip and (d / f"v{old_v}").exists():
+            assert r.layout.endswith("(gc)"), (old_v, r.layout)
+    eng2 = GraphEngine(spark, data_dir=eng.data_dir, keep_versions=1)
+    assert sorted(r.v for r in eng2.node_df("LG").collect()) == got
+    # an explicit compact releases every old dir entirely
+    eng2.compact()
+    assert eng2.table_versions("node", "LG") == [
+        eng2.tables[("node", "LG")].version
+    ]
+
+
 def test_version_retention_default_keeps_all(spark, tmp_path):
     d = str(tmp_path / "keepall")
     eng = GraphEngine(spark, data_dir=d)
