@@ -1025,12 +1025,27 @@ class GraphEngine:
                     # table_versions clamp) — superseded by this rewrite
                     shutil.rmtree(path, ignore_errors=True)
                     os.replace(staging, path)
-                    chain = self._chain_paths(kind, name, tab.version)
-                    tab.base = (
-                        self.spark.read.schema(tab.schema).parquet(*chain)
-                        if chain
-                        else self.spark.createDataFrame([], tab.schema)
-                    )
+                    if delta and tab.base is not None:
+                        # O(delta) base refresh: the new state is the
+                        # prior chain read (tab.base, untouched by
+                        # pure inserts) UNION the one new delta dir —
+                        # composing avoids relisting every bucket leaf
+                        # dir of the chain per ingest flush (measured
+                        # 5.4s/flush at 2048 leafs in the x100 probe,
+                        # pure driver-side path listing for a 1-row
+                        # write). The union depth is bounded by
+                        # max_delta_chain; the next full rewrite
+                        # rebuilds from a fresh listing below.
+                        tab.base = tab.base.union(
+                            self.spark.read.schema(tab.schema).parquet(path)
+                        )
+                    else:
+                        chain = self._chain_paths(kind, name, tab.version)
+                        tab.base = (
+                            self.spark.read.schema(tab.schema).parquet(*chain)
+                            if chain
+                            else self.spark.createDataFrame([], tab.schema)
+                        )
                     tab.buffer = []
                     tab.dirty = False
                     tab.base_dirty = False
