@@ -128,6 +128,10 @@ _AGG_FNS = {
     "MAX": F.max,
     "AVG": F.avg,
     "COUNT": F.count,  # COUNT(field): non-null count (SQL semantics)
+    # COUNT(DISTINCT field): Spark compiles the standard two-phase
+    # (expand + partial agg) plan — map-side distinct before the
+    # shuffle, no global collect
+    "COUNT_DISTINCT": F.countDistinct,
 }
 
 
@@ -2456,8 +2460,10 @@ class GraphEngine:
             # schema alignment; SUM/AVG over those strings would be an
             # ANSI runtime cast error (or silent nonsense) — refuse.
             raise EngineError(
-                "grouped SUM/MIN/MAX/AVG over a multi-type pattern is not "
-                "supported (COUNT(*) is)"
+                "grouped aggregates other than COUNT(*)/COUNT(field) over "
+                "a multi-type pattern are not supported (the union path "
+                "stringifies heterogenous columns; SUM/AVG would cast-"
+                "error and COUNT(DISTINCT)/MIN/MAX would compare strings)"
             )
         for el in stmt.pattern:
             nt = self.catalog.node(el.type)

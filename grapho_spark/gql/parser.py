@@ -723,6 +723,21 @@ class Parser:
                     if up == "COUNT" and self._tok.type is T.STAR:
                         self._next()
                         aggs.append(("COUNT", "*"))
+                    elif (
+                        up == "COUNT"
+                        and self._tok.type is T.IDENT
+                        and self._tok.lit.upper() == "DISTINCT"
+                        and not self._tok.quoted
+                        and self._peek().type is T.IDENT
+                    ):
+                        # r11: COUNT(DISTINCT field) — distinct non-null
+                        # count. DISTINCT is a soft keyword here (marker
+                        # only before another IDENT, so a field
+                        # literally named distinct stays reachable as
+                        # COUNT(distinct); quoted `distinct` is always
+                        # a plain field). DISTINCT * is not a thing.
+                        self._next()
+                        aggs.append(("COUNT_DISTINCT", self._expect(T.IDENT).lit))
                     else:
                         # COUNT(field) counts NON-NULL values (SQL
                         # semantics), aliased count_<field> vs

@@ -980,6 +980,33 @@ def gql_match_agg_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gql_match_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer
+WHERE c_acctbal > 0.0
+GROUP BY c_mktsegment
+""",
+)
+def gql_match_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT field) through the full GQL stack (r11):
+    distinct non-null count per group, aliased, alongside COUNT(*).
+    DISTINCT is a soft keyword inside COUNT(...) — a field literally
+    named distinct stays reachable. Spark compiles the standard
+    two-phase expand + partial-agg plan (map-side distinct before the
+    shuffle), the same shape SQL COUNT(DISTINCT) gets."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_acctbal > 0.0 "
+        "RETURN c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, "
+        "COUNT(*) AS n_rows;"
+    )[0]
+    return res.df
+
+
+@query(
     "gql_match_optional",
     oracle="""
 SELECT CAST(c.c_custkey AS VARCHAR) AS c__id,

@@ -2255,6 +2255,29 @@ def test_return_aggregate_aliasing(eng):
         eng.execute("MATCH AG RETURN DISTINCT COUNT(*) AS c;")
 
 
+def test_count_distinct_aggregate(eng):
+    # r11: COUNT(DISTINCT field) — distinct non-null count, grouped and
+    # global, aliasable; multi-type union patterns refuse it (same
+    # stringified-column guard as SUM/MIN/MAX/AVG)
+    eng.execute(
+        "CREATE NODE CD (seg: string, v: int);"
+        "CREATE NODE CD2 (seg: string, v: int);"
+        "INSERT NODE CD (seg: 'a', v: 1); INSERT NODE CD (seg: 'a', v: 1);"
+        "INSERT NODE CD (seg: 'a', v: 2); INSERT NODE CD (seg: 'b', v: 5);"
+        "INSERT NODE CD (seg: 'b');"
+    )
+    r = eng.execute("MATCH CD RETURN seg, COUNT(DISTINCT v) ORDER BY seg;")[0].df
+    assert r.columns == ["seg", "count_distinct_v"]
+    assert [tuple(x) for x in r.collect()] == [("a", 2), ("b", 1)]
+    r = eng.execute("MATCH CD RETURN COUNT(DISTINCT v) AS u;")[0].df
+    assert r.columns == ["u"] and r.collect()[0].u == 3
+    # NULLs don't count: seg 'b' has one null v
+    r = eng.execute("MATCH CD RETURN COUNT(DISTINCT seg) AS s, COUNT(v) AS nv;")[0].df
+    assert [tuple(x) for x in r.collect()] == [(2, 4)]
+    with pytest.raises(EngineError, match="multi-type"):
+        eng.execute("MATCH CD, CD2 RETURN seg, COUNT(DISTINCT v);")
+
+
 def _optional_fixture(e):
     e.execute(
         "CREATE NODE OP (name: string PRIMARY KEY, seg: string);"

@@ -578,6 +578,24 @@ def test_match_aggregate_alias_parse():
     assert st.return_agg_aliases == ()
 
 
+def test_match_count_distinct_parse():
+    # r11: COUNT(DISTINCT field) — DISTINCT is a soft keyword inside
+    # COUNT(...) (marker only before another IDENT)
+    st = one("MATCH P RETURN seg, COUNT(DISTINCT v);")
+    assert st.return_aggs == (("COUNT_DISTINCT", "v"),)
+    st = one("MATCH P RETURN COUNT(DISTINCT v) AS u;")
+    assert st.return_aggs == (("COUNT_DISTINCT", "v"),)
+    assert st.return_agg_aliases == ("u",)
+    # a field literally named distinct stays reachable, bare or quoted
+    st = one("MATCH P RETURN COUNT(distinct);")
+    assert st.return_agg == ("COUNT", "distinct")
+    st = one("MATCH P RETURN COUNT(`DISTINCT` );")
+    assert st.return_agg == ("COUNT", "DISTINCT")
+    # DISTINCT applies to COUNT only (SUM(DISTINCT ...) unsupported)
+    _, errors = parse_script("MATCH P RETURN SUM(DISTINCT v);")
+    assert errors
+
+
 def test_match_optional_parse():
     # r11: OPTIONAL soft keyword marks the following element; a type
     # literally named OPTIONAL stays reachable bare at pattern end
