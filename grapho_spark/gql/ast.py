@@ -347,6 +347,14 @@ class MatchStmt(Stmt):
     # return_count/return_agg encoding), so these two tuples are
     # always index-aligned.
     return_agg_aliases: tuple[str | None, ...] = ()
+    # HAVING extension (r12, soft keyword): post-aggregate filter over
+    # the group keys and aggregate output aliases — ``RETURN city,
+    # COUNT(*) AS n HAVING n > 5``. Same predicate grammar as WHERE
+    # (comparisons, IN, OR/NOT, parenthesized groups); names resolve
+    # against the SAME set ORDER BY enforces post-aggregation (group
+    # keys by RETURN name or output column, aggregate aliases). Only
+    # legal with an aggregate RETURN.
+    having: tuple["Property | PredGroup", ...] = ()
 
 
 @dataclass(frozen=True)

@@ -634,10 +634,10 @@ class Parser:
             if self._tok.type is T.IDENT and not self._at_soft_clause():
                 alias = self._tok.lit
                 self._next()
-            if optional and (min_hops != 1 or max_hops != 1):
-                self._err(
-                    el_tok, "OPTIONAL cannot combine with *bounds"
-                )
+            # r12: OPTIONAL + *bounds is legal — left-outer hop
+            # composition (rows with no reachable endpoint NULL-pad);
+            # the engine rejects OPTIONAL on NODE elements, where it
+            # has nothing to be optional relative to.
             pattern.append(
                 ast.MatchElement(
                     el_type,
@@ -737,12 +737,12 @@ class Parser:
                         # COUNT(distinct); quoted `distinct` is always
                         # a plain field). DISTINCT * is not a thing.
                         self._next()
-                        aggs.append(("COUNT_DISTINCT", self._expect(T.IDENT).lit))
+                        aggs.append(("COUNT_DISTINCT", self._agg_arg()))
                     else:
                         # COUNT(field) counts NON-NULL values (SQL
                         # semantics), aliased count_<field> vs
                         # COUNT(*)'s n_rows
-                        aggs.append((up, self._expect(T.IDENT).lit))
+                        aggs.append((up, self._agg_arg()))
                     self._expect(T.RPAREN)
                     if return_distinct:
                         self._err(
@@ -781,11 +781,17 @@ class Parser:
                     ret_aliases.append(out_alias)
                 if not self._match(T.COMMA):
                     break
-            if len(aggs) == 1 and not returns and agg_aliases[0] is None:
-                # legacy single-bare-aggregate encoding; an ALIASED
-                # single aggregate stays in return_aggs (the grouped
-                # path with zero keys is the same global-row plan and
-                # carries the alias)
+            if (
+                len(aggs) == 1
+                and not returns
+                and agg_aliases[0] is None
+                and "." not in aggs[0][1]
+            ):
+                # legacy single-bare-aggregate encoding; an ALIASED or
+                # QUALIFIED (x.field) single aggregate stays in
+                # return_aggs (the grouped path with zero keys is the
+                # same global-row plan, carries the alias, and projects
+                # the qualified source column on every pattern path)
                 func, fname = aggs[0]
                 if func == "COUNT" and fname == "*":
                     return_count = True
@@ -819,7 +825,9 @@ class Parser:
                 alias = user_al or (
                     "n_rows"
                     if func == "COUNT" and fname == "*"
-                    else f"{func.lower()}_{fname}"
+                    # qualified arg: sum_y_amount (dots can't live in
+                    # an output column name)
+                    else f"{func.lower()}_{fname.replace('.', '_')}"
                 )
                 if alias in seen_aliases:
                     self._err(
@@ -847,6 +855,26 @@ class Parser:
             return_aggs = ()
             return_aliases = ()
             return_agg_aliases = ()
+        # HAVING extension (r12, soft keyword): post-aggregate filter,
+        # same predicate grammar as WHERE. Sits between RETURN and
+        # ORDER BY/LIMIT, SQL clause order. A marker only when
+        # unquoted — a field literally named ``having`` is unreachable
+        # HERE (it would be a RETURN item), so no LL(2) dance needed.
+        having: tuple = ()
+        if (
+            self._tok.type is T.IDENT
+            and not self._tok.quoted
+            and self._tok.lit.upper() == "HAVING"
+        ):
+            h_tok = self._tok
+            self._next()
+            if not (return_count or return_agg or return_aggs):
+                self._err(
+                    h_tok,
+                    "HAVING requires an aggregate RETURN "
+                    "(group keys + COUNT/SUM/MIN/MAX/AVG)",
+                )
+            having = self._parse_property_list(qualified=True, allow_cmp=True)
         order_by, limit, offset = self._parse_order_limit()
         if (return_count or return_agg) and order_by:
             self._err(t, "ORDER BY is meaningless with an aggregate RETURN")
@@ -866,7 +894,20 @@ class Parser:
             as_of=as_of,
             return_aliases=return_aliases,
             return_agg_aliases=return_agg_aliases,
+            having=having,
         )
+
+    def _agg_arg(self) -> str:
+        """Aggregate argument: a field name, optionally alias-QUALIFIED
+        (``SUM(y.amount)``, ``COUNT(DISTINCT o.status)`` — r12). The
+        dotted form resolves exactly like a qualified RETURN field
+        (its element's ``<alias>_<field>`` output column), so chain /
+        var-length aggregates can target any pattern element, not just
+        the first declarer of an unqualified name."""
+        name = self._expect(T.IDENT).lit
+        if self._match(T.DOT):
+            name = f"{name}.{self._expect(T.IDENT).lit}"
+        return name
 
     def _at_return_as(self) -> bool:
         """True when the current token is the RETURN-item ``AS`` output

@@ -1106,3 +1106,207 @@ def gql_match_bool_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY bal DESC, name LIMIT 40 OFFSET 10;"
     )[0]
     return res.df
+
+
+@query(
+    "gql_match_agg_qualified",
+    oracle="""
+SELECT c.c_mktsegment AS c_c_mktsegment,
+       COUNT(DISTINCT o.o_orderkey) AS count_distinct_o_o_orderkey,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_o_o_totalprice
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def gql_match_agg_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualified aggregate arguments (r12, VERDICT r11 #3):
+    ``RETURN c.c_mktsegment, COUNT(DISTINCT o.o_orderkey),
+    SUM(o.o_totalprice)`` over a chain pattern — the aggregate
+    argument targets a NON-TAIL element by alias, resolving through
+    the same ``<alias>_<field>`` output-column rule as qualified
+    RETURN fields. The SUM is exact decimal end-to-end and cast to
+    double only at the output boundary, so 32-partition accumulation
+    order cannot diverge from DuckDB's."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    o = load_table(spark, sf_dir, "orders")
+    eng.bind_node_type(
+        "Customer", load_table(spark, sf_dir, "customer"), pk="c_custkey"
+    )
+    eng.bind_node_type(
+        "Order", o.select("o_orderkey", "o_totalprice"), pk="o_orderkey"
+    )
+    eng.bind_edge_type(
+        "Placed",
+        o.select("o_custkey", "o_orderkey"),
+        src="o_custkey",
+        dst="o_orderkey",
+        from_label="Customer",
+        to_label="Order",
+    )
+    res = eng.execute(
+        "MATCH Customer c, Placed p, Order o "
+        "RETURN c.c_mktsegment, COUNT(DISTINCT o.o_orderkey), "
+        "SUM(o.o_totalprice);"
+    )[0]
+    return res.df.select(
+        "c_c_mktsegment",
+        "count_distinct_o_o_orderkey",
+        F.col("sum_o_o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("sum_o_o_totalprice"),
+    )
+
+
+@query(
+    "gql_match_having",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
+FROM customer
+WHERE c_acctbal > 0.0
+GROUP BY c_nationkey
+HAVING COUNT(*) > 45 OR c_nationkey = 0
+""",
+)
+def gql_match_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING extension (r12, VERDICT r11 #4): post-aggregate filter
+    over group keys + aggregate aliases — ``RETURN c_nationkey,
+    COUNT(*) AS n, SUM(c_acctbal) AS bal HAVING n > 45 OR
+    c_nationkey: 0``. Same predicate grammar as WHERE (comparisons,
+    OR, NOT, IN); names resolve against the closed post-aggregation
+    namespace ORDER BY already enforces. Compiles to a plain filter
+    above the partial-agg + single-shuffle plan — the pre-aggregation
+    WHERE pushdown is unaffected (the filter reads aggregate
+    outputs)."""
+    eng = _engine_with_customer(spark, sf_dir)
+    res = eng.execute(
+        "MATCH Customer WHERE c_acctbal > 0.0 "
+        "RETURN c_nationkey, COUNT(*) AS n, SUM(c_acctbal) AS bal "
+        "HAVING n > 45 OR c_nationkey: 0;"
+    )[0]
+    return res.df.select(
+        "c_nationkey",
+        "n",
+        F.col("bal").cast("decimal(14,2)").cast("double").alias("bal"),
+    )
+
+
+@query(
+    "gql_match_optional_varlen",
+    oracle="""
+WITH e AS (
+  SELECT c1.c_custkey AS s, c2.c_custkey AS d
+  FROM customer c1 JOIN customer c2
+    ON c2.c_custkey = c1.c_custkey + 1
+   AND c2.c_mktsegment = c1.c_mktsegment),
+h1 AS (SELECT s, d, 1 AS hops FROM e),
+h2 AS (SELECT DISTINCT e1.s, e2.d, 2 AS hops
+       FROM e e1 JOIN e e2 ON e1.d = e2.s),
+pairs AS (
+  SELECT s, d, MIN(hops) AS hops
+  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+  GROUP BY s, d)
+SELECT CAST(a.c_custkey AS VARCHAR) AS a__id,
+       CAST(b.c_custkey AS VARCHAR) AS b__id,
+       CAST(p.hops AS BIGINT) AS n_hops,
+       a.c_name AS a_c_name,
+       b.c_name AS b_c_name
+FROM customer a
+LEFT JOIN pairs p ON p.s = a.c_custkey
+LEFT JOIN customer b ON b.c_custkey = p.d
+WHERE a.c_mktsegment = 'BUILDING'
+""",
+)
+def gql_match_optional_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL variable-length traversal (r12, VERDICT r11 #5):
+    ``MATCH Customer a, OPTIONAL NextInSeg*1..2 n, Customer b`` keeps
+    EVERY left-endpoint row; rows with no reachable endpoint within
+    the bounds NULL-pad hops and b's columns (left-outer composition
+    of the bounded hop union — the (pairs x right-node) block joins
+    as a unit so the padding survives). The WHERE is alias-qualified
+    to ``a`` — an unqualified segment predicate would apply to b too
+    and re-drop the padded rows, SQL LEFT JOIN + WHERE semantics."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    eng.bind_node_type("Customer", cust, pk="c_custkey")
+    c1 = cust.select(F.col("c_custkey").alias("sk"), F.col("c_mktsegment").alias("m1"))
+    c2 = cust.select(F.col("c_custkey").alias("dk"), F.col("c_mktsegment").alias("m2"))
+    edges = c1.join(
+        c2, (F.col("dk") == F.col("sk") + 1) & (F.col("m1") == F.col("m2"))
+    ).select("sk", "dk")
+    eng.bind_edge_type(
+        "NextInSeg", edges, src="sk", dst="dk",
+        from_label="Customer", to_label="Customer",
+    )
+    res = eng.execute(
+        "MATCH Customer a, OPTIONAL NextInSeg*1..2 n, Customer b "
+        "WHERE a.c_mktsegment: 'BUILDING' "
+        "RETURN a.c_name, b.c_name;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_time_travel_agg",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'a', CAST(2 AS BIGINT), CAST(17 AS BIGINT)),
+  (1, 'b', CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+  (2, 'a', CAST(2 AS BIGINT), CAST(27 AS BIGINT)),
+  (2, 'b', CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+  (3, 'a', CAST(1 AS BIGINT), CAST(20 AS BIGINT))
+) AS t(version, grp, n, total_qty)
+""",
+)
+def gql_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregates composed with AS OF time travel (r12,
+    VERDICT r11 #8): ``MATCH Item AS OF <v> RETURN grp, COUNT(*) AS n,
+    SUM(qty) AS total_qty`` — the aggregation runs over the committed
+    parquet version's rows (buffered rows are NOT part of a past
+    version), exercising the time-travel read and the grouped RETURN
+    in ONE statement. Three flushed versions (insert / update /
+    delete between them); the oracle is the hand-computed per-version
+    group state."""
+    import os as _os
+    import shutil as _shutil
+
+    from grapho_spark.engine import GraphEngine
+
+    data_dir = scratch_path(f"grapho_tta_{_os.getpid()}")
+    _shutil.rmtree(data_dir, ignore_errors=True)
+    eng = GraphEngine(spark, data_dir=data_dir)
+    eng.execute(
+        "CREATE NODE Item (grp: string, qty: int);"
+        "INSERT NODE Item (grp: 'a', qty: 10);"
+        "INSERT NODE Item (grp: 'a', qty: 7);"
+        "INSERT NODE Item (grp: 'b', qty: 5);"
+    )
+    eng.flush()  # v1: a={10,7}, b={5}
+    eng.execute("UPDATE NODE Item SET qty: 20 WHERE qty: 10;")
+    eng.flush()  # v2: a={20,7}, b={5}
+    eng.execute("DELETE NODE Item WHERE qty: 7; DELETE NODE Item WHERE grp: 'b';")
+    eng.flush()  # v3: a={20}
+    frames = []
+    for v in eng.table_versions("node", "Item"):
+        df = eng.execute(
+            f"MATCH Item AS OF {v} RETURN grp, COUNT(*) AS n, "
+            f"SUM(qty) AS total_qty;"
+        )[0].df
+        frames.append(
+            df.select(
+                F.lit(v).alias("version"),
+                "grp",
+                "n",
+                F.col("total_qty").cast("long").alias("total_qty"),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

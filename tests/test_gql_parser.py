@@ -604,5 +604,51 @@ def test_match_optional_parse():
     assert st.pattern[1].type == "E" and st.pattern[1].alias == "e"
     st = one("MATCH OPTIONAL;")
     assert st.pattern[0].type == "OPTIONAL" and not st.pattern[0].optional
-    _, errors = parse_script("MATCH A a, OPTIONAL E*2 e, B b;")
-    assert len(errors) == 1 and "cannot combine with *bounds" in errors[0].msg
+    # r12: OPTIONAL + *bounds now parses (left-outer hop composition)
+    st = one("MATCH A a, OPTIONAL E*2 e, B b;")
+    assert st.pattern[1].optional and st.pattern[1].min_hops == 2
+
+
+def test_qualified_aggregate_args_parse():
+    """r12: alias-qualified aggregate arguments — SUM(y.amount),
+    COUNT(DISTINCT o.f). A QUALIFIED single bare aggregate stays in
+    return_aggs (never the legacy encoding) so every pattern path
+    projects its source column."""
+    st = one("MATCH A a, E e, B b RETURN b.city, SUM(b.amount), COUNT(DISTINCT a.k);")
+    assert st.return_fields == ("b.city",)
+    assert st.return_aggs == (("SUM", "b.amount"), ("COUNT_DISTINCT", "a.k"))
+    st2 = one("MATCH A a RETURN SUM(a.v);")
+    assert st2.return_agg is None and st2.return_aggs == (("SUM", "a.v"),)
+    st3 = one("MATCH A RETURN SUM(v);")  # unqualified keeps legacy encoding
+    assert st3.return_agg == ("SUM", "v") and st3.return_aggs == ()
+    # dotted default aliases are sanitized — no collision with AS form
+    st4 = one("MATCH A a RETURN a.k, SUM(a.v) AS total;")
+    assert st4.return_agg_aliases == ("total",)
+
+
+def test_having_parse():
+    """r12: HAVING soft-keyword clause — post-aggregate filter with the
+    WHERE predicate grammar, between RETURN and ORDER BY."""
+    st = one(
+        "MATCH P RETURN city, COUNT(*) AS n "
+        "HAVING n > 5 OR city: 'x' ORDER BY n DESC LIMIT 3;"
+    )
+    assert len(st.having) == 2
+    assert st.having[0].name == "n" and st.having[0].op == ">"
+    assert st.having[0].or_group == st.having[1].or_group >= 0
+    assert st.order_by == (("n", True),) and st.limit == 3
+    st2 = one("MATCH P RETURN COUNT(*) HAVING n_rows > 10;")
+    assert st2.return_count and len(st2.having) == 1
+
+
+def test_having_requires_aggregate():
+    stmts, errors = parse_script("MATCH P RETURN name HAVING name: 'x';")
+    assert errors and "HAVING requires an aggregate RETURN" in errors[0].msg
+
+
+def test_optional_varlen_parse():
+    """r12: OPTIONAL now combines with *bounds (left-outer hop
+    composition); node-element OPTIONAL is still an engine error."""
+    st = one("MATCH A a, OPTIONAL E*1..3 e, B b RETURN a.name;")
+    assert st.pattern[1].optional
+    assert st.pattern[1].min_hops == 1 and st.pattern[1].max_hops == 3

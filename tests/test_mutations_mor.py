@@ -1,0 +1,186 @@
+"""Merge-on-read mutation tests (r12, VERDICT r11 #1/#7): UPDATE and
+DELETE publish deletion-vector / rewrite side files composed onto the
+live view instead of an O(table) localCheckpoint per statement; the
+flush's partial path reads ONLY the touched buckets' leaf dirs. These
+pin the composition semantics the storage probe measures: rebase depth
+bound, buffer folds, retention (leaf-GC) interaction, replay, and the
+rewritten uniqueness guard.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from grapho_spark.engine import GraphEngine
+from grapho_spark.engine.engine import EngineError
+
+
+def _state(eng, typ="T"):
+    return {
+        r["k"]: r["v"] for r in eng.node_df(typ).select("k", "v").collect()
+    }
+
+
+def _mk(eng):
+    eng.execute("CREATE NODE T (k: int, v: int);")
+    for i in range(12):
+        eng.execute(f"INSERT NODE T (k: {i}, v: {i * 10});")
+
+
+def test_mutation_statement_is_not_otable_checkpoint(spark, tmp_path):
+    """After UPDATE/DELETE the live view is a composed lazy plan over
+    side files (mut_parts recorded), not a materialized checkpoint."""
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    _mk(eng)
+    eng.flush()
+    eng.execute("UPDATE NODE T SET v: 999 WHERE k: 3;")
+    tab = eng.tables[("node", "T")]
+    assert [op for op, _ in tab.mut_parts] == ["u"]
+    eng.execute("DELETE NODE T WHERE k: 5;")
+    assert [op for op, _ in tab.mut_parts] == ["u", "d"]
+    st = _state(eng)
+    assert st[3] == 999 and 5 not in st and st[4] == 40 and len(st) == 11
+
+
+def test_mutation_interleaved_with_buffer_fold(spark, tmp_path):
+    """Buffered inserts fold into the view at mutation time (their
+    stale originals anti-joined away when matched) and survive the
+    partial flush in untouched buckets (the r10 seed-209 shape)."""
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    _mk(eng)
+    eng.flush()
+    eng.execute("INSERT NODE T (k: 100, v: 1);")
+    eng.execute("INSERT NODE T (k: 101, v: 2);")
+    # mutation matches one buffered row AND one base row
+    eng.execute("UPDATE NODE T SET v: 7 WHERE v: 1;")  # k=100 buffered
+    eng.execute("DELETE NODE T WHERE k: 2;")
+    st = _state(eng)
+    assert st[100] == 7 and st[101] == 2 and 2 not in st and len(st) == 13
+    eng.flush()
+    assert _state(eng) == st
+    # reopen: commit-log replay re-derives the same state
+    eng2 = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    assert _state(eng2) == st
+
+
+def test_rebase_bounds_layer_depth(spark, tmp_path):
+    """More than 2*max_delta_chain mutation layers between flushes
+    collapse into ONE rebase snapshot; results stay exact."""
+    eng = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=4, max_delta_chain=2
+    )
+    _mk(eng)
+    eng.flush()
+    for i in range(7):  # > 2*2 layers -> at least one rebase
+        eng.execute(f"UPDATE NODE T SET v: {1000 + i} WHERE k: {i};")
+    tab = eng.tables[("node", "T")]
+    assert any(op == "rebase" for op, _ in tab.mut_parts)
+    assert len(tab.mut_parts) <= 2 * 2 + 1
+    st = _state(eng)
+    assert all(st[i] == 1000 + i for i in range(7)) and st[8] == 80
+    eng.flush()
+    assert _state(eng) == st
+    eng2 = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    assert _state(eng2) == st
+
+
+def test_partial_flush_writes_only_touched_leafs(spark, tmp_path):
+    """A point mutation's flush writes a strict subset of the leaf
+    dirs and inherits the rest from the parent map."""
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=8)
+    _mk(eng)
+    eng.flush()  # v1 full
+    tdir = os.path.join(str(tmp_path / "d"), "tables", "node_T")
+    v1_leafs = {
+        e for e in os.listdir(os.path.join(tdir, "v1"))
+        if e.startswith("_gbkt=")
+    }
+    eng.execute("UPDATE NODE T SET v: 999 WHERE k: 3;")
+    eng.flush()  # v2 partial
+    v2_leafs = {
+        e for e in os.listdir(os.path.join(tdir, "v2"))
+        if e.startswith("_gbkt=")
+    }
+    assert 1 <= len(v2_leafs) < len(v1_leafs)
+    st = _state(eng)
+    assert st[3] == 999 and len(st) == 12
+
+
+def test_mutations_with_retention_leaf_gc(spark, tmp_path):
+    """VERDICT r11 #7: keep_versions + DV mutations — retention GC
+    leaf-prunes old owner dirs while every retained read composes the
+    right rows; reopen stays intact; pruned/leaf-GC'd versions refuse
+    direct AS OF with the servable list."""
+    eng = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=4, keep_versions=2
+    )
+    _mk(eng)
+    eng.flush()  # v1
+    for i, k in enumerate([1, 3, 5, 7]):
+        eng.execute(f"UPDATE NODE T SET v: {500 + i} WHERE k: {k};")
+        eng.execute(f"DELETE NODE T WHERE k: {k + 1};")
+        eng.flush()
+    st = _state(eng)
+    assert st[1] == 500 and st[7] == 503
+    assert all(k not in st for k in (2, 4, 6, 8)) and len(st) == 8
+    vs = eng.table_versions("node", "T")
+    assert len(vs) >= 2
+    # live + one-back both readable; anything older raises cleanly
+    assert {r["k"]: r["v"] for r in
+            eng.node_df_at("T", vs[-1]).select("k", "v").collect()} == st
+    eng.node_df_at("T", vs[-2]).count()
+    with pytest.raises(EngineError):
+        eng.node_df_at("T", 1)
+    eng2 = GraphEngine(
+        spark, data_dir=str(tmp_path / "d"), id_buckets=4, keep_versions=2
+    )
+    assert _state(eng2) == st
+
+
+def test_update_unique_guard_semantics(spark):
+    """The rewritten O(1)+probe uniqueness guard: multi-match to one
+    unique literal refuses; collision with an UNMATCHED row (including
+    null-pred rows) refuses; state stays untouched on refusal."""
+    eng = GraphEngine(spark)
+    eng.execute(
+        "CREATE NODE U (name: string UNIQUE, grp: string, v: int);"
+        "INSERT NODE U (name: 'a', grp: 'x', v: 1);"
+        "INSERT NODE U (name: 'b', grp: 'x', v: 2);"
+        "INSERT NODE U (name: 'c', v: 3);"  # grp NULL: pred null-row
+    )
+    import pyspark.sql.functions as F  # noqa: F401
+    # force the distributed path (buffer-only tables take the pure-
+    # buffer twin): bind-flush isn't needed, a no-op frame suffices
+    eng.tables[("node", "U")].base = eng._merged_df(("node", "U"))
+    eng.tables[("node", "U")].buffer = []
+    with pytest.raises(EngineError, match="unique violation"):
+        eng.execute("UPDATE NODE U SET name: 'z' WHERE grp: 'x';")
+    with pytest.raises(EngineError, match="unique violation"):
+        # matched: b; clash with unmatched null-grp row c
+        eng.execute("UPDATE NODE U SET name: 'c' WHERE name: 'b';")
+    names = {r["name"] for r in eng.node_df("U").collect()}
+    assert names == {"a", "b", "c"}
+    # single-match to a fresh value succeeds
+    eng.execute("UPDATE NODE U SET name: 'd' WHERE name: 'b';")
+    names = {r["name"] for r in eng.node_df("U").collect()}
+    assert names == {"a", "c", "d"}
+
+
+def test_delete_empties_bucket_and_table(spark, tmp_path):
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    eng.execute("CREATE NODE T (k: int, v: int);")
+    for i in range(4):
+        eng.execute(f"INSERT NODE T (k: {i}, v: 0);")
+    eng.flush()
+    eng.execute("DELETE NODE T WHERE v: 0;")
+    assert eng.node_df("T").count() == 0
+    eng.flush()
+    assert eng.node_df("T").count() == 0
+    eng2 = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    assert eng2.node_df("T").count() == 0
+    # table is writable again after full delete
+    eng2.execute("INSERT NODE T (k: 9, v: 9);")
+    eng2.flush()
+    assert _state(eng2) == {9: 9}
