@@ -285,6 +285,24 @@ def main() -> None:
                 for r in rows
             },
         },
+        # r12 (VERDICT r11 #6): corpus-scaled cell sizing driven
+        # through the real probe path at a 25% nominal scan fraction —
+        # recall AND the measured scan fraction are both regression-
+        # gated, at two corpus scales
+        "embedding_ann_scaled_sizing": lambda rows: {
+            **{
+                f"recall3_scaled_{r['scale']}_{r['nominal_frac']}": r[
+                    "avg_recall"
+                ]
+                for r in rows
+            },
+            **{
+                f"scanfrac_scaled_{r['scale']}_{r['nominal_frac']}": r[
+                    "scan_fraction"
+                ]
+                for r in rows
+            },
+        },
     }
     q_t0 = time.perf_counter()
     quality: dict[str, float] = {}

@@ -66,6 +66,14 @@ PLAN_CHECKS: dict[str, list[str]] = {
     "gql_match_paren_groups": [
         r"PushedFilters: \[[^\]]*Or\(And\(",
     ],
+    # r12: HAVING is a post-aggregate filter — the PRE-aggregation
+    # WHERE must still push to the parquet scan (the HAVING predicate
+    # reads aggregate outputs, so it cannot block pushdown below the
+    # aggregate), and the plan keeps the partial-agg + exchange shape
+    "gql_match_having": [
+        r"PushedFilters: \[[^\]]*GreaterThan\(c_acctbal,0\.0\)",
+        "HashAggregate",
+    ],
     # r11: the composite boolean-algebra MATCH on a flushed bucketed
     # engine table — Catalyst decomposes NOT(a OR b) into pushable
     # conjuncts (Not(EqualNullSafe), Not(In)), the bounds and <> push

@@ -93,7 +93,12 @@ def run_scale(spark, mult: int) -> dict:
     eng.compact()
     v_full2 = _tip(tdir)
     key = n_rows // 2
+    # r12: time the STATEMENT too — merge-on-read made it an
+    # O(matched) side-file write + pushdown scan instead of an
+    # O(table) localCheckpoint materialization
+    t0 = time.perf_counter()
     eng.execute(f"UPDATE NODE T SET v: 999 WHERE k: {key};")
+    out["point_update_stmt_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     eng.flush()
     out["point_update_flush_s"] = round(time.perf_counter() - t0, 2)

@@ -379,6 +379,27 @@ def test_ann_append_auto_rebuild_in_band(spark, sf_dir):
             probed.groupBy("q_id").agg(F.count("*").alias("n")).collect()
         )
         assert per_q and all(r.n <= 3 for r in per_q)
+        # r12 (ADVICE r11): the outgrown OLD identity is retired as
+        # part of the in-band rebuild — its tables and marker are
+        # gone, so a caller that kept appending with the stale
+        # base_pred fails fast instead of re-triggering a full
+        # rebuild on every append. The new identity is the returned
+        # one; health of the old tag now reads as not-built.
+        old_tag = _ann_index_tag(sf_dir, base_pred)
+        assert res["retired_tables"] == [
+            f"ann_centroids_{old_tag}",
+            f"ann_codebook_{old_tag}",
+            f"ann_pq_codes_{old_tag}",
+        ]
+        assert not any(
+            spark.catalog.tableExists(t) for t in res["retired_tables"]
+        )
+        from grapho_spark.queries.embeddings import ann_index_health
+
+        assert ann_index_health(spark, sf_dir, base_pred) == {
+            "built": False,
+            "rebuild": False,
+        }
     finally:
         for pred in (base_pred, union_pred):
             tag = _ann_index_tag(sf_dir, pred)

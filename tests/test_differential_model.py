@@ -174,6 +174,32 @@ def test_differential_random_dml(eng):
         assert [(r.bb, r.a) for r in got_al.collect()] == [
             (r["b"], r["a"]) for r in want_bb
         ], text
+        # r12: grouped-aggregate + HAVING differential — group by a,
+        # COUNT(*)/SUM(b) with a post-aggregate OR filter; the model
+        # groups nulls into one group (Spark groupBy semantics) and
+        # HAVING's null-safe `=` never matches a null key against a
+        # non-null literal
+        hv = rng.choice(DOMAIN)
+        got_h = eng.execute(
+            f"MATCH D WHERE {text} RETURN a, COUNT(*) AS n, SUM(b) AS sb "
+            f"HAVING n > 1 OR a: {hv};"
+        )[0].df.collect()
+        groups: dict = {}
+        for r in want:
+            g = groups.setdefault(r["a"], [0, None])
+            g[0] += 1
+            if r["b"] is not None:
+                g[1] = (g[1] or 0) + r["b"]
+        want_h = sorted(
+            (
+                (a, cnt, sb)
+                for a, (cnt, sb) in groups.items()
+                if cnt > 1 or (a is not None and a == hv)
+            ),
+            key=key,
+        )
+        got_h_vals = sorted(((r.a, r.n, r.sb) for r in got_h), key=key)
+        assert got_h_vals == want_h, (text, hv, got_h_vals[:5], want_h[:5])
 
     for i in range(N_OPS):
         rng.choice([insert, insert, insert, update, update, delete])()
