@@ -2565,16 +2565,21 @@ class GraphEngine:
 
         sets = self._coerce_sets(stmt, specs, type_name)
 
-        # count + touched buckets in ONE scan: the matched rows'
-        # buckets let the next flush rewrite only those buckets of the
-        # versioned parquet (partition-pruned copy-on-write)
-        stats = df.filter(pred).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.collect_set(
-                self._bucket_expr(self._tab_bucket_n(tab))
-            ).alias("bks"),
-        ).first()
-        count = stats["n"]
+        # ONE base scan per statement (r12): write the matched rows
+        # (with SET applied) straight to the side file, then derive
+        # count and touched buckets from the side file itself —
+        # footer-cheap reads of an O(matched) table, replacing the
+        # separate stats aggregation scan of the whole chain.
+        patch_rows = df.filter(pred)
+        for k, v in sets.items():
+            patch_rows = patch_rows.withColumn(
+                k, F.lit(v).cast(df.schema[k].dataType)
+            )
+        cols = [f.name for f in tab.schema.fields]
+        path = self._mut_scratch_dir()
+        patch_rows.select(*cols).write.mode("overwrite").parquet(path)
+        patch = self.spark.read.schema(tab.schema).parquet(path)
+        count = patch.count()
         if count:
             # Uniqueness guard BEFORE any state change. Every matched
             # row gets the SAME literal — a violation is exactly
@@ -2603,7 +2608,14 @@ class GraphEngine:
                                 f"unique violation on {idx.field!r} after update"
                             )
             if tab.touched_buckets is not None:
-                tab.touched_buckets |= {int(b) for b in stats["bks"]}
+                tab.touched_buckets |= {
+                    int(r["b"])
+                    for r in patch.select(
+                        self._bucket_expr(self._tab_bucket_n(tab)).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
                 if tab.buffer:
                     # the mutation folds buffered inserts into base
                     # (buffer cleared in _publish_mutation) — record
@@ -2611,19 +2623,6 @@ class GraphEngine:
                     # would drop surviving ex-buffer rows in untouched
                     # buckets (caught by the r10 durable soak, seed 209)
                     tab.touched_buckets |= self._buffer_buckets(tab)
-            # Merge-on-read: write ONLY the matched rows with SET
-            # applied (the filter sits below the projection, so pred
-            # is evaluated against the ORIGINAL column values even
-            # when SET rewrites a WHERE column), then compose
-            # base ∖ ids ∪ rewrites as the live view.
-            patch_rows = df.filter(pred)
-            for k, v in sets.items():
-                patch_rows = patch_rows.withColumn(
-                    k, F.lit(v).cast(df.schema[k].dataType)
-                )
-            cols = [f.name for f in tab.schema.fields]
-            path = self._mut_scratch_dir()
-            patch_rows.select(*cols).write.mode("overwrite").parquet(path)
             self._publish_mutation(tab, path, "u", count)
             # SET may introduce values unseen by the sketches — a stale
             # bloom would false-negative and skip a real duplicate scan.
@@ -2669,26 +2668,28 @@ class GraphEngine:
                 df, type_name, stmt.from_node, stmt.to_node
             )
             pred = pred & ep_pred
-        stats = df.filter(pred).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.collect_set(
-                self._bucket_expr(self._tab_bucket_n(tab))
-            ).alias("bks"),
-        ).first()
-        count = stats["n"]
+        # ONE base scan (r12): persist the deletion vector of matched
+        # _ids (O(matched), not an O(table) rewrite), then derive count
+        # and touched buckets from the side file — mirrors _update.
+        path = self._mut_scratch_dir()
+        df.filter(pred).select(ID_COLUMN).write.mode("overwrite").parquet(
+            path
+        )
+        ids = self.spark.read.parquet(path)
+        count = ids.count()
         if count:
             if tab.touched_buckets is not None:
-                tab.touched_buckets |= {int(b) for b in stats["bks"]}
+                tab.touched_buckets |= {
+                    int(r["b"])
+                    for r in ids.select(
+                        self._bucket_expr(self._tab_bucket_n(tab)).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
                 if tab.buffer:
                     # same fold-the-buffer bucket recording as _update
                     tab.touched_buckets |= self._buffer_buckets(tab)
-            # Merge-on-read: persist a deletion vector of the matched
-            # _ids (O(matched), not an O(table) rewrite) and compose
-            # base ∖ ids as the live view.
-            path = self._mut_scratch_dir()
-            df.filter(pred).select(ID_COLUMN).write.mode(
-                "overwrite"
-            ).parquet(path)
             self._publish_mutation(tab, path, "d", count)
         # NOTE: like the reference, DELETE NODE does not cascade or
         # validate dangling edges (SURVEY.md §2.1 #12).

@@ -330,13 +330,42 @@ def test_differential_random_edge_dml(eng):
             want_o, key=key
         ), tv
 
+    def check_optional_varlen():
+        # r12 OPTIONAL+*bounds differential: left-outer hop composition
+        # vs the model — shortest hops within 1..2 per reachable (x, y)
+        # pair (path multiplicity collapsed), one NULL-padded row per
+        # node with NO reachable endpoint, self-pairs (cycles) kept
+        got = eng.execute(
+            "MATCH P x, OPTIONAL E*1..2 e, P y RETURN x.k, e.hops, y.k;"
+        )[0].df.collect()
+        one = {(e["src"], e["dst"]) for e in edges}
+        pairs: dict[tuple, int] = {p: 1 for p in one}
+        for a, b in one:
+            for b2, c in one:
+                if b == b2:
+                    pairs.setdefault((a, c), 2)
+        kmap = dict(nodes)
+        rows: list[tuple] = []
+        for nid, k in nodes:
+            out = [(d, h) for (s, d), h in pairs.items() if s == nid]
+            if out:
+                rows.extend((k, h, kmap[d]) for d, h in out)
+            else:
+                rows.append((k, None, None))
+        key = lambda t: tuple((v is None, v is not None and v) for v in t)  # noqa: E731
+        assert sorted(((r.x_k, r.e_hops, r.y_k) for r in got), key=key) == sorted(
+            rows, key=key
+        )
+
     ops = [ins_node] * 2 + [ins_edge] * 3 + [upd_edge] * 2 + [del_edge]
     for i in range(60):
         rng.choice(ops)()
         if i == 30:
             eng.flush()
             check_optional()  # over flushed base + buffer
+            check_optional_varlen()
     check_optional()  # end-state
+    check_optional_varlen()
 
     got = sorted(
         (r["_id"], r["_src"], r["_dst"], r.w) for r in eng.edge_df("E").collect()

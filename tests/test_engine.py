@@ -2340,8 +2340,16 @@ def test_optional_match_left_outer_chain(eng):
         eng.execute("MATCH OPTIONAL OP p;")
     with pytest.raises(EngineError, match="not a node"):
         eng.execute("MATCH OP x, OL e, OPTIONAL OP y;")
-    with pytest.raises(EngineError, match="cannot combine"):
-        eng.execute("MATCH OP x, OPTIONAL OL*2 e, OP y;")
+    # r12: OPTIONAL + *bounds now EXECUTES (left-outer hop
+    # composition); every left node survives, unreachable-within-
+    # bounds rows NULL-pad hops
+    vl = eng.execute(
+        "MATCH OP x, OPTIONAL OL*2 e, OP y RETURN x.name, e.hops;"
+    )[0].df.collect()
+    # a->b is the only edge; no 2-hop path exists, so EVERY left row
+    # NULL-pads (inner *2 would return zero rows)
+    assert sorted(r.x_name for r in vl) == ["a", "b", "c"]
+    assert all(r.e_hops is None for r in vl)
     # a node type literally named OPTIONAL stays reachable (bare at
     # pattern end, or backtick-quoted anywhere)
     eng.execute(

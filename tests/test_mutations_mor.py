@@ -168,6 +168,35 @@ def test_update_unique_guard_semantics(spark):
     assert names == {"a", "c", "d"}
 
 
+def test_mutation_view_plan_shape(spark, tmp_path):
+    """The composed live view after a point mutation must be
+    Union(BroadcastHashJoin LeftAnti(chain scan, broadcast DV/ids),
+    patch scan) — the anti-join side is matched-rows-sized and must
+    broadcast, never shuffle the (at 100 TB, huge) base. A lost
+    broadcast here is a silent full-shuffle per post-mutation read."""
+    eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
+    _mk(eng)
+    eng.flush()
+    eng.execute("UPDATE NODE T SET v: 9 WHERE k: 3;")
+    tab = eng.tables[("node", "T")]
+    plan = tab.base._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "Union" in plan, plan
+    eng.execute("DELETE NODE T WHERE k: 5;")
+    plan2 = (
+        eng.tables[("node", "T")]
+        .base._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalyst may push the DELETE's anti-join through the union (one
+    # copy per branch) — count varies; the invariant is that EVERY
+    # anti layer broadcasts its ids side and none degraded to a
+    # sort-merge/shuffled join of the base
+    assert plan2.count("LeftAnti, BuildRight") >= 2, plan2
+    assert "SortMergeJoin [_id" not in plan2, plan2
+
+
 def test_delete_empties_bucket_and_table(spark, tmp_path):
     eng = GraphEngine(spark, data_dir=str(tmp_path / "d"), id_buckets=4)
     eng.execute("CREATE NODE T (k: int, v: int);")
