@@ -23,9 +23,14 @@ Storage model (Spark-idiomatic substitute for the reference's mutable
 in-memory maps): each node/edge type is a TABLE = immutable base
 DataFrame (optionally parquet-backed, copy-on-write versions) + a
 driver-side row buffer for OLTP appends. Reads union the two;
-UPDATE/DELETE compile to Spark plans over the union and publish a new
-materialized base. At cluster scale the buffer would be a streaming
-ingest table and flush() a compaction job — same architecture.
+UPDATE/DELETE are MERGE-ON-READ (r12): each statement persists an
+O(matched) side file (deletion vector of matched _ids, or rewritten
+rows with SET applied) and the live view composes
+``base ∖ ids ∪ rewrites`` lazily — never an O(table) materialization;
+the next flush folds pending side files into the touched buckets'
+leaf dirs only. At cluster scale the buffer would be a streaming
+ingest table and flush() a compaction job — same architecture
+(Delta/Iceberg deletion vectors + OPTIMIZE).
 
 Durability: DDL goes ONLY to the catalog store (events JSONL); DML
 goes ONLY to the commit log (JSONL of statement ASTs), replayed past
