@@ -635,9 +635,12 @@ class Parser:
                 alias = self._tok.lit
                 self._next()
             # r12: OPTIONAL + *bounds is legal — left-outer hop
-            # composition (rows with no reachable endpoint NULL-pad);
-            # the engine rejects OPTIONAL on NODE elements, where it
-            # has nothing to be optional relative to.
+            # composition (rows with no reachable endpoint NULL-pad).
+            # r13: OPTIONAL on a chain's endpoint NODE elements is
+            # legal too (left-outer on the final hop's dst / right-
+            # outer on the leading src); the engine still rejects it
+            # on interior nodes and node-only patterns, where it has
+            # nothing to be optional relative to.
             pattern.append(
                 ast.MatchElement(
                     el_type,

@@ -43,6 +43,18 @@ def _py_positions(value: object, m: int, k: int) -> list[int]:
     ]
 
 
+def positions_expr(col: str, m: int, k: int) -> str:
+    """SQL expression producing the k md5 hash positions of ``col``
+    (array<bigint>), the JVM twin of ``_py_positions`` — shared by
+    SparkBloom.build and the per-leaf zone blooms (engine/zones.py),
+    so one hash convention covers both probe paths."""
+    return (
+        f"transform(sequence(0, {k - 1}), i -> "
+        f"pmod(cast(conv(substring(md5(concat(cast(i as string), ':', "
+        f"cast(`{col}` as string))), 1, 15), 16, 10) as bigint), {m}))"
+    )
+
+
 class SparkBloom:
     """Membership sketch: no false negatives, ~fpp false positives."""
 
@@ -65,11 +77,7 @@ class SparkBloom:
                 f"bloom over {dtype.simpleString()} is unsafe: Spark/Python "
                 "string forms may differ (use string/integer columns)"
             )
-        pos_expr = (
-            f"transform(sequence(0, {k - 1}), i -> "
-            f"pmod(cast(conv(substring(md5(concat(cast(i as string), ':', "
-            f"cast(`{col}` as string))), 1, 15), 16, 10) as bigint), {m}))"
-        )
+        pos_expr = positions_expr(col, m, k)
         rows = (
             df.filter(F.col(col).isNotNull())
             .select(F.explode(F.expr(pos_expr)).alias("p"))

@@ -1310,3 +1310,166 @@ def gql_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+@query(
+    "gql_match_optional_node",
+    oracle="""
+SELECT CAST(c.c_custkey AS VARCHAR) AS c__id,
+       'edge_' || CAST(o.o_custkey AS VARCHAR) || '_'
+               || CAST(o.o_orderkey AS VARCHAR) AS p__id,
+       CASE WHEN o.o_totalprice < 150000.0
+            THEN CAST(o.o_orderkey AS VARCHAR) END AS o__id,
+       c.c_name AS cust,
+       CASE WHEN o.o_totalprice < 150000.0
+            THEN o.o_totalprice END AS price
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def gql_match_optional_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL on a trailing NODE element (r13, VERDICT r12 #5):
+    ``MATCH Customer c, PlacedF p, OPTIONAL Order o`` left-outers
+    ONLY the final hop's dst join — the edge stays required, and the
+    dst node NULL-pads exactly when the edge dangles (the reference's
+    DELETE NODE does not cascade, server/server.go:699-740, so
+    dangling edges are a reachable steady state this form exists to
+    read). Here the Order node type is bound to a SUBSET of orders
+    (< 150k), so 'F' edges to expensive orders dangle by
+    construction."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    o = load_table(spark, sf_dir, "orders")
+    eng.bind_node_type(
+        "Customer", load_table(spark, sf_dir, "customer"), pk="c_custkey"
+    )
+    eng.bind_node_type(
+        "Order",
+        o.filter(F.col("o_totalprice") < 150000.0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        pk="o_orderkey",
+    )
+    eng.bind_edge_type(
+        "PlacedF",
+        o.filter(F.col("o_orderstatus") == "F").select(
+            "o_custkey", "o_orderkey"
+        ),
+        src="o_custkey",
+        dst="o_orderkey",
+        from_label="Customer",
+        to_label="Order",
+    )
+    res = eng.execute(
+        "MATCH Customer c, PlacedF p, OPTIONAL Order o "
+        "RETURN c.c_name AS cust, o.o_totalprice AS price;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_match_optional_node_leading",
+    oracle="""
+SELECT CASE WHEN c.c_acctbal > 0.0
+            THEN CAST(c.c_custkey AS VARCHAR) END AS c__id,
+       'edge_' || CAST(o.o_custkey AS VARCHAR) || '_'
+               || CAST(o.o_orderkey AS VARCHAR) AS p__id,
+       CAST(o.o_orderkey AS VARCHAR) AS o__id,
+       CASE WHEN c.c_acctbal > 0.0 THEN c.c_name END AS cust,
+       o.o_totalprice AS price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def gql_match_optional_node_leading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetric LEADING form (r13, VERDICT r12 #5): ``MATCH
+    OPTIONAL Customer c, PlacedF p, Order o`` keeps every (edge,
+    order) pair and NULL-pads the src node when no Customer row
+    matches the edge's _src — compiled as a RIGHT join on the first
+    hop's src side. Customer is bound to the positive-balance subset
+    so the padding is reachable on fixture data."""
+    from grapho_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    eng.bind_node_type(
+        "Customer",
+        cust.filter(F.col("c_acctbal") > 0.0),
+        pk="c_custkey",
+    )
+    eng.bind_node_type(
+        "Order", o.select("o_orderkey", "o_totalprice"), pk="o_orderkey"
+    )
+    eng.bind_edge_type(
+        "PlacedF",
+        o.filter(F.col("o_orderstatus") == "F").select(
+            "o_custkey", "o_orderkey"
+        ),
+        src="o_custkey",
+        dst="o_orderkey",
+        from_label="Customer",
+        to_label="Order",
+    )
+    res = eng.execute(
+        "MATCH OPTIONAL Customer c, PlacedF p, Order o "
+        "RETURN c.c_name AS cust, o.o_totalprice AS price;"
+    )[0]
+    return res.df
+
+
+@query(
+    "gql_match_having_qualified",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'a', CAST(17 AS BIGINT), CAST(2 AS BIGINT)),
+  (2, 'a', CAST(27 AS BIGINT), CAST(2 AS BIGINT))
+) AS t(version, t_grp, s, n)
+""",
+)
+def gql_match_having_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over QUALIFIED group keys + qualified aggregate args +
+    AS OF composed in one statement (r13, VERDICT r12 #6): ``MATCH
+    Item t AS OF <v> WHERE t.qty > 0 RETURN t.grp, SUM(t.qty) AS s,
+    COUNT(*) AS n HAVING s >= 12 OR t_grp: 'missing'`` — the group
+    key projected via qualified RETURN is addressable in HAVING under
+    its OUTPUT name (``t_grp``), the same closed post-aggregation
+    namespace ORDER BY resolves. Two flushed versions; group 'b'
+    (s=5) fails HAVING in both. Hand-computed oracle."""
+    import os as _os
+    import shutil as _shutil
+
+    from grapho_spark.engine import GraphEngine
+
+    data_dir = scratch_path(f"grapho_hq_{_os.getpid()}")
+    _shutil.rmtree(data_dir, ignore_errors=True)
+    eng = GraphEngine(spark, data_dir=data_dir)
+    eng.execute(
+        "CREATE NODE Item (grp: string, qty: int);"
+        "INSERT NODE Item (grp: 'a', qty: 10);"
+        "INSERT NODE Item (grp: 'a', qty: 7);"
+        "INSERT NODE Item (grp: 'b', qty: 5);"
+    )
+    eng.flush()  # v1: a={10,7}, b={5}
+    eng.execute("UPDATE NODE Item SET qty: 20 WHERE qty: 10;")
+    eng.flush()  # v2: a={20,7}, b={5}
+    frames = []
+    for v in eng.table_versions("node", "Item"):
+        df = eng.execute(
+            f"MATCH Item t AS OF {v} WHERE t.qty > 0 "
+            "RETURN t.grp, SUM(t.qty) AS s, COUNT(*) AS n "
+            "HAVING s >= 12 OR t_grp: 'missing';"
+        )[0].df
+        frames.append(
+            df.select(
+                F.lit(v).alias("version"),
+                "t_grp",
+                F.col("s").cast("long").alias("s"),
+                "n",
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

@@ -26,9 +26,13 @@ def run(seed):
     # GROWN-generation layout for most of each seed; keep_versions
     # makes every flush run retention GC, including the r11
     # leaf-granular shed of owner-only version dirs
+    # r13: zone_bloom_rows=0 forces per-leaf blooms on EVERY flushed
+    # version, so the random point predicates exercise zone/bloom
+    # pruning (manifest reads, pruned mutation scans, _FILES/_ZONES
+    # sidecars) against the model on every seed
     eng = GraphEngine(spark, data_dir=data_dir, id_buckets=4,
                       max_delta_chain=2, target_bucket_rows=4,
-                      keep_versions=3)
+                      keep_versions=3, zone_bloom_rows=0)
     eng.execute("CREATE NODE D (a: int, b: int, tag: string DEFAULT 'x');")
     model = []
     def insert():

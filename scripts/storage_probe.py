@@ -108,7 +108,18 @@ def run_scale(spark, mult: int) -> dict:
     out["update_leaf_dirs"] = len(leafs)
     out["rewritten_fraction"] = round(1.0 / bm["n"], 5)
 
+    # 3b. point MATCH (r13): the zone/bloom-pruned read path — a pk
+    # point predicate should read O(1) leafs of the hash layout, not
+    # scan the chain
+    t0 = time.perf_counter()
+    rows = eng.execute(
+        f"MATCH T t WHERE k: {key + 1} RETURN k, v;"
+    )[0].df.collect()
+    out["point_match_s"] = round(time.perf_counter() - t0, 2)
+    assert len(rows) == 1 and rows[0]["k"] == key + 1
+
     # 4. AS OF chain read: full-table count at the first version
+    # (r13: manifest-built explicit-file read — no dir listing)
     t0 = time.perf_counter()
     n1 = eng.node_df_at("T", 1).count()
     out["asof_read_s"] = round(time.perf_counter() - t0, 2)

@@ -374,6 +374,93 @@ def test_differential_random_edge_dml(eng):
     assert got == want
 
 
+def test_differential_optional_node(eng):
+    """r13 node-endpoint OPTIONAL differential: DELETE NODE does not
+    cascade (the reference's rule, SURVEY.md §2.1 #12), so edges
+    dangle — ``MATCH P x, E e, OPTIONAL P y`` must keep the dangling
+    hop with a NULL-padded y, and the leading form ``MATCH OPTIONAL
+    P x, E e, P y`` the symmetric src side, while the inner form
+    drops both. Model: id-exact edge list + live-node map."""
+    rng = random.Random(23)
+    eng.execute(
+        "CREATE NODE P (k: int);"
+        "CREATE EDGE E (FROM P MANY, TO P MANY, PROPS (w: int));"
+    )
+    live: dict[str, int] = {}  # id -> k
+    edges: list[dict] = []
+    counter = [0]
+
+    def ins_node():
+        k = rng.choice(DOMAIN)
+        eng.execute(f"INSERT NODE P (k: {k});")
+        counter[0] += 1
+        live[str(counter[0])] = k
+
+    def ins_edge():
+        if not live:
+            return
+        xk = rng.choice(list(live.values()))
+        yk = rng.choice(list(live.values()))
+        w = rng.choice(DOMAIN)
+        eng.execute(f"INSERT EDGE E FROM P(k: {xk}) TO P(k: {yk}) (w: {w});")
+        counter[0] += 1
+        res = lambda k: min(  # noqa: E731
+            (i for i, kk in live.items() if kk == k), key=lambda s: (len(s), s)
+        )
+        edges.append({"src": res(xk), "dst": res(yk), "w": w})
+
+    def del_node():
+        if not live:
+            return
+        k = rng.choice(list(live.values()))
+        eng.execute(f"DELETE NODE P WHERE k: {k};")
+        for i in [i for i, kk in live.items() if kk == k]:
+            del live[i]  # edges stay — dangling
+
+    def check():
+        key = lambda t: tuple(  # noqa: E731
+            (v is None, v is not None and v) for v in t
+        )
+
+        got = eng.execute(
+            "MATCH P x, E e, OPTIONAL P y RETURN x.k AS xk, e.w AS w, y.k AS yk;"
+        )[0].df.collect()
+        want = [
+            (live[e["src"]], e["w"], live.get(e["dst"]))
+            for e in edges
+            if e["src"] in live
+        ]
+        assert sorted(((r.xk, r.w, r.yk) for r in got), key=key) == sorted(
+            want, key=key
+        )
+
+        got = eng.execute(
+            "MATCH OPTIONAL P x, E e, P y RETURN x.k AS xk, e.w AS w, y.k AS yk;"
+        )[0].df.collect()
+        want = [
+            (live.get(e["src"]), e["w"], live[e["dst"]])
+            for e in edges
+            if e["dst"] in live
+        ]
+        assert sorted(((r.xk, r.w, r.yk) for r in got), key=key) == sorted(
+            want, key=key
+        )
+
+        got = eng.execute("MATCH P x, E e, P y RETURN x.k AS xk;")[0].df
+        want_inner = [
+            e for e in edges if e["src"] in live and e["dst"] in live
+        ]
+        assert got.count() == len(want_inner)
+
+    ops = [ins_node] * 3 + [ins_edge] * 3 + [del_node]
+    for i in range(50):
+        rng.choice(ops)()
+        if i == 25:
+            eng.flush()
+            check()  # over flushed base + buffer
+    check()  # end-state
+
+
 def test_differential_alter_interleaved(eng):
     """Schema migration under live data, differentially: ALTER ADD /
     DROP / MODIFY interleaved with inserts and updates; the model
