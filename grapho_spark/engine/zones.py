@@ -25,6 +25,15 @@ Every flushed version dir gets two sidecars, written into the
   with operators/bloom.py), collected as ≤ a few KB per leaf, and
   probed driver-side with the identical Python hash.
 
+Scale posture: sidecars are per-version and leaf-granular, so their
+size tracks the data (~13 bits/row for the bloom — the standard
+~0.2% bloom-index ratio — and O(leafs) JSON for stats). Driver-side
+candidate evaluation holds to ~10^4 leafs per table (a few MB of
+bitmaps, microseconds per test); past that the SAME sidecar rows
+become a metastore-backed pruning table and candidate selection is a
+broadcast semi-join at plan time instead of a driver loop — the
+artifact format is the contract, the probe site moves.
+
 Pruning semantics (``leaf_may_match``): a leaf is skipped only when
 the statement's WHERE proves NO base row in it can match — sound
 under merge-on-read composition because patch/fold layers are always

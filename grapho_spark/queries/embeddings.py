@@ -2055,16 +2055,24 @@ def _pq16_codebook(
     return cw
 
 
-def _ann_index_tag(sf_dir: str, pred: str | None = None) -> str:
+def _ann_index_tag(
+    sf_dir: str, pred: str | None = None, ident: str | None = None
+) -> str:
     """THE tag for the persisted index tables of (sf_dir, pred) — the
     single source of truth shared by ann_index_tables, the delta-
     ingest append and the probe-side build timer. Duplicated formulas
     diverged once (append with pred=None hashed the string 'None' and
-    silently created an orphan codes table), hence the helper."""
+    silently created an orphan codes table), hence the helper.
+    ``ident`` names an ALTERNATE index identity over the same corpus
+    (e.g. the scaled-sizing dial's fine-routing variant) — without it
+    a second build with different cells would silently return the
+    first identity's tables (the marker check is per-tag)."""
     import hashlib
     import os
 
     key = sf_dir if pred is None else f"{sf_dir}|{pred}"
+    if ident is not None:
+        key = f"{key}|{ident}"
     return f"{hashlib.md5(key.encode()).hexdigest()[:10]}_pid{os.getpid()}"
 
 
@@ -2073,6 +2081,7 @@ def ann_index_tables(
     sf_dir: str,
     pred: str | None = None,
     cells: int | None = None,
+    ident: str | None = None,
 ):
     """The STANDING ANN index (build-once/probe-many, the ANN twin of
     dedup's corpus_band_index), v2: PQ codes of the L2-NORMALIZED
@@ -2098,11 +2107,15 @@ def ann_index_tables(
     corpus has outgrown the frozen routing granularity — the r9 retune
     measured that cells must grow with the corpus to hold recall at a
     fixed scan fraction). The marker records the built corpus size and
-    cell count so ann_index_health can detect the outgrowth."""
+    cell count so ann_index_health can detect the outgrowth.
+    ``ident`` builds a SEPARATE index identity over the same corpus
+    (used by the scaled-sizing dial's fine-routing variant; the
+    append/health/rebuild lifecycle only manages ident=None
+    identities)."""
     import json
     import os
 
-    tag = _ann_index_tag(sf_dir, pred)
+    tag = _ann_index_tag(sf_dir, pred, ident)
     cent_t = f"ann_centroids_{tag}"
     book_t = f"ann_codebook_{tag}"
     codes_t = f"ann_pq_codes_{tag}"
@@ -2195,7 +2208,16 @@ def append_to_ann_index(
     append is one bucketed write, so probes keep their bucketed scan.
     The auto-rebuild, when it fires, is the same scheduled compaction
     cost the LSM-shaped design always owed — just triggered by the
-    ingest that crossed the threshold instead of a cron job."""
+    ingest that crossed the threshold instead of a cron job.
+
+    Concurrency caveat (ADVICE r12): the in-band retire DROPS the old
+    identity's tables mid-call. Index tags are pid-scoped, so the
+    reachable hazard is same-process concurrency — a thread still
+    holding lazy plans over the old tables when a rebuild fires fails
+    mid-query during the retire window. Serialize appends with probes
+    of the SAME identity (the ingest-pipeline contract this models
+    does exactly that); cross-process readers are unaffected by
+    construction."""
     cents, book, _ = ann_index_tables(spark, sf_dir, base_pred)
     codes_t = f"ann_pq_codes_{_ann_index_tag(sf_dir, base_pred)}"
     delta = (
@@ -2593,17 +2615,25 @@ def _ann_scaled_recall(
     corpus_pred: str,
     query_pred: str,
     probe_denom: int,
+    fine_mult: int = 1,
 ) -> DataFrame:
     """One row of the scaled-sizing dial: size cells from THIS corpus
     scale, probe cells/probe_denom, and measure recall@3 against
     exact brute force WITHIN the same corpus plus the MEASURED scan
     fraction (code rows in the routed cells / corpus — cell imbalance
-    makes the real fraction differ from nprobe/cells)."""
+    makes the real fraction differ from nprobe/cells) and the ROUTING
+    CEILING (fraction of true top-3 neighbors whose cell the router
+    probed — the exact re-rank can never beat it, so recall ≈ ceiling
+    proves a loss is routing geometry, not the ADC/shortlist stages).
+    ``fine_mult`` multiplies the √N cell count for a separate
+    finer-ROUTING index identity (r13): at a FIXED scan fraction,
+    finer cells route measurably better — granularity is a probe-cost
+    dial, distinct from the √N storage-sizing rule."""
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
     n = e.filter(corpus_pred).count()
-    cells = 2 ** max(
+    cells = fine_mult * 2 ** max(
         3,
         round(
             math.log2(
@@ -2614,7 +2644,11 @@ def _ann_scaled_recall(
     )
     nprobe = max(1, cells // probe_denom)
     cents, book, codes = ann_index_tables(
-        spark, sf_dir, pred=corpus_pred, cells=cells
+        spark,
+        sf_dir,
+        pred=corpus_pred,
+        cells=cells,
+        ident=None if fine_mult == 1 else f"fine{fine_mult}",
     )
     top = _ann_probe(
         spark, sf_dir, cents, book, codes, query_pred=query_pred, nprobe=nprobe
@@ -2683,46 +2717,96 @@ def _ann_scaled_recall(
         )
     )
     w_route = Window.partitionBy("q_id").orderBy("dist", "cid")
-    scan = (
+    routed = (
         q_dists.withColumn("rk", F.row_number().over(w_route))
         .filter(F.col("rk") <= nprobe)
-        .join(cell_sizes, F.col("cid") == F.col("cell"), "left")
+        .select("q_id", "cid")
+    )
+    scan = (
+        routed.join(cell_sizes, F.col("cid") == F.col("cell"), "left")
         .groupBy("q_id")
         .agg(F.sum(F.coalesce("c_rows", F.lit(0))).alias("scanned"))
         .agg(F.round(F.avg("scanned") / F.lit(n), 4).alias("scan_fraction"))
     )
-    return matched.agg(
-        F.lit(scale).alias("scale"),
-        F.lit(f"{100 // probe_denom}pct").alias("nominal_frac"),
-        F.lit(int(n)).cast("long").alias("n_vectors"),
-        F.lit(cells).cast("long").alias("cells"),
-        F.lit(nprobe).cast("long").alias("nprobe"),
-        F.count(F.lit(1)).alias("n_queries"),
-        F.round(
-            F.sum("m") * F.lit(1.0) / (F.lit(3) * F.count(F.lit(1))), 6
-        ).alias("avg_recall"),
-    ).crossJoin(F.broadcast(scan))
+    # routing ceiling: the fraction of TRUE top-3 neighbors whose
+    # assigned cell was among the routed cells — what an exact-rerank
+    # probe could reach at best from these candidates
+    vec_cells = codes.filter(F.col("sub") == 0).select(
+        "vec_id", F.col("cell").alias("v_cell")
+    )
+    ceiling = (
+        bf_top.join(vec_cells, "vec_id")
+        .join(
+            routed.withColumnRenamed("q_id", "r_qid"),
+            (F.col("q_id") == F.col("r_qid"))
+            & (F.col("v_cell") == F.col("cid")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("covered"))
+        .crossJoin(F.broadcast(q.agg(F.count(F.lit(1)).alias("nq"))))
+        .select(
+            F.round(F.col("covered") / (F.lit(3.0) * F.col("nq")), 6).alias(
+                "route_ceiling"
+            )
+        )
+    )
+    return (
+        matched.agg(
+            F.lit(scale).alias("scale"),
+            F.lit(f"{100 // probe_denom}pct").alias("nominal_frac"),
+            F.lit(int(n)).cast("long").alias("n_vectors"),
+            F.lit(cells).cast("long").alias("cells"),
+            F.lit(nprobe).cast("long").alias("nprobe"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum("m") * F.lit(1.0) / (F.lit(3) * F.count(F.lit(1))), 6
+            ).alias("avg_recall"),
+        )
+        .crossJoin(F.broadcast(scan))
+        .crossJoin(F.broadcast(ceiling))
+    )
 
 
 @query("embedding_ann_scaled_sizing")
 def embedding_ann_scaled_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scaled-sizing dial (r12, VERDICT r11 #6): build the persisted
-    index at TWO corpus scales with cells derived from the corpus size
-    (√N discipline, _ANN_TARGET_CELL_ROWS per cell — the health
-    verdict's recommended sizing driven through the real probe path),
-    probe at TWO fractions (50% — the shipped operating ratio — and
-    25%), and record recall@3 + the MEASURED scan fraction for each
-    point. Measured at sf0.1: at the FIXED 50% fraction recall
-    IMPROVES 0.848 -> 0.968 as the corpus grows 5x (400 rows/16 cells
-    -> 2000 rows/32 cells) — the sizing rule's scaling claim, verified
-    through the probe itself. The 25% points (0.65 / 0.76) record the
-    cheaper operating cost honestly: the loss is geometry-limited
-    routing on this near-uniform synthetic corpus (re-rank is exact,
-    so every miss is a true neighbor outside the probed cells), and a
-    denser-than-√N sizing measured WORSE (see _ANN_SQRT_ANCHOR_CELLS).
-    At 100 TB the ingest pipeline re-sizes cells on rebuild and this
-    dial is the regression gate proving the chosen fraction still
-    clears its recall bar as the corpus grows.
+    """Scaled-sizing dial (r12, VERDICT r11 #6; reworked r13 for
+    VERDICT r12 #4): build the persisted index at TWO corpus scales
+    with the √N sizing rule (cells = 2^round(log2(32·√(N/2000))),
+    the anchor _ANN_SQRT_ANCHOR_CELLS/_ANN_SQRT_ANCHOR_ROWS), probe
+    at TWO fractions, and record recall@3, the MEASURED scan
+    fraction, and the ROUTING CEILING for each point. Measured at
+    sf0.1: at the FIXED 50% fraction recall IMPROVES 0.848 -> 0.968
+    as the corpus grows 5x — the sizing rule's scaling claim,
+    verified through the probe itself.
+
+    The 25% points route through a FINE-ROUTING identity (4x the √N
+    cells, same nominal fraction): at a fixed scan budget, finer
+    cells cover true-neighbor cells measurably better — measured at
+    sf0.1 through this dial, x1 0.65 -> 0.864 (scan 0.29) and x5
+    0.76 -> 0.810 (scan 0.26). The √N rule remains the STORAGE/
+    rebuild sizing — routing granularity is a separate, cheaper
+    dial; r12's "denser sizing measured worse" applied to moving the
+    50% operating point off its tuned anchor, not to probe-side
+    granularity at a fixed budget.
+
+    VERDICT r12 #4 asked for ≥0.9 recall at ≤0.27 scan; that bar is
+    NOT reachable on this corpus and the dial now PROVES why in-band:
+    ``route_ceiling`` is the fraction of true top-3 neighbors whose
+    cell was probed — the exact re-rank can never beat it, and
+    recall ≈ ceiling in every row, so the 25% loss is routing
+    geometry (near-uniform synthetic 64-d vectors have almost no
+    cluster structure), not the ADC/shortlist stages. Six candidate
+    families were measured offline at matched ~25% scan on the x5
+    corpus before choosing fine routing (PERF.md r13): fixed IVF
+    0.65, ORACLE-adaptive per-query cell allocation ≤~0.75,
+    2x/3x multi-assignment (spill) 0.54-0.73, 4-view multi-routing
+    0.81-0.83, Vamana-pruned beam search 0.79@0.28-0.905@0.36, and
+    finer-granularity routing 0.81-0.825 (plateau at 4x; 8x adds
+    nothing). The frontier at 25% scan is ~0.82 REGARDLESS of
+    method; 0.9 first appears at ~0.35 scan (beam) — recorded so the
+    operating choice (50% scan for ≥0.95, 25% for ~0.8) is an
+    informed cost/recall trade, which at 100 TB is the decision that
+    actually matters.
 
     Rows-only (no DuckDB oracle): the dial MEASURES a quality metric
     against in-plan exact brute force — the brute-force ground truth
@@ -2735,9 +2819,14 @@ def embedding_ann_scaled_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("x1", "vec_id % 5 = 0", "vec_id % 95 = 0"),
         ("x5", "vec_id >= 0", "vec_id % 97 = 0"),
     ):
-        for denom in (2, 4):
+        # 50% = the shipped operating point on the √N-sized index;
+        # 25% = the cheap point through the FINE-ROUTING identity
+        # (4x cells, same nominal fraction — the r13 measured best of
+        # six candidate families; see the docstring's frontier table)
+        for denom, mult in ((2, 1), (4, 4)):
             one = _ann_scaled_recall(
-                spark, sf_dir, scale, corpus_pred, query_pred, denom
+                spark, sf_dir, scale, corpus_pred, query_pred, denom,
+                fine_mult=mult,
             )
             out = one if out is None else out.unionByName(one)
     return out
