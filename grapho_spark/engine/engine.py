@@ -3323,9 +3323,43 @@ class GraphEngine:
                 "repeated types in an edge pattern need distinct aliases"
             )
 
+        # zone/bloom pruning per element (r13): an element's base scan
+        # prunes by the WHERE groups that resolve exclusively to it —
+        # on a NULLABLE side (at/after an OPTIONAL hop, or an optional
+        # endpoint) only predicates that also reject the NULL padding
+        # qualify (see zones.compile_chain_pruning_groups).
+        first_opt_edge = min(
+            (j for j in range(1, len(pattern), 2) if pattern[j].optional),
+            default=None,
+        )
+
+        def _nullable(i: int) -> bool:
+            return (
+                (first_opt_edge is not None and i >= first_opt_edge)
+                or (i == 0 and pattern[0].optional)
+                or (i == len(pattern) - 1 and pattern[i].optional)
+            )
+
         def prefixed(i: int) -> DataFrame:
             kind = "node" if i % 2 == 0 else "edge"
-            df = self._merged_df((kind, pattern[i].type))
+            key = (kind, pattern[i].type)
+            df = None
+            if stmt.where and self.zone_stats:
+                tab = self.tables.get(key)
+                if tab is not None:
+                    groups = zn.compile_chain_pruning_groups(
+                        stmt.where,
+                        specs[i],
+                        tab.schema.fieldNames(),
+                        aliases[i],
+                        aliases,
+                        _nullable(i),
+                        coerce_literal,
+                        self._coerce_in_values,
+                    )
+                    df = self._pruned_merged_df(key, tab, groups)
+            if df is None:
+                df = self._merged_df(key)
             return df.select(
                 *[F.col(c).alias(f"{aliases[i]}_{c}") for c in df.columns]
             )

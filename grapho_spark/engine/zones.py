@@ -374,6 +374,90 @@ def compile_pruning_groups(
     return out or None
 
 
+def compile_chain_pruning_groups(
+    where,
+    el_specs,
+    columns: list[str],
+    el_alias: str,
+    all_aliases: list[str],
+    nullable_side: bool,
+    coerce: Callable,
+    coerce_in: Callable,
+) -> list[list[Member]] | None:
+    """Chain-MATCH twin of ``compile_pruning_groups`` for ONE pattern
+    element: compiles the WHERE groups that can soundly prune this
+    element's base scan under ``_prefixed_where_pred`` semantics.
+
+    A member is evaluable against this element when it is a plain,
+    non-negated Property that either (a) qualifies THIS alias, or
+    (b) is unqualified and THIS element declares the field — in the
+    unqualified case the member compiles to an AND across every
+    declaring element, so "this element's conjunct unsatisfiable"
+    still proves the whole member false. A member qualifying another
+    alias (or unqualified and undeclared here) can be true regardless
+    of this element's rows, so its GROUP prunes nothing here.
+
+    ``nullable_side``: the element's columns can be NULL-padded by an
+    OPTIONAL hop. Removing scanned rows then CONVERTS filtered-out
+    join rows into padded rows, which is only sound when every member
+    also rejects the all-NULL padding — true for every op except a
+    null-matching equality/IN (``field: null``), so those members
+    disqualify their group on nullable sides."""
+    from grapho_spark.engine.engine import _where_groups
+    from grapho_spark.gql import ast
+
+    out: list[list[Member]] = []
+    for group in _where_groups(where):
+        members: list[Member] = []
+        usable = True
+        for p in group:
+            if isinstance(p, ast.PredGroup) or getattr(p, "negated", False):
+                usable = False
+                break
+            name = p.name
+            if "." in name:
+                q, f = name.split(".", 1)
+                if q != el_alias:
+                    # another element's member can satisfy the group
+                    # on its own — unless it can NEVER match (alias
+                    # not in the pattern at all == compiles to a
+                    # skipped member)
+                    usable = q not in all_aliases
+                    if not usable:
+                        break
+                    continue
+                name = f
+            spec = el_specs.get(name)
+            if spec is None or name not in columns:
+                if "." in p.name:
+                    # qualified to us but unknown: the member is
+                    # SKIPPED by _prefixed_where_pred (not false), so
+                    # it cannot help the group match — ignorable
+                    continue
+                # unqualified and not ours: other declaring elements
+                # decide; conservatively the group may match
+                usable = False
+                break
+            try:
+                if p.op == "in":
+                    vals = coerce_in(p, spec, name)
+                    if nullable_side and any(v is None for v in vals):
+                        usable = False
+                        break
+                    members.append(("in", name, vals))
+                else:
+                    val = coerce(p.value, spec.type, name)
+                    if nullable_side and p.op == "=" and val is None:
+                        usable = False
+                        break
+                    members.append((p.op, name, val))
+            except Exception:
+                return None
+        if usable and members:
+            out.append(members)
+    return out or None
+
+
 def _eq_cannot(stats: dict | None, bloom, rows: int, val: Any) -> bool:
     if val is None:
         return stats is not None and stats.get("nul") == 0

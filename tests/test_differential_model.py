@@ -452,6 +452,53 @@ def test_differential_optional_node(eng):
         ]
         assert got.count() == len(want_inner)
 
+        # WHERE conjuncts over the optional chain — these drive the
+        # r13 per-element zone pruning (flushed chains carry leaf
+        # stats) against the model on BOTH join sides:
+        wv = rng.choice(DOMAIN)
+        got = eng.execute(
+            "MATCH P x, E e, OPTIONAL P y "
+            f"WHERE e.w: {wv} RETURN x.k AS xk, y.k AS yk;"
+        )[0].df.collect()
+        want = [
+            (live[e["src"]], live.get(e["dst"]))
+            for e in edges
+            if e["src"] in live and e["w"] == wv
+        ]
+        assert sorted(((r.xk, r.yk) for r in got), key=key) == sorted(
+            want, key=key
+        ), wv
+        kv = rng.choice(DOMAIN)
+        # conjunct on the NULLABLE side: padding must be dropped
+        got = eng.execute(
+            "MATCH P x, E e, OPTIONAL P y "
+            f"WHERE y.k: {kv} RETURN x.k AS xk, y.k AS yk;"
+        )[0].df.collect()
+        want = [
+            (live[e["src"]], live[e["dst"]])
+            for e in edges
+            if e["src"] in live
+            and e["dst"] in live
+            and live[e["dst"]] == kv
+        ]
+        assert sorted(((r.xk, r.yk) for r in got), key=key) == sorted(
+            want, key=key
+        ), kv
+        got = eng.execute(
+            "MATCH OPTIONAL P x, E e, P y "
+            f"WHERE x.k: {kv} RETURN x.k AS xk, y.k AS yk;"
+        )[0].df.collect()
+        want = [
+            (live[e["src"]], live[e["dst"]])
+            for e in edges
+            if e["dst"] in live
+            and e["src"] in live
+            and live[e["src"]] == kv
+        ]
+        assert sorted(((r.xk, r.yk) for r in got), key=key) == sorted(
+            want, key=key
+        ), kv
+
     ops = [ins_node] * 3 + [ins_edge] * 3 + [del_node]
     for i in range(50):
         rng.choice(ops)()

@@ -2335,11 +2335,23 @@ def test_optional_match_left_outer_chain(eng):
     # NULL-padded fields, exercised on the PURE-BUFFER table
     _optional_fixture(eng)
     _assert_optional_semantics(eng)
-    # rejections: node-only pattern, node element, *bounds
+    # rejections: node-only pattern, interior node, lead+edge combo
     with pytest.raises(EngineError, match="requires an edge element"):
         eng.execute("MATCH OPTIONAL OP p;")
-    with pytest.raises(EngineError, match="not a node"):
-        eng.execute("MATCH OP x, OL e, OPTIONAL OP y;")
+    # r13: OPTIONAL on a trailing node element now EXECUTES (left
+    # join on the final dst — dangling-edge reads); with every edge
+    # endpoint intact here it returns exactly the inner rows
+    trail = eng.execute(
+        "MATCH OP x, OL e, OPTIONAL OP y RETURN x.name, y.name;"
+    )[0].df.collect()
+    inner = eng.execute(
+        "MATCH OP x, OL e, OP y RETURN x.name, y.name;"
+    )[0].df.collect()
+    assert sorted(map(tuple, trail)) == sorted(map(tuple, inner))
+    with pytest.raises(EngineError, match="first or last element"):
+        eng.execute("MATCH OP x, OL e, OPTIONAL OP y, OL e2, OP z;")
+    with pytest.raises(EngineError, match="cannot combine"):
+        eng.execute("MATCH OPTIONAL OP x, OPTIONAL OL e, OP y;")
     # r12: OPTIONAL + *bounds now EXECUTES (left-outer hop
     # composition); every left node survives, unreachable-within-
     # bounds rows NULL-pad hops

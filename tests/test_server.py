@@ -425,7 +425,15 @@ def test_r11_optional_match_over_socket(server):
     joined = " ".join(block).replace(" ", "")
     assert "src:a" in joined and "dst:b" in joined, block
     assert "src:b" in joined, block  # the unmatched row survives
-    c.send("MATCH ON1 x, OE1 e, OPTIONAL ON1 y;")
+    # r13: OPTIONAL on a trailing node EXECUTES (dangling-edge read);
+    # a misplaced INTERIOR node OPTIONAL is still an error the
+    # connection survives
+    c.send(
+        "MATCH ON1 x, OE1 e, OPTIONAL ON1 y RETURN x.name AS src;"
+    )
+    assert c.read_until_blank()[0] == "MATCH Results:"
+    c.read_until_blank()
+    c.send("MATCH ON1 x, OE1 e, OPTIONAL ON1 y, OE1 e2, ON1 z;")
     reply = c.read_until_blank()
     assert any("error" in ln.lower() for ln in reply), reply
     c.send("MATCH ON1 RETURN COUNT(*);")

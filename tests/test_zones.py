@@ -177,6 +177,27 @@ def test_asof_match_pruned_reads_history(eng):
     assert _files_read(old) < _files_read(full_v1)
 
 
+def test_chain_match_prunes_one_element(eng):
+    eng.execute(
+        "CREATE EDGE E (FROM T MANY, TO T MANY, PROPS (w: int));"
+        "INSERT EDGE E FROM T(k: 5) TO T(k: 6) (w: 1);"
+        "INSERT EDGE E FROM T(k: 7) TO T(k: 8) (w: 2);"
+    )
+    # both node elements prune by their alias-qualified pk equality
+    # (inputFiles() dedups across scans of the same table, so the
+    # un-pruned b side would mask a-side pruning — prune both)
+    pruned = eng.execute(
+        "MATCH T a, E e, T b WHERE a.k: 5, b.k: 6 RETURN a.k, b.k;"
+    )[0].df
+    rows = pruned.collect()
+    assert [(r["a_k"], r["b_k"]) for r in rows] == [(5, 6)]
+    # the same chain with an unprunable predicate reads every leaf
+    full = eng.execute(
+        "MATCH T a, E e, T b WHERE a.v >= 0 RETURN a.k, b.k;"
+    )[0].df
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
 # --------------------------------------------- pure pruning logic
 
 
@@ -259,14 +280,22 @@ def test_unique_abort_reclaims_patch_dir(eng, spark):
     )
     eng.flush()
     root = os.path.join(eng.data_dir, "_scratch")
-    before = {
-        s: set(os.listdir(os.path.join(root, s))) for s in os.listdir(root)
-    }
+
+    def snap() -> set:
+        # the set of live SIDE-FILE dirs (the session root itself is
+        # created lazily and legitimately survives an abort empty)
+        if not os.path.isdir(root):
+            return set()
+        return {
+            (s, f)
+            for s in os.listdir(root)
+            for f in os.listdir(os.path.join(root, s))
+        }
+
+    before = snap()
     with pytest.raises(Exception, match="unique violation"):
         eng.execute("UPDATE NODE U SET email: 'b@x' WHERE id: 1;")
-    after = {
-        s: set(os.listdir(os.path.join(root, s))) for s in os.listdir(root)
-    }
+    after = snap()
     # the aborted statement's patch dir was reclaimed: no growth
     assert after == before
     # and the table is untouched
