@@ -649,6 +649,11 @@ class GraphEngine:
         # recycled (DROP).
         self._inv_cache: dict[tuple[str, str, int], dict | None] = {}
         self._zone_cache: dict[tuple[str, str, int], dict] = {}
+        # Statement-scoped zone-pruning audit: every pruned chain read
+        # appends (kind, name, kept_leafs, total_leafs). EXPLAIN MATCH
+        # clears it, compiles, and prepends the decisions to the plan
+        # text (guarded by self._lock like all statement execution).
+        self._prune_log: list[tuple[str, str, int, int]] = []
         # Chain/AS OF reads pass thousands of root paths; below this
         # threshold Spark launches a distributed listing job whose
         # per-task scheduling dwarfs the local-FS listing it does
@@ -1159,6 +1164,7 @@ class GraphEngine:
         base_dir = os.path.join(self.data_dir, "tables", f"{kind}_{name}")
         paths: list[str] = []
         pruned_any = False
+        kept_leafs = total_leafs = 0
         read_schema = schema
         chain = self._chain_versions(kind, name, version)
         if read_schema is None:
@@ -1191,6 +1197,7 @@ class GraphEngine:
                     paths.append(ldir)  # legacy dir: list, never prune
                     continue
                 if prune_groups is not None:
+                    total_leafs += 1
                     stats = meta.get("_stats")
                     if stats is None:
                         stats = meta["_stats"] = zn.decode_leaf_stats(
@@ -1205,7 +1212,10 @@ class GraphEngine:
                     ):
                         pruned_any = True
                         continue
+                    kept_leafs += 1
                 paths.extend(os.path.join(ldir, f[0]) for f in meta["files"])
+        if prune_groups is not None:
+            self._prune_log.append((kind, name, kept_leafs, total_leafs))
         if not paths:
             tab = self.tables.get((kind, name))
             empty_schema = (
@@ -3633,8 +3643,17 @@ class GraphEngine:
         capture, so concurrent engines can't interleave output."""
         from grapho_spark.plan_expectations import plan_string
 
+        self._prune_log.clear()
         res = self._match(stmt.target)
-        lines = [
+        # zone-pruning audit (r13): surface the manifest-level leaf
+        # decisions the Spark plan can't show (they happen BEFORE the
+        # relation is built — the FileScan only lists survivors)
+        prune_lines = [
+            (f"ZonePruning: {k} {n}: kept {kept}/{total} leafs",)
+            for k, n, kept, total in self._prune_log
+        ]
+        self._prune_log.clear()
+        lines = prune_lines + [
             (ln,) for ln in plan_string(res.df, "formatted").splitlines() if ln.strip()
         ]
         df = self.spark.createDataFrame(lines, "plan: string")

@@ -2832,6 +2832,266 @@ def embedding_ann_scaled_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------- graph ANN (r13)
+
+# Proximity-graph ANN (the HNSW/DiskANN/Vamana family): built once as
+# a persisted adjacency table, probed by best-first beam search. The
+# r13 frontier measurement (PERF.md) showed beam search is the ONLY
+# family that reaches 0.9 recall below half-corpus scans on the
+# near-uniform synthetic vectors (0.905 @ 0.36 visited) — IVF routing
+# is geometry-capped at ~0.82 regardless of granularity. Shipped as a
+# second first-class ANN strategy next to IVF+PQ.
+_GRAPH_DEG = 12  # pruned out-degree per node
+_GRAPH_POOL = 24  # exact-NN candidate pool fed to the alpha-prune
+_GRAPH_ALPHA = 1.2  # Vamana diversification: keep u unless a kept w
+#                     dominates it (alpha * d(u, w) <= d(v, u))
+_GRAPH_EF = 60  # beam width of the probe
+# The beam shard (vectors + adjacency) rides a Spark broadcast; the
+# builder's exact top-POOL pass is an n^2 shuffle join. Both are
+# SHARD-scale tools: at 100 TB the corpus splits into SPANN-style
+# cells/shards, each shard builds its own subgraph with this exact
+# code (NN-descent replaces the n^2 pass past ~1M rows/shard), query
+# fan-out runs one beam per (query, shard) via the same
+# applyInPandas, and a global top-k merges shard results. The gate
+# below keeps the single-shard form honest instead of silently
+# collecting an unbounded corpus to the driver.
+_GRAPH_MAX_SHARD_ROWS = 200_000
+
+
+def ann_graph_table(
+    spark: SparkSession, sf_dir: str, pred: str = "vec_id >= 0"
+) -> DataFrame:
+    """Build-once/probe-many proximity graph over the (pred) corpus:
+    exact top-_GRAPH_POOL cosine neighbors per vector (distributed
+    shuffle join + per-src window), alpha-pruned to _GRAPH_DEG
+    diversified out-edges (Vamana rule, per-src Arrow batch — the
+    candidate pool's pairwise geometry is POOL x dim, KB-sized), then
+    made symmetric (reverse edges unioned, the classic connectivity
+    fix for thin kNN digraphs). Persisted as ``ann_graph_<tag>``
+    (vec_id, nbrs array) with the same crash-safe marker protocol as
+    the IVF index tables."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    tag = _ann_index_tag(sf_dir, pred, ident="graph")
+    name = f"ann_graph_{tag}"
+    base = scratch_path("grapho_spark_index")
+    marker = os.path.join(base, f"_BUILD_OK_{name}")
+    if os.path.exists(marker) and spark.catalog.tableExists(name):
+        return spark.table(name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if os.path.exists(marker):
+        os.unlink(marker)
+    e = load_table(spark, sf_dir, "embeddings").filter(pred)
+    n = e.count()
+    if n > _GRAPH_MAX_SHARD_ROWS:
+        raise ValueError(
+            f"ann_graph_table builds ONE shard (<= {_GRAPH_MAX_SHARD_ROWS} "
+            f"rows, got {n}): shard the corpus (SPANN-style) and build "
+            "per-shard subgraphs"
+        )
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = vecs.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    cand = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "vb", _spark_cosine("va", "vb").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GRAPH_POOL)
+        .select("src", "dst", "vb", "cos")
+    )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cos", "dst"], ascending=[False, True])
+        ids = pdf["dst"].to_numpy()
+        vs = np.stack(pdf["vb"].to_numpy())
+        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+        d_vu = 2.0 - 2.0 * pdf["cos"].to_numpy()  # d(v, u) from cosine
+        kept: list[int] = []
+        for i in range(len(ids)):
+            if len(kept) >= _GRAPH_DEG:
+                break
+            ok = True
+            for j in kept:
+                d_uw = 2.0 - 2.0 * float(vs[i] @ vs[j])
+                if d_uw * _GRAPH_ALPHA <= d_vu[i]:
+                    ok = False  # a kept, closer-together edge dominates
+                    break
+            if ok:
+                kept.append(i)
+        return pd.DataFrame(
+            {"src": pdf["src"].iloc[:1], "nbrs": [ids[kept].tolist()]}
+        )
+
+    pruned = cand.groupBy("src").applyInPandas(
+        _prune, "src long, nbrs array<long>"
+    )
+    sym = (
+        pruned.select("src", F.explode("nbrs").alias("dst"))
+        .unionByName(
+            pruned.select(
+                F.explode("nbrs").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
+        .select(F.col("src").alias("vec_id"), "nbrs")
+    )
+    os.makedirs(base, exist_ok=True)
+    sym.write.option("path", os.path.join(base, name)).mode(
+        "overwrite"
+    ).saveAsTable(name)
+    with open(marker, "w") as fh:
+        json.dump({"rows": n, "deg": _GRAPH_DEG, "alpha": _GRAPH_ALPHA}, fh)
+    return spark.table(name)
+
+
+@query("embedding_graph_beam_recall")
+def embedding_graph_beam_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN dial: best-first beam search (ef=_GRAPH_EF) over the
+    persisted proximity graph, measured against in-plan exact brute
+    force — recall@3 plus the scan fraction (distinct vectors VISITED
+    per query / corpus; a visit IS the unit of work, one exact
+    distance each, so the accounting matches the IVF dial's
+    routed-rows metric). The r13 frontier measurement this implements
+    landed at ~0.9 recall near 0.35 visited on the synthetic corpus —
+    the point IVF routing cannot reach (geometry-capped ~0.82; see
+    embedding_ann_scaled_sizing's route_ceiling). The graph + vector
+    shard rides a broadcast into one applyInPandas over the QUERY set
+    (queries distribute; the corpus-sized work — the n^2 build — ran
+    distributed at index time), entry points are the 4 first ids (a
+    fixed, seedless choice), and ties break by id so the walk is
+    deterministic.
+
+    Rows-only (like the sibling IVF dial, and for the same reason):
+    the in-plan brute force IS the ground truth; re-specifying a beam
+    search in SQL would test nothing. Kept out of bench.py's quality
+    dials deliberately — the scaled-sizing dial already regression-
+    gates ANN quality and this adds an index build to every bench
+    run; the parity sweep still executes it end-to-end per round."""
+    import heapq
+
+    import numpy as np
+
+    pred, query_pred = "vec_id >= 0", "vec_id % 97 = 0"
+    graph = ann_graph_table(spark, sf_dir, pred)
+    e = load_table(spark, sf_dir, "embeddings").filter(pred)
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    g_rows = graph.collect()  # shard-gated by ann_graph_table
+    v_rows = vecs.collect()
+    ids = np.array([r["vec_id"] for r in v_rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in v_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    pos = {int(i): p for p, i in enumerate(ids)}
+    adj = {int(r["vec_id"]): [pos[int(u)] for u in r["nbrs"]] for r in g_rows}
+    adj = [adj.get(int(i), []) for i in ids]
+    entries = [pos[int(i)] for i in sorted(ids)[:4]]
+    n = len(ids)
+    bc = spark.sparkContext.broadcast((ids, mat, adj, entries))
+
+    def _beam(pdf):
+        import pandas as pd
+
+        b_ids, b_mat, b_adj, b_entries = bc.value
+        b_pos = {int(i): p for p, i in enumerate(b_ids)}
+        out = []
+        for qid in pdf["q_id"]:
+            qp = b_pos[int(qid)]
+            qv = b_mat[qp]
+            visited = {qp}
+            best: list[tuple[float, int]] = []
+            cand: list[tuple[float, int]] = []
+            for s in b_entries:
+                if s != qp and s not in visited - {qp}:
+                    sim = float(qv @ b_mat[s])
+                    heapq.heappush(best, (sim, s))
+                    heapq.heappush(cand, (-sim, s))
+                    visited.add(s)
+            while len(best) > _GRAPH_EF:
+                heapq.heappop(best)
+            while cand:
+                d, v = heapq.heappop(cand)
+                if len(best) >= _GRAPH_EF and -d < best[0][0]:
+                    break
+                for u in b_adj[v]:
+                    if u in visited or u == qp:
+                        continue
+                    visited.add(u)
+                    sim = float(qv @ b_mat[u])
+                    if len(best) < _GRAPH_EF or sim > best[0][0]:
+                        heapq.heappush(cand, (-sim, u))
+                        heapq.heappush(best, (sim, u))
+                        if len(best) > _GRAPH_EF:
+                            heapq.heappop(best)
+            top = sorted(best, key=lambda t: (-t[0], b_ids[t[1]]))[:3]
+            for sim, v in top:
+                out.append(
+                    (int(qid), int(b_ids[v]), float(sim), len(visited) - 1)
+                )
+        return pd.DataFrame(
+            out, columns=["q_id", "vec_id", "cosine", "visited"]
+        )
+
+    q = e.filter(query_pred).select(F.col("vec_id").alias("q_id"))
+    top = q.repartition(8, "q_id").groupBy(F.pmod("q_id", F.lit(8))).applyInPandas(
+        lambda key, pdf: _beam(pdf),
+        "q_id long, vec_id long, cosine double, visited long",
+    )
+    # exact ground truth, in-plan (same protocol as the IVF dial)
+    qv = e.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    bf = (
+        F.broadcast(qv)
+        .crossJoin(base)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    )
+    w_bf = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    bf_top = (
+        bf.withColumn("rn", F.row_number().over(w_bf))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    inter = top.select("q_id", "vec_id").join(bf_top, ["q_id", "vec_id"])
+    stats = top.groupBy("q_id").agg(F.max("visited").alias("visited"))
+    return (
+        qv.select("q_id")
+        .join(
+            inter.groupBy("q_id").agg(F.count(F.lit(1)).alias("m")),
+            "q_id",
+            "left",
+        )
+        .join(stats, "q_id", "left")
+        .agg(
+            F.lit(int(_GRAPH_DEG)).cast("long").alias("graph_degree"),
+            F.lit(int(_GRAPH_EF)).cast("long").alias("ef"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce("m", F.lit(0)))
+                / (F.lit(3.0) * F.count(F.lit(1))),
+                6,
+            ).alias("avg_recall"),
+            F.round(F.avg("visited") / F.lit(float(n)), 4).alias(
+                "scan_fraction"
+            ),
+        )
+    )
+
+
 # Dial configurations for embedding_ivf_kmeans_recall: (cells, Lloyd
 # recompute rounds, cells probed). (4,1,1) is the r7 baseline config
 # (own-cell routing, measured 0.40 at sf0.1); (16,3,4) probes the same

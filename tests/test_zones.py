@@ -177,6 +177,24 @@ def test_asof_match_pruned_reads_history(eng):
     assert _files_read(old) < _files_read(full_v1)
 
 
+def test_explain_match_reports_pruning(eng):
+    rows = eng.execute("EXPLAIN MATCH T t WHERE k: 12345 RETURN k;")[0].df
+    lines = [r["plan"] for r in rows.collect()]
+    zp = [ln for ln in lines if ln.startswith("ZonePruning:")]
+    assert zp, lines[:5]
+    # "ZonePruning: node T: kept <k>/<n> leafs" with k < n
+    kept, total = zp[0].rsplit(" ", 2)[1].split("/")
+    assert int(kept) < int(total) == 8
+    # the audit is statement-scoped: a fresh EXPLAIN without a
+    # prunable WHERE reports nothing
+    rows2 = eng.execute("EXPLAIN MATCH T t RETURN k;")[0].df
+    assert not [
+        r["plan"]
+        for r in rows2.collect()
+        if r["plan"].startswith("ZonePruning:")
+    ]
+
+
 def test_chain_match_prunes_one_element(eng):
     eng.execute(
         "CREATE EDGE E (FROM T MANY, TO T MANY, PROPS (w: int));"
