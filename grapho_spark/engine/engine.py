@@ -650,9 +650,11 @@ class GraphEngine:
         self._inv_cache: dict[tuple[str, str, int], dict | None] = {}
         self._zone_cache: dict[tuple[str, str, int], dict] = {}
         # Statement-scoped zone-pruning audit: every pruned chain read
-        # appends (kind, name, kept_leafs, total_leafs). EXPLAIN MATCH
-        # clears it, compiles, and prepends the decisions to the plan
-        # text (guarded by self._lock like all statement execution).
+        # appends (kind, name, kept_leafs, total_leafs); each statement
+        # resets it on entry (_execute_stmt), so it never outgrows one
+        # statement's reads. EXPLAIN MATCH compiles its target and
+        # prepends the recorded decisions to the plan text (guarded by
+        # self._lock like all statement execution).
         self._prune_log: list[tuple[str, str, int, int]] = []
         # Chain/AS OF reads pass thousands of root paths; below this
         # threshold Spark launches a distributed listing job whose
@@ -1877,6 +1879,10 @@ class GraphEngine:
     # -------------------------------------------------------- dispatch
 
     def _execute_stmt(self, stmt: ast.Stmt) -> StatementResult:
+        # statement-scoped: the zone-pruning audit never accumulates
+        # across statements (a long OLTP session would otherwise grow
+        # one tuple per pruned read forever)
+        self._prune_log.clear()
         if isinstance(
             stmt,
             (
