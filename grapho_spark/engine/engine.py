@@ -544,6 +544,20 @@ def _apply_order_limit(
     return out
 
 
+def _scratch_host_tag() -> str:
+    """Hostname component of a mutation-scratch root name, sanitized
+    so the ``-``-delimited ``mut-<pid>-<host>-<rand>`` format parses
+    unambiguously (dashes/dots stripped, length-capped)."""
+    import re
+    import socket
+
+    try:
+        h = socket.gethostname()
+    except OSError:
+        h = "unknown"
+    return re.sub(r"[^A-Za-z0-9]", "", h)[:32] or "unknown"
+
+
 def _hkey(v: object) -> object:
     """Hashable key with value-equality semantics (array fields are
     Python lists; nested arrays nest)."""
@@ -661,12 +675,19 @@ class GraphEngine:
         # per-task scheduling dwarfs the local-FS listing it does
         # (measured ~5s of a 5.6s read at 2048 leafs). Driver-side
         # sequential listing is ~0.3s at that width; manifest-built
-        # reads don't list directories at all.
+        # reads don't list directories at all. Only raise the value
+        # when it is still at Spark's default (32) — a user-tuned
+        # setting on the shared session is theirs (ADVICE r13);
+        # session.py sets the same 8192 for sessions we build.
         try:
-            spark.conf.set(
-                "spark.sql.sources.parallelPartitionDiscovery.threshold",
-                "8192",
+            cur = spark.conf.get(
+                "spark.sql.sources.parallelPartitionDiscovery.threshold"
             )
+            if cur is None or int(cur) == 32:
+                spark.conf.set(
+                    "spark.sql.sources.parallelPartitionDiscovery.threshold",
+                    "8192",
+                )
         except Exception:
             pass
         self._lock = threading.RLock()
@@ -1216,7 +1237,11 @@ class GraphEngine:
                         continue
                     kept_leafs += 1
                 paths.extend(os.path.join(ldir, f[0]) for f in meta["files"])
-        if prune_groups is not None:
+        if prune_groups is not None and total_leafs > 0:
+            # total_leafs == 0 means every element was legacy/no-
+            # inventory (nothing was prunable) — an audit line reading
+            # "kept 0/0" would suggest everything was pruned (ADVICE
+            # r13), so only prunable reads are recorded.
             self._prune_log.append((kind, name, kept_leafs, total_leafs))
         if not paths:
             tab = self.tables.get((kind, name))
@@ -1951,10 +1976,10 @@ class GraphEngine:
             et = self.catalog.edge(stmt.name)
             self.tables[("edge", stmt.name)] = _Table(edge_struct(et))
         elif isinstance(stmt, ast.DropNodeStmt):
-            self.tables.pop(("node", stmt.name), None)
+            self._reclaim_table_scratch(self.tables.pop(("node", stmt.name), None))
             self._drop_sidecar_caches("node", stmt.name)
         elif isinstance(stmt, ast.DropEdgeStmt):
-            self.tables.pop(("edge", stmt.name), None)
+            self._reclaim_table_scratch(self.tables.pop(("edge", stmt.name), None))
             self._drop_sidecar_caches("edge", stmt.name)
         elif isinstance(stmt, (ast.AlterNodeStmt, ast.AlterEdgeStmt)):
             kind = "node" if isinstance(stmt, ast.AlterNodeStmt) else "edge"
@@ -1986,6 +2011,28 @@ class GraphEngine:
                 # runs the GROWN granularity must survive the ALTER
                 bucket_n=tab.bucket_n,
             )
+            # localCheckpoint materialized the composed view: the old
+            # table's pending mutation side files are unreferenced now
+            self._reclaim_table_scratch(tab)
+
+    @staticmethod
+    def _reclaim_table_scratch(tab: "_Table | None") -> None:
+        """Reclaim a replaced/popped table's pending mutation scratch
+        (non-fold mut_parts dirs + deferred gc_paths). ALTER rebuilds
+        the _Table from a materialized localCheckpoint and DROP
+        discards the table outright, so nothing references the side
+        files afterwards — without this they persist until the
+        process dies and a later engine open sweeps them (ADVICE
+        r13; flush/rebase/unique-abort already reclaim their own)."""
+        if tab is None:
+            return
+        for op, ref in tab.mut_parts:
+            if op != "fold":
+                shutil.rmtree(ref, ignore_errors=True)
+        for sp in tab.gc_paths:
+            shutil.rmtree(sp, ignore_errors=True)
+        tab.mut_parts = []
+        tab.gc_paths = []
 
     # ------------------------------------------------------------ tables
 
@@ -2735,7 +2782,8 @@ class GraphEngine:
                 os.makedirs(root, exist_ok=True)
                 self._sweep_scratch(root)
                 self._mut_tmp = tempfile.mkdtemp(
-                    prefix=f"mut-{os.getpid()}-", dir=root
+                    prefix=f"mut-{os.getpid()}-{_scratch_host_tag()}-",
+                    dir=root,
                 )
             else:
                 self._mut_tmp = tempfile.mkdtemp(prefix="grapho_mut_")
@@ -2748,14 +2796,26 @@ class GraphEngine:
         processes (a crashed session cannot sweep its own; every side
         file it held is re-derivable from the commit log). Live pids
         — including other engines of this process — are never
-        touched."""
+        touched. Roots carry the writer's hostname tag
+        (``mut-<pid>-<host>-<rand>``): os.kill(pid, 0) is only
+        meaningful on the writer's host, so when a durable data_dir
+        is shared across hosts (or pid namespaces) a foreign live
+        session must not be swept on pid-reuse coincidence (ADVICE
+        r13). Foreign-host roots are left alone — the owner's next
+        open sweeps them. Legacy two-part roots (pre-hostname) are
+        treated as same-host."""
+        host = _scratch_host_tag()
         for e in os.listdir(root):
             if not e.startswith("mut-"):
                 continue
-            parts = e.split("-", 2)
+            parts = e.split("-")
             try:
                 pid = int(parts[1])
             except (IndexError, ValueError):
+                continue
+            # mut-<pid>-<host>-<rand> is 4+ parts; mut-<pid>-<rand>
+            # (legacy) is 3 and predates cross-host sharing
+            if len(parts) >= 4 and parts[2] != host:
                 continue
             if pid == os.getpid():
                 continue

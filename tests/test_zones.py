@@ -322,11 +322,53 @@ def test_unique_abort_reclaims_patch_dir(eng, spark):
 
 
 def test_sweep_scratch_removes_dead_pid_dirs(tmp_path):
+    from grapho_spark.engine.engine import _scratch_host_tag
+
+    host = _scratch_host_tag()
     root = tmp_path / "_scratch"
     root.mkdir()
-    (root / "mut-999999999-abc").mkdir()  # dead pid
+    (root / "mut-999999999-abc").mkdir()  # dead pid, legacy format
+    (root / f"mut-999999999-{host}-abc").mkdir()  # dead pid, this host
+    (root / "mut-999999999-otherhost-abc").mkdir()  # foreign host: keep
     (root / f"mut-{os.getpid()}-live").mkdir()
+    (root / f"mut-{os.getpid()}-{host}-live").mkdir()
     (root / "not-a-mut-dir").mkdir()
     GraphEngine._sweep_scratch(str(root))
     left = sorted(os.listdir(root))
-    assert left == [f"mut-{os.getpid()}-live", "not-a-mut-dir"]
+    assert left == sorted(
+        [
+            "mut-999999999-otherhost-abc",
+            f"mut-{os.getpid()}-{host}-live",
+            f"mut-{os.getpid()}-live",
+            "not-a-mut-dir",
+        ]
+    )
+
+
+def test_alter_and_drop_reclaim_pending_side_files(eng):
+    """ALTER replaces the _Table from a materialized localCheckpoint
+    and DROP pops it — both must reclaim the old table's pending
+    mutation side-file dirs (ADVICE r13)."""
+    root = os.path.join(eng.data_dir, "_scratch")
+
+    def side_files() -> set:
+        if not os.path.isdir(root):
+            return set()
+        return {
+            (s, f)
+            for s in os.listdir(root)
+            for f in os.listdir(os.path.join(root, s))
+        }
+
+    eng.execute("UPDATE NODE T SET v: 1 WHERE k: 3;")
+    assert len(side_files()) == 1
+    eng.execute("ALTER NODE T ADD extra: string;")
+    assert side_files() == set()
+    # the migrated data survived, including the pre-ALTER update
+    rows = eng.execute("MATCH T t WHERE k: 3 RETURN v, extra;")[0].df.collect()
+    assert rows[0]["v"] == 1 and rows[0]["extra"] is None
+    eng.execute("UPDATE NODE T SET v: 2 WHERE k: 4;")
+    eng.execute("DELETE NODE T WHERE k: 5;")
+    assert len(side_files()) == 2
+    eng.execute("DROP NODE T;")
+    assert side_files() == set()
