@@ -258,15 +258,9 @@ class _Table:
     # re-derives them) and the next flush folds them into versioned
     # parquet.
     mut_parts: list = field(default_factory=list)
-    # Side-file dirs already FOLDED into a flushed version but still
-    # lazily referenced by a keep-composed tab.base plan — deletable
-    # only once the plan is rebuilt from a fresh chain read (see
-    # flush()'s scratch GC).
-    gc_paths: list = field(default_factory=list)
-    # Lazy-plan depth of tab.base in mutation/delta layers — the
-    # keep-composed flush path (skip the O(leafs) relist) is only
-    # taken while this stays under a cap, so long mutation runs never
-    # build unbounded plans.
+    # Lazy-plan depth of tab.base in mutation/delta layers
+    # (diagnostic; every partial/full flush resets it via a fresh
+    # chain read, and the rebase cap bounds it between flushes).
     base_layers: int = 0
 
 
@@ -579,6 +573,7 @@ class GraphEngine:
         target_bucket_rows: int | None = None,
         zone_stats: bool = True,
         zone_bloom_rows: int = 100_000,
+        bloom_semijoin_leafs: int = 4096,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
@@ -638,7 +633,18 @@ class GraphEngine:
         UPDATE/DELETE/MATCH statements prune to the leafs whose
         stats/bloom admit the predicate (see engine/zones.py).
         Versions written without sidecars fall back to dir-listing
-        reads with no pruning."""
+        reads with no pruning.
+
+        ``bloom_semijoin_leafs``: past this many inventoried leafs in
+        one chain read, bloom candidate selection runs as ONE Spark
+        job over the chain's ``_ZONES`` sidecars (only absent-verdict
+        rows return to the driver) instead of the driver-side probe
+        loop — the driver then never materializes the chain's bitmaps
+        (~0.2% of table bytes), which is what caps the driver loop
+        around ~10^4 leafs. Below the threshold the per-version bitmap
+        cache amortizes better than a job per statement. Identical
+        pruning decisions on both paths (same md5 probe, pinned by
+        tests/test_zones.py)."""
         if keep_versions is not None and keep_versions < 1:
             raise EngineError("keep_versions must be >= 1 (or None)")
         if max_delta_chain < 1:
@@ -655,6 +661,7 @@ class GraphEngine:
         self.target_bucket_rows = target_bucket_rows
         self.zone_stats = zone_stats
         self.zone_bloom_rows = zone_bloom_rows
+        self.bloom_semijoin_leafs = bloom_semijoin_leafs
         # Cached per-version sidecars: (kind, name, version) ->
         # parsed _FILES.json (or None for legacy dirs) / per-leaf
         # blooms. Version dirs are immutable once published, so the
@@ -1198,6 +1205,7 @@ class GraphEngine:
                 if inv is not None:
                     read_schema = ST.StructType.fromJson(inv["schema"])
                     break
+        records: list[tuple[int, str, str, dict | None]] = []
         for v in chain:
             bm = self._bucket_map(kind, name, v)
             if bm is None:
@@ -1216,27 +1224,59 @@ class GraphEngine:
             for owner, leaf_key, ldir in entries:
                 inv = self._inventory(kind, name, owner)
                 meta = None if inv is None else inv["leafs"].get(leaf_key)
-                if meta is None:
-                    paths.append(ldir)  # legacy dir: list, never prune
-                    continue
-                if prune_groups is not None:
-                    total_leafs += 1
-                    stats = meta.get("_stats")
-                    if stats is None:
-                        stats = meta["_stats"] = zn.decode_leaf_stats(
-                            meta,
-                            read_schema
-                            if read_schema is not None
-                            else ST.StructType([]),
+                records.append((owner, leaf_key, ldir, meta))
+        # Bloom candidate selection: below bloom_semijoin_leafs the
+        # driver probes cached per-version bitmaps; above it, ONE
+        # distributed job probes the _ZONES sidecars where they live
+        # and only absent-verdicts come back (probed is then the
+        # verdict map, possibly empty = stats-only pruning).
+        probed: dict | None = None
+        if prune_groups is not None:
+            total_leafs = sum(1 for r in records if r[3] is not None)
+            if total_leafs > self.bloom_semijoin_leafs:
+                probed = {}
+                probes = zn.collect_eq_probes(prune_groups)
+                if probes:
+                    zdirs = [
+                        (owner, zp)
+                        for owner in sorted(
+                            {r[0] for r in records if r[3] is not None}
                         )
-                    blooms = self._leaf_blooms(kind, name, owner, leaf_key)
-                    if not zn.leaf_may_match(
-                        prune_groups, stats, blooms, meta["rows"]
-                    ):
-                        pruned_any = True
-                        continue
-                    kept_leafs += 1
-                paths.extend(os.path.join(ldir, f[0]) for f in meta["files"])
+                        if os.path.exists(
+                            zp := os.path.join(
+                                base_dir, f"v{owner}", zn.ZONES_NAME
+                            )
+                        )
+                    ]
+                    if zdirs:
+                        probed = zn.probe_zone_blooms_distributed(
+                            self.spark, zdirs, probes
+                        )
+        for owner, leaf_key, ldir, meta in records:
+            if meta is None:
+                paths.append(ldir)  # legacy dir: list, never prune
+                continue
+            if prune_groups is not None:
+                stats = meta.get("_stats")
+                if stats is None:
+                    stats = meta["_stats"] = zn.decode_leaf_stats(
+                        meta,
+                        read_schema
+                        if read_schema is not None
+                        else ST.StructType([]),
+                    )
+                blooms = (
+                    probed.get((owner, leaf_key), {})
+                    if probed is not None
+                    else self._leaf_blooms(kind, name, owner, leaf_key)
+                )
+                if not zn.leaf_may_match(
+                    prune_groups, stats, blooms, meta["rows"]
+                ):
+                    pruned_any = True
+                    continue
+                kept_leafs += 1
+            paths.extend(os.path.join(ldir, f[0]) for f in meta["files"])
         if prune_groups is not None and total_leafs > 0:
             # total_leafs == 0 means every element was legacy/no-
             # inventory (nothing was prunable) — an audit line reading
@@ -1428,43 +1468,31 @@ class GraphEngine:
                             self.spark.read.schema(tab.schema).parquet(path)
                         )
                         tab.base_layers += 1
-                    elif (
-                        partial_written
-                        and tab.base is not None
-                        and tab.base_layers <= 3 * self.max_delta_chain
-                        # retention GC (below) may leaf-GC the OLD
-                        # leaf dirs the composed plan still reads —
-                        # keep-composed is only safe without a
-                        # retention window
-                        and self.keep_versions is None
-                    ):
-                        # Keep-composed refresh after a partial
-                        # (merge-on-read) rewrite: the pre-flush
-                        # composed view ∪ any still-buffered inserts
-                        # EQUALS the new chain state by construction,
-                        # so skip the O(leafs) relist (the x100 probe
-                        # measured ~5s of pure driver path listing at
-                        # 2048 leafs). Past the layer cap, fall
-                        # through to a fresh chain read to bound plan
-                        # depth across flushes.
-                        buf_df = self._buffer_df(tab)
-                        if buf_df is not None:
-                            tab.base = tab.base.unionByName(buf_df)
-                            tab.base_layers += 1
-                        tab.gc_paths.extend(side_paths)
                     else:
-                        # fresh chain rebuild: explicit-file manifest
-                        # read when inventories exist (no dir listing),
-                        # dir-path fallback otherwise
+                        # Fresh chain rebuild: explicit-file manifest
+                        # read when inventories exist (no dir
+                        # listing), dir-path fallback otherwise. A
+                        # keep-composed branch used to reuse the
+                        # pre-flush merge-on-read plan here to dodge
+                        # a ~5s O(leafs) dir relist; the r13
+                        # manifests removed the relist and the r14
+                        # measurement (scripts/keepcomposed_probe.py,
+                        # PERF.md) showed fresh strictly faster at
+                        # x10 AND x100 (flush 5.9s vs 9.0s, post-
+                        # flush count 0.7s vs 2.1s at 15M rows — the
+                        # composed plan's depth costs more than the
+                        # manifest read), so the branch was deleted
+                        # (VERDICT r13 #4) and every partial-rewrite
+                        # flush now also reclaims its side files
+                        # eagerly.
                         tab.base, _ = self._chain_read(
                             kind, name, tab.version, schema=tab.schema
                         )
                         tab.base_layers = 0
                         # nothing references the folded side files
                         # anymore — reclaim this table's scratch
-                        for sp in side_paths + tab.gc_paths:
+                        for sp in side_paths:
                             shutil.rmtree(sp, ignore_errors=True)
-                        tab.gc_paths = []
                     tab.buffer = []
                     tab.dirty = False
                     tab.base_dirty = False
@@ -2018,7 +2046,7 @@ class GraphEngine:
     @staticmethod
     def _reclaim_table_scratch(tab: "_Table | None") -> None:
         """Reclaim a replaced/popped table's pending mutation scratch
-        (non-fold mut_parts dirs + deferred gc_paths). ALTER rebuilds
+        (its non-fold mut_parts dirs). ALTER rebuilds
         the _Table from a materialized localCheckpoint and DROP
         discards the table outright, so nothing references the side
         files afterwards — without this they persist until the
@@ -2029,10 +2057,7 @@ class GraphEngine:
         for op, ref in tab.mut_parts:
             if op != "fold":
                 shutil.rmtree(ref, ignore_errors=True)
-        for sp in tab.gc_paths:
-            shutil.rmtree(sp, ignore_errors=True)
         tab.mut_parts = []
-        tab.gc_paths = []
 
     # ------------------------------------------------------------ tables
 
@@ -2922,14 +2947,13 @@ class GraphEngine:
             # the snapshot MATERIALIZED every pending layer — the
             # superseded side files have no live reference left (the
             # rebased plan reads only rb) and are reclaimed here
-            # along with any keep-composed leftovers (ADVICE r12)
+            # (ADVICE r12)
             stale = [
                 ref for op, ref in tab.mut_parts if op != "fold"
-            ] + tab.gc_paths
+            ]
             tab.base = self.spark.read.schema(tab.schema).parquet(rb)
             tab.mut_parts = [("rebase", rb)]
             tab.base_layers = 1
-            tab.gc_paths = []
             for sp in stale:
                 shutil.rmtree(sp, ignore_errors=True)
 
@@ -3618,8 +3642,35 @@ class GraphEngine:
             pairs = pairs.unionByName(extra)
         pairs = pairs.groupBy("_s", "_d").agg(F.min("_hops").alias("_hops"))
 
-        def prefixed(alias: str, type_name: str) -> DataFrame:
-            df = self._merged_df(("node", type_name))
+        def prefixed(
+            alias: str, type_name: str, nullable: bool
+        ) -> DataFrame:
+            # zone/bloom pruning of the endpoint scans (r14, VERDICT
+            # r13 #3): same per-element compile as the chain path —
+            # groups resolving exclusively to this alias prune its
+            # base leafs; on the NULLABLE side (right endpoint of an
+            # OPTIONAL *bounds edge) only padding-rejecting predicates
+            # qualify. The traversal itself (the edge list) carries no
+            # predicates (WHERE on edge props is rejected above), so
+            # only the node scans prune.
+            key = ("node", type_name)
+            df = None
+            if stmt.where and self.zone_stats:
+                tab = self.tables.get(key)
+                if tab is not None:
+                    groups = zn.compile_chain_pruning_groups(
+                        stmt.where,
+                        self.catalog.node(type_name).field_map(),
+                        tab.schema.fieldNames(),
+                        alias,
+                        aliases,
+                        nullable,
+                        coerce_literal,
+                        self._coerce_in_values,
+                    )
+                    df = self._pruned_merged_df(key, tab, groups)
+            if df is None:
+                df = self._merged_df(key)
             return df.select(
                 *[F.col(c).alias(f"{alias}_{c}") for c in df.columns]
             )
@@ -3631,11 +3682,11 @@ class GraphEngine:
         # so the outer join NULL-pads it as a unit (joining pairs
         # left-outer then right inner would re-drop the padded rows).
         inner = pairs.join(
-            prefixed(b, right_el.type),
+            prefixed(b, right_el.type, nullable=edge_el.optional),
             F.col("_d") == F.col(f"{b}_{ID_COLUMN}"),
         )
         out = (
-            prefixed(a, left_el.type)
+            prefixed(a, left_el.type, nullable=False)
             .join(
                 inner,
                 F.col("_s") == F.col(f"{a}_{ID_COLUMN}"),

@@ -314,11 +314,128 @@ def load_zone_blooms(vdir: str) -> dict[tuple[str, str], tuple[int, int, bytes]]
     return out
 
 
-def bloom_might_contain(bloom: tuple[int, int, bytes], value: Any) -> bool:
+def bloom_might_contain(bloom: tuple, value: Any) -> bool:
+    """True unless the bloom proves ``value`` absent. Two forms: a
+    loaded bitmap ``(m, k, bytes)`` probed here, or a pre-evaluated
+    verdict ``("probed", frozenset_of_absent_strs)`` produced by the
+    distributed probe job (the bitmaps never reached the driver; the
+    str() key matches the md5 convention's ``f"{i}:{value}"``)."""
+    if bloom[0] == "probed":
+        return str(value) not in bloom[1]
     m, k, bits = bloom
     return all(
         bits[p >> 3] & (1 << (p & 7)) for p in _py_positions(value, m, k)
     )
+
+
+def collect_eq_probes(groups: list[list[Member]]) -> list[tuple[str, Any]]:
+    """The (field, value) equality probes a pruning evaluation can
+    pose to a bloom: every non-NULL ``=`` literal and ``in`` element.
+    Deduplicated on (field, str(value)) — the bloom hashes the string
+    form, so that is the verdict's identity too."""
+    seen: set[tuple[str, str]] = set()
+    out: list[tuple[str, Any]] = []
+    for g in groups:
+        for m in g:
+            if m[0] == "=":
+                vals = [m[2]]
+            elif m[0] == "in":
+                vals = list(m[2])
+            else:
+                continue
+            for v in vals:
+                if v is None:
+                    continue
+                key = (m[1], str(v))
+                if key not in seen:
+                    seen.add(key)
+                    out.append((m[1], v))
+    return out
+
+
+def probe_zone_blooms_distributed(
+    spark: SparkSession,
+    zdirs: list[tuple[int, str]],
+    probes: list[tuple[str, Any]],
+) -> dict[tuple[int, str], dict[str, tuple]]:
+    """Distributed twin of ``load_zone_blooms`` + per-leaf probing:
+    one Spark job scans the chain's ``_ZONES`` sidecars (explicit
+    file list — ``zdirs`` is [(version, path)]) and evaluates every
+    probe against every (leaf, field) bitmap WHERE THE BITMAP LIVES,
+    returning only the tiny absent-verdict rows. This is the past-
+    ~10^4-leafs candidate-selection path promised in the module
+    docstring: the driver loop's cost there is dominated by pulling
+    O(0.2% of table bytes) of bitmaps into driver memory, which this
+    path never does — driver work becomes O(verdict rows) and the
+    bitmap scan parallelizes like any other column scan. Identical
+    semantics to the driver path: the probe executes the same
+    ``_py_positions`` md5 convention on the executors.
+
+    Returns {(version, leaf) -> {field -> ("probed", absent_strs)}};
+    a (leaf, field) with no absent probes is simply missing (the
+    conservative might-contain default).
+
+    The sidecars are opened with pyarrow ON THE EXECUTORS (Spark's
+    file index hard-filters ``_``-prefixed names even when listed
+    explicitly — the same convention that hides _ZONES from dir-based
+    data reads), so parallelism is per version file and the paths
+    must be reachable from the executors (local/NFS-style shared
+    storage; the deployment posture of ``data_dir`` itself)."""
+    import pandas as pd
+
+    by_field: dict[str, list[str]] = {}
+    for f, v in probes:
+        by_field.setdefault(f, []).append(str(v))
+    src = spark.createDataFrame(
+        [(int(v), p) for v, p in zdirs],
+        ST.StructType(
+            [
+                ST.StructField("ver", ST.IntegerType()),
+                ST.StructField("path", ST.StringType()),
+            ]
+        ),
+    ).repartition(min(len(zdirs), 32))
+
+    def _probe(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for ver, path in zip(pdf["ver"], pdf["path"]):
+                t = pq.read_table(path)
+                for leaf, fld, m, k, bits in zip(
+                    t["leaf"].to_pylist(),
+                    t["field"].to_pylist(),
+                    t["m"].to_pylist(),
+                    t["k"].to_pylist(),
+                    t["bloom"].to_pylist(),
+                ):
+                    vals = by_field.get(fld)
+                    if not vals:
+                        continue
+                    absent = [
+                        s
+                        for s in vals
+                        if not all(
+                            bits[p >> 3] & (1 << (p & 7))
+                            for p in _py_positions(s, int(m), int(k))
+                        )
+                    ]
+                    if absent:
+                        rows.append((int(ver), leaf, fld, absent))
+            yield pd.DataFrame(
+                rows, columns=["ver", "leaf", "fld", "absent"]
+            )
+
+    out: dict[tuple[int, str], dict[str, tuple]] = {}
+    for r in src.mapInPandas(
+        _probe, "ver int, leaf string, fld string, absent array<string>"
+    ).collect():
+        out.setdefault((r["ver"], r["leaf"]), {})[r["fld"]] = (
+            "probed",
+            frozenset(r["absent"]),
+        )
+    return out
 
 
 # ---------------------------------------------------------- pruning

@@ -29,7 +29,10 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
-_MEMO: dict[tuple[str, str], DataFrame] = {}
+import threading as _threading
+
+_MEMO: dict[tuple[str, str], dict] = {}
+_MEMO_LOCK = _threading.Lock()
 
 
 def memo_table(spark: SparkSession, key: str, builder) -> DataFrame:
@@ -37,13 +40,35 @@ def memo_table(spark: SparkSession, key: str, builder) -> DataFrame:
     persist, reuse across queries. Derived tables shared by several
     queries (co-purchase edge list, shingle/signature tables) would
     otherwise be recomputed per query — on a cluster these would be
-    written tables; here the cache plays that role."""
+    written tables; here the cache plays that role.
+
+    Thread-safe build-once (r14): parallel index prebuilds
+    (queries/embeddings.py) hit the same key from several driver
+    threads — exactly one thread builds, the rest wait on its event
+    (a double materialize would leak a persisted copy per racer)."""
+    import threading
+
     mkey = (spark.sparkContext.applicationId, key)
-    df = _MEMO.get(mkey)
-    if df is None:
-        df = materialize(builder())
-        _MEMO[mkey] = df
-    return df
+    with _MEMO_LOCK:
+        entry = _MEMO.get(mkey)
+        if entry is None:
+            entry = _MEMO[mkey] = {"evt": threading.Event(), "df": None}
+            owner = True
+        else:
+            owner = False
+    if owner:
+        try:
+            entry["df"] = materialize(builder())
+        finally:
+            entry["evt"].set()
+        if entry["df"] is None:  # builder raised: allow a retry
+            with _MEMO_LOCK:
+                _MEMO.pop(mkey, None)
+    else:
+        entry["evt"].wait()
+        if entry["df"] is None:
+            raise RuntimeError(f"memo_table builder for {key!r} failed")
+    return entry["df"]
 
 
 def checkpoint_state(df: DataFrame) -> DataFrame:

@@ -1,31 +1,44 @@
-"""Proximity-graph ANN (r13): builder invariants + beam-probe
-contract. The recall/scan measurement itself is the rows-only dial
-`embedding_graph_beam_recall` (parity-swept per round; 0.905 recall
-at 0.3125 visited fraction measured at sf0.1 — PERF.md r13)."""
+"""Proximity-graph ANN (r13, resharded r14): NN-descent builder
+invariants + convergence pin, SPANN-style multi-shard build, and the
+beam-probe contract. The recall/scan measurement itself is the
+rows-only dial `embedding_graph_beam_recall` (parity-swept per
+round; 0.905 recall at 0.3125 visited measured at sf0.1 on the r13
+exact build — r14's NN-descent build must hold that bar, re-measured
+in PERF.md)."""
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from grapho_spark.queries.embeddings import (
     _GRAPH_DEG,
-    _GRAPH_MAX_SHARD_ROWS,
+    _GRAPH_POOL,
+    _nnd_edges,
+    _spark_cosine,
     ann_graph_table,
+    ann_graph_tables,
     embedding_graph_beam_recall,
+    embedding_graph_sharded_recall,
 )
+from grapho_spark.tables import load_table
 
 
 def test_graph_table_invariants(spark, sf_dir):
     g = ann_graph_table(spark, sf_dir)
     rows = g.collect()
-    ids = {r["vec_id"] for r in rows}
+    shard_of = {r["vec_id"]: r["shard"] for r in rows}
     adj = {r["vec_id"]: list(r["nbrs"]) for r in rows}
-    # every endpoint is a corpus vector; no self-loops; sorted arrays
+    ids = set(adj)
+    # every endpoint is a corpus vector IN THE SAME SHARD; no
+    # self-loops; sorted arrays
     for v, ns in adj.items():
         assert v not in ns
         assert ns == sorted(ns)
         assert set(ns) <= ids
+        for u in ns:
+            assert shard_of[u] == shard_of[v]
     # symmetric (reverse edges unioned)
     for v, ns in adj.items():
         for u in ns:
@@ -38,13 +51,48 @@ def test_graph_table_invariants(spark, sf_dir):
     assert sorted(map(tuple, g2.collect())) == sorted(map(tuple, rows))
 
 
-def test_graph_shard_gate(spark, sf_dir, monkeypatch):
-    import grapho_spark.queries.embeddings as emb
+def test_nnd_converges_to_exact_lists(spark, sf_dir):
+    """VERDICT r13 #1 done-bar: NN-descent's top-K lists ≈ the exact
+    top-K lists on a small corpus (the n² pass it replaced)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    va = e.select(
+        F.lit(0).alias("shard"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    k = _GRAPH_POOL
+    approx = _nnd_edges(spark, va, k)
+    a = va.select(F.col("vec_id").alias("src"), F.col("v").alias("xa"))
+    b = va.select(F.col("vec_id").alias("dst"), F.col("v").alias("xb"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", _spark_cosine("xa", "xb").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst")
+    )
+    n_exact = exact.count()
+    hit = approx.select("src", "dst").join(exact, ["src", "dst"]).count()
+    recall = hit / n_exact
+    assert recall >= 0.9, f"NN-descent list recall {recall:.3f} < 0.9"
 
-    monkeypatch.setattr(emb, "_GRAPH_MAX_SHARD_ROWS", 1)
-    with pytest.raises(ValueError, match="ONE shard"):
-        emb.ann_graph_table(spark, sf_dir, pred="vec_id > -1")
-    assert _GRAPH_MAX_SHARD_ROWS > 1  # module constant untouched
+
+def test_multi_shard_build_and_routing(spark, sf_dir):
+    """Forcing ≥2 shards: the assignment covers the corpus, subgraph
+    edges stay within shards, and the centroid table routes."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    graph, assign, cents = ann_graph_tables(
+        spark, sf_dir, shard_target=max(10, n // 3), ident="testsh"
+    )
+    shards = {r["shard"] for r in assign.select("shard").distinct().collect()}
+    assert len(shards) >= 2
+    assert assign.count() == n
+    assert cents is not None
+    # every graph row's shard equals its assignment
+    joined = graph.join(assign.withColumnRenamed("shard", "a_shard"), "vec_id")
+    assert joined.filter(F.col("shard") != F.col("a_shard")).count() == 0
 
 
 def test_beam_recall_shape_and_bounds(spark, sf_dir):
@@ -56,3 +104,13 @@ def test_beam_recall_shape_and_bounds(spark, sf_dir):
     # when it visits most of the corpus
     if row["scan_fraction"] > 0.7:
         assert row["avg_recall"] == 1.0
+
+
+def test_sharded_recall_dial(spark, sf_dir):
+    row = embedding_graph_sharded_recall(spark, sf_dir).collect()[0]
+    assert row["n_shards"] >= 2
+    assert row["probed_shards"] == 2
+    assert row["n_queries"] > 0
+    assert 0.0 <= row["avg_recall"] <= 1.0
+    # probing 2 of >=3 cells must NOT visit the whole corpus
+    assert row["scan_fraction"] < 0.95
