@@ -573,7 +573,7 @@ class GraphEngine:
         target_bucket_rows: int | None = None,
         zone_stats: bool = True,
         zone_bloom_rows: int = 100_000,
-        bloom_semijoin_leafs: int = 4096,
+        bloom_semijoin_leafs: int = 32768,
     ):
         """``log_format``: commit-log encoding — ``"text"`` (JSONL, the
         default) or ``"binary"`` (4-byte BE length-prefixed records,
@@ -640,11 +640,17 @@ class GraphEngine:
         job over the chain's ``_ZONES`` sidecars (only absent-verdict
         rows return to the driver) instead of the driver-side probe
         loop — the driver then never materializes the chain's bitmaps
-        (~0.2% of table bytes), which is what caps the driver loop
-        around ~10^4 leafs. Below the threshold the per-version bitmap
-        cache amortizes better than a job per statement. Identical
-        pruning decisions on both paths (same md5 probe, pinned by
-        tests/test_zones.py)."""
+        (~0.2% of table bytes), which is what caps the driver loop:
+        the first-statement bitmap load is O(leafs) driver time
+        (~30µs/leaf measured — ~30s and GBs of driver heap at 10^6
+        leafs) while the probe job holds a flat ~2s floor. Measured
+        at 15M rows (scripts/leafscale_probe.py, PERF.md r14): the
+        driver loop is still 3x faster at 16384 leafs (0.72s vs 2.06s
+        steady-state), so the default crossover sits at 32768 —
+        semi-join is the 10^5-10^6-leaf insurance, not a mid-size
+        win. Identical pruning decisions on both paths (same md5
+        probe, pinned by tests/test_zones.py and the odd/even-seed
+        differential soak)."""
         if keep_versions is not None and keep_versions < 1:
             raise EngineError("keep_versions must be >= 1 (or None)")
         if max_delta_chain < 1:
@@ -676,7 +682,7 @@ class GraphEngine:
         # statement's reads. EXPLAIN MATCH compiles its target and
         # prepends the recorded decisions to the plan text (guarded by
         # self._lock like all statement execution).
-        self._prune_log: list[tuple[str, str, int, int]] = []
+        self._prune_log: list[tuple[str, str, int, int, str]] = []
         # Chain/AS OF reads pass thousands of root paths; below this
         # threshold Spark launches a distributed listing job whose
         # per-task scheduling dwarfs the local-FS listing it does
@@ -1281,8 +1287,18 @@ class GraphEngine:
             # total_leafs == 0 means every element was legacy/no-
             # inventory (nothing was prunable) — an audit line reading
             # "kept 0/0" would suggest everything was pruned (ADVICE
-            # r13), so only prunable reads are recorded.
-            self._prune_log.append((kind, name, kept_leafs, total_leafs))
+            # r13), so only prunable reads are recorded. The mode
+            # names which candidate-selection path ran (r14): the
+            # driver bitmap loop or the distributed _ZONES probe job.
+            self._prune_log.append(
+                (
+                    kind,
+                    name,
+                    kept_leafs,
+                    total_leafs,
+                    "job" if probed is not None else "driver",
+                )
+            )
         if not paths:
             tab = self.tables.get((kind, name))
             empty_schema = (
@@ -3766,8 +3782,11 @@ class GraphEngine:
         # decisions the Spark plan can't show (they happen BEFORE the
         # relation is built — the FileScan only lists survivors)
         prune_lines = [
-            (f"ZonePruning: {k} {n}: kept {kept}/{total} leafs",)
-            for k, n, kept, total in self._prune_log
+            (
+                f"ZonePruning: {k} {n}: kept {kept}/{total} leafs"
+                f" (bloom probe: {mode})",
+            )
+            for k, n, kept, total, mode in self._prune_log
         ]
         self._prune_log.clear()
         lines = prune_lines + [

@@ -2943,6 +2943,18 @@ _GRAPH_NND_SAMPLE = 16  # neighbors sampled per node per round (rho)
 # 500-vector corpus — B=8/4 rounds stalled at 0.386 on these
 # near-uniform vectors, B=24/4 reached 0.994 at 1.5x the pair
 # budget; per-round work is bounded at n*B^2 scored pairs)
+_GRAPH_CLOSURE_CAP = 2  # max cell memberships per vector under closure
+_GRAPH_APPEND_CAP = 6 * _GRAPH_DEG  # symmetric-degree bound before a
+#                                     standing list re-prunes on append
+#                                     (the build invariant's cap)
+_GRAPH_CLOSURE_EPS = 0.01  # closure threshold: join cells within
+#                            (1+eps) of the nearest centroid distance.
+#                            Frozen from the measured sf0.1 frontier
+#                            (PERF.md r14 closure table): 0.01 buys
+#                            +6.4 recall pts at 1.30x storage with
+#                            recall/ceiling 0.982; eps>=0.03 on this
+#                            near-uniform corpus degenerates to ~2x
+#                            full duplication
 
 
 def _nnd_edges(spark: SparkSession, va: DataFrame, k: int) -> DataFrame:
@@ -2960,8 +2972,14 @@ def _nnd_edges(spark: SparkSession, va: DataFrame, k: int) -> DataFrame:
     pinned by tests/test_graph_ann.py."""
     from grapho_spark.sparkutil import checkpoint_state
 
-    vsrc = va.select(F.col("vec_id").alias("src"), F.col("v").alias("_va"))
-    vdst = va.select(F.col("vec_id").alias("dst"), F.col("v").alias("_vb"))
+    # one vector row per vec_id for the lookups: under closure
+    # multi-assignment va carries a row per (shard, vec_id) and the
+    # replicas' vectors are identical — joining the raw frame would
+    # duplicate scored pairs and let the same dst occupy two top-k
+    # slots
+    vu = va.select("vec_id", "v").dropDuplicates(["vec_id"])
+    vsrc = vu.select(F.col("vec_id").alias("src"), F.col("v").alias("_va"))
+    vdst = vu.select(F.col("vec_id").alias("dst"), F.col("v").alias("_vb"))
 
     def scored(pairs: DataFrame) -> DataFrame:
         return (
@@ -3054,16 +3072,126 @@ def _nnd_edges(spark: SparkSession, va: DataFrame, k: int) -> DataFrame:
     return edges
 
 
+def _alpha_prune_batch(deg: int):
+    """Vamana RobustPrune as a per-(shard, src) Arrow batch: sort the
+    candidate pool by cosine, keep a candidate unless a kept,
+    closer-together edge alpha-dominates it, stop at ``deg`` edges.
+    Input columns (shard, src, dst, vb, cos); the pool's pairwise
+    geometry is POOL×dim, KB-sized. Shared by the graph build
+    (deg=_GRAPH_DEG) and the delta append's overflow re-prune
+    (deg=_GRAPH_POOL — symmetric lists keep more than the build's
+    out-degree so connectivity survives)."""
+    import numpy as np
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cos", "dst"], ascending=[False, True])
+        ids = pdf["dst"].to_numpy()
+        vs = np.stack(pdf["vb"].to_numpy())
+        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+        d_vu = 2.0 - 2.0 * pdf["cos"].to_numpy()  # d(v, u) from cosine
+        kept: list[int] = []
+        for i in range(len(ids)):
+            if len(kept) >= deg:
+                break
+            ok = True
+            for j in kept:
+                d_uw = 2.0 - 2.0 * float(vs[i] @ vs[j])
+                if d_uw * _GRAPH_ALPHA <= d_vu[i]:
+                    ok = False  # a kept, closer-together edge dominates
+                    break
+            if ok:
+                kept.append(i)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].iloc[:1],
+                "src": pdf["src"].iloc[:1],
+                "nbrs": [ids[kept].tolist()],
+            }
+        )
+
+    return _prune
+
+
+def _closure_membership(
+    vecs: DataFrame, cents: DataFrame, eps: float
+) -> DataFrame:
+    """SPANN-style closure multi-assignment (Chen et al., NeurIPS'21
+    §4.2 — public): a vector joins every cell whose centroid distance
+    is within (1+eps) of its nearest centroid's (so (1+eps)² on the
+    squared-L2 the shard k-means folds), capped at _GRAPH_CLOSURE_CAP
+    memberships. Exact-decimal distances with the cid tiebreak — the
+    rk=1 membership is bit-identical to _kmeans_pair's assignment, so
+    closure only ADDS boundary replicas. One broadcast join of the
+    tiny centroid table; output is (vec_id, shard) with 1..cap rows
+    per vector. eps <= 0 returns the PRIMARY assignment only (rk=1,
+    no equal-distance ties admitted — identical to the build's hard
+    assignment; the delta-append path routes batches through this)."""
+    from pyspark.sql.types import DecimalType
+
+    vx = vecs.select(
+        "vec_id", F.posexplode("v").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    d = (
+        vx.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval")),
+                    9,
+                ).cast(DecimalType(28, 9))
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    if eps <= 0.0:
+        return ranked.filter(F.col("rk") == 1).select(
+            "vec_id", F.col("cid").cast("int").alias("shard")
+        )
+    wv = Window.partitionBy("vec_id")
+    lim = (1.0 + eps) * (1.0 + eps)
+    return (
+        ranked.withColumn("d1", F.min("dist").over(wv))
+        .filter(
+            (F.col("rk") == 1)
+            | (
+                (F.col("rk") <= _GRAPH_CLOSURE_CAP)
+                & (
+                    F.col("dist").cast("double")
+                    <= F.lit(lim) * F.col("d1").cast("double")
+                )
+            )
+        )
+        .select("vec_id", F.col("cid").cast("int").alias("shard"))
+    )
+
+
+def _graph_tag(
+    sf_dir: str, pred: str, target: int, ident: str, closure_eps: float
+) -> str:
+    """One index identity per (corpus pred, shard target, closure
+    eps) — shared by the build, the delta append, and health."""
+    sub = f"{ident}_t{target}" + (
+        f"_c{closure_eps}" if closure_eps > 0.0 else ""
+    )
+    return _ann_index_tag(sf_dir, pred, ident=sub)
+
+
 def ann_graph_table(
     spark: SparkSession,
     sf_dir: str,
     pred: str = "vec_id >= 0",
     shard_target: int | None = None,
     ident: str = "graph",
+    closure_eps: float = 0.0,
 ) -> DataFrame:
     """The persisted proximity-graph adjacency (shard, vec_id, nbrs)
     — see ann_graph_tables for the build contract."""
-    return ann_graph_tables(spark, sf_dir, pred, shard_target, ident)[0]
+    return ann_graph_tables(
+        spark, sf_dir, pred, shard_target, ident, closure_eps
+    )[0]
 
 
 def ann_graph_tables(
@@ -3072,6 +3200,7 @@ def ann_graph_tables(
     pred: str = "vec_id >= 0",
     shard_target: int | None = None,
     ident: str = "graph",
+    closure_eps: float = 0.0,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Build-once/probe-many sharded proximity graph over the (pred)
     corpus. Rows shard into ceil(n / shard_target) SPANN-style
@@ -3084,6 +3213,15 @@ def ann_graph_tables(
     symmetric within the shard (reverse edges unioned — the classic
     connectivity fix for thin kNN digraphs).
 
+    With ``closure_eps`` > 0 (multi-shard builds only) vectors join
+    EVERY cell whose centroid distance is within (1+eps) of their
+    nearest — SPANN's closure multi-assignment, capped at
+    _GRAPH_CLOSURE_CAP memberships — so boundary neighbors exist in
+    both adjacent subgraphs and the per-query route ceiling rises at
+    the cost of replicated storage. The persisted ``ann_gassign``
+    table stays PRIMARY-only (query routing is unchanged); the graph
+    table carries the replicated membership.
+
     Persists three tables with the IVF index family's crash-safe
     marker protocol: ``ann_graph_<tag>`` (shard, vec_id, nbrs),
     ``ann_gassign_<tag>`` (vec_id, shard — routes in-corpus queries
@@ -3094,10 +3232,8 @@ def ann_graph_tables(
     import math
     import os
 
-    import numpy as np
-
     target = shard_target or _GRAPH_SHARD_TARGET
-    tag = _ann_index_tag(sf_dir, pred, ident=f"{ident}_t{target}")
+    tag = _graph_tag(sf_dir, pred, target, ident, closure_eps)
     g_name = f"ann_graph_{tag}"
     a_name = f"ann_gassign_{tag}"
     c_name = f"ann_gcents_{tag}"
@@ -3128,47 +3264,30 @@ def ann_graph_tables(
         assign = assign_df.select(
             "vec_id", F.col("cid").cast("int").alias("shard")
         )
+        member = (
+            _closure_membership(vecs, cents, closure_eps)
+            if closure_eps > 0.0
+            else assign
+        )
     else:
         assign = vecs.select("vec_id", F.lit(0).alias("shard"))
+        member = assign
     from grapho_spark.sparkutil import materialize
 
     va = materialize(
-        vecs.join(assign, "vec_id").select("shard", "vec_id", "v")
+        vecs.join(member, "vec_id").select("shard", "vec_id", "v")
     )
+    member_rows = va.count()
     edges = _nnd_edges(spark, va, _GRAPH_POOL)
     pool = edges.join(
-        va.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb")),
+        va.select("vec_id", "v")
+        .dropDuplicates(["vec_id"])
+        .select(F.col("vec_id").alias("dst"), F.col("v").alias("vb")),
         "dst",
     ).select("shard", "src", "dst", "vb", "cos")
 
-    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["cos", "dst"], ascending=[False, True])
-        ids = pdf["dst"].to_numpy()
-        vs = np.stack(pdf["vb"].to_numpy())
-        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
-        d_vu = 2.0 - 2.0 * pdf["cos"].to_numpy()  # d(v, u) from cosine
-        kept: list[int] = []
-        for i in range(len(ids)):
-            if len(kept) >= _GRAPH_DEG:
-                break
-            ok = True
-            for j in kept:
-                d_uw = 2.0 - 2.0 * float(vs[i] @ vs[j])
-                if d_uw * _GRAPH_ALPHA <= d_vu[i]:
-                    ok = False  # a kept, closer-together edge dominates
-                    break
-            if ok:
-                kept.append(i)
-        return pd.DataFrame(
-            {
-                "shard": pdf["shard"].iloc[:1],
-                "src": pdf["src"].iloc[:1],
-                "nbrs": [ids[kept].tolist()],
-            }
-        )
-
     pruned = pool.groupBy("shard", "src").applyInPandas(
-        _prune, "shard int, src long, nbrs array<long>"
+        _alpha_prune_batch(_GRAPH_DEG), "shard int, src long, nbrs array<long>"
     )
     sym = (
         pruned.select("shard", "src", F.explode("nbrs").alias("dst"))
@@ -3203,11 +3322,306 @@ def ann_graph_tables(
                 "alpha": _GRAPH_ALPHA,
                 "pool": _GRAPH_POOL,
                 "nnd_rounds": _GRAPH_NND_ROUNDS,
+                "closure_eps": closure_eps,
+                "member_rows": member_rows,
             },
             fh,
         )
     cents_out = spark.table(c_name) if cents is not None else None
     return spark.table(g_name), spark.table(a_name), cents_out
+
+
+def _graph_adjacency(spark: SparkSession, tag: str) -> DataFrame:
+    """Merge-on-read adjacency for a graph-ANN identity: the base
+    ``ann_graph_<tag>`` rows at generation 0 overridden per
+    (shard, vec_id) by the latest ``ann_gdelta_<tag>`` generation —
+    the same LSM shape as the engine's side files. Without deltas the
+    base table returns untouched."""
+    base = spark.table(f"ann_graph_{tag}").withColumn("gen", F.lit(0))
+    dname = f"ann_gdelta_{tag}"
+    if not spark.catalog.tableExists(dname):
+        return base.drop("gen")
+    merged = base.unionByName(spark.table(dname))
+    w = Window.partitionBy("shard", "vec_id").orderBy(F.desc("gen"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "gen")
+    )
+
+
+def ann_graph_health(
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str = "vec_id >= 0",
+    shard_target: int | None = None,
+    ident: str = "graph",
+    closure_eps: float = 0.0,
+) -> dict:
+    """Outgrowth check for the persisted proximity graph — the graph
+    twin of ann_index_health: compares the CURRENT member count
+    (merged adjacency, distinct vec_id) against the corpus size the
+    build marker recorded. ``rebuild=True`` once growth crosses
+    _ANN_REBUILD_FACTOR — appended nodes only ever attach to the
+    standing graph (batch-internal edges are deferred to compaction,
+    see append_to_ann_graph), so past ~2x the built corpus an
+    append-grown graph runs with a degraded edge set the same way an
+    outgrown IVF index runs at half its routing granularity.
+    ``recommended_shards`` re-sizes the SPANN cells for the grown
+    corpus."""
+    import json
+    import math
+    import os
+
+    target = shard_target or _GRAPH_SHARD_TARGET
+    tag = _graph_tag(sf_dir, pred, target, ident, closure_eps)
+    marker = os.path.join(
+        scratch_path("grapho_spark_index"), f"_BUILD_OK_ann_graph_{tag}"
+    )
+    if not os.path.exists(marker):
+        return {"built": False, "rebuild": False}
+    with open(marker) as fh:
+        info = json.load(fh)
+    built = int(info["rows"])
+    total = (
+        _graph_adjacency(spark, tag)
+        .agg(F.countDistinct("vec_id"))
+        .collect()[0][0]
+    )
+    growth = total / built if built else float("inf")
+    return {
+        "built": True,
+        "built_rows": built,
+        "total_rows": int(total),
+        "growth": round(growth, 4),
+        "rebuild": growth >= _ANN_REBUILD_FACTOR,
+        "recommended_shards": max(1, math.ceil(total / target)),
+    }
+
+
+def append_to_ann_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    base_pred: str,
+    batch_pred: str,
+    shard_target: int | None = None,
+    ident: str = "graph",
+    closure_eps: float = 0.0,
+    auto_rebuild_pred: str | None = None,
+) -> dict:
+    """Delta-ingest for the proximity graph — the FreshDiskANN-style
+    insert (Singh et al., arXiv 2105.09613, public) re-expressed as
+    dataflow, mirroring append_to_ann_index's frozen-parameter
+    contract: shard centroids are FROZEN (batch vectors route through
+    the same exact-decimal closure/primary assignment the build
+    used), each new vector finds its neighbor pool with ONE cogrouped
+    beam pass over the standing merged graph (per (shard, routed
+    batch) Arrow batch — no driver collect), alpha-prunes it to the
+    build's out-degree, and its reverse edges merge into the affected
+    standing lists; a standing list that overflows 6x the build
+    degree re-prunes to _GRAPH_POOL with the same RobustPrune batch
+    the builder uses. Mutations land in an append-only
+    ``ann_gdelta_<tag>`` generation table read through
+    _graph_adjacency's merge-on-read view — the base table is never
+    rewritten, so the append is batch-sized work end to end.
+
+    Batch-INTERNAL edges are deferred: a batch vector's pool comes
+    from the standing graph, so two same-batch vectors only connect
+    via later appends' reverse edges or the compacting rebuild —
+    that is the accumulation ann_graph_health meters, and the
+    recall dial measures its cost honestly (delta-grown vs
+    fresh-built recall on the same corpus).
+
+    Appends are idempotent per (identity, batch_pred): a marker skips
+    re-application (the graph insert is not naturally idempotent —
+    re-running it against the already-merged graph would find a
+    different pool), so build-once/probe-many callers like the dials
+    and the parity sweep get deterministic state. In-band health +
+    auto-rebuild follow the IVF contract: pass ``auto_rebuild_pred``
+    covering the union corpus and a flagged append compacts into that
+    NEW identity and retires the old one's tables/markers."""
+    import json
+    import os
+
+    target = shard_target or _GRAPH_SHARD_TARGET
+    graph, assign, cents = ann_graph_tables(
+        spark, sf_dir, base_pred, shard_target, ident, closure_eps
+    )
+    tag = _graph_tag(sf_dir, base_pred, target, ident, closure_eps)
+    base_dir = scratch_path("grapho_spark_index")
+    d_name = f"ann_gdelta_{tag}"
+    a_name = f"ann_gassign_{tag}"
+    import hashlib
+
+    bkey = hashlib.md5(batch_pred.encode()).hexdigest()[:12]
+    ap_marker = os.path.join(base_dir, f"_APPEND_OK_{d_name}_{bkey}")
+    applied = False
+    if not os.path.exists(ap_marker):
+        applied = True
+        e = load_table(spark, sf_dir, "embeddings").filter(batch_pred)
+        batch = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        from grapho_spark.sparkutil import materialize
+
+        batch = materialize(batch)
+        if cents is not None:
+            member = _closure_membership(batch, cents, closure_eps)
+            primary = (
+                member
+                if closure_eps <= 0.0
+                else _closure_membership(batch, cents, 0.0)
+            )
+        else:
+            member = batch.select("vec_id", F.lit(0).alias("shard"))
+            primary = member
+        adj = _graph_adjacency(spark, tag)
+        vecs_all = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        routed = materialize(
+            member.withColumnRenamed("vec_id", "q_id")
+            .join(
+                batch.select(
+                    F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+                ),
+                "q_id",
+            )
+            .select("shard", "q_id", "qv")
+        )
+        cand = _graph_beam_results(
+            spark, adj, vecs_all, routed, k=_GRAPH_POOL
+        )
+        vb_lut = vecs_all.select(
+            F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+        )
+        pool = cand.select(
+            "shard",
+            F.col("q_id").alias("src"),
+            F.col("vec_id").alias("dst"),
+            F.col("cosine").alias("cos"),
+        ).join(vb_lut, "dst")
+        new_rows = pool.groupBy("shard", "src").applyInPandas(
+            _alpha_prune_batch(_GRAPH_DEG),
+            "shard int, src long, nbrs array<long>",
+        )
+        new_rows = materialize(new_rows)
+        # reverse edges into the affected standing lists
+        incoming = (
+            new_rows.select(
+                "shard", F.explode("nbrs").alias("vec_id"),
+                F.col("src").alias("inc"),
+            )
+            .groupBy("shard", "vec_id")
+            .agg(F.collect_set("inc").alias("inc"))
+        )
+        affected = adj.join(incoming, ["shard", "vec_id"]).select(
+            "shard",
+            "vec_id",
+            F.array_sort(
+                F.array_union("nbrs", "inc")
+            ).alias("nbrs"),
+        )
+        ok = affected.filter(F.size("nbrs") <= _GRAPH_APPEND_CAP)
+        over = affected.filter(F.size("nbrs") > _GRAPH_APPEND_CAP)
+        va_lut = vecs_all.select(
+            F.col("vec_id").alias("src"), F.col("v").alias("va")
+        )
+        over_pool = (
+            over.select(
+                "shard", F.col("vec_id").alias("src"),
+                F.explode("nbrs").alias("dst"),
+            )
+            .join(va_lut, "src")
+            .join(vb_lut, "dst")
+            .select(
+                "shard", "src", "dst", "vb",
+                _spark_cosine("va", "vb").alias("cos"),
+            )
+        )
+        repruned = over_pool.groupBy("shard", "src").applyInPandas(
+            _alpha_prune_batch(_GRAPH_POOL),
+            "shard int, src long, nbrs array<long>",
+        )
+        gen = 1
+        if spark.catalog.tableExists(d_name):
+            prev = spark.table(d_name).agg(F.max("gen")).collect()[0][0]
+            gen = int(prev or 0) + 1
+        delta = (
+            new_rows.select(
+                "shard", F.col("src").alias("vec_id"),
+                F.array_sort("nbrs").alias("nbrs"),
+            )
+            .unionByName(ok.select("shard", "vec_id", "nbrs"))
+            .unionByName(
+                repruned.select(
+                    "shard", F.col("src").alias("vec_id"),
+                    F.array_sort("nbrs").alias("nbrs"),
+                )
+            )
+            .withColumn("gen", F.lit(gen))
+            .select("gen", "shard", "vec_id", "nbrs")
+        )
+        os.makedirs(base_dir, exist_ok=True)
+        if spark.catalog.tableExists(d_name):
+            delta.write.mode("append").saveAsTable(d_name)
+        else:
+            delta.write.option(
+                "path", os.path.join(base_dir, d_name)
+            ).saveAsTable(d_name)
+        primary.select("vec_id", "shard").write.mode("append").saveAsTable(
+            a_name
+        )
+        with open(ap_marker, "w") as fh:
+            json.dump({"batch_pred": batch_pred, "gen": gen}, fh)
+    health = ann_graph_health(
+        spark, sf_dir, base_pred, shard_target, ident, closure_eps
+    )
+    rebuilt = False
+    rebuilt_tables = None
+    retired = None
+    if auto_rebuild_pred is not None and health.get("rebuild"):
+        new_target = shard_target or _GRAPH_SHARD_TARGET
+        ann_graph_tables(
+            spark, sf_dir, auto_rebuild_pred, shard_target, ident,
+            closure_eps,
+        )
+        new_tag = _graph_tag(
+            sf_dir, auto_rebuild_pred, new_target, ident, closure_eps
+        )
+        rebuilt = True
+        rebuilt_tables = [
+            f"ann_graph_{new_tag}",
+            f"ann_gassign_{new_tag}",
+            f"ann_gcents_{new_tag}",
+        ]
+        if auto_rebuild_pred != base_pred:
+            retired = [
+                f"ann_graph_{tag}", a_name, f"ann_gcents_{tag}", d_name,
+            ]
+            for t in retired:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for mk in [f"_BUILD_OK_ann_graph_{tag}"] + [
+                m
+                for m in os.listdir(base_dir)
+                if m.startswith(f"_APPEND_OK_{d_name}_")
+            ]:
+                p = os.path.join(base_dir, mk)
+                if os.path.exists(p):
+                    os.unlink(p)
+        health = ann_graph_health(
+            spark, sf_dir, auto_rebuild_pred, shard_target, ident,
+            closure_eps,
+        )
+    return {
+        "graph_table": f"ann_graph_{tag}",
+        "delta_table": d_name,
+        "applied": applied,
+        "health": health,
+        "rebuilt": rebuilt,
+        "rebuilt_tables": rebuilt_tables,
+        "retired_tables": retired,
+    }
 
 
 def _graph_beam_results(
@@ -3352,17 +3766,48 @@ def _graph_recall_frame(
     shard_target: int | None,
     ident: str,
     r_shards: int,
+    closure_eps: float = 0.0,
+    delta_batch_pred: str | None = None,
 ) -> DataFrame:
     """Shared recall harness for the graph-ANN dials: build (or read)
     the sharded graph, route queries, beam per (query, shard), merge
-    a global top-3, and measure against in-plan exact brute force.
-    ``visited`` sums over the query's routed shards (each visit is
-    one exact distance — the same unit as the IVF dials' routed
-    rows); scan_fraction divides by the FULL corpus size."""
-    graph, assign, cents = ann_graph_tables(
-        spark, sf_dir, pred, shard_target, ident
-    )
-    e = load_table(spark, sf_dir, "embeddings").filter(pred)
+    a global top-k (deduped by vec_id — closure replicas surface the
+    same neighbor from two shards), and measure against in-plan exact
+    brute force. ``visited`` sums over the query's routed shards
+    (each visit is one exact distance — the same unit as the IVF
+    dials' routed rows, so a replica visited in two shards honestly
+    counts twice); scan_fraction divides by the FULL corpus size, and
+    ``replication`` reports graph memberships per vector (1.0 without
+    closure — the storage side of the closure trade).
+
+    With ``delta_batch_pred`` the harness measures the DELTA-GROWN
+    graph: build on ``pred``, append the batch through
+    append_to_ann_graph, then probe the merge-on-read adjacency with
+    the brute-force ground truth over the UNION corpus — so the
+    deferred batch-internal edges cost shows up as measured recall,
+    not as a claim."""
+    if delta_batch_pred is None:
+        graph, assign, cents = ann_graph_tables(
+            spark, sf_dir, pred, shard_target, ident, closure_eps
+        )
+        corpus_pred = pred
+    else:
+        append_to_ann_graph(
+            spark, sf_dir, pred, delta_batch_pred, shard_target, ident,
+            closure_eps,
+        )
+        target = shard_target or _GRAPH_SHARD_TARGET
+        tag = _graph_tag(sf_dir, pred, target, ident, closure_eps)
+        graph = _graph_adjacency(spark, tag)
+        assign = spark.table(f"ann_gassign_{tag}")
+        c_name = f"ann_gcents_{tag}"
+        cents = (
+            spark.table(c_name)
+            if spark.catalog.tableExists(c_name)
+            else None
+        )
+        corpus_pred = f"({pred}) OR ({delta_batch_pred})"
+    e = load_table(spark, sf_dir, "embeddings").filter(corpus_pred)
     vecs = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -3385,7 +3830,12 @@ def _graph_recall_frame(
     res = _graph_beam_results(spark, graph, vecs, routed, k=3)
     w_g = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     top = (
-        res.withColumn("rn", F.row_number().over(w_g))
+        # a closure replica found in BOTH probed shards is one result,
+        # not two — dedup by (q_id, vec_id) before ranking so a
+        # duplicate can't burn two of the three top-k slots
+        res.groupBy("q_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_g))
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id")
     )
@@ -3417,13 +3867,20 @@ def _graph_recall_frame(
     # probed — the beam can never beat it, so recall ≈ ceiling proves
     # a multi-shard loss is k-means routing geometry, not the graph
     # or the beam (on these near-uniform vectors boundary neighbors
-    # fall in unprobed cells exactly as the IVF dials measured)
+    # fall in unprobed cells exactly as the IVF dials measured).
+    # Membership comes from the GRAPH table, not the primary
+    # assignment, so closure replicas raise the ceiling they exist to
+    # raise (identical to the assignment when closure is off).
+    membership = graph.select("shard", "vec_id")
     reachable = (
-        bf_top.join(assign, "vec_id")
+        bf_top.join(membership, "vec_id")
         .join(routed.select("q_id", "shard"), ["q_id", "shard"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.lit(1).alias("one"))
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("reach"))
     )
+    memb_rows = graph.count()
     return (
         q.select("q_id")
         .join(
@@ -3452,6 +3909,7 @@ def _graph_recall_frame(
             F.round(
                 F.avg(F.coalesce("visited", F.lit(0))) / F.lit(float(n)), 4
             ).alias("scan_fraction"),
+            F.round(F.lit(memb_rows / float(n)), 4).alias("replication"),
         )
     )
 
@@ -3501,11 +3959,11 @@ def embedding_graph_sharded_recall(
     (vs 0.937 single-shard), so the gap to single-shard is PROVEN
     in-band to be routing geometry on these near-uniform vectors
     (boundary neighbors fall in the unprobed cell — the exact
-    phenomenon the IVF dials' route_ceiling documents; SPANN's
-    closure multi-assignment is the known storage-for-recall trade
-    and r13's frontier study measured spill variants NET-worse at
-    matched scan on this corpus). Rows-only for the same reason as
-    the sibling dial (the in-plan brute force is the ground truth)."""
+    phenomenon the IVF dials' route_ceiling documents).
+    embedding_graph_closure_recall is the same dial with SPANN's
+    closure multi-assignment buying that ceiling back. Rows-only for
+    the same reason as the sibling dial (the in-plan brute force is
+    the ground truth)."""
     import math
 
     n = load_table(spark, sf_dir, "embeddings").count()
@@ -3513,6 +3971,69 @@ def embedding_graph_sharded_recall(
     return _graph_recall_frame(
         spark, sf_dir, "vec_id >= 0", "vec_id % 97 = 0",
         shard_target=target, ident="graphsh", r_shards=2,
+    )
+
+
+@query("embedding_graph_closure_recall")
+def embedding_graph_closure_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sharded graph-ANN dial with SPANN closure multi-assignment
+    (Chen et al., NeurIPS'21): boundary vectors whose second-nearest
+    centroid is within (1+eps) of their nearest join BOTH subgraphs
+    (cap 2), so the true neighbors that 2-of-3 hard routing loses
+    become reachable — the known storage-for-recall trade, bought
+    where it is cheap: a beam probe's work is ef-bounded, NOT
+    proportional to the replicated shard size (unlike the IVF
+    posting-list spill variants r13's frontier study measured
+    NET-worse at matched scan — replication inflates every posting
+    scan but only nudges a beam's frontier). ``replication`` reports
+    the storage cost in-plan; ``route_ceiling`` shows how much of the
+    hard-routing loss the closure bought back. Same 3-shard/probe-2
+    geometry as embedding_graph_sharded_recall, so the two dials diff
+    directly. Measured at sf0.1 (PERF.md r14 frontier table):
+    eps=0.01 lifts recall 0.825 → 0.889 (ceiling 0.841 → 0.905,
+    recall/ceiling 0.982) at replication 1.296 and scan 0.4618 →
+    0.5183; larger eps degenerates to ~2x full duplication on this
+    near-uniform corpus and is strictly worse than single-shard.
+    Rows-only like its siblings (the in-plan brute force is the
+    ground truth)."""
+    import math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    target = max(50, math.ceil(n / 3))
+    return _graph_recall_frame(
+        spark, sf_dir, "vec_id >= 0", "vec_id % 97 = 0",
+        shard_target=target, ident="graphshc", r_shards=2,
+        closure_eps=_GRAPH_CLOSURE_EPS,
+    )
+
+
+@query("embedding_graph_delta_recall")
+def embedding_graph_delta_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-ingest dial for the proximity graph: build on 80% of the
+    corpus (vec_id % 5 != 0), append the remaining 20% through
+    append_to_ann_graph (FreshDiskANN-style insert — beam-sourced
+    pools, RobustPrune, reverse-edge merge with overflow re-prune,
+    all landing in the merge-on-read ``ann_gdelta`` generation
+    table), then measure recall@3 + scan over the UNION corpus with
+    in-plan brute force. The number this dial exists to watch is the
+    delta-grown recall vs embedding_graph_beam_recall's fresh-built
+    recall on the same full corpus: the append defers batch-internal
+    edges (a batch vector's pool comes from the standing graph), and
+    that deferral must cost measured recall points, not silent
+    degradation — ann_graph_health meters when the accumulated
+    deferral warrants the compacting rebuild. Measured at sf0.1:
+    delta-grown 0.921 recall @ 0.364 scan vs fresh-built 0.937 @
+    0.342 on the identical corpus/queries — a 20% ingest costs ~1.6
+    points (PERF.md r14). Rows-only like its siblings (the in-plan
+    brute force is the ground truth)."""
+    return _graph_recall_frame(
+        spark, sf_dir, "vec_id % 5 != 0", "vec_id % 97 = 0",
+        shard_target=None, ident="graphd", r_shards=1,
+        delta_batch_pred="vec_id % 5 = 0",
     )
 
 

@@ -30,9 +30,14 @@ def run(seed):
     # version, so the random point predicates exercise zone/bloom
     # pruning (manifest reads, pruned mutation scans, _FILES/_ZONES
     # sidecars) against the model on every seed
+    # r14: odd seeds force EVERY pruned chain read through the
+    # distributed _ZONES probe job (the >10^4-leaf candidate-selection
+    # path); even seeds keep the driver bitmap loop — the two paths
+    # must be indistinguishable against the model
     eng = GraphEngine(spark, data_dir=data_dir, id_buckets=4,
                       max_delta_chain=2, target_bucket_rows=4,
-                      keep_versions=3, zone_bloom_rows=0)
+                      keep_versions=3, zone_bloom_rows=0,
+                      bloom_semijoin_leafs=0 if seed % 2 else 4096)
     eng.execute("CREATE NODE D (a: int, b: int, tag: string DEFAULT 'x');")
     model = []
     def insert():

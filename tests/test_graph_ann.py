@@ -114,3 +114,127 @@ def test_sharded_recall_dial(spark, sf_dir):
     assert 0.0 <= row["avg_recall"] <= 1.0
     # probing 2 of >=3 cells must NOT visit the whole corpus
     assert row["scan_fraction"] < 0.95
+    # no closure: exactly one membership per vector
+    assert row["replication"] == 1.0
+
+
+def test_graph_delta_append(spark, sf_dir):
+    """FreshDiskANN-style delta ingest: appended vectors join the
+    merged adjacency with in-shard pruned edges, the append is
+    idempotent per batch, and health meters growth."""
+    from grapho_spark.queries.embeddings import (
+        _GRAPH_APPEND_CAP,
+        _GRAPH_SHARD_TARGET,
+        _graph_adjacency,
+        _graph_tag,
+        ann_graph_health,
+        append_to_ann_graph,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    base_pred, batch_pred = "vec_id % 5 != 0", "vec_id % 5 = 0"
+    res = append_to_ann_graph(
+        spark, sf_dir, base_pred, batch_pred, ident="testd"
+    )
+    assert res["applied"] is True
+    tag = _graph_tag(sf_dir, base_pred, _GRAPH_SHARD_TARGET, "testd", 0.0)
+    adj = _graph_adjacency(spark, tag)
+    rows = adj.collect()
+    members = {(r["shard"], r["vec_id"]) for r in rows}
+    # every corpus vector is a member exactly once (single shard here)
+    assert len({v for _, v in members}) == n
+    by_id = {r["vec_id"]: r for r in rows}
+    batch_ids = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(batch_pred)
+        .select("vec_id")
+        .collect()
+    }
+    for bid in batch_ids:
+        r = by_id[bid]
+        assert len(r["nbrs"]) >= 1  # attached to the standing graph
+        assert bid not in r["nbrs"]
+        for u in r["nbrs"]:
+            assert (r["shard"], u) in members
+    # standing lists stay under the overflow cap
+    assert max(len(r["nbrs"]) for r in rows) <= _GRAPH_APPEND_CAP
+    # reverse edges landed: some standing vector points at the batch
+    assert any(
+        set(r["nbrs"]) & batch_ids
+        for r in rows
+        if r["vec_id"] not in batch_ids
+    )
+    # health: growth below the rebuild factor, totals exact
+    h = ann_graph_health(spark, sf_dir, base_pred, ident="testd")
+    assert h["built"] and not h["rebuild"]
+    assert h["total_rows"] == n
+    assert h["built_rows"] == n - len(batch_ids)
+    # idempotent per batch: second call skips and changes nothing
+    res2 = append_to_ann_graph(
+        spark, sf_dir, base_pred, batch_pred, ident="testd"
+    )
+    assert res2["applied"] is False
+    rows2 = _graph_adjacency(spark, tag).collect()
+    assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
+
+
+def test_graph_append_auto_rebuild(spark, sf_dir):
+    """Outgrown append compacts in-band into the new identity and
+    retires the old one (the IVF auto-rebuild contract)."""
+    from grapho_spark.queries.embeddings import (
+        ann_graph_health,
+        append_to_ann_graph,
+    )
+
+    base_pred, batch_pred = "vec_id % 5 = 0", "vec_id % 5 != 0"
+    res = append_to_ann_graph(
+        spark, sf_dir, base_pred, batch_pred, ident="testdr",
+        auto_rebuild_pred="vec_id >= 0",
+    )
+    assert res["rebuilt"] is True
+    assert res["retired_tables"]
+    for t in res["retired_tables"]:
+        assert not spark.catalog.tableExists(t)
+    assert spark.catalog.tableExists(res["rebuilt_tables"][0])
+    # post-rebuild health is the NEW identity's cleared verdict
+    assert res["health"]["built"] and not res["health"]["rebuild"]
+    h_old = ann_graph_health(spark, sf_dir, base_pred, ident="testdr")
+    assert h_old["built"] is False  # old marker gone — fails fast
+
+
+def test_closure_membership_invariants(spark, sf_dir):
+    """SPANN closure multi-assignment: primary memberships are
+    bit-identical to the hard assignment (closure only ADDS boundary
+    replicas, capped at _GRAPH_CLOSURE_CAP), replicas carry the same
+    vector, and the closure dial's route ceiling can only match or
+    beat the hard-routed dial's."""
+    from grapho_spark.queries.embeddings import (
+        _GRAPH_CLOSURE_CAP,
+        embedding_graph_closure_recall,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    graph, assign, cents = ann_graph_tables(
+        spark, sf_dir, shard_target=max(10, n // 3),
+        ident="testshc", closure_eps=0.4,
+    )
+    # the primary assignment is contained in the graph membership
+    memb = graph.select("shard", "vec_id")
+    missing = assign.join(memb, ["shard", "vec_id"], "left_anti").count()
+    assert missing == 0
+    # membership covers every vector, capped per vector
+    per_vec = memb.groupBy("vec_id").agg(F.count(F.lit(1)).alias("c"))
+    assert per_vec.count() == n
+    assert per_vec.agg(F.max("c")).collect()[0][0] <= _GRAPH_CLOSURE_CAP
+    # subgraph edges stay within their shard even for replicas
+    rows = graph.collect()
+    members = {(r["shard"], r["vec_id"]) for r in rows}
+    for r in rows:
+        for u in r["nbrs"]:
+            assert (r["shard"], u) in members
+    row_c = embedding_graph_closure_recall(spark, sf_dir).collect()[0]
+    row_h = embedding_graph_sharded_recall(spark, sf_dir).collect()[0]
+    assert row_c["replication"] >= 1.0
+    assert row_c["route_ceiling"] >= row_h["route_ceiling"]
+    assert 0.0 <= row_c["avg_recall"] <= 1.0

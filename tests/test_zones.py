@@ -21,6 +21,15 @@ from grapho_spark.engine import GraphEngine
 from grapho_spark.engine import zones as zn
 
 
+def _kept_total(line: str) -> tuple[int, int]:
+    """Parse 'ZonePruning: ... kept K/N leafs (bloom probe: <mode>)'."""
+    import re
+
+    m = re.search(r"kept (\d+)/(\d+) leafs", line)
+    assert m, line
+    return int(m.group(1)), int(m.group(2))
+
+
 @pytest.fixture()
 def eng(spark, tmp_path):
     e = GraphEngine(
@@ -182,9 +191,10 @@ def test_explain_match_reports_pruning(eng):
     lines = [r["plan"] for r in rows.collect()]
     zp = [ln for ln in lines if ln.startswith("ZonePruning:")]
     assert zp, lines[:5]
-    # "ZonePruning: node T: kept <k>/<n> leafs" with k < n
-    kept, total = zp[0].rsplit(" ", 2)[1].split("/")
-    assert int(kept) < int(total) == 8
+    # "ZonePruning: node T: kept <k>/<n> leafs (bloom probe: driver)"
+    kept, total = _kept_total(zp[0])
+    assert kept < total == 8
+    assert "(bloom probe: driver)" in zp[0]
     # the audit is statement-scoped: a fresh EXPLAIN without a
     # prunable WHERE reports nothing
     rows2 = eng.execute("EXPLAIN MATCH T t RETURN k;")[0].df
@@ -248,8 +258,8 @@ def test_var_length_match_prunes_endpoints(eng):
     ]
     assert len(audit) == 2
     for ln in audit:
-        kept, total = ln.rsplit(" ", 2)[1].split("/")
-        assert int(kept) < int(total) == 8
+        kept, total = _kept_total(ln)
+        assert kept < total == 8
 
 
 def test_var_length_optional_edge_pruning_stays_sound(eng):
@@ -304,16 +314,19 @@ def test_semijoin_path_matches_driver_path(eng):
     must equal the driver loop's for point, OR, IN, and range-only
     (stats-decided) statements."""
 
-    def run(stmt):
+    def run(stmt, want_mode):
         audit = [
             r["plan"]
             for r in eng.execute("EXPLAIN " + stmt)[0].df.collect()
             if r["plan"].startswith("ZonePruning:")
         ]
+        # the audit names the path that ran; decisions are compared
+        # mode-agnostically below
+        assert all(f"(bloom probe: {want_mode})" in ln for ln in audit)
         rows = sorted(
             tuple(r) for r in eng.execute(stmt)[0].df.collect()
         )
-        return audit, rows
+        return [_kept_total(ln) for ln in audit], rows
 
     stmts = [
         "MATCH T t WHERE k: 12345 RETURN k, v;",
@@ -322,14 +335,14 @@ def test_semijoin_path_matches_driver_path(eng):
         "MATCH T t WHERE v > 90 RETURN k ORDER BY k LIMIT 3;",
         "MATCH T t WHERE k < 0 RETURN k;",
     ]
-    driver = [run(s) for s in stmts]
+    driver = [run(s, "driver") for s in stmts]
     assert eng.bloom_semijoin_leafs > 0
     eng.bloom_semijoin_leafs = 0
-    dist = [run(s) for s in stmts]
+    dist = [run(s, "job") for s in stmts]
     assert dist == driver
     # the point statement did prune on both paths
-    kept, total = driver[0][0][0].rsplit(" ", 2)[1].split("/")
-    assert int(kept) < int(total)
+    kept, total = driver[0][0][0]
+    assert kept < total
 
 
 def test_semijoin_point_update_delete_exact(eng):
