@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
-from grapho_spark.sparkutil import memo_table
+from grapho_spark.sparkutil import materialize, memo_table
 from grapho_spark.tables import load_table
 
 MIN_WEIGHT = 2
@@ -575,7 +575,12 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    adj = capped_adjacency(sym)
+    # r15: the capped adjacency feeds BOTH wedge sides (and two wedge
+    # queries share it) — memoized like rw_adj, so neither consumer
+    # re-runs the row_number window + exchange
+    adj = memo_table(
+        spark, f"capped_adj:{sf_dir}", lambda: capped_adjacency(sym)
+    )
     a = adj.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
     b = adj.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
     common = (
@@ -948,37 +953,59 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     list gets bucketed twice, once per key, and iterations are
     shuffle-free); score state is node-sized, never edge-sized.
     """
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    bedges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
+    # r15 (guide §2.4/§3.1): the edge list never shuffles. orders
+    # broadcasts into the bedges build (key-only projection, one
+    # exchange total — the distinct), and every half-iteration joins
+    # the NODE-SIZED score vector back by broadcast instead of
+    # sort-merge-exchanging the edge list on alternating keys (the r14
+    # plan exchanged bedges 4x + sorted it 8x; the score vector is to
+    # the edge list what the rank vector is to PPR — ≪ edges, and at
+    # 100 TB the stated alternative is bucketing bedges by both keys).
+    # materialize(), not bare localCheckpoint(): the direct checkpoint
+    # materializes via the codegen-less .rdd path (PERF.md measured
+    # 17s vs 1.8s on a same-shape plan). a2 is materialized too — it
+    # feeds both h2 and the authority output, and without the barrier
+    # Catalyst re-inlines the whole chain into each consumer.
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bedges = materialize(
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
-        .localCheckpoint()
     )
     a1 = bedges.groupBy("part").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("a")
     )
     h1 = (
-        bedges.join(a1, "part").groupBy("cust").agg(F.sum("a").alias("h"))
+        bedges.join(F.broadcast(a1), "part").groupBy("cust").agg(F.sum("a").alias("h"))
     )
-    a2 = bedges.join(h1, "cust").groupBy("part").agg(F.sum("h").alias("a"))
-    h2 = bedges.join(a2, "part").groupBy("cust").agg(F.sum("a").alias("h"))
-    max_h = h2.agg(F.max("h").cast("double").alias("m"))
-    max_a = a2.agg(F.max("a").cast("double").alias("m"))
-    hubs = h2.crossJoin(F.broadcast(max_h)).select(
+    a2 = materialize(
+        bedges.join(F.broadcast(h1), "cust").groupBy("part").agg(F.sum("h").alias("a"))
+    )
+    h2 = bedges.join(F.broadcast(a2), "part").groupBy("cust").agg(F.sum("a").alias("h"))
+    # one window pass computes the per-role max for normalization —
+    # the r14 crossJoin(broadcast(agg)) form recomputed the h2/a2
+    # subtrees once per consumer
+    unioned = h2.select(
         F.lit("hub").alias("role"),
         F.col("cust").alias("node"),
-        F.round(F.col("h").cast("double") / F.col("m"), 6).alias("score"),
+        F.col("h").alias("s"),
+    ).unionByName(
+        a2.select(
+            F.lit("authority").alias("role"),
+            F.col("part").alias("node"),
+            F.col("a").alias("s"),
+        )
     )
-    auths = a2.crossJoin(F.broadcast(max_a)).select(
-        F.lit("authority").alias("role"),
-        F.col("part").alias("node"),
-        F.round(F.col("a").cast("double") / F.col("m"), 6).alias("score"),
-    )
+    w_max = Window.partitionBy("role")
     w = Window.partitionBy("role").orderBy(F.desc("score"), "node")
     return (
-        hubs.unionByName(auths)
+        unioned.withColumn(
+            "score",
+            F.round(
+                F.col("s").cast("double") / F.max("s").over(w_max).cast("double"), 6
+            ),
+        )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= HITS_TOPK)
         .select("role", "node", "score", "rk")
@@ -1031,15 +1058,28 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     order total is a 1-row broadcast scalar. No pass is quadratic in
     parts — only observed pairs above threshold materialize.
     """
-    pairs = _copurchase_pairs(spark, sf_dir)
+    # r15 (guide §2.4): the per-pair co-order counts are EXACTLY the
+    # memoized co-purchase edge weights (same pair builder, same
+    # count), so filter the shared materialized view to the stricter
+    # RULE_MIN_CO >= MIN_WEIGHT threshold instead of re-running the
+    # set-explode pair build + count shuffle per invocation. The r14
+    # plan additionally inlined that whole build TWICE (once per
+    # direction of the rules union — 5 lineitem scans); reading the
+    # cached edge table twice is free.
+    assert RULE_MIN_CO >= MIN_WEIGHT
     co = (
-        pairs.groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-        .filter(F.col("n_co") >= RULE_MIN_CO)
+        copurchase_edges(spark, sf_dir)
+        .filter(F.col("weight") >= RULE_MIN_CO)
+        .select("p1", "p2", F.col("weight").alias("n_co"))
     )
     l = load_table(spark, sf_dir, "lineitem")
-    item = l.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count_distinct("l_orderkey").alias("n_ord")
+    # materialized: consumed twice (antecedent + consequent sides) —
+    # without the barrier each broadcast re-runs the count-distinct
+    # pass over lineitem
+    item = materialize(
+        l.groupBy(F.col("l_partkey").alias("p")).agg(
+            F.count_distinct("l_orderkey").alias("n_ord")
+        )
     )
     tot = l.agg(F.count_distinct("l_orderkey").alias("n"))
     rules = co.select(
@@ -1348,7 +1388,14 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    seeds = nodes.join(F.broadcast(p), nodes.node == p.p_partkey, "left_semi")
+    # r15: seeds are MATERIALIZED — consumed by the count, r0 and (via
+    # restart) both unrolled iterations; without the barrier each
+    # consumer re-ran the distinct + semi-join subtree (the before-plan
+    # carried 94 Exchange nodes vs ~20 after). The count below then
+    # reads the persisted table for free.
+    seeds = materialize(
+        nodes.join(F.broadcast(p), nodes.node == p.p_partkey, "left_semi")
+    )
     s = seeds.count()
     # the literal MUST pin to long: with enough seeds 1e12//s fits
     # int32, Spark infers IntegerType, and r*17 overflows downstream
@@ -1357,8 +1404,13 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(1_000_000_000_000 // s).cast("long").alias("r")
     )
     restart = r0.select("node", F.expr("r * 3 div 20").alias("t"))
-    ann = sym.join(F.broadcast(deg), sym.src == deg.node).select(
-        F.col("src"), F.col("dst"), F.col("d")
+    # materialized: the degree-annotated edge table is loop-invariant
+    # and consumed by BOTH unrolled push iterations (the same hoist
+    # _pr_loop applies to its `ed` table)
+    ann = materialize(
+        sym.join(F.broadcast(deg), sym.src == deg.node).select(
+            F.col("src"), F.col("dst"), F.col("d")
+        )
     )
 
     def push(rank: DataFrame) -> DataFrame:
@@ -1430,7 +1482,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = sym_edges(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    adj = capped_adjacency(sym)
+    # r15: the capped adjacency feeds BOTH wedge sides (and two wedge
+    # queries share it) — memoized like rw_adj, so neither consumer
+    # re-runs the row_number window + exchange
+    adj = memo_table(
+        spark, f"capped_adj:{sf_dir}", lambda: capped_adjacency(sym)
+    )
     a = adj.select(F.col("src").alias("u"), F.col("dst").alias("w1"))
     b = adj.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
     wedges = (
@@ -1637,21 +1694,24 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m"),
         )
     )
-    total = per.agg(F.sum("contribution_num").alias("num_total"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "community",
-            "n_nodes",
-            "internal_edges",
-            "degree_sum",
-            "contribution_num",
-            F.round(
-                F.col("num_total").cast("double")
-                / (F.lit(4.0) * F.col("m") * F.col("m")),
-                6,
-            ).alias("modularity_q"),
-        )
+    # r15: the global numerator folds in with ONE unpartitioned window
+    # over the community-sized `per` table — the r14
+    # crossJoin(broadcast(agg)) form re-executed the whole per subtree
+    # (labels ⋈ deg ⋈ edges chain) a second time to build the 1-row
+    # broadcast. Community counts are bounded (LPA labels), so the
+    # single-partition window is node-sized at worst.
+    w_all = Window.partitionBy()
+    return per.select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        "contribution_num",
+        F.round(
+            F.sum("contribution_num").over(w_all).cast("double")
+            / (F.lit(4.0) * F.col("m") * F.col("m")),
+            6,
+        ).alias("modularity_q"),
     )
 
 
@@ -1817,12 +1877,18 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dag = memo_table(spark, f"stress_dag:{sf_dir}:{SC_MOD}:{SC_HOPS}", build_dag)
     # forward: sigma (number of shortest s->v paths), layer by layer
+    # r15: each sigma/g layer is MATERIALIZED before the next layer
+    # and the union consume it — layer h feeds both, and without the
+    # barrier the unioned plan re-executed every earlier layer's join
+    # chain per frame (O(hops^2) work; the before-plan carried 316
+    # Exchange nodes). Layers are (source, v)-sized — tiny relative to
+    # the memoized dag/dists they join.
     layer = dists.filter(F.col("hops") == 0).select(
         "source", F.col("node").alias("v"), F.lit(1).cast("long").alias("sig")
     )
     sig_frames = [layer]
     for h in range(SC_HOPS):
-        layer = (
+        layer = materialize(
             dag.filter(F.col("hv") == h)
             .join(layer, ["source", "v"])
             .groupBy("source", F.col("w"))
@@ -1848,7 +1914,7 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source", "v")
             .agg(F.sum("g").alias("gsum"))
         )
-        g = (
+        g = materialize(
             dists.filter(F.col("hops") == h)
             .select("source", F.col("node").alias("v"))
             .join(succ, ["source", "v"], "left")
@@ -1949,8 +2015,16 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("node") % RW_MOD == 0)
     )
-    cur = starts.select(F.col("node").alias("start"), F.col("node"))
-    frames = [cur.select("start", F.lit(0).alias("step"), "node")]
+    # r15 (guide §2.4): the walk accumulates as an ARRAY column and
+    # explodes once at the end. The r14 form unioned a frame per step,
+    # and each later frame's plan re-executed every earlier step's
+    # joins (the union was O(steps^2) work — the before-plan carries
+    # 458 Exchange nodes vs ~30 after). Each step remains one join
+    # against the cached degree table + one against the cached indexed
+    # adjacency; only the walk frontier shuffles.
+    cur = starts.select(
+        F.col("node").alias("start"), F.array("node").alias("path"), F.col("node")
+    )
     for t in range(RW_STEPS):
         pick = (
             F.conv(
@@ -1978,10 +2052,10 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 adj,
                 (F.col("node") == F.col("a_src")) & (F.col("pick") == F.col("idx")),
             )
-            .select("start", F.col("dst").alias("node"))
+            .select(
+                "start",
+                F.concat("path", F.array("dst")).alias("path"),
+                F.col("dst").alias("node"),
+            )
         )
-        frames.append(cur.select("start", F.lit(t + 1).alias("step"), "node"))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+    return cur.select("start", F.posexplode("path").alias("step", "node"))

@@ -21,6 +21,20 @@ from grapho_spark.streaming import run_to_memory
 from grapho_spark.tables import load_stream, load_table
 from grapho_spark.queries.text import _STOP_SQL as _CUR_STOP_SQL
 from grapho_spark.sparkutil import scratch_path
+from grapho_spark.streaming.ops import stream_state_partitions
+from grapho_spark.tables import table_path
+
+
+def _sp(spark: SparkSession, sf_dir: str, *tables: str) -> int:
+    """Input-sized streaming state-partition count for this query's
+    source tables (see ``stream_state_partitions``): the
+    shuffle-partition count a streaming query starts with is its
+    state-store instance count per stateful operator per micro-batch,
+    so it is derived from source bytes (floor 4, cap cluster
+    parallelism) instead of inheriting the session default."""
+    return stream_state_partitions(
+        spark, *(table_path(sf_dir, t) for t in tables)
+    )
 
 
 @query(
@@ -51,7 +65,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
-    out = run_to_memory(stream, "complete")
+    out = run_to_memory(stream, "complete", state_partitions=_sp(spark, sf_dir, "events"))
     return out.select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -89,7 +103,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grapho_spark.streaming import sessionized_counts
 
     stream = load_stream(spark, sf_dir, "events")
-    out = run_to_memory(sessionized_counts(stream, gap="30 minutes"), "complete")
+    out = run_to_memory(sessionized_counts(stream, gap="30 minutes"), "complete", state_partitions=_sp(spark, sf_dir, "events"))
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
@@ -115,7 +129,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     from grapho_spark.streaming import stateful_user_totals
 
     stream = load_stream(spark, sf_dir, "events")
-    out = run_to_memory(stateful_user_totals(stream), "update")
+    out = run_to_memory(stateful_user_totals(stream), "update", state_partitions=_sp(spark, sf_dir, "events"))
     # update mode emits one row per key per micro-batch; keep the final
     # (max-count) state per user.
     return out.groupBy("user_id").agg(
@@ -155,7 +169,7 @@ def streaming_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_seen"),
         )
     )
-    return run_to_memory(stream, "complete")
+    return run_to_memory(stream, "complete", state_partitions=_sp(spark, sf_dir, "events"))
 
 
 @query(
@@ -184,7 +198,7 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_to_memory(windowed, "complete")
+    out = run_to_memory(windowed, "complete", state_partitions=_sp(spark, sf_dir, "events"))
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )
@@ -242,7 +256,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("error_ts") >= F.col("purchase_ts"))
         & (F.col("error_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 1 HOUR")),
     )
-    out = run_to_memory(joined, "append")
+    out = run_to_memory(joined, "append", state_partitions=_sp(spark, sf_dir, "events"))
     return out.select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
@@ -279,7 +293,9 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type", "minute_start"])
     )
     out = run_to_memory(
-        deduped.select("user_id", "event_type", "minute_start"), "append"
+        deduped.select("user_id", "event_type", "minute_start"),
+        "append",
+        state_partitions=_sp(spark, sf_dir, "events"),
     )
     return out.groupBy("user_id", "event_type", "minute_start").agg(
         F.count(F.lit(1)).alias("n_first_seen")
@@ -367,7 +383,7 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("error_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     )
-    out = run_to_memory(joined.filter(F.col("purchase_ts") <= F.lit(cutoff)), "append")
+    out = run_to_memory(joined.filter(F.col("purchase_ts") <= F.lit(cutoff)), "append", state_partitions=_sp(spark, sf_dir, "events"))
     return out.select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
@@ -429,7 +445,7 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = max_us - 3_600_000_000 - 1_800_000_000 - 300_000_000
     ev = load_stream(spark, sf_dir, "events")
-    out = run_to_memory(sessionize_with_timeout(ev), "append")
+    out = run_to_memory(sessionize_with_timeout(ev), "append", state_partitions=_sp(spark, sf_dir, "events"))
     return out.filter(F.col("session_end_us") <= F.lit(cutoff))
 
 
@@ -511,6 +527,7 @@ def streaming_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_doc", F.size("matches").cast("long").alias("n_corpus_matches")
         ).filter(F.col("n_corpus_matches") > 0),
         "append",
+        state_partitions=_sp(spark, sf_dir, "documents"),
     )
     return out
 
@@ -570,7 +587,7 @@ def streaming_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_emails"
         ),
     )
-    return run_to_memory(out, "append")
+    return run_to_memory(out, "append", state_partitions=_sp(spark, sf_dir, "documents"))
 
 
 @query(
@@ -630,7 +647,7 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day"), bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    win = run_to_memory(stream, "complete").select(
+    win = run_to_memory(stream, "complete", state_partitions=_sp(spark, sf_dir, "events")).select(
         F.col("window.start").alias("window_start"), "bin", "c"
     )
     e = load_table(spark, sf_dir, "events").select(bin_col.alias("bin"))
@@ -694,7 +711,7 @@ def streaming_windowed_distinct_sketch(spark: SparkSession, sf_dir: str) -> Data
             )
         )
     )
-    sketched = run_to_memory(stream, "complete").select(
+    sketched = run_to_memory(stream, "complete", state_partitions=_sp(spark, sf_dir, "events")).select(
         F.col("window.start").alias("window_start"),
         "event_type",
         "sketch_users",
@@ -769,7 +786,7 @@ def streaming_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("vec_id % 97 = 0")
         .select("vec_id", "embedding")
     )
-    return run_to_memory(ann_probe_mapside(q_stream, static_cb, cell_tbl), "append")
+    return run_to_memory(ann_probe_mapside(q_stream, static_cb, cell_tbl), "append", state_partitions=_sp(spark, sf_dir, "embeddings"))
 
 
 def _dsir_stream_oracle() -> str:
@@ -851,7 +868,7 @@ def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("log_importance"),
     )
-    return run_to_memory(scored, "append")
+    return run_to_memory(scored, "append", state_partitions=_sp(spark, sf_dir, "documents"))
 
 
 def _bpe_stream_oracle() -> str:
@@ -930,7 +947,7 @@ def streaming_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(element_at(vmap, w), CAST(length(w) AS BIGINT)))"
         ).alias("n_bpe_tokens"),
     )
-    return run_to_memory(counted, "append")
+    return run_to_memory(counted, "append", state_partitions=_sp(spark, sf_dir, "documents"))
 
 
 def _quality_stream_oracle() -> str:
@@ -1009,7 +1026,7 @@ def streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{s} >= 500000 AS keep",
         )
     )
-    return run_to_memory(stream, "append")
+    return run_to_memory(stream, "append", state_partitions=_sp(spark, sf_dir, "documents"))
 
 
 def _cms_stream_oracle() -> str:
@@ -1054,7 +1071,7 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    return run_to_memory(stream, "complete")
+    return run_to_memory(stream, "complete", state_partitions=_sp(spark, sf_dir, "documents"))
 
 
 @query(
@@ -1101,7 +1118,9 @@ def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k")
     )
-    run_with_checkpoint(agg, "update", ckpt)
+    run_with_checkpoint(
+        agg, "update", ckpt, state_partitions=_sp(spark, sf_dir, "events")
+    )
     st = spark.read.format("statestore").load(ckpt)
     # `value.count` / `value.sum` are Spark's INTERNAL aggregation-
     # buffer field names (not the query's n_events/sum_k aliases) —
@@ -1159,7 +1178,7 @@ def streaming_windowed_quantile_sketch(spark: SparkSession, sf_dir: str) -> Data
             F.percentile_approx("value", 0.95, 1000).alias("p95"),
         )
     )
-    sketched = run_to_memory(stream, "complete").select(
+    sketched = run_to_memory(stream, "complete", state_partitions=_sp(spark, sf_dir, "events")).select(
         F.col("window.start").alias("window_start"), "event_type", "p50", "p95"
     )
     ev = load_table(spark, sf_dir, "events").select(

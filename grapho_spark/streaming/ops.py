@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import uuid
 from collections.abc import Iterable
+from contextlib import contextmanager as _contextmanager
 
 import pandas as pd
 
@@ -27,38 +28,103 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def run_with_checkpoint(stream_df: DataFrame, out_mode: str, checkpoint_dir: str) -> None:
+def stream_state_partitions(spark, *paths: str) -> int:
+    """Scale-adaptive shuffle/state partition count for a streaming
+    query over the given source files/dirs (r15, guide §2 "make
+    partitioning scale-adaptive ... derive from input size").
+
+    A streaming query's shuffle-partition count is ALSO its state-store
+    instance count, fixed at the first micro-batch: every stateful
+    operator pays one state-store open + commit + task launch per
+    partition per batch, regardless of data. Sizing it to the session
+    default (cores) made a megabyte-scale stream pay 32 state commits
+    per operator per batch — measured at sf0.1: windowed quantile 4.8s
+    -> 1.3s, windowed counts 2.9s -> 0.9s at the derived count. The
+    per-partition byte target is env-tunable
+    (``SPARK_GRAFT_STREAM_PART_BYTES``, default 64 MB); the count
+    floors at 4 and caps at the cluster parallelism, so a 100 TB
+    backlog still derives the cap — the same cost-based call
+    ``_loop_partitions`` makes for iterative state.
+    """
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    target = int(os.environ.get("SPARK_GRAFT_STREAM_PART_BYTES", str(64 << 20)))
+    return max(4, min(spark.sparkContext.defaultParallelism, total // target + 1))
+
+
+@_contextmanager
+def _scoped_shuffle_partitions(spark, n: int | None):
+    """Pin spark.sql.shuffle.partitions for the duration of a streaming
+    run (None = leave the session conf alone). The streaming engine
+    reads the conf when the query STARTS, so scoping around
+    start()/processAllAvailable() is sufficient and the batch plans
+    around the stream keep the session default."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def run_with_checkpoint(
+    stream_df: DataFrame,
+    out_mode: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
+) -> None:
     """Drive a (finite) streaming DataFrame to completion against an
     EXPLICIT checkpoint location (noop sink): afterwards the checkpoint
     holds the query's final state-store snapshot and offset log — the
     thing the ``statestore`` reader introspects, and what a production
     restart resumes from."""
-    q = (
-        stream_df.writeStream.outputMode(out_mode)
-        .format("noop")
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    spark = stream_df.sparkSession
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode(out_mode)
+            .format("noop")
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
-def run_to_memory(stream_df: DataFrame, out_mode: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, out_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Drive a (finite) streaming DataFrame to completion into an
-    in-memory table; returns the table as a DataFrame."""
+    in-memory table; returns the table as a DataFrame.
+
+    ``state_partitions`` (see ``stream_state_partitions``) sizes the
+    stream's shuffle/state partitioning to its input instead of the
+    session default; result values are partitioning-independent."""
     name = "stream_out_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.outputMode(out_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    spark = stream_df.sparkSession
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode(out_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return stream_df.sparkSession.table(name)
 
 
