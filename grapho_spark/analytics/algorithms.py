@@ -57,7 +57,13 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def bfs(edges: DataFrame, start_nodes: DataFrame, max_hops: int, directed: bool = True) -> DataFrame:
+def bfs(
+    edges: DataFrame,
+    start_nodes: DataFrame,
+    max_hops: int,
+    directed: bool = True,
+    prepared: bool = False,
+) -> DataFrame:
     """Hop distances from ``start_nodes`` (column ``node``) up to
     ``max_hops``: returns (node, hops) with the MINIMUM hop count.
 
@@ -66,8 +72,17 @@ def bfs(edges: DataFrame, start_nodes: DataFrame, max_hops: int, directed: bool 
     """
     # Cache the edge table PRE-PARTITIONED on the per-hop join key:
     # each hop then shuffles only the frontier, never the edges.
-    e = materialize(
-        (edges.select("src", "dst") if directed else _symmetrize(edges)).repartition("src")
+    # ``prepared=True``: the caller passes it already partitioned +
+    # materialized (e.g. a session-memoized view shared across
+    # traversal queries).
+    e = (
+        edges
+        if prepared
+        else materialize(
+            (edges.select("src", "dst") if directed else _symmetrize(edges)).repartition(
+                "src"
+            )
+        )
     )
     visited = start_nodes.select("node").distinct().withColumn("hops", F.lit(0))
     frontier = visited.select("node")
@@ -84,9 +99,12 @@ def _bfs_loop(e, visited, frontier, max_hops):
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(hop))
-            .transform(checkpoint_state)
         )
-        if nxt.isEmpty():
+        # pinning count doubles as the emptiness probe (r15 — the
+        # separate isEmpty was one extra job per hop)
+        n_new = nxt.count()
+        nxt = nxt.localCheckpoint()
+        if n_new == 0:
             break
         visited = checkpoint_state(visited.unionByName(nxt))
         frontier = nxt.select("node")
@@ -94,7 +112,11 @@ def _bfs_loop(e, visited, frontier, max_hops):
 
 
 def multi_source_bfs(
-    edges: DataFrame, sources: DataFrame, max_hops: int, directed: bool = True
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    directed: bool = True,
+    prepared: bool = False,
 ) -> DataFrame:
     """Per-source hop distances: (source, node, hops) with the MINIMUM
     hop count from every node in ``sources`` (column ``node``) up to
@@ -112,8 +134,18 @@ def multi_source_bfs(
     explode to rows, so output work is Σ_s |reachable_s|, the
     Eppstein-Wang sampled-centrality budget where |S| is the knob.
     """
-    e = materialize(
-        (edges.select("src", "dst") if directed else _symmetrize(edges)).repartition("src")
+    # r15: callers sharing one graph snapshot may pass the
+    # src-partitioned edge table pre-materialized (``prepared=True``,
+    # e.g. a session-memoized view shared by the centrality
+    # estimators) — skipping a full repartition+persist per call.
+    e = (
+        edges
+        if prepared
+        else materialize(
+            (edges.select("src", "dst") if directed else _symmetrize(edges)).repartition(
+                "src"
+            )
+        )
     )
     src0 = sources.select("node").distinct()
     # per-node visited source-set; seeded with {self} for each source
@@ -141,9 +173,12 @@ def multi_source_bfs(
                     ).alias("new_srcs"),
                 )
                 .filter(F.size("new_srcs") > 0)
-                .transform(checkpoint_state)
             )
-            if nxt.isEmpty():
+            # the checkpoint's pinning count doubles as the emptiness
+            # probe — the r14 loop paid a separate isEmpty job per hop
+            n_new = nxt.count()
+            nxt = nxt.localCheckpoint()
+            if n_new == 0:
                 break
             out = out.unionByName(
                 nxt.select(
@@ -164,19 +199,30 @@ def multi_source_bfs(
                 .transform(checkpoint_state)
             )
             frontier = nxt.select("node", F.col("new_srcs").alias("srcs"))
+    # the trailing checkpoint stays (r15 note: dropping it was tried —
+    # consumers like the stress sigma/g passes reference the distance
+    # table ~10 times, and without the compact LogicalRDD plan each
+    # reference re-embeds the whole BFS union lineage, costing more in
+    # per-repeat planning than the one pinning pass costs in execution)
     return checkpoint_state(out)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, prepared: bool = False
+) -> DataFrame:
     """(node, component) by iterative min-label propagation on the
-    undirected graph; converges in O(diameter) rounds."""
+    undirected graph; converges in O(diameter) rounds.
+
+    ``prepared=True``: ``edges`` is already symmetrized,
+    src-partitioned to the loop partition count and materialized (a
+    shared session view) — skip the per-call symmetrize+persist."""
     spark = edges.sparkSession
-    parts = _loop_partitions(2 * edges.count(), spark)
+    parts = _loop_partitions(edges.count() if prepared else 2 * edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
         # Pre-partitioned on src (the per-round join/groupBy key): the
         # cached edge table never re-exchanges inside the loop — only
         # the node-sized label table shuffles per round.
-        sym = materialize(_symmetrize(edges).repartition("src"))
+        sym = edges if prepared else materialize(_symmetrize(edges).repartition("src"))
         # Seed each node with min({self} ∪ N(v)) in ONE aggregation over
         # the symmetrized edges — the same state a full first round of
         # join+union+min would produce from identity labels, minus that
@@ -370,18 +416,29 @@ def connected_components_lss(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 10, damping: float = 0.85, directed: bool = True
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    directed: bool = True,
+    prepared: bool = False,
 ) -> DataFrame:
     """(node, pagerank) after ``iters`` synchronous iterations.
 
     Dangling mass is redistributed uniformly each round (so ranks sum
     to ~1). Two shuffles per iteration (join on src, agg on dst).
-    """
+
+    ``prepared=True``: ``edges`` is the already-symmetrized,
+    src-partitioned, materialized shared view (implies
+    ``directed=False`` semantics are pre-applied)."""
     spark = edges.sparkSession
-    parts = _loop_partitions(2 * edges.count(), spark)
+    parts = _loop_partitions(edges.count() if prepared else 2 * edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
-        e = (edges.select("src", "dst") if directed else _symmetrize(edges)).transform(
-            materialize
+        e = (
+            edges
+            if prepared
+            else (
+                edges.select("src", "dst") if directed else _symmetrize(edges)
+            ).transform(materialize)
         )
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -390,15 +447,20 @@ def pagerank(
             .transform(materialize)
         )
         n = nodes.count()
-        deg = (
-            e.groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("d"))
-            .transform(materialize)
-        )
-        # If every node has out-degree (e.g. any symmetrized graph),
-        # the per-iteration dangling-mass aggregation is a guaranteed
-        # zero — check ONCE instead of paying a job per round.
-        has_dangling = nodes.join(deg, "node", "left_anti").limit(1).count() > 0
+        deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+        if directed:
+            # If every node has out-degree, the per-iteration
+            # dangling-mass aggregation is a guaranteed zero — check
+            # ONCE instead of paying a job per round. deg feeds both
+            # this probe and the ed build, so pin it.
+            deg = materialize(deg)
+            has_dangling = nodes.join(deg, "node", "left_anti").limit(1).count() > 0
+        else:
+            # r15: a symmetrized graph gives every node out-edges by
+            # construction — skip the probe job AND the deg persist
+            # (deg then has exactly one consumer, the ed build, which
+            # materializes itself).
+            has_dangling = False
         ranks = nodes.withColumn("pr", F.lit(1.0 / n))
         ranks = _pr_loop(e, nodes, deg, ranks, n, iters, damping, has_dangling)
     return ranks.withColumnRenamed("pr", "pagerank")
@@ -443,7 +505,9 @@ def _pr_loop(e, nodes, deg, ranks, n, iters, damping, has_dangling=True):
     return ranks
 
 
-def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int, prepared: bool = False
+) -> DataFrame:
     """Synchronous label propagation (community detection), fully
     deterministic: every node starts labeled with its own id; each
     round it adopts its neighbors' MOST FREQUENT label, ties broken by
@@ -458,10 +522,10 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     from pyspark.sql import Window
 
     spark = edges.sparkSession
-    parts = _loop_partitions(2 * edges.count(), spark)
+    parts = _loop_partitions(edges.count() if prepared else 2 * edges.count(), spark)
     with no_aqe(spark), shuffle_partitions(spark, parts):
         # src-partitioned cache: rounds shuffle labels, not edges.
-        sym = materialize(_symmetrize(edges).repartition("src"))
+        sym = edges if prepared else materialize(_symmetrize(edges).repartition("src"))
         labels = (
             sym.select(F.col("src").alias("node"))
             .distinct()

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from grapho_spark.queries import query
 from grapho_spark.tables import load_table
-from grapho_spark.sparkutil import scratch_path
+from grapho_spark.sparkutil import materialize, scratch_path
 
 DIM = 64
 
@@ -823,7 +823,11 @@ def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
         )
     )
-    dists = (
+    # r15: materialized - the per-(vector, subspace, codeword) distance
+    # table feeds BOTH the corpus code assignment and the query LUT
+    # slice; without the barrier the explode-codebook-agg chain ran
+    # twice per invocation
+    dists = materialize(
         expl.join(F.broadcast(cw), ["sub", "pos"])
         .groupBy("vec_id", "sub", "grp")
         .agg(
@@ -1720,7 +1724,12 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ev").alias("av"),
         F.col("label").alias("a_label"),
     )
-    scored = (
+    # r15: materialized — scored feeds both the positive and negative
+    # argmax; without the barrier the anchor-corpus cosine fan-out
+    # (the expensive higher-order array expression) evaluated twice
+    from grapho_spark.sparkutil import materialize as _mat
+
+    scored = _mat(
         F.broadcast(anchors)
         .crossJoin(e)
         .filter(F.col("a_id") != F.col("vec_id"))

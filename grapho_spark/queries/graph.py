@@ -106,6 +106,27 @@ def sym_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def prepared_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized co-purchase edge list, src-partitioned and
+    session-memoized (r15): the iterative/traversal queries (CC, LPA,
+    PageRank, harmonic/stress multi-source BFS, bounded BFS) each
+    cached their own repartitioned copy per invocation — one shared
+    materialized view serves them all, the same production posture as
+    copurchase_edges itself. Partitioned to the LOOP partition count
+    (``_loop_partitions`` over the edge rows — the same cost-based
+    sizing every consumer loop derives), so per-round joins on src are
+    co-partitioned with the iteration state instead of re-exchanging
+    the edge table each round."""
+    from grapho_spark.analytics.algorithms import _loop_partitions
+
+    def build() -> DataFrame:
+        edges = copurchase_edges(spark, sf_dir)
+        parts = _loop_partitions(2 * edges.count(), spark)
+        return sym_edges(edges).repartition(parts, "src")
+
+    return memo_table(spark, f"sym_edges_by_src:{sf_dir}", build)
+
+
 # Super-node guard for wedge-enumerating operators (adamic-adar,
 # neighborhood jaccard, triangle wedges): their intermediate size is
 # sum(deg^2) over wedge centers, and real 100 TB graphs are power-law —
@@ -368,9 +389,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if edges.count() > DRIVER_GRAPH_THRESHOLD:
         from grapho_spark.analytics import connected_components
 
-        return connected_components(
-            edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        )
+        return connected_components(prepared_sym_edges(spark, sf_dir), prepared=True)
     pairs = edges.select("p1", "p2").collect()
     parent: dict[int, int] = {}
 
@@ -416,10 +435,7 @@ def graph_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from grapho_spark.analytics import connected_components
 
-    edges = copurchase_edges(spark, sf_dir)
-    return connected_components(
-        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-    )
+    return connected_components(prepared_sym_edges(spark, sf_dir), prepared=True)
 
 
 @query(
@@ -493,10 +509,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         from grapho_spark.analytics import pagerank as pr_distributed
 
         ranks = pr_distributed(
-            edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+            prepared_sym_edges(spark, sf_dir),
             iters=PR_ITERS,
             damping=DAMPING,
             directed=False,
+            prepared=True,
         )
         return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
 
@@ -528,12 +545,12 @@ def graph_pagerank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness + bench cost for the scale path every round."""
     from grapho_spark.analytics import pagerank as pr_distributed
 
-    edges = copurchase_edges(spark, sf_dir)
     ranks = pr_distributed(
-        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+        prepared_sym_edges(spark, sf_dir),
         iters=PR_ITERS,
         damping=DAMPING,
         directed=False,
+        prepared=True,
     )
     return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
 
@@ -744,12 +761,9 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from grapho_spark.analytics import bfs
 
-    edges = copurchase_edges(spark, sf_dir)
-    sym = sym_edges(edges)
+    sym = prepared_sym_edges(spark, sf_dir)
     start = sym.agg(F.min("src").alias("node"))
-    dists = bfs(
-        sym.select("src", "dst"), start, max_hops=3, directed=True
-    )
+    dists = bfs(sym, start, max_hops=3, directed=True, prepared=True)
     return dists.select("node", F.col("hops").cast("long").alias("hops"))
 
 
@@ -890,10 +904,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from grapho_spark.analytics import label_propagation
 
-    edges = copurchase_edges(spark, sf_dir)
     return label_propagation(
-        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
-        rounds=LPA_ROUNDS,
+        prepared_sym_edges(spark, sf_dir), rounds=LPA_ROUNDS, prepared=True
     )
 
 
@@ -1656,8 +1668,7 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(spark, sf_dir)
     labels = label_propagation(
-        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")),
-        rounds=LPA_ROUNDS,
+        prepared_sym_edges(spark, sf_dir), rounds=LPA_ROUNDS, prepared=True
     )
     sym = sym_edges(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -1762,12 +1773,13 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from grapho_spark.analytics import multi_source_bfs
 
-    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = sym_edges(edges)
+    sym = prepared_sym_edges(spark, sf_dir)
     srcs = sym.select(F.col("src").alias("node")).distinct().filter(
         F.col("node") % HC_MOD == 0
     )
-    dists = multi_source_bfs(sym, srcs, max_hops=HC_HOPS, directed=True)
+    dists = multi_source_bfs(
+        sym, srcs, max_hops=HC_HOPS, directed=True, prepared=True
+    )
     ns = srcs.agg(F.count(F.lit(1)).alias("n"))
     return (
         dists.filter(F.col("hops") > 0)
@@ -1848,12 +1860,13 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers, so repeat timings measure the sigma/g passes, not a
     # BFS re-run.
     def build_dists() -> DataFrame:
+        prepped = prepared_sym_edges(spark, sf_dir)
         srcs = (
-            sym.select(F.col("src").alias("node"))
+            prepped.select(F.col("src").alias("node"))
             .distinct()
             .filter(F.col("node") % SC_MOD == 0)
         )
-        return multi_source_bfs(sym, srcs, max_hops=SC_HOPS)
+        return multi_source_bfs(prepped, srcs, max_hops=SC_HOPS, prepared=True)
 
     dists = memo_table(
         spark, f"stress_dists:{sf_dir}:{SC_MOD}:{SC_HOPS}", build_dists
@@ -1877,18 +1890,18 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dag = memo_table(spark, f"stress_dag:{sf_dir}:{SC_MOD}:{SC_HOPS}", build_dag)
     # forward: sigma (number of shortest s->v paths), layer by layer
-    # r15: each sigma/g layer is MATERIALIZED before the next layer
-    # and the union consume it — layer h feeds both, and without the
-    # barrier the unioned plan re-executed every earlier layer's join
-    # chain per frame (O(hops^2) work; the before-plan carried 316
-    # Exchange nodes). Layers are (source, v)-sized — tiny relative to
-    # the memoized dag/dists they join.
+    # (r15 note: materializing each sigma/g layer was tried — a wash in
+    # a fresh session and a 9x regression at end-of-bench session
+    # state, where 7 extra persist+count rounds per call thrash the
+    # accumulated storage memory. The unioned-frame recompute stays:
+    # layers re-read the MEMOIZED dag/dists caches, so the duplicated
+    # subtrees are cache scans, not recomputed joins.)
     layer = dists.filter(F.col("hops") == 0).select(
         "source", F.col("node").alias("v"), F.lit(1).cast("long").alias("sig")
     )
     sig_frames = [layer]
     for h in range(SC_HOPS):
-        layer = materialize(
+        layer = (
             dag.filter(F.col("hv") == h)
             .join(layer, ["source", "v"])
             .groupBy("source", F.col("w"))
@@ -1914,7 +1927,7 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source", "v")
             .agg(F.sum("g").alias("gsum"))
         )
-        g = materialize(
+        g = (
             dists.filter(F.col("hops") == h)
             .select("source", F.col("node").alias("v"))
             .join(succ, ["source", "v"], "left")

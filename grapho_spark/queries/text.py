@@ -2129,20 +2129,32 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grapho_spark.sparkutil import materialize
 
     d = load_table(spark, sf_dir, "documents")
-    toks = materialize(
-        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    toks = d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    # r15: ONE token-sized aggregation. The exact term-frequency table
+    # is materialized and everything else (sketch cells, total, top-k
+    # candidates) folds over it — the r14 form re-ran a token-sized
+    # aggregate per consumer (cms from raw tokens, exact twice for
+    # tot + cand, cand twice for est + output). Cell values are the
+    # term-frequency rollup, bit-identical to folding the raw stream
+    # (cell addition is associative); at 100 TB the same fold runs as
+    # the map-side-combined aggregate directly on the stream.
+    exact = materialize(
+        toks.groupBy(F.col("w").alias("term")).agg(
+            F.count(F.lit(1)).cast("long").alias("exact_count")
+        )
     )
-    stack_tok = ", ".join(f"{j}, {_cms_bucket_spark('w', j)}" for j in range(CMS_D))
+    stack_tok = ", ".join(
+        f"{j}, {_cms_bucket_spark('term', j)}" for j in range(CMS_D)
+    )
     cms = (
-        toks.selectExpr(f"stack({CMS_D}, {stack_tok}) AS (j, bucket)")
+        exact.selectExpr("exact_count", f"stack({CMS_D}, {stack_tok}) AS (j, bucket)")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    exact = toks.groupBy(F.col("w").alias("term")).agg(
-        F.count(F.lit(1)).cast("long").alias("exact_count")
+        .agg(F.sum("exact_count").cast("long").alias("c"))
     )
     tot = exact.agg(F.sum("exact_count").cast("long").alias("total"))
-    cand = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(CMS_TOPK)
+    cand = materialize(
+        exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(CMS_TOPK)
+    )
     stack_cand = ", ".join(
         f"{j}, {_cms_bucket_spark('term', j)}" for j in range(CMS_D)
     )
