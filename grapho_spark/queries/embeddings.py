@@ -59,7 +59,68 @@ _MICRO_MEAN_CW_TEMPLATE = (
     "END AS DOUBLE) / 1000000 AS DECIMAL(12,6))"
 )
 _MICRO_MEAN_CW_DUCK = _MICRO_MEAN_CW_TEMPLATE.format(div="//", col="dv")
-_MICRO_MEAN_CW_SPARK = _MICRO_MEAN_CW_TEMPLATE.format(div="DIV", col="dv")
+# r15: on the Spark side the exact-6dp decimals are scaled to BIGINT
+# micro-units BEFORE the SUM (CAST(SUM(dv)*1e6 AS BIGINT) ==
+# SUM(CAST(dv*1e6 AS BIGINT)) — both are the exact integer sum — but
+# the long fold stays on the fixed-width aggregation fast path where
+# sum(decimal(12,6)) widens to a slow decimal(22,6) buffer). The
+# DuckDB oracle text is untouched.
+_MICRO_MEAN_CW_SPARK = _MICRO_MEAN_CW_TEMPLATE.format(div="DIV", col="dv").replace(
+    "CAST(SUM(dv) * 1000000 AS BIGINT)", "SUM(CAST(dv * 1000000 AS BIGINT))"
+)
+
+
+# r15 (guide §1.2 step 2, §2.3 narrower types): the distance folds used
+# to SUM wide decimals — sum(decimal(28,9)) / sum(decimal(38,12)) fall
+# off the fixed-width hash-aggregation fast path onto per-row
+# BigDecimal arithmetic (measured 7.96s vs 0.92s for the identical
+# double fold over the 4M-row kmeans assign join at sf0.1). Every such
+# term is an EXACT decimal of bounded scale, so the fold runs instead
+# over exact BIGINT fixed-point units; the decimal value is recovered
+# (or the ordering consumed) bit-identically.
+def _nano9_long(sq):
+    """Exact BIGINT nano-units (1e-9) of ``round(sq, 9)``.
+
+    ``round`` (BigDecimal HALF_UP — kept: the 12dp-exact squares land
+    on true 9dp ties, measured 10k-41k per corpus, so the rounding
+    decision must stay the engine-agreed one) yields a double that IS
+    a 9dp value; scaling by 1e9 lands within ~4.4e-7 of its integer
+    (|sq| <= 4, so the relative 2^-53 error is bounded), and
+    floor(x + 0.5) recovers that integer exactly. A SUM of these longs
+    scaled back by 1e-9 equals the old sum(decimal(28,9)) exactly
+    (verified: 0/64000 dist mismatches at sf0.1)."""
+    return F.floor(F.round(sq, 9) * 1e9 + F.lit(0.5))
+
+
+def _micro6_long(col):
+    """Exact BIGINT micro-units (1e-6) of ``round(col, 6)`` — the
+    6dp twin of :func:`_nano9_long` (same recovery argument; values
+    are O(1) embedding components, so micro-units stay far inside
+    long range even summed over 1e10-row clusters)."""
+    return F.floor(F.round(col, 6) * 1e6 + F.lit(0.5))
+
+
+def _sq_nano9_long(a, b):
+    """:func:`_nano9_long` of ``(a-b)^2`` for EXACT-6dp operands,
+    paying BigDecimal ``round`` only on true 9dp ties.
+
+    The exact square of two 6dp values is an exact 12dp value; away
+    from a 9dp tie it sits >= 1e-12 (0.001 nano) from the rounding
+    boundary while the double square is within ~2.2e-15 of it, so
+    ``floor(d2*1e9 + 0.5)`` and BigDecimal HALF_UP agree. AT a tie
+    (exact femto square % 1000 == 500 — decidable exactly in integer
+    micro-units precisely because a and b are exact 6dp values; ~1% of
+    terms, measured 41451/4.1M at sf0.1) the two CAN disagree
+    (measured 792/64000 dists when floor is used throughout), so those
+    rows keep the engine-agreed ``round``. Bit-identical to the old
+    sum(decimal(28,9)) fold at ~1/3 the cost."""
+    al = F.floor(a * 1e6 + F.lit(0.5))
+    bl = F.floor(b * 1e6 + F.lit(0.5))
+    sqf = (al - bl) * (al - bl)
+    d2 = (a - b) * (a - b)
+    return F.when(
+        sqf % 1000 == 500, F.floor(F.round(d2, 9) * 1e9 + F.lit(0.5))
+    ).otherwise(F.floor(d2 * 1e9 + F.lit(0.5)))
 
 
 @query(
@@ -281,10 +342,9 @@ def _spark_ivf_results(
         .groupBy("q_id", "label")
         .agg(
             F.sum(
-                F.col("qval").cast("decimal(12,6)") * F.col("cval").cast("decimal(12,6)")
-            )
-            .cast("double")
-            .alias("dot_d")
+                (F.col("qval").cast("decimal(12,6)") * 1000000).cast("long")
+                * (F.col("cval").cast("decimal(12,6)") * 1000000).cast("long")
+            ).alias("dot_d")
         )
     )
     w_assign = Window.partitionBy("q_id").orderBy(F.desc("dot_d"), "label")
@@ -673,11 +733,9 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "label")
         .agg(
             F.sum(
-                F.col("qval").cast("decimal(12,6)")
-                * F.col("cval").cast("decimal(12,6)")
-            )
-            .cast("double")
-            .alias("dot_d")
+                (F.col("qval").cast("decimal(12,6)") * 1000000).cast("long")
+                * (F.col("cval").cast("decimal(12,6)") * 1000000).cast("long")
+            ).alias("dot_d")
         )
     )
     w_assign = Window.partitionBy("q_id").orderBy(F.desc("dot_d"), "label")
@@ -827,14 +885,17 @@ def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table feeds BOTH the corpus code assignment and the query LUT
     # slice; without the barrier the explode-codebook-agg chain ran
     # twice per invocation
+    # r15: exact BIGINT femto-unit fold (dv/cw are exact 6dp decimals;
+    # |components| < 1 so the 16-sub ADC total stays < ~1e14, exactly
+    # representable in double — cast(sum_long as double)/1e12 is the
+    # nearest double of the same exact value the decimal(38,12) path
+    # produced; |v| <= 5 would still keep the total inside 2^53)
+    dvl = (F.col("dv") * 1000000).cast("long")
+    cwl = (F.col("cw") * 1000000).cast("long")
     dists = materialize(
         expl.join(F.broadcast(cw), ["sub", "pos"])
         .groupBy("vec_id", "sub", "grp")
-        .agg(
-            F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
-            .cast("decimal(38,12)")
-            .alias("dist")
-        )
+        .agg(F.sum((dvl - cwl) * (dvl - cwl)).alias("dist"))
     )
     w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
     codes = (
@@ -855,7 +916,7 @@ def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
-        .agg(F.sum("dist").cast("double").alias("adc_dist"))
+        .agg((F.sum("dist").cast("double") / 1e12).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
@@ -978,10 +1039,9 @@ def embedding_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "label")
         .agg(
             F.sum(
-                F.col("qval").cast("decimal(12,6)") * F.col("cval").cast("decimal(12,6)")
-            )
-            .cast("double")
-            .alias("dot_d")
+                (F.col("qval").cast("decimal(12,6)") * 1000000).cast("long")
+                * (F.col("cval").cast("decimal(12,6)") * 1000000).cast("long")
+            ).alias("dot_d")
         )
     )
     w_assign = Window.partitionBy("q_id").orderBy(F.desc("dot_d"), "label")
@@ -1002,14 +1062,14 @@ def embedding_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = expl.groupBy((F.col("vec_id") % _PQ_K).alias("grp"), "sub", "pos").agg(
         F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
     )
+    # r15: exact BIGINT femto-unit fold (same bound argument as
+    # embedding_pq_adc_knn)
+    dvl = (F.col("dv") * 1000000).cast("long")
+    cwl = (F.col("cw") * 1000000).cast("long")
     dists = (
         expl.join(F.broadcast(cw), ["sub", "pos"])
         .groupBy("vec_id", "sub", "grp")
-        .agg(
-            F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
-            .cast("decimal(38,12)")
-            .alias("dist")
-        )
+        .agg(F.sum((dvl - cwl) * (dvl - cwl)).alias("dist"))
     )
     w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
     codes = (
@@ -1036,7 +1096,7 @@ def embedding_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id", "cell")
-        .agg(F.sum("dist").cast("double").alias("adc_dist"))
+        .agg((F.sum("dist").cast("double") / 1e12).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
@@ -1286,18 +1346,25 @@ def _kmeans_pair(
             )
         )
 
+    # r15: the dist fold runs in exact BIGINT nano-units instead of
+    # decimal(28,9) (argmin ordering is scale-invariant; per-vector
+    # sums are <= 64 * 4e9 nano, far inside long range) — same values,
+    # fixed-width aggregation path (guide §1.2/§2.3). The normalized
+    # corpus is exact-6dp, so it additionally skips the per-row
+    # BigDecimal round on non-tie terms (_sq_nano9_long); raw-double
+    # corpora keep the full round.
+    if normalized:
+        def _sq_term(a, b):
+            return _sq_nano9_long(a, b)
+    else:
+        def _sq_term(a, b):
+            return _nano9_long((a - b) * (a - b))
+
     def assign(cents: DataFrame) -> DataFrame:
         d = (
             vecs.join(F.broadcast(cents), "pos")
             .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    F.round(
-                        (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")),
-                        9,
-                    ).cast(DecimalType(28, 9))
-                ).alias("dist")
-            )
+            .agg(F.sum(_sq_term(F.col("val"), F.col("cval"))).alias("dist"))
         )
         w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         return (
@@ -1307,15 +1374,21 @@ def _kmeans_pair(
         )
 
     def recompute(assigned: DataFrame) -> DataFrame:
+        # r15: micro-unit BIGINT fold; cast(sum_long as double)/1e6 and
+        # cast(sum_decimal(18,6) as double) are both the nearest double
+        # of the same exact sum, so the 6dp mean is bit-identical (an
+        # exact-6dp corpus skips the per-row BigDecimal round too)
+        micro = (
+            F.floor(F.col("val") * 1e6 + F.lit(0.5))
+            if normalized
+            else _micro6_long(F.col("val"))
+        )
         return (
             vecs.join(assigned, "vec_id")
             .groupBy("cid", "pos")
             .agg(
                 F.round(
-                    F.sum(F.round(F.col("val"), 6).cast(DecimalType(18, 6))).cast(
-                        "double"
-                    )
-                    / F.count(F.lit(1)),
+                    F.sum(micro).cast("double") / 1e6 / F.count(F.lit(1)),
                     6,
                 ).alias("cval")
             )
@@ -1977,15 +2050,17 @@ def _pq_encode(
     (optionally pred-restricted) corpus against a FROZEN codebook:
     shared by the full index build and the delta-ingest append (which
     must encode new vectors with the stored codebook, never retrain)."""
+    # r15: dv/cw are exact 6dp decimals, so (dv-cw)^2 is an exact 12dp
+    # value — fold it as exact BIGINT femto-units (1e-12; per-(sub)
+    # sums <= 4 * 1.6e13) instead of per-row BigDecimal products +
+    # sum(decimal(38,12)); the argmin ordering is identical
+    dvl = (F.col("dv") * 1000000).cast("long")
+    cwl = (F.col("cw") * 1000000).cast("long")
     dists = (
         _pq_expl(spark, sf_dir, pred)
         .join(F.broadcast(book), ["sub", "pos"])
         .groupBy("vec_id", "sub", "grp")
-        .agg(
-            F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
-            .cast("decimal(38,12)")
-            .alias("dist")
-        )
+        .agg(F.sum((dvl - cwl) * (dvl - cwl)).alias("dist"))
     )
     w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
     return (
@@ -2002,16 +2077,15 @@ def _assign_to_cents(
     (pred-restricted) normalized corpus against FROZEN centroids (the
     delta-ingest cell assignment; same formula as _kmeans_pair's
     final assignment, so base-build and append agree)."""
+    # r15: BIGINT nano-unit fold, same as _kmeans_pair's normalized
+    # assign (the two must stay formula-identical so base-build and
+    # append agree)
     d = (
         _normalized_vec_expl(spark, sf_dir, pred)
         .join(F.broadcast(cents), "pos")
         .groupBy("vec_id", "cid")
         .agg(
-            F.sum(
-                F.round(
-                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")), 9
-                ).cast("decimal(28,9)")
-            ).alias("dist")
+            F.sum(_sq_nano9_long(F.col("val"), F.col("cval"))).alias("dist")
         )
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
@@ -2057,14 +2131,14 @@ def _pq16_codebook_impl(
     )
 
     def code_dists(book: DataFrame) -> DataFrame:
+        # r15: exact BIGINT femto-unit fold (same argument as
+        # _pq_encode — dv/cw are exact 6dp, the square is exact 12dp)
+        dvl = (F.col("dv") * 1000000).cast("long")
+        cwl = (F.col("cw") * 1000000).cast("long")
         return (
             expl.join(F.broadcast(book), ["sub", "pos"])
             .groupBy("vec_id", "sub", "grp")
-            .agg(
-                F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
-                .cast("decimal(38,12)")
-                .alias("dist")
-            )
+            .agg(F.sum((dvl - cwl) * (dvl - cwl)).alias("dist"))
         )
 
     w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
@@ -2479,16 +2553,13 @@ def _ann_probe(
         # indexed knn) and not worth the session cache pressure.
         q_expl = materialize(q_expl)
     # multi-probe coarse routing against the stored centroids
+    # (r15: BIGINT nano-unit fold — see _nano9_long; routing rank is
+    # ordering-only, so the scaled integers decide identically)
     q_dists = (
         q_expl.join(F.broadcast(cents), "pos")
         .groupBy("q_id", "cid")
         .agg(
-            F.sum(
-                F.round(
-                    (F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval")),
-                    9,
-                ).cast("decimal(28,9)")
-            ).alias("dist")
+            F.sum(_sq_nano9_long(F.col("qval"), F.col("cval"))).alias("dist")
         )
     )
     w_route = Window.partitionBy("q_id").orderBy("dist", "cid")
@@ -2497,17 +2568,22 @@ def _ann_probe(
         .filter(F.col("rk") <= nprobe)
         .select(F.col("q_id").alias("a_qid"), F.col("cid").alias("cell"))
     )
-    # per-query LUT from the stored trained codebook
+    # per-query LUT from the stored trained codebook (r15: exact BIGINT
+    # femto-units — qval IS a 6dp value, cw an exact 6dp decimal; the
+    # per-(sub,grp) partial sums <= 6.4e13 and the 16-sub ADC total
+    # <= ~1e15, far inside long range, so both folds are exact and the
+    # shortlist ordering is identical to the decimal(38,12) path)
     lut = (
         q_expl.select(
-            "q_id", "pos", "sub", F.col("qval").cast("decimal(12,6)").alias("dv")
+            "q_id", "pos", "sub", _micro6_long(F.col("qval")).alias("dvl")
         )
         .join(F.broadcast(book), ["sub", "pos"])
+        .withColumn("cwl", (F.col("cw") * 1000000).cast("long"))
         .groupBy("q_id", "sub", "grp")
         .agg(
-            F.sum((F.col("dv") - F.col("cw")) * (F.col("dv") - F.col("cw")))
-            .cast("decimal(38,12)")
-            .alias("dist")
+            F.sum(
+                (F.col("dvl") - F.col("cwl")) * (F.col("dvl") - F.col("cwl"))
+            ).alias("dist")
         )
         .select(
             F.col("q_id").alias("l_qid"),
@@ -2527,7 +2603,7 @@ def _ann_probe(
         )
         .filter(F.col("vec_id") != F.col("l_qid"))
         .groupBy(F.col("l_qid").alias("q_id"), "vec_id")
-        .agg(F.sum("dist").cast("double").alias("adc_dist"))
+        .agg(F.sum("dist").alias("adc_dist"))
     )
     w_short = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     short = (
@@ -2778,18 +2854,12 @@ def _ann_scaled_recall(
         .select("q_id", F.posexplode("nvec").alias("pos0", "qval"))
         .select("q_id", (F.col("pos0") + 1).alias("pos"), "qval")
     )
+    # r15: BIGINT nano-unit fold (exact-6dp operands; routing is
+    # ordering-only) — see _sq_nano9_long
     q_dists = (
         q_expl.join(F.broadcast(cents), "pos")
         .groupBy("q_id", "cid")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("qval") - F.col("cval"))
-                    * (F.col("qval") - F.col("cval")),
-                    9,
-                ).cast("decimal(28,9)")
-            ).alias("dist")
-        )
+        .agg(F.sum(_sq_nano9_long(F.col("qval"), F.col("cval"))).alias("dist"))
     )
     w_route = Window.partitionBy("q_id").orderBy("dist", "cid")
     routed = (
@@ -3149,6 +3219,31 @@ def _closure_membership(
     vx = vecs.select(
         "vec_id", F.posexplode("v").alias("pos0", "val")
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    if eps <= 0.0:
+        # r15: the primary assignment is ordering-only, so the dist
+        # fold runs in exact BIGINT nano-units (argmin identical); the
+        # eps > 0 frontier below keeps the decimal fold because its
+        # (1+eps)^2 threshold compares CAST-to-double dist VALUES —
+        # reproducing those doubles from scaled longs adds a second
+        # rounding that could flip an exact-boundary membership.
+        d_long = (
+            vx.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    _nano9_long(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))
+                    )
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d_long.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("cid").cast("int").alias("shard"))
+        )
     d = (
         vx.join(F.broadcast(cents), "pos")
         .groupBy("vec_id", "cid")
@@ -3164,10 +3259,6 @@ def _closure_membership(
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     ranked = d.withColumn("rk", F.row_number().over(w))
-    if eps <= 0.0:
-        return ranked.filter(F.col("rk") == 1).select(
-            "vec_id", F.col("cid").cast("int").alias("shard")
-        )
     wv = Window.partitionBy("vec_id")
     lim = (1.0 + eps) * (1.0 + eps)
     return (
@@ -3753,16 +3844,16 @@ def _route_queries_to_shards(
     qx = q.select(
         "q_id", F.posexplode("qv").alias("pos0", "qval")
     ).select("q_id", (F.col("pos0") + 1).alias("pos"), "qval")
+    # r15: BIGINT nano-unit fold (shard rank is ordering-only)
     d = (
         qx.join(F.broadcast(cents), "pos")
         .groupBy("q_id", "cid")
         .agg(
             F.sum(
-                F.round(
+                _nano9_long(
                     (F.col("qval") - F.col("cval"))
-                    * (F.col("qval") - F.col("cval")),
-                    9,
-                ).cast(DecimalType(28, 9))
+                    * (F.col("qval") - F.col("cval"))
+                )
             ).alias("dist")
         )
     )
@@ -4202,15 +4293,15 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("q_id", (F.col("pos0") + 1).alias("pos"), "val")
         )
+        # r15: BIGINT nano-unit fold (route rank is ordering-only)
         q_dists = (
             q_expl.join(F.broadcast(cents), "pos")
             .groupBy("q_id", "cid")
             .agg(
                 F.sum(
-                    F.round(
-                        (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")),
-                        9,
-                    ).cast("decimal(28,9)")
+                    _nano9_long(
+                        (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                    )
                 ).alias("dist")
             )
         )
@@ -4522,17 +4613,18 @@ def _semdedup_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs = e.select(
             "vec_id", F.posexplode("embedding").alias("pos0", "val")
         ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+        # r15: BIGINT nano-unit fold (the per-cell centroid-distance
+        # rank is ordering-only; dist never leaves the frame)
         own = (
             vecs.join(assign, "vec_id")
             .join(F.broadcast(cents), ["cid", "pos"])
             .groupBy("vec_id", "cid")
             .agg(
                 F.sum(
-                    F.round(
+                    _nano9_long(
                         (F.col("val") - F.col("cval"))
-                        * (F.col("val") - F.col("cval")),
-                        9,
-                    ).cast(DecimalType(28, 9))
+                        * (F.col("val") - F.col("cval"))
+                    )
                 ).alias("dist")
             )
         )
