@@ -2527,31 +2527,23 @@ def _ann_probe(
     QUERY SET is the whole corpus (near-dup), those tables are
     corpus-sized and must shuffle on their join keys instead."""
     e = load_table(spark, sf_dir, "embeddings")
-    ed = "CAST(embedding AS ARRAY<DOUBLE>)"
-    dot = _SPARK_DOT.format(a=ed, b=ed)
-    q_expl = (
-        e.filter(query_pred)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.expr(f"transform({ed}, x -> round(x / sqrt({dot}), 6))").alias("nvec"),
-        )
-        .select("q_id", F.posexplode("nvec").alias("pos0", "qval"))
-        .select(
-            "q_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.floor(F.col("pos0") / _PQ_M).cast("int").alias("sub"),
-            "qval",
-        )
+    # r15: the normalized query explode IS _normalized_vec_expl's
+    # memoized table restricted to query_pred (filter-then-normalize
+    # == normalize-then-filter for a per-row transform; identical
+    # round-6dp formula) — reuse the session memo instead of
+    # re-deriving the explode per probe call. The all-corpus near-dup
+    # scan gets the table the index build already persisted for free
+    # (it feeds BOTH the coarse routing and the LUT build — measured
+    # 20.1 -> 16.5s min at sf0.1 when the double derivation was first
+    # removed), and repeated probes of any query set skip the scan +
+    # normalize entirely.
+    nv_pred = None if query_pred == "vec_id IS NOT NULL" else query_pred
+    q_expl = _normalized_vec_expl(spark, sf_dir, nv_pred).select(
+        F.col("vec_id").alias("q_id"),
+        "pos",
+        F.floor((F.col("pos") - 1) / _PQ_M).cast("int").alias("sub"),
+        F.col("val").alias("qval"),
     )
-    if not hint_broadcast:
-        # r15: when the QUERY SET is the whole corpus (near-dup scan)
-        # the normalized query explode is corpus-sized and feeds BOTH
-        # the coarse routing and the LUT build — materialize it so the
-        # normalize-transform runs once (measured 20.1 -> 16.5s min on
-        # embedding_indexed_neardup_pairs at sf0.1). On broadcast-sized
-        # query sets the barrier is a wash (2.39 vs 2.41s on the
-        # indexed knn) and not worth the session cache pressure.
-        q_expl = materialize(q_expl)
     # multi-probe coarse routing against the stored centroids
     # (r15: BIGINT nano-unit fold — see _nano9_long; routing rank is
     # ordering-only, so the scaled integers decide identically)
@@ -4442,11 +4434,20 @@ def ann_probe_mapside(
     STREAMING ``q_df`` (vec_id, embedding) — no aggregation, no
     window, no state store; output is append-safe.
 
-    Every distance uses the index's exact-decimal protocol (9dp-round
-    DECIMAL(28,9) routing folds, DECIMAL(38,12) LUT folds), and exact
-    decimal sums are order-free, so the map-side folds equal the batch
-    groupBy sums bit-for-bit — the oracle is the same generated SQL
-    the batch probe family uses, checked by value hash."""
+    Every distance follows the index's exact protocol, executed (r15)
+    in exact BIGINT fixed-point instead of interpreted BigDecimal:
+    HOF lambdas evaluate INTERPRETED per element, where decimal
+    arithmetic is the slowest possible path. Routing terms are exact
+    9dp nano-units — the integer (sqf + 500) DIV 1000 equals the
+    engine round() away from true ties, and the ~1% tie rows (exact
+    femto square % 1000 == 500, decidable in integer micro-units)
+    reconstruct the original doubles (CAST(m AS DOUBLE)/1e6 is exactly
+    the 6dp double the micro-unit came from) and keep the BigDecimal
+    round. LUT/ADC folds are pure exact integers (no rounding exists
+    in the decimal protocol there), and integer sums are order-free,
+    so the map-side folds equal the batch groupBy sums bit-for-bit —
+    the oracle is the same generated SQL the batch probe family uses,
+    checked by value hash."""
     ed = "CAST(embedding AS ARRAY<DOUBLE>)"
     dot = _SPARK_DOT.format(a=ed, b=ed)
     q = (
@@ -4457,34 +4458,41 @@ def ann_probe_mapside(
         .withColumn("jk", F.lit(1))
         .join(F.broadcast(static_cb), "jk")
     )
+    _sq_tie_sql = (
+        "CASE WHEN pmod((x - y) * (x - y), 1000) = 500 "
+        "THEN CAST(FLOOR(round((CAST(x AS DOUBLE) / 1000000 - "
+        "CAST(y AS DOUBLE) / 1000000) * (CAST(x AS DOUBLE) / 1000000 - "
+        "CAST(y AS DOUBLE) / 1000000), 9) * 1000000000 + 0.5D) AS BIGINT) "
+        "ELSE ((x - y) * (x - y) + 500) DIV 1000 END"
+    )
     q = q.withColumn(
-        "dvq", F.expr("transform(nq, x -> CAST(x AS DECIMAL(12,6)))")
+        "qm", F.expr("transform(nq, x -> CAST(FLOOR(x * 1000000 + 0.5D) AS BIGINT))")
     ).withColumn(
         "routed",
         F.expr(
             f"""slice(array_sort(transform(cents, c -> struct(
-                 aggregate(zip_with(nq, c.cvec,
-                           (x, y) -> CAST(round((x - y) * (x - y), 9) AS DECIMAL(28,9))),
-                           CAST(0 AS DECIMAL(28,9)),
-                           (a, t) -> CAST(a + t AS DECIMAL(28,9))) AS d,
+                 aggregate(zip_with(qm,
+                           transform(c.cvec, v -> CAST(FLOOR(v * 1000000 + 0.5D) AS BIGINT)),
+                           (x, y) -> {_sq_tie_sql}),
+                           CAST(0 AS BIGINT),
+                           (a, t) -> a + t) AS d,
                  c.cid AS cid))), 1, {_ANN_NPROBE})"""
         ),
     ).withColumn(
         # keyed sub*K+grp: a TRAINED codebook may have dropped empty
         # codewords, so positions aren't dense — a map lookup is
-        # position-free (and O(1), the production LUT shape)
-        # accumulator stays DECIMAL(30,12): a (38,12)+(27,12) add would
-        # exceed precision 38 and silently drop to scale 11 under
-        # Spark's precision-loss rule — (30,12)+(27,12) -> (32,12) is
-        # exact, so the fold equals the batch groupBy SUM bit-for-bit
+        # position-free (and O(1), the production LUT shape). Values
+        # are exact BIGINT femto-units; the 16-lookup ADC total stays
+        # < ~1e14 (|components| < 1), inside both long range and 2^53
         "lut",
         F.expr(
             f"""map_from_entries(transform(books, b -> struct(
                  CAST(b.sub * {_ANN_PQ_K} + b.grp AS BIGINT) AS k,
-                 aggregate(zip_with(slice(dvq, b.sub * 8 + 1, 8), b.cwv,
+                 aggregate(zip_with(slice(qm, b.sub * 8 + 1, 8),
+                           transform(b.cwv, v -> CAST(v * 1000000 AS BIGINT)),
                            (x, y) -> (x - y) * (x - y)),
-                           CAST(0 AS DECIMAL(30,12)),
-                           (a, t) -> CAST(a + t AS DECIMAL(30,12))) AS v)))"""
+                           CAST(0 AS BIGINT),
+                           (a, t) -> a + t) AS v)))"""
         ),
     )
     for k in range(1, _ANN_NPROBE + 1):
@@ -4505,11 +4513,10 @@ def ann_probe_mapside(
                  filter(concat({members}), m -> m.vec_id != q_id),
                  m -> struct(
                    CAST(aggregate(sequence(0, {_PQ_M - 1}),
-                        CAST(0 AS DECIMAL(31,12)),
-                        (a, s) -> CAST(a + element_at(lut,
-                          CAST(s * {_ANN_PQ_K} + element_at(m.codes, s + 1) AS BIGINT))
-                          AS DECIMAL(31,12)))
-                     AS DOUBLE) AS adc_dist,
+                        CAST(0 AS BIGINT),
+                        (a, s) -> a + element_at(lut,
+                          CAST(s * {_ANN_PQ_K} + element_at(m.codes, s + 1) AS BIGINT)))
+                     AS DOUBLE) / 1000000000000 AS adc_dist,
                    m.vec_id AS vec_id))), 1, 3)"""
         ),
     )
