@@ -17,6 +17,8 @@ State-bounding rules applied here (the 100 TB posture):
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
 from collections.abc import Iterable
 from contextlib import contextmanager as _contextmanager
@@ -103,6 +105,25 @@ def run_with_checkpoint(
             q.stop()
 
 
+def _ephemeral_ckpt_base() -> str | None:
+    """Base dir for THROWAWAY drive-to-completion checkpoints.
+
+    A memory-sink run's checkpoint is dead the moment the query stops
+    (nothing ever resumes it), so its offset/commit-log fsyncs are pure
+    overhead; putting it on tmpfs when one exists removes the disk
+    round-trips. `SPARK_GRAFT_STREAM_CKPT` overrides (a production
+    deployment resuming real streams passes a DURABLE location through
+    run_with_checkpoint instead — this path is only for the
+    drive-to-completion memory sink)."""
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if base:
+        return base
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, f"grapho_ckpt_{os.getuid()}")
+    return None
+
+
 def run_to_memory(
     stream_df: DataFrame, out_mode: str, state_partitions: int | None = None
 ) -> DataFrame:
@@ -114,17 +135,20 @@ def run_to_memory(
     session default; result values are partitioning-independent."""
     name = "stream_out_" + uuid.uuid4().hex[:12]
     spark = stream_df.sparkSession
+    ckpt_base = _ephemeral_ckpt_base()
+    ckpt = None
     with _scoped_shuffle_partitions(spark, state_partitions):
-        q = (
-            stream_df.writeStream.outputMode(out_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+        w = stream_df.writeStream.outputMode(out_mode).format("memory").queryName(name)
+        if ckpt_base is not None:
+            ckpt = os.path.join(ckpt_base, name)
+            w = w.option("checkpointLocation", ckpt)
+        q = w.start()
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            if ckpt is not None:
+                shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 

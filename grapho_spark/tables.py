@@ -84,12 +84,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _convert_ns_columns(spark.read.parquet(table_path(sf_dir, name)))
 
 
+_STREAM_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _stream_schema(spark: SparkSession, path: str):
+    """Parquet footer schema, memoized per (session, path, mtime).
+
+    Every streaming query pays a driver-side footer read just to
+    declare its source schema (streaming reads cannot infer); the
+    fixture is immutable between rebuilds, and a rebuild bumps the
+    file mtime, which invalidates the key."""
+    st = os.stat(path)
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), st.st_mtime_ns)
+    sch = _STREAM_SCHEMA_MEMO.get(key)
+    if sch is None:
+        sch = _STREAM_SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return sch
+
+
 def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Structured-Streaming source for a fixture table (explicit raw
     schema — streaming reads cannot infer), with the same ns->us
     timestamp conversion as the batch loader."""
     _ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    raw_schema = _stream_schema(spark, table_path(sf_dir, name))
     # The file stream source requires a DIRECTORY; the fixture is a
     # single parquet file. Expose it through a symlink dir under /tmp.
     # hashlib, not hash(): Python string hashing is salted per process,
