@@ -38,6 +38,25 @@ def _spark_cosine(a: str, b: str) -> F.Column:
     return F.round(F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))"), 6)
 
 
+def _snorm(col: str) -> F.Column:
+    """sqrt(self-dot) of a vector column — the per-VECTOR two thirds
+    of `_spark_cosine`'s work, lifted out so pair-scale joins compute
+    it once per vector instead of once per pair (r15). Same fold,
+    same sqrt input."""
+    return F.expr(f"sqrt({_SPARK_DOT.format(a=col, b=col)})")
+
+
+def _cosine_prenorm(a: str, b: str, sa: str, sb: str) -> F.Column:
+    """`_spark_cosine` with the two sqrt(self-dot) factors taken from
+    precomputed columns. Bit-identical to `_spark_cosine`: the fold,
+    the sqrts, the product sa*sb, the division and the 6dp round are
+    the same IEEE operations on the same inputs — only WHERE the
+    per-vector factors are computed moves (guide §2.3/§2.4: hoist
+    per-row work out of the pair fan-out)."""
+    dot = _SPARK_DOT.format(a=a, b=b)
+    return F.round(F.expr(f"{dot} / ({sa} * {sb})"), 6)
+
+
 _DUCK_COS = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
@@ -144,16 +163,18 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k is computed with a ranked window after scoring.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"), F.col("se").alias("sq")
     )
     scored = (
         F.broadcast(q)
         .crossJoin(e)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
@@ -332,7 +353,9 @@ def _spark_ivf_results(
         .agg((F.sum("dv").cast("double") / F.count(F.lit(1))).alias("cval"))
     )
     q = e.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sq"),
     )
     q_expl = q.select("q_id", F.posexplode("qv").alias("pos0", "qval")).select(
         "q_id", (F.col("pos0") + 1).alias("pos"), "qval"
@@ -354,12 +377,15 @@ def _spark_ivf_results(
         .select("q_id", F.col("label").alias("cell"))
     )
     base = e.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
     scored = (
         F.broadcast(q.join(assigned, "q_id"))
         .join(base, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")))
-        .select("q_id", "cell", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "cell", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     top3 = (
@@ -420,12 +446,16 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     q, ivf = _spark_ivf_results(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    base = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
+    )
     bf_scored = (
         F.broadcast(q)
         .crossJoin(base)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     bf_top = (
@@ -471,14 +501,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cell doubles as the dedup blocking key so the pair join is
     per-cell, not global O(n^2))."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
     s = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("ev").alias("av")
+        F.col("vec_id").alias("vec_a"), "label", F.col("ev").alias("av"), F.col("se").alias("sa")
     )
     pairs = s.join(
         e, (s.label == e.label) & (F.col("vec_a") < F.col("vec_id"))
-    ).select(s.label.alias("label"), _spark_cosine("av", "ev").alias("cosine"))
+    ).select(s.label.alias("label"), _cosine_prenorm("av", "ev", "sa", "se").alias("cosine"))
     return pairs.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_pairs_checked"),
         F.sum(F.when(F.col("cosine") >= 0.6, 1).otherwise(0)).alias("n_neardup"),
@@ -566,11 +599,21 @@ def embedding_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = b1.join(b2, (b1.bucket == b2.b2) & (b1.vec_a < b2.vec_b)).select(
         "bucket", "vec_a", "vec_b"
     )
-    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    ev = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sn"),
+    )
     verified = (
-        cand.join(ev.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("av")), "vec_a")
-        .join(ev.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("bv")), "vec_b")
-        .select("bucket", _spark_cosine("av", "bv").alias("cosine"))
+        cand.join(
+            ev.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("av"), F.col("sn").alias("sa")),
+            "vec_a",
+        )
+        .join(
+            ev.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("bv"), F.col("sn").alias("sb")),
+            "vec_b",
+        )
+        .select("bucket", _cosine_prenorm("av", "bv", "sa", "sb").alias("cosine"))
     )
     return verified.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
@@ -724,6 +767,7 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sq"),
     )
     q_expl = q.select("q_id", F.posexplode("qv").alias("pos0", "qval")).select(
         "q_id", (F.col("pos0") + 1).alias("pos"), "qval"
@@ -745,7 +789,10 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("label").alias("cell"), "cell_rank")
     )
     base = e.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
     probes = spark.range(1, 3).select(F.col("id").cast("int").alias("n_probe"))
     cand = (
@@ -755,7 +802,7 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = F.broadcast(cand).join(
         base, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id"))
-    ).select("n_probe", "q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+    ).select("n_probe", "q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     w_top = Window.partitionBy("n_probe", "q_id").orderBy(F.desc("cosine"), "vec_id")
     ivf_top = (
         scored.withColumn("rn", F.row_number().over(w_top))
@@ -766,7 +813,7 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .crossJoin(base.drop("label"))
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w_bf = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     bf_top = (
@@ -1608,14 +1655,19 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r"))
     )
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.col("se").alias("sq")
+    )
     cos = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
-            F.col("vec_id").alias("doc_id"), _spark_cosine("ev", "qv").alias("cosine")
+            F.col("vec_id").alias("doc_id"),
+            _cosine_prenorm("ev", "qv", "se", "sq").alias("cosine"),
         )
     )
     sem = (
@@ -1790,12 +1842,16 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     same triplet logic over candidate sets instead of the full scan.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev"), "label"
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        "label",
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
     anchors = e.filter(F.col("vec_id") % 199 == 0).select(
         F.col("vec_id").alias("a_id"),
         F.col("ev").alias("av"),
         F.col("label").alias("a_label"),
+        F.col("se").alias("sa"),
     )
     # r15: materialized — scored feeds both the positive and negative
     # argmax; without the barrier the anchor-corpus cosine fan-out
@@ -1811,7 +1867,7 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_label",
             "vec_id",
             "label",
-            _spark_cosine("av", "ev").alias("cosine"),
+            _cosine_prenorm("av", "ev", "sa", "se").alias("cosine"),
         )
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), "vec_id")
@@ -2604,15 +2660,22 @@ def _ann_probe(
         .select("q_id", "vec_id")
     )
     # exact-cosine re-rank of the shortlist against raw vectors
+    # (r15: sqrt(self-dot) computed per VECTOR before the pair join,
+    # not per pair — bit-identical, see _cosine_prenorm)
     qv = e.filter(query_pred).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sq"),
     )
-    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    ev = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
+    )
     rer = (
         ev.join(maybe_bc(short), "vec_id")
         .join(maybe_bc(qv), "q_id")
-        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w_top = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
@@ -2702,13 +2765,18 @@ def embedding_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sq"),
     )
-    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    base = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
+    )
     bf_scored = (
         F.broadcast(q)
         .crossJoin(base)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     bf_top = (
@@ -2799,15 +2867,18 @@ def _ann_scaled_recall(
     q = e.filter(query_pred).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sq"),
     )
     base = e.filter(corpus_pred).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
     bf = (
         F.broadcast(q)
         .crossJoin(base)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     bf_top = (
@@ -3057,9 +3128,17 @@ def _nnd_edges(spark: SparkSession, va: DataFrame, k: int) -> DataFrame:
     # replicas' vectors are identical — joining the raw frame would
     # duplicate scored pairs and let the same dst occupy two top-k
     # slots
-    vu = va.select("vec_id", "v").dropDuplicates(["vec_id"])
-    vsrc = vu.select(F.col("vec_id").alias("src"), F.col("v").alias("_va"))
-    vdst = vu.select(F.col("vec_id").alias("dst"), F.col("v").alias("_vb"))
+    vu = (
+        va.select("vec_id", "v")
+        .dropDuplicates(["vec_id"])
+        .withColumn("_sn", _snorm("v"))
+    )
+    vsrc = vu.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("_va"), F.col("_sn").alias("_sa")
+    )
+    vdst = vu.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("_vb"), F.col("_sn").alias("_sb")
+    )
 
     def scored(pairs: DataFrame) -> DataFrame:
         return (
@@ -3067,7 +3146,7 @@ def _nnd_edges(spark: SparkSession, va: DataFrame, k: int) -> DataFrame:
             .join(vdst, "dst")
             .select(
                 "shard", "src", "dst",
-                _spark_cosine("_va", "_vb").alias("cos"),
+                _cosine_prenorm("_va", "_vb", "_sa", "_sb").alias("cos"),
             )
         )
 
@@ -3626,7 +3705,12 @@ def append_to_ann_graph(
         ok = affected.filter(F.size("nbrs") <= _GRAPH_APPEND_CAP)
         over = affected.filter(F.size("nbrs") > _GRAPH_APPEND_CAP)
         va_lut = vecs_all.select(
-            F.col("vec_id").alias("src"), F.col("v").alias("va")
+            F.col("vec_id").alias("src"), F.col("v").alias("va"),
+            _snorm("v").alias("s_a"),
+        )
+        vbn_lut = vecs_all.select(
+            F.col("vec_id").alias("dst"), F.col("v").alias("vb"),
+            _snorm("v").alias("s_b"),
         )
         over_pool = (
             over.select(
@@ -3634,10 +3718,10 @@ def append_to_ann_graph(
                 F.explode("nbrs").alias("dst"),
             )
             .join(va_lut, "src")
-            .join(vb_lut, "dst")
+            .join(vbn_lut, "dst")
             .select(
                 "shard", "src", "dst", "vb",
-                _spark_cosine("va", "vb").alias("cos"),
+                _cosine_prenorm("va", "vb", "s_a", "s_b").alias("cos"),
             )
         )
         repruned = over_pool.groupBy("shard", "src").applyInPandas(
@@ -3946,15 +4030,17 @@ def _graph_recall_frame(
         .groupBy("q_id")
         .agg(F.sum("v1").alias("visited"))
     )
-    qv = q.select("q_id", F.col("qv").alias("qv_"))
+    qv = q.select("q_id", F.col("qv").alias("qv_")).withColumn("sq", _snorm("qv_"))
     base = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
     )
     bf = (
         F.broadcast(qv)
         .crossJoin(base)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _spark_cosine("qv_", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv_", "ev", "sq", "se").alias("cosine"))
     )
     w_bf = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     bf_top = (
@@ -4243,16 +4329,21 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring joins each query to n_probe/k of the corpus; brute force
     (the expensive truth side) runs on the sampled query set only."""
     e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    base = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("se"),
+    )
     q = e.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sq"),
     )
     bf_scored = (
         F.broadcast(q)
         .crossJoin(base)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+        .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     bf_top = (
@@ -4309,7 +4400,7 @@ def embedding_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cellmates, "cid")
             .filter(F.col("c_vid") != F.col("q_id"))
             .join(base, F.col("c_vid") == base.vec_id)
-            .select("q_id", "vec_id", _spark_cosine("qv", "ev").alias("cosine"))
+            .select("q_id", "vec_id", _cosine_prenorm("qv", "ev", "sq", "se").alias("cosine"))
         )
         cell_top = (
             cell_scored.withColumn("rn", F.row_number().over(w))
@@ -4710,7 +4801,14 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         ((F.col("rn") - 1) / SEMDEDUP_WINDOW).cast("long").alias("blk"),
     )
-    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    # r15: sqrt(self-dot) hoisted to the vector table — computed once
+    # per vector, not once per pair (the per-pair fold is 3 aggregates
+    # of which 2 are per-vector; see _cosine_prenorm, bit-identical)
+    ev = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sn"),
+    )
     later = (
         ranked.join(ev, "vec_id")
         .select(
@@ -4718,6 +4816,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             F.col("rn").alias("ri"),
             F.col("ev").alias("av"),
+            F.col("sn").alias("sa"),
             F.explode(F.array(F.col("blk"), F.col("blk") - 1)).alias("pblk"),
         )
     )
@@ -4727,6 +4826,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").alias("rj"),
         F.col("blk").alias("bj"),
         F.col("ev").alias("bv"),
+        F.col("sn").alias("sb"),
     )
     pairs = later.join(
         earlier,
@@ -4734,7 +4834,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("pblk") == F.col("bj"))
         & (F.col("rj") < F.col("ri"))
         & (F.col("ri") - F.col("rj") <= SEMDEDUP_WINDOW),
-    ).select("cid", "vi", _spark_cosine("av", "bv").alias("cosine"))
+    ).select("cid", "vi", _cosine_prenorm("av", "bv", "sa", "sb").alias("cosine"))
     dropped = (
         pairs.filter(F.col("cosine") >= SEMDEDUP_TAU).select("cid", "vi").distinct()
     )
@@ -4821,7 +4921,11 @@ def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     ranked = _semdedup_ranked(spark, sf_dir)
-    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    ev = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sn"),
+    )
     a = (
         ranked.filter(F.col("vec_id") % 7 == 0)
         .join(ev, "vec_id")
@@ -4830,6 +4934,7 @@ def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias("ca"),
             F.col("rn").alias("ra"),
             F.col("ev").alias("av"),
+            F.col("sn").alias("sa"),
         )
     )
     b = ranked.join(ev, "vec_id").select(
@@ -4837,13 +4942,14 @@ def embedding_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cb"),
         F.col("rn").alias("rb"),
         F.col("ev").alias("bv"),
+        F.col("sn").alias("sb"),
     )
     pairs = a.join(
         b, (F.col("ca") == F.col("cb")) & (F.col("rb") < F.col("ra"))
     ).select(
         "vi",
         (F.col("ra") - F.col("rb")).alias("gap"),
-        _spark_cosine("av", "bv").alias("cosine"),
+        _cosine_prenorm("av", "bv", "sa", "sb").alias("cosine"),
     )
     # ONE pass over the sampled pair stream: a conditional distinct
     # count per window step plus the full-scan count, then a stack()
@@ -4943,7 +5049,11 @@ def corpus_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assign, _ = _kmeans_pair(spark, sf_dir, 4, 1)
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    ev = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _snorm("CAST(embedding AS ARRAY<DOUBLE>)").alias("sn"),
+    )
     split_bucket = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
     ).cast("long") % 100
@@ -4953,17 +5063,17 @@ def corpus_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     splits = assign.join(ev, "vec_id").select(
-        "vec_id", "cid", "ev", split.alias("split")
+        "vec_id", "cid", "ev", "sn", split.alias("split")
     )
     holdout = splits.filter(F.col("split") != "train").select(
-        F.col("vec_id").alias("hid"), "cid", F.col("ev").alias("hv"), "split"
+        F.col("vec_id").alias("hid"), "cid", F.col("ev").alias("hv"), F.col("sn").alias("sh"), "split"
     )
     train = splits.filter(F.col("split") == "train").select(
-        F.col("cid").alias("ct"), F.col("ev").alias("tv")
+        F.col("cid").alias("ct"), F.col("ev").alias("tv"), F.col("sn").alias("st")
     )
     hits = (
         holdout.join(train, F.col("cid") == F.col("ct"))
-        .filter(_spark_cosine("hv", "tv") >= SEMDEDUP_TAU)
+        .filter(_cosine_prenorm("hv", "tv", "sh", "st") >= SEMDEDUP_TAU)
         .select("split", "hid")
         .distinct()
         .groupBy("split")

@@ -474,14 +474,17 @@ def timeseries_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
-    mus = e.groupBy("user_id").agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu")
-    )
-    joined = e.select("user_id", "ts", "event_id", "value").join(
-        F.broadcast(mus), "user_id"
+    # r15: the per-user mean as a WINDOW over user_id instead of a
+    # separate aggregate + broadcast join — the window's hash
+    # partitioning is exactly the applyInPandas groupBy's, so the two
+    # share one exchange and events is scanned ONCE (was: two scans,
+    # an aggregate exchange and a BroadcastHashJoin). The window's
+    # exact-decimal SUM is order-free, so mu is bit-identical.
+    w = Window.partitionBy("user_id")
+    joined = e.select("user_id", "ts", "event_id", "value").withColumn(
+        "mu",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
     )
 
     def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
