@@ -79,9 +79,29 @@ def _convert_ns_columns(df: DataFrame) -> DataFrame:
     return df
 
 
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture-table DataFrame, memoized per (session, path, mtime).
+
+    Building the reader costs ~96ms warm (footer read, file index,
+    analysis of the ns->us conversion projection) and queries call
+    this 1-4 times per invocation — across a bench pass that is
+    seconds of pure driver time. DataFrames are immutable so reuse is
+    safe; a rebuilt fixture bumps the path mtime and mints a new
+    entry. No data is cached — every action still scans the parquet."""
     _ensure_session_confs(spark)
-    return _convert_ns_columns(spark.read.parquet(table_path(sf_dir, name)))
+    path = table_path(sf_dir, name)
+    try:
+        mt = os.stat(path).st_mtime_ns
+    except OSError:
+        mt = -1
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mt)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = _TABLE_MEMO[key] = _convert_ns_columns(spark.read.parquet(path))
+    return df
 
 
 _STREAM_SCHEMA_MEMO: dict[tuple, object] = {}
