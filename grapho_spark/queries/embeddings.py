@@ -1400,24 +1400,69 @@ def _kmeans_pair(
     # corpus is exact-6dp, so it additionally skips the per-row
     # BigDecimal round on non-tie terms (_sq_nano9_long); raw-double
     # corpora keep the full round.
+    #
+    # r15b: the assignment itself is a per-VECTOR array fold against
+    # the broadcast centroid structs (the ann_probe_mapside shape)
+    # instead of an exploded (vec,pos)x(cell,pos) join — the join
+    # built a n*64*k intermediate (12.5M rows/round at sf0.1) before
+    # its groupBy; the fold does the same integer sums map-side.
+    # BIGINT addition is order-free and the per-term expressions below
+    # are the SQL spellings of _nano9_long/_sq_nano9_long, so every
+    # dist (and therefore every argmin with the same (d, cid)
+    # tie-break) is bit-identical to the join+window version.
     if normalized:
-        def _sq_term(a, b):
-            return _sq_nano9_long(a, b)
+        _mic = "CAST(FLOOR({v} * 1000000 + 0.5D) AS BIGINT)"
+        _term = (
+            f"CASE WHEN (({_mic.format(v='x')} - {_mic.format(v='y')}) * "
+            f"({_mic.format(v='x')} - {_mic.format(v='y')})) % 1000 = 500 "
+            "THEN CAST(FLOOR(round((x - y) * (x - y), 9) * 1000000000 + 0.5D) AS BIGINT) "
+            "ELSE CAST(FLOOR((x - y) * (x - y) * 1000000000 + 0.5D) AS BIGINT) END"
+        )
     else:
-        def _sq_term(a, b):
-            return _nano9_long((a - b) * (a - b))
+        _term = "CAST(FLOOR(round((x - y) * (x - y), 9) * 1000000000 + 0.5D) AS BIGINT)"
+
+    # one array row per vector, built ONCE from the exploded table and
+    # reused by every round's assignment. Explicit partition count:
+    # AQE would coalesce the ~3MB agg output to one partition and
+    # serialize the fold; explicit repartition is AQE-exempt. Sized
+    # from the corpus (ceil(n/256) vectors per task) and capped at
+    # cluster parallelism — at scale the cap binds, locally it spreads
+    # the interpreted HOF work across cores.
+    _eb = load_table(spark, sf_dir, "embeddings")
+    if pred is not None:
+        _eb = _eb.filter(pred)
+    n_vecs = _eb.count()  # metadata-cheap columnar count
+    par = max(1, min(spark.sparkContext.defaultParallelism, n_vecs // 256 + 1))
+    varr = materialize(
+        vecs.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("varr")
+        )
+        .repartition(par, "vec_id")
+    )
 
     def assign(cents: DataFrame) -> DataFrame:
-        d = (
-            vecs.join(F.broadcast(cents), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(_sq_term(F.col("val"), F.col("cval"))).alias("dist"))
+        carr = (
+            cents.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.getField("cval"),
+                ).alias("cvec")
+            )
+            .agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cents"))
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            d.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cid")
+        return varr.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            F.expr(
+                f"""element_at(array_sort(transform(cents, c -> struct(
+                     aggregate(zip_with(varr, c.cvec, (x, y) -> {_term}),
+                               CAST(0 AS BIGINT), (a, t) -> a + t) AS d,
+                     c.cid AS cid))), 1).cid"""
+            ).alias("cid"),
         )
 
     def recompute(assigned: DataFrame) -> DataFrame:

@@ -98,3 +98,46 @@ def test_market_basket_counts_equal_memoized_weights(spark):
         .collect()
     }
     assert direct == via_memo
+
+
+@pytest.mark.parametrize("k,rounds,normalized", [(4, 1, False), (32, 3, True)])
+def test_kmeans_hof_assignment_matches_exploded_join(spark, k, rounds, normalized):
+    """The r15 per-vector array-HOF Lloyd assignment must equal the
+    exploded (vec,pos)x(cell,pos) join + groupBy + argmin-window it
+    replaced, bit-for-bit: BIGINT distance sums are order-free and the
+    HOF per-term SQL is the spelling of _nano9_long/_sq_nano9_long, so
+    any mismatch is a protocol bug, not noise."""
+    from pyspark.sql import Window
+
+    import grapho_spark.queries.embeddings as E
+
+    a_new, c_final = E._kmeans_pair(spark, SF, k, rounds, normalized)
+    if normalized:
+        vecs = E._normalized_vec_expl(spark, SF, None)
+
+        def term(a, b):
+            return E._sq_nano9_long(a, b)
+
+    else:
+        e = E.load_table(spark, SF, "embeddings")
+        vecs = e.select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "val")
+        ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+
+        def term(a, b):
+            return E._nano9_long((a - b) * (a - b))
+
+    d = (
+        vecs.join(F.broadcast(c_final), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(term(F.col("val"), F.col("cval"))).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    a_old = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cid_old"))
+    )
+    joined = a_new.join(a_old, "vec_id")
+    assert joined.count() == a_new.count() == a_old.count()
+    assert joined.filter(F.col("cid") != F.col("cid_old")).count() == 0
