@@ -1510,7 +1510,12 @@ def _kmeans_pair(
     # each round reads the previous round's cached frame.
     for _ in range(rounds):
         cents = materialize(recompute(assign(cents)))
-    pair = (materialize(assign(cents)), materialize(cents))
+    # the stored pair is a session-shared view (read by every probe of
+    # this configuration): pin both frames out of the scratch FIFO
+    pair = (
+        materialize(assign(cents), pinned=True),
+        materialize(cents, pinned=True),
+    )
     _KMEANS_PAIR_MEMO[key] = pair
     return pair
 
@@ -2144,30 +2149,113 @@ def _pq_expl(spark: SparkSession, sf_dir: str, pred: str | None = None) -> DataF
     )
 
 
+def _pq_varr(
+    spark: SparkSession, sf_dir: str, pred: str | None = None
+) -> DataFrame:
+    """(vec_id, sub, dvm array<bigint>) — per-(vector, subspace)
+    micro-unit component arrays (``dvm[i]`` = CAST(dv*1e6 AS BIGINT) of
+    pos = sub*_PQ_M + i + 1), memoized per (session, sf_dir, pred).
+
+    r16: the ONE fan-in table the codebook training rounds AND the
+    code assignment fold against broadcast codeword arrays — replacing
+    the (vec,pos)x(code,pos) exploded joins (n*64*K rows per pass)
+    with map-side integer HOFs, the same shape as _kmeans_pair's r15b
+    Lloyd assignment (guide §2.4/§2.2). Explicit AQE-exempt partition
+    count, sized so each task folds ~4096 subspace rows (the per-row
+    fold is K*_PQ_M integer ops — an 8x narrower row than the Lloyd
+    varr, hence the 8x larger rows-per-task target) and capped at
+    cluster parallelism."""
+    from grapho_spark.sparkutil import memo_table
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        if pred is not None:
+            e = e.filter(pred)
+        n_vecs = e.count()  # metadata-cheap columnar count
+        par = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, n_vecs * _PQ_M // 4096 + 1),
+        )
+        return (
+            _pq_expl(spark, sf_dir, pred)
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                (F.col("dv") * 1000000)
+                                .cast("long")
+                                .alias("dvm"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("dvm"),
+                ).alias("dvm")
+            )
+            .repartition(par, "vec_id")
+        )
+
+    return memo_table(spark, f"pq_varr:{sf_dir}:{pred}", build)
+
+
+def _pq_assign_hof(varr: DataFrame, book: DataFrame) -> DataFrame:
+    """(vec_id, sub, dvm, grp) — nearest codeword per (vector,
+    subspace) as a per-row integer array fold against broadcast
+    per-subspace codeword arrays.
+
+    Bit-identity vs the exploded join it replaces:
+    ``aggregate(zip_with(dvm, cwm, (x,y)->(x-y)*(x-y)), 0L, +)`` is the
+    same exact femto-unit SUM((dvl-cwl)^2) per (vec_id, sub, grp)
+    (BIGINT addition is order-free), and
+    ``element_at(array_sort(struct(d, grp)), 1)`` is the
+    row_number-over-(dist, grp) argmin with the identical tie-break."""
+    barr = (
+        book.groupBy("sub", "grp")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("cw") * 1000000).cast("long").alias("cwm"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("cwm"),
+            ).alias("cwm")
+        )
+        .groupBy("sub")
+        .agg(F.sort_array(F.collect_list(F.struct("grp", "cwm"))).alias("cbs"))
+    )
+    return varr.join(F.broadcast(barr), "sub").select(
+        "vec_id",
+        "sub",
+        "dvm",
+        F.expr(
+            """element_at(array_sort(transform(cbs, c -> struct(
+                 aggregate(zip_with(dvm, c.cwm, (x, y) -> (x - y) * (x - y)),
+                           CAST(0 AS BIGINT), (a, t) -> a + t) AS d,
+                 c.grp AS grp))), 1).grp"""
+        ).alias("grp"),
+    )
+
+
 def _pq_encode(
     spark: SparkSession, sf_dir: str, book: DataFrame, pred: str | None = None
 ) -> DataFrame:
     """(vec_id, sub, code) — nearest-codeword assignment of the
     (optionally pred-restricted) corpus against a FROZEN codebook:
     shared by the full index build and the delta-ingest append (which
-    must encode new vectors with the stored codebook, never retrain)."""
-    # r15: dv/cw are exact 6dp decimals, so (dv-cw)^2 is an exact 12dp
-    # value — fold it as exact BIGINT femto-units (1e-12; per-(sub)
-    # sums <= 4 * 1.6e13) instead of per-row BigDecimal products +
-    # sum(decimal(38,12)); the argmin ordering is identical
-    dvl = (F.col("dv") * 1000000).cast("long")
-    cwl = (F.col("cw") * 1000000).cast("long")
-    dists = (
-        _pq_expl(spark, sf_dir, pred)
-        .join(F.broadcast(book), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "grp")
-        .agg(F.sum((dvl - cwl) * (dvl - cwl)).alias("dist"))
-    )
-    w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
-    return (
-        dists.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", F.col("grp").alias("code"))
+    must encode new vectors with the stored codebook, never retrain).
+
+    r16: per-(vector, subspace) HOF fold against the broadcast codebook
+    (see _pq_assign_hof) instead of the r15 exploded
+    (vec,pos)x(code,pos) join + window — the femto-unit distances and
+    the (dist, grp) argmin tie-break are bit-identical."""
+    return _pq_assign_hof(_pq_varr(spark, sf_dir, pred), book).select(
+        "vec_id", "sub", F.col("grp").alias("code")
     )
 
 
@@ -2219,7 +2307,6 @@ def _pq16_codebook_impl(
 ) -> DataFrame:
     from grapho_spark.sparkutil import materialize
 
-    expl = _pq_expl(spark, sf_dir, pred)
     # Codeword means round to 6dp in EXACT INTEGER MICRO-UNITS with an
     # explicit half-up division: a mean of 6dp decimals can land
     # exactly on a 7th-digit tie (observed: 1.811278/28 = 0.0646885),
@@ -2227,38 +2314,36 @@ def _pq16_codebook_impl(
     # engines (Java BigDecimal rounds the shortest decimal repr, C
     # libraries round the binary value). Integer arithmetic has no
     # such boundary — both engines compute the identical codeword.
-    cw = expl.groupBy((F.col("vec_id") % _ANN_PQ_K).alias("grp"), "sub", "pos").agg(
-        F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
-    )
+    #
+    # r16: the whole training chain folds over the per-(vector,
+    # subspace) micro-unit array table (_pq_varr) — assignment is the
+    # broadcast HOF of _pq_assign_hof, and the recompute posexplodes
+    # the assigned arrays back to (grp, sub, pos) rows instead of
+    # re-joining the exploded corpus on (vec_id, sub). dvm[i] IS
+    # CAST(dv*1e6 AS BIGINT) of pos = sub*_PQ_M+i+1, so SUM(dvm) and
+    # COUNT(*) per (grp, sub, pos) — and therefore every codeword —
+    # are bit-identical to the r15 join chain.
+    varr = _pq_varr(spark, sf_dir, pred)
+    mean_dvm = _MICRO_MEAN_CW_SPARK.replace("CAST(dv * 1000000 AS BIGINT)", "dvm")
 
-    def code_dists(book: DataFrame) -> DataFrame:
-        # r15: exact BIGINT femto-unit fold (same argument as
-        # _pq_encode — dv/cw are exact 6dp, the square is exact 12dp)
-        dvl = (F.col("dv") * 1000000).cast("long")
-        cwl = (F.col("cw") * 1000000).cast("long")
+    def recompute(assigned: DataFrame) -> DataFrame:
         return (
-            expl.join(F.broadcast(book), ["sub", "pos"])
-            .groupBy("vec_id", "sub", "grp")
-            .agg(F.sum((dvl - cwl) * (dvl - cwl)).alias("dist"))
+            assigned.select("grp", "sub", F.posexplode("dvm").alias("p0", "dvm"))
+            .groupBy(
+                "grp",
+                "sub",
+                (F.col("sub") * _PQ_M + F.col("p0") + 1).alias("pos"),
+            )
+            .agg(F.expr(mean_dvm).alias("cw"))
         )
 
-    w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
+    cw = recompute(
+        varr.select((F.col("vec_id") % _ANN_PQ_K).alias("grp"), "sub", "dvm")
+    )
     for _ in range(_ANN_PQ_TRAIN):
-        am = (
-            code_dists(cw)
-            .withColumn("rn", F.row_number().over(w_code))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "grp")
-        )
         # materialize, not checkpoint_state: same one-execution win as
         # _kmeans_pair's rounds (trains <= _ANN_PQ_TRAIN = 2 rounds)
-        cw = materialize(
-            expl.join(am.withColumnRenamed("grp", "code_grp"), ["vec_id", "sub"])
-            .groupBy(F.col("code_grp").alias("grp"), "sub", "pos")
-            .agg(
-                F.expr(_MICRO_MEAN_CW_SPARK).alias("cw")
-            )
-        )
+        cw = materialize(recompute(_pq_assign_hof(varr, cw)))
     return cw
 
 

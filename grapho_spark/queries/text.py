@@ -1858,11 +1858,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
         )
 
+    # session-shared views (stored in _BPE_MEMO): pinned out of the
+    # scratch-persist FIFO (r16)
     merges = materialize(
-        reduce(lambda a, b: a.unionAll(b), winners).filter(F.col("pair_count") > 0)
+        reduce(lambda a, b: a.unionAll(b), winners).filter(F.col("pair_count") > 0),
+        pinned=True,
     )
     vocab = materialize(
-        seg.select("w", "cnt", F.size(F.split("seg", " ")).alias("n_pieces"))
+        seg.select("w", "cnt", F.size(F.split("seg", " ")).alias("n_pieces")),
+        pinned=True,
     )
     _BPE_MEMO[key] = (merges, vocab)
     return merges, vocab
