@@ -105,6 +105,53 @@ def test_pq_hof_codebook_and_codes_match_exploded_join(spark, pred):
     assert new_codes.exceptAll(old_codes).count() == 0
 
 
+def test_pq_demo_parts_match_exploded_join(spark):
+    """The memoized 4-codeword demo-PQ bundle (embedding_pq_adc_knn /
+    embedding_ivfpq_knn) must reproduce the r15 exploded-join chain
+    bit-for-bit: codes via the HOF argmin, LUT via the q-only join."""
+    from grapho_spark.queries import embeddings as E
+
+    e = __import__("grapho_spark.tables", fromlist=["load_table"]).load_table(
+        spark, SF, "embeddings"
+    )
+    expl = e.select("vec_id", F.posexplode("embedding").alias("pos0", "v")).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("pos0") / E._PQ_M).cast("int").alias("sub"),
+        F.col("v").cast("double").cast("decimal(12,6)").alias("dv"),
+    )
+    cw = expl.groupBy((F.col("vec_id") % E._PQ_K).alias("grp"), "sub", "pos").agg(
+        F.expr(E._MICRO_MEAN_CW_SPARK).alias("cw")
+    )
+    dvl = (F.col("dv") * 1000000).cast("long")
+    cwl = (F.col("cw") * 1000000).cast("long")
+    dists = (
+        expl.join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "grp")
+        .agg(F.sum((dvl - cwl) * (dvl - cwl)).alias("dist"))
+    )
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "grp")
+    old_codes = (
+        dists.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("grp").alias("code"))
+    )
+    old_lut = dists.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sub").alias("l_sub"),
+        F.col("grp").alias("l_grp"),
+        "dist",
+    )
+    new_codes, new_lut = E._pq_demo_parts(spark, SF)
+    assert _nt(old_codes) == _nt(new_codes)
+    assert old_codes.exceptAll(new_codes).count() == 0
+    assert new_codes.exceptAll(old_codes).count() == 0
+    assert _nt(old_lut) == _nt(new_lut)
+    assert old_lut.exceptAll(new_lut).count() == 0
+    assert new_lut.exceptAll(old_lut).count() == 0
+    assert new_codes.count() > 0 and new_lut.count() > 0
+
+
 def test_bench_final_line_fits_the_driver_tail_window():
     """The driver keeps only the last 2000 bytes of bench stdout
     (BENCH_r14/r15 'tail' are exactly 2000 chars; r06's inlined
