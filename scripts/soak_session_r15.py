@@ -58,8 +58,12 @@ def main() -> None:
 
     sc = spark.sparkContext
     jsc = sc._jsc.sc()
+    import grapho_spark.sparkutil as _su
+
     print(
         "rdds_cached:", jsc.getPersistentRDDs().size(),
+        "scratch_registered:", len(_su._SCRATCH_PERSISTS),
+        "scratch_cap:", _su._SCRATCH_CAP,
         flush=True,
     )
     for name in ["graph_stress_centrality", "events_trigram_paths", "core_q1_pricing_summary", "merge_upsert_documents", "graph_hits_bipartite"]:
